@@ -1,38 +1,836 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps operator names (SURVEY.md §2 IDs) to callables
+``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the DuckDB
+equivalent for hash-comparison. Column names/aliases match pairwise.
+
+Float discipline (so order-insensitive value hashes match DuckDB exactly):
+- money/quantity sums go through DECIMAL casts (exact, order-independent);
+- min/max/count are exact as-is;
+- interpolated percentiles / ratios of exact ints are deterministic doubles;
+- any residual double output is rounded to 6 dp on BOTH sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from convml_data_spark import operators as ops
+from convml_data_spark import tables
+from convml_data_spark.functions import text as T
+from convml_data_spark.functions.timeutils import ts_lit
+from convml_data_spark.operators import dedup, similarity, windows
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _prep(spark: SparkSession) -> None:
+    # every timestamp function below assumes UTC; the driver may hand us a
+    # session with a different default
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _prep(spark)
+    return tables.load_table(spark, sf_dir, name)
+
+
+def _dec(c, prec: int = 15, scale: int = 2):
+    return F.col(c).cast(f"decimal({prec},{scale})")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: §3.1 scene-table construction (J1 multi-input join + E1
+    scene ids) over the events table at sf0.001.
+
+    Day-bucketed so the sparse smoke table still yields complete scenes
+    (hour buckets rarely contain all 5 inputs at sf0.001).
+    """
+    events = _t(spark, SF_SMOKE, "events")
+    files = events.select(
+        F.col("ts").alias("t"),
+        F.col("event_type").alias("input_name"),
+        F.concat(F.lit("evt_"), F.lpad(F.col("event_id").cast("string"), 10, "0")).alias(
+            "filename"
+        ),
+    )
+    scenes = ops.multi_input_scene_table(
+        files, EVENT_TYPES, source_name="events", time_bucket="day"
+    )
+    return scenes.select("scene_id", "t", *EVENT_TYPES)
+
+
+# ---------------------------------------------------------------- sources
+
+def q_s3_calendar_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    cal = ops.calendar_scan(
+        spark,
+        datetime(2024, 1, 1),
+        datetime(2024, 1, 31),
+        step="1 hour",
+        path_format="yyyy/MM/dd/'era5_an_ml_'yyyyMMddHHmm'.nc'",
+        path_prefix="/data/era5/",
+    )
+    return cal.select("t", "path")
+
+
+def q_s5_calendar_offset_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    missing = [
+        datetime(2024, 1, 3, 5, 30),
+        datetime(2024, 1, 10, 12, 30),
+        datetime(2024, 1, 20, 0, 30),
+    ]
+    cal = ops.calendar_scan(
+        spark,
+        datetime(2024, 1, 1),
+        datetime(2024, 1, 31),
+        step="1 hour",
+        offset="30 minutes",
+        exclude_times=missing,
+    )
+    return cal.select("t")
+
+
+# ---------------------------------------------------------------- scene table
+
+def q_scene_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    files = events.select(
+        F.col("ts").alias("t"),
+        F.col("event_type").alias("input_name"),
+        F.concat(F.lit("evt_"), F.lpad(F.col("event_id").cast("string"), 10, "0")).alias(
+            "filename"
+        ),
+    )
+    scenes = ops.multi_input_scene_table(
+        files, EVENT_TYPES, source_name="events", time_bucket="hour"
+    )
+    return scenes.select("scene_id", "t", *EVENT_TYPES)
+
+
+# ---------------------------------------------------------------- filters
+
+def q_f1_time_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    out = ops.time_interval_filter(
+        events,
+        "ts",
+        [
+            (datetime(2024, 1, 3), datetime(2024, 1, 6)),
+            (datetime(2024, 1, 20, 12), datetime(2024, 1, 22, 6)),
+        ],
+    )
+    return out.select("event_id", "ts", "event_type")
+
+
+def q_f2_datetime_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    out = ops.datetime_component_filter(
+        events, "ts", {"hour": [0, 6, 12, 18], "minute": list(range(0, 15))}
+    )
+    return out.select("event_id", "ts")
+
+
+def q_f3_solar_zenith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    out = ops.solar_zenith_filter(events, "ts", lon_degrees=-59.43, dt_hours=1.0)
+    return out.select("event_id", "ts")
+
+
+def q_f5_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(F.col("source").rlike("^src1[0-9]$")).select("doc_id", "source")
+
+
+def q_f6_filter_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pred = ops.parse_filter_dsl("l_quantity__lt=10,l_discount__gte=0.05,l_returnflag__eq=R")
+    return li.where(pred).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+def q_f7_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = ops.percentile_filter(li, "l_extendedprice", 0.95, keep="above")
+    return out.select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+def q_f9_lon_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    lon = ops.wrap_longitude(F.col("value") * 37.0)
+    out = (
+        events.withColumn("lon", F.round(lon, 6))
+        .where(F.col("lon").between(-60.0, -30.0))
+        .select("event_id", "lon")
+    )
+    return out
+
+
+# ---------------------------------------------------------------- joins
+
+def q_j2_asof_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    aux = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("aux_event_id"), F.col("ts").alias("t_aux")
+    )
+    scenes = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("scene_event_id"), F.col("ts").alias("scene_t")
+    )
+    out = ops.asof_join(
+        aux,
+        scenes,
+        "t_aux",
+        "scene_t",
+        tolerance_seconds=1800.0,
+        right_prefix="",
+        dt_col="dt_seconds",
+    )
+    return out.select(
+        "aux_event_id", "t_aux", "scene_event_id", "scene_t", F.round("dt_seconds", 6).alias("dt_seconds")
+    )
+
+
+def q_j3_asof_all_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    aux = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("aux_event_id"), F.col("ts").alias("t_aux")
+    )
+    scenes = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("scene_event_id"), F.col("ts").alias("scene_t")
+    )
+    dt_aux = ops.infer_min_spacing(aux, "t_aux")
+    out = ops.asof_join(
+        scenes,
+        aux,
+        "scene_t",
+        "t_aux",
+        tolerance_seconds=dt_aux / 2.0,
+        right_prefix="",
+        dt_col="dt_seconds",
+    )
+    return out.select(
+        "scene_event_id", "scene_t", "aux_event_id", "t_aux", F.round("dt_seconds", 6).alias("dt_seconds")
+    )
+
+
+def q_j5_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 400000.0)
+    return customer.join(big, customer.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_u3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    c = customer.select(
+        F.lit("customer").alias("kind"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    s = supplier.select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_suppkey").alias("key"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+def q_o3_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+def q_o4_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select("event_id", F.round("value", 6).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("event_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- aggregations
+
+def q_a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped per-group reduction (A1) with exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = _dec("l_quantity")
+    price = _dec("l_extendedprice")
+    disc_f = (F.lit(1).cast("decimal(9,4)") - F.col("l_discount").cast("decimal(9,4)")).cast(
+        "decimal(9,4)"
+    )
+    tax_f = (F.lit(1).cast("decimal(9,4)") + F.col("l_tax").cast("decimal(9,4)")).cast(
+        "decimal(9,4)"
+    )
+    out = (
+        li.where(F.col("l_shipdate") <= ts_lit(datetime(1998, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # reduce to scale 6 in exact decimal space BEFORE the double
+            # cast: scaled values then fit in 2^53, so the decimal→double
+            # conversion is exact (and engine-independent)
+            F.sum(qty).cast("decimal(38,6)").cast("double").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,6)").cast("double").alias("sum_base_price"),
+            F.sum(price * disc_f).cast("decimal(38,6)").cast("double").alias("sum_disc_price"),
+            F.sum((price * disc_f) * tax_f).cast("decimal(38,6)").cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(9,4)")).cast("double") / F.count("*"), 6
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return out
+
+
+def q_a3_min_spacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts")
+    m = F.unix_micros(F.col("ts"))
+    gaps = events.withColumn("gap_us", m - F.lag(m).over(w)).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(F.min("gap_us").alias("min_gap_us"))
+
+
+def q_a4_binned_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumn("qty_dec", _dec("l_quantity"))
+    out = ops.binned_statistic_1d(
+        li,
+        "qty_dec",
+        "l_extendedprice",
+        lo=0.0,
+        hi=120000.0,
+        n_bins=24,
+        stats=["count", "min", "max"],
+        extra_aggs=[F.sum(F.col("qty_dec")).alias("sum_qty")],
+    )
+    return out.select(
+        "bin",
+        F.round("bin_lo", 6).alias("bin_lo"),
+        "count",
+        F.col("min").cast("double").alias("min_qty"),
+        F.col("max").cast("double").alias("max_qty"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.round(F.col("sum_qty").cast("double") / F.col("count"), 6).alias("mean_qty"),
+    )
+
+
+def q_a5_binned_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumn("qty_dec", _dec("l_quantity"))
+    out = ops.binned_statistic_2d(
+        li,
+        x_col="l_extendedprice",
+        y_col="l_discount",
+        value_col="l_quantity",
+        dx=20000.0,
+        dy=0.02,
+        stats=["count", "min", "max", "median"],
+        min_points=5,
+        extra_aggs=[F.sum(F.col("qty_dec")).alias("sum_qty")],
+    )
+    return out.select(
+        "xbin",
+        "ybin",
+        "count",
+        F.col("min").alias("min_qty"),
+        F.col("max").alias("max_qty"),
+        F.round("median", 6).alias("median_qty"),
+        F.round(F.col("sum_qty").cast("double") / F.col("count"), 6).alias("mean_qty"),
+    )
+
+
+def q_a6_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    out = ops.ecdf(events, "value", partition_by=["event_type"])
+    return out.select("event_type", "event_id", F.round("ecdf", 6).alias("ecdf"))
+
+
+def q_a7_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = ops.equidepth_bins(li, "l_extendedprice", 10)
+    return out.select("q", F.round("boundary", 6).alias("boundary"))
+
+
+def q_a8_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        ).agg(F.count("*").alias("n"))
+    )
+
+
+def q_a10_column_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 TPW-pattern: Σ q·Δp per ordered column (here per order)."""
+    li = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    # tiebreak on part/supp keys so the lag order is deterministic
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    price = _dec("l_extendedprice", 16, 2)
+    dp = price - F.lag(price).over(w)
+    qdp = (_dec("l_quantity", 15, 2) * dp).alias("qdp")
+    out = (
+        li.withColumn("qdp", qdp)
+        .where(F.col("qdp").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.sum("qdp").cast("double").alias("integral"))
+    )
+    return out.select("l_orderkey", F.round("integral", 6).alias("integral"))
+
+
+# ---------------------------------------------------------------- windows
+
+def q_w2_argmin_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    out = windows.argmin_per_group(
+        events, "value", partition_by=["user_id"], tiebreak=["event_id"]
+    )
+    return out.select("user_id", "event_id", F.round("value", 6).alias("value"))
+
+
+def q_w3_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    out = windows.local_peaks(events, "ts", "value", partition_by=["event_type"])
+    return out.select("event_type", "event_id", F.round("value", 6).alias("value"))
+
+
+def q_w5_sliding_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return ops.sliding_tiles(spark, nx=256, ny=256, n_tile=32, step=16)
+
+
+def q_g2_tile_pixel_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: range-join pixel membership + per-tile reduction on a synthetic
+    64×64 integer grid (exact arithmetic both engines)."""
+    _prep(spark)
+    px = (
+        spark.range(1)
+        .select(F.explode(F.expr("sequence(0, 63)")).alias("y"))
+        .select("y", F.explode(F.expr("sequence(0, 63)")).alias("x"))
+        .select("x", "y", ((F.col("x") * 37 + F.col("y") * 17) % 101).alias("value"))
+    )
+    tiles = ops.sliding_tiles(spark, nx=64, ny=64, n_tile=16, step=8).where(
+        F.col("tile_id").isin([0, 5, 24])
+    )
+    joined = ops.tile_pixel_join(px, tiles)
+    return joined.groupBy("tile_id").agg(
+        F.count("*").alias("n_px"), F.sum("value").alias("sum_val")
+    )
+
+
+# ---------------------------------------------------------------- LLM ops
+
+def q_dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn("text", F.substring("text", 1, 100))
+    return dedup.exact_duplicates(docs)
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_dedup_blocked(
+        docs, block_cols=["lang", "source"], threshold=0.5, ngram=3
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.regex_token_count(t).alias("n_regex_tokens"),
+        F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(T.en_stopword_ratio(t), 6).alias("en_stopword_ratio"),
+        (T.en_stopword_ratio(t) > 0.15).alias("is_en_guess"),
+    )
+
+
+def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk(emb, [float(v) for v in qvec], k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "s3_calendar_scan": q_s3_calendar_scan,
+        "s5_calendar_offset_missing": q_s5_calendar_offset_missing,
+        "scene_table": q_scene_table,
+        "f1_time_intervals": q_f1_time_intervals,
+        "f2_datetime_components": q_f2_datetime_components,
+        "f3_solar_zenith": q_f3_solar_zenith,
+        "f5_regex_filter": q_f5_regex_filter,
+        "f6_filter_dsl": q_f6_filter_dsl,
+        "f7_percentile_filter": q_f7_percentile_filter,
+        "f9_lon_wrap": q_f9_lon_wrap,
+        "j2_asof_single": q_j2_asof_single,
+        "j3_asof_all_within": q_j3_asof_all_within,
+        "j5_semi_join": q_j5_semi_join,
+        "u3_anti_join": q_u3_anti_join,
+        "u1_union_by_name": q_u1_union_by_name,
+        "o3_distinct": q_o3_distinct,
+        "o4_topk": q_o4_topk,
+        "a1_pricing_summary": q_a1_pricing_summary,
+        "a3_min_spacing": q_a3_min_spacing,
+        "a4_binned_1d": q_a4_binned_1d,
+        "a5_binned_2d": q_a5_binned_2d,
+        "a6_ecdf": q_a6_ecdf,
+        "a7_equidepth": q_a7_equidepth,
+        "a8_daily_counts": q_a8_daily_counts,
+        "a10_column_integral": q_a10_column_integral,
+        "w2_argmin_per_group": q_w2_argmin_per_group,
+        "w3_local_peaks": q_w3_local_peaks,
+        "w5_sliding_tiles": q_w5_sliding_tiles,
+        "g2_tile_pixel_slice": q_g2_tile_pixel_slice,
+        "dedup_exact_prefix": q_dedup_exact_prefix,
+        "dedup_jaccard": q_dedup_jaccard,
+        "text_quality": q_text_quality,
+        "text_corpus_stats": q_text_corpus_stats,
+        "ann_cosine_topk": q_ann_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    event_pivot_cols = ",\n      ".join(
+        f"min(CASE WHEN event_type = '{et}' THEN fn END) AS {et}" for et in EVENT_TYPES
+    )
+    not_null = " AND ".join(f"{et} IS NOT NULL" for et in EVENT_TYPES)
+    quantiles_union = "\nUNION ALL\n".join(
+        f"SELECT {k}/10.0 AS q, round(quantile_cont(l_extendedprice, {k}/10.0), 6) AS boundary FROM lineitem"
+        for k in range(11)
+    )
+    return {
+        "s3_calendar_scan": """
+            SELECT t, '/data/era5/' || strftime(t, '%Y/%m/%d/era5_an_ml_%Y%m%d%H%M.nc') AS path
+            FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 1 HOUR)) AS t)
+            WHERE t < TIMESTAMP '2024-01-31'
+        """,
+        "s5_calendar_offset_missing": """
+            SELECT t + INTERVAL 30 MINUTE AS t
+            FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 1 HOUR)) AS t)
+            WHERE t < TIMESTAMP '2024-01-31'
+              AND t + INTERVAL 30 MINUTE NOT IN (
+                TIMESTAMP '2024-01-03 05:30:00', TIMESTAMP '2024-01-10 12:30:00', TIMESTAMP '2024-01-20 00:30:00')
+        """,
+        "scene_table": f"""
+            WITH f AS (
+              SELECT date_trunc('hour', ts) AS t, event_type,
+                     'evt_' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS fn
+              FROM events
+            ), p AS (
+              SELECT t,
+      {event_pivot_cols}
+              FROM f GROUP BY t
+            )
+            SELECT 'events__' || strftime(t, '%Y%m%d%H%M') AS scene_id, t,
+                   {', '.join(EVENT_TYPES)}
+            FROM p WHERE {not_null}
+        """,
+        "f1_time_intervals": """
+            SELECT event_id, ts, event_type FROM events
+            WHERE (ts BETWEEN TIMESTAMP '2024-01-03' AND TIMESTAMP '2024-01-06')
+               OR (ts BETWEEN TIMESTAMP '2024-01-20 12:00:00' AND TIMESTAMP '2024-01-22 06:00:00')
+        """,
+        "f2_datetime_components": """
+            SELECT event_id, ts FROM events
+            WHERE CAST(hour(ts) AS INT) IN (0, 6, 12, 18)
+              AND CAST(minute(ts) AS INT) IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14)
+        """,
+        "f3_solar_zenith": """
+            WITH s AS (
+              SELECT event_id, ts,
+                     CAST(hour(ts)*3600 + minute(ts)*60 + second(ts) AS DOUBLE) AS sec
+              FROM events
+            )
+            SELECT event_id, ts FROM s
+            WHERE least(abs(sec - (((12.0 - (-59.43)/15.0) % 24.0) * 3600.0)),
+                        86400.0 - abs(sec - (((12.0 - (-59.43)/15.0) % 24.0) * 3600.0))) <= 3600.0
+        """,
+        "f5_regex_filter": """
+            SELECT doc_id, source FROM documents WHERE regexp_matches(source, '^src1[0-9]$')
+        """,
+        "f6_filter_dsl": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+            WHERE l_quantity < 10 AND l_discount >= 0.05 AND l_returnflag = 'R'
+        """,
+        "f7_percentile_filter": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            WHERE l_extendedprice > (SELECT quantile_cont(l_extendedprice, 0.95) FROM lineitem)
+        """,
+        "f9_lon_wrap": """
+            WITH w AS (
+              SELECT event_id, round(((value * 37.0 + 180.0) % 360.0 + 360.0) % 360.0 - 180.0, 6) AS lon
+              FROM events
+            )
+            SELECT event_id, lon FROM w WHERE lon BETWEEN -60.0 AND -30.0
+        """,
+        "j2_asof_single": """
+            WITH aux AS (SELECT event_id AS aux_event_id, ts AS t_aux FROM events WHERE event_type = 'error'),
+                 sc AS (SELECT event_id AS scene_event_id, ts AS scene_t FROM events WHERE event_type = 'click'),
+                 j AS (
+                   SELECT a.aux_event_id, a.t_aux, s.scene_event_id, s.scene_t,
+                          abs(epoch_us(a.t_aux) - epoch_us(s.scene_t)) AS adt_us,
+                          row_number() OVER (
+                            PARTITION BY a.aux_event_id
+                            ORDER BY abs(epoch_us(a.t_aux) - epoch_us(s.scene_t)), s.scene_t
+                          ) AS rn
+                   FROM aux a JOIN sc s
+                     ON abs(epoch_us(a.t_aux) - epoch_us(s.scene_t)) / 1e6 <= 1800.0
+                 )
+            SELECT aux_event_id, t_aux, scene_event_id, scene_t, round(adt_us/1e6, 6) AS dt_seconds
+            FROM j WHERE rn = 1
+        """,
+        "j3_asof_all_within": """
+            WITH aux AS (SELECT event_id AS aux_event_id, ts AS t_aux FROM events WHERE event_type = 'purchase'),
+                 sc AS (SELECT event_id AS scene_event_id, ts AS scene_t FROM events WHERE event_type = 'view'),
+                 gaps AS (SELECT epoch_us(t_aux) - lag(epoch_us(t_aux)) OVER (ORDER BY t_aux) AS g FROM aux),
+                 tol AS (SELECT (min(g)/1e6)/2.0 AS tol_s FROM gaps WHERE g IS NOT NULL),
+                 j AS (
+                   SELECT s.scene_event_id, s.scene_t, a.aux_event_id, a.t_aux,
+                          abs(epoch_us(s.scene_t) - epoch_us(a.t_aux)) AS adt_us,
+                          row_number() OVER (
+                            PARTITION BY s.scene_event_id
+                            ORDER BY abs(epoch_us(s.scene_t) - epoch_us(a.t_aux)), a.t_aux
+                          ) AS rn
+                   FROM sc s, tol, aux a
+                   WHERE abs(epoch_us(s.scene_t) - epoch_us(a.t_aux)) / 1e6 <= tol.tol_s
+                 )
+            SELECT scene_event_id, scene_t, aux_event_id, t_aux, round(adt_us/1e6, 6) AS dt_seconds
+            FROM j WHERE rn = 1
+        """,
+        "j5_semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        """,
+        "u3_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "u1_union_by_name": """
+            SELECT 'customer' AS kind, c_custkey AS key, c_name AS name, c_acctbal AS acctbal, c_mktsegment AS mktsegment FROM customer
+            UNION ALL
+            SELECT 'supplier' AS kind, s_suppkey AS key, s_name AS name, s_acctbal AS acctbal, NULL AS mktsegment FROM supplier
+        """,
+        "o3_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "o4_topk": """
+            SELECT event_id, round(value, 6) AS value FROM events
+            ORDER BY round(value, 6) DESC, event_id LIMIT 20
+        """,
+        "a1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(1 - CAST(l_discount AS DECIMAL(9,4)) AS DECIMAL(9,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+                   CAST(CAST(sum((CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(1 - CAST(l_discount AS DECIMAL(9,4)) AS DECIMAL(9,4))) * CAST(1 + CAST(l_tax AS DECIMAL(9,4)) AS DECIMAL(9,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "a3_min_spacing": """
+            WITH g AS (
+              SELECT event_type,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts) AS gap_us
+              FROM events
+            )
+            SELECT event_type, min(gap_us) AS min_gap_us FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+        """,
+        "a4_binned_1d": """
+            WITH b AS (
+              SELECT CAST(floor((l_extendedprice - 0.0) / 5000.0) AS INT) AS bin,
+                     CAST(l_quantity AS DECIMAL(15,2)) AS qty_dec, l_quantity
+              FROM lineitem
+              WHERE l_extendedprice BETWEEN 0.0 AND 120000.0 - 1e-12
+            )
+            SELECT bin, round(0.0 + bin * 5000.0, 6) AS bin_lo,
+                   count(qty_dec) AS count,
+                   CAST(min(qty_dec) AS DOUBLE) AS min_qty,
+                   CAST(max(qty_dec) AS DOUBLE) AS max_qty,
+                   CAST(sum(qty_dec) AS DOUBLE) AS sum_qty,
+                   round(CAST(sum(qty_dec) AS DOUBLE) / count(qty_dec), 6) AS mean_qty
+            FROM b GROUP BY bin
+        """,
+        "a5_binned_2d": """
+            WITH b AS (
+              SELECT CAST(floor(l_extendedprice / 20000.0) AS INT) AS xbin,
+                     CAST(floor(l_discount / 0.02) AS INT) AS ybin,
+                     l_quantity, CAST(l_quantity AS DECIMAL(15,2)) AS qty_dec
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+                AND abs(l_quantity) != CAST('infinity' AS DOUBLE)
+            )
+            SELECT xbin, ybin, count(l_quantity) AS count,
+                   min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                   round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+                   round(CAST(sum(qty_dec) AS DOUBLE) / count(l_quantity), 6) AS mean_qty
+            FROM b GROUP BY xbin, ybin HAVING count(l_quantity) > 5
+        """,
+        "a6_ecdf": """
+            SELECT event_type, event_id,
+                   round(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 6) AS ecdf
+            FROM events
+        """,
+        "a7_equidepth": quantiles_union,
+        "a8_daily_counts": """
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "a10_column_integral": """
+            WITH d AS (
+              SELECT l_orderkey,
+                     CAST(l_quantity AS DECIMAL(15,2)) *
+                     (CAST(l_extendedprice AS DECIMAL(16,2)) -
+                      lag(CAST(l_extendedprice AS DECIMAL(16,2))) OVER (
+                        PARTITION BY l_orderkey
+                        ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice)) AS qdp
+              FROM lineitem
+            )
+            SELECT l_orderkey, round(CAST(sum(qdp) AS DOUBLE), 6) AS integral
+            FROM d WHERE qdp IS NOT NULL GROUP BY l_orderkey
+        """,
+        "w2_argmin_per_group": """
+            WITH r AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn
+              FROM events
+            )
+            SELECT user_id, event_id, round(value, 6) AS value FROM r WHERE rn = 1
+        """,
+        "w3_local_peaks": """
+            WITH n AS (
+              SELECT event_type, event_id, value,
+                     lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS pv,
+                     lead(value) OVER (PARTITION BY event_type ORDER BY ts) AS nv
+              FROM events
+            )
+            SELECT event_type, event_id, round(value, 6) AS value
+            FROM n WHERE value > pv AND value > nv
+        """,
+        "w5_sliding_tiles": """
+            SELECT CAST((j0/16) * 15 + (i0/16) AS INT) AS tile_id,
+                   CAST(i0 AS INT) AS i0, CAST(i0 + 32 AS INT) AS imax,
+                   CAST(j0 AS INT) AS j0, CAST(j0 + 32 AS INT) AS jmax
+            FROM (SELECT unnest(generate_series(0, 224, 16)) AS i0),
+                 (SELECT unnest(generate_series(0, 224, 16)) AS j0)
+        """,
+        "g2_tile_pixel_slice": """
+            WITH px AS (
+              SELECT x, y, (x * 37 + y * 17) % 101 AS value
+              FROM (SELECT unnest(generate_series(0, 63)) AS x),
+                   (SELECT unnest(generate_series(0, 63)) AS y)
+            ), tiles AS (
+              SELECT CAST((j0/8) * 7 + (i0/8) AS INT) AS tile_id,
+                     i0, i0 + 16 AS imax, j0, j0 + 16 AS jmax
+              FROM (SELECT unnest(generate_series(0, 48, 8)) AS i0),
+                   (SELECT unnest(generate_series(0, 48, 8)) AS j0)
+            )
+            SELECT tile_id, count(*) AS n_px, CAST(sum(value) AS BIGINT) AS sum_val
+            FROM px JOIN tiles
+              ON px.x >= tiles.i0 AND px.x < tiles.imax AND px.y >= tiles.j0 AND px.y < tiles.jmax
+            WHERE tile_id IN (0, 5, 24)
+            GROUP BY tile_id
+        """,
+        "dedup_exact_prefix": """
+            SELECT md5(substr(text, 1, 100)) AS text_hash,
+                   min(doc_id) AS canonical_id, count(*) AS n_dupes
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, lang, source,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, lang, source,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.lang = b.lang AND a.source = b.source AND a.shingle = b.shingle
+               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        """,
+        "text_quality": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ltoks
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_regex_tokens,
+                   round(CAST(len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / greatest(len(text), 1), 6) AS punct_ratio,
+                   round(CAST(len(list_filter(ltoks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / greatest(len(ltoks), 1), 6) AS en_stopword_ratio,
+                   (CAST(len(list_filter(ltoks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / greatest(len(ltoks), 1)) > 0.15 AS is_en_guess
+            FROM t
+        """,
+        "text_corpus_stats": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+                 scored AS (
+                   SELECT v.vec_id,
+                          round(
+                            list_sum(list_transform(range(1, len(v.embedding) + 1),
+                                     i -> CAST(v.embedding[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)))
+                            / (sqrt(list_sum(list_transform(range(1, len(v.embedding) + 1),
+                                     i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))))
+                               * sqrt(list_sum(list_transform(range(1, len(q.e) + 1),
+                                     i -> CAST(q.e[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE))))), 6) AS score
+                   FROM embeddings v, q
+                 )
+            SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
+        """,
+    }

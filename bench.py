@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query executes its full plan via a noop-style action (count on the
+final plan) — no driver-side collect of large results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from convml_data_spark import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "scene_table",
+    "s3_calendar_scan",
+    "f1_time_intervals",
+    "j2_asof_single",
+    "a1_pricing_summary",
+    "a5_binned_2d",
+    "a6_ecdf",
+    "a7_equidepth",
+    "w2_argmin_per_group",
+    "w5_sliding_tiles",
+    "g2_tile_pixel_slice",
+    "dedup_jaccard",
+    "text_quality",
+    "ann_cosine_topk",
+]
+
+
+def sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark(app_name="convml-data-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    # JVM warm-up on a trivial job so query 1 doesn't pay session startup
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Text-analysis expressions for LLM-training-data pipelines.
+
+These extend the reference's surface (BASELINE.json north star): language-ID
+heuristics, quality scoring, token counting, shingling for dedup. All pure
+Column expressions (JVM regex engine, whole-stage codegen) — the 100 TB hot
+path never enters Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: word runs or single non-word-non-space marks.
+TOKEN_PATTERN = r"\w+|[^\w\s]"
+
+# Tiny high-frequency English function-word list for the language-ID
+# heuristic (stopword-ratio); deterministic and oracle-expressible.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (empty strings filtered)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish regex token count (words + punctuation marks)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    stripped = F.regexp_replace(text, r"[^.,;:!?'\"()-]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def en_stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are English function words."""
+    toks = tokens(F.lower(text))
+    stop = F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))
+    return F.size(stop) / F.greatest(F.size(toks), F.lit(1))
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of word n-grams (space-joined), for Jaccard shingling."""
+    toks = tokens(F.lower(text))
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    """Array of character n-grams."""
+    k = F.length(text) - (n - 1)
+    return F.when(k <= 0, F.array()).otherwise(
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(text, i, n))
+    )

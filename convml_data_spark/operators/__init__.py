@@ -1,0 +1,35 @@
+"""Operator inventory (SURVEY.md §2) as composable DataFrame transforms."""
+
+from .asof import asof_join, infer_min_spacing, match_aux_to_scenes
+from .binning import binned_statistic_1d, binned_statistic_2d, ecdf, equidepth_bins
+from .calendar import calendar_scan
+from .filters import (
+    datetime_component_filter,
+    parse_filter_dsl,
+    percentile_filter,
+    solar_zenith_filter,
+    time_interval_filter,
+    wrap_longitude,
+)
+from .scenes import multi_input_scene_table
+from .tiler import sliding_tiles, tile_pixel_join
+
+__all__ = [
+    "asof_join",
+    "infer_min_spacing",
+    "match_aux_to_scenes",
+    "binned_statistic_1d",
+    "binned_statistic_2d",
+    "ecdf",
+    "equidepth_bins",
+    "calendar_scan",
+    "datetime_component_filter",
+    "parse_filter_dsl",
+    "percentile_filter",
+    "solar_zenith_filter",
+    "time_interval_filter",
+    "wrap_longitude",
+    "multi_input_scene_table",
+    "sliding_tiles",
+    "tile_pixel_join",
+]

@@ -1,0 +1,169 @@
+"""As-of (nearest-time, tolerance-bounded) joins — SURVEY §2.3 J2–J4, A3.
+
+Reference semantics (convml_data/pipeline/aux_sources.py:178-231):
+
+- ``single_scene_per_aux_time`` (J2): every AUX time is matched to the
+  closest SCENE time; the match is kept only when ``|Δt| <= tolerance``.
+- ``all_scenes_within_dt_aux`` (J3): every SCENE is matched to the closest
+  AUX time within the tolerance.
+- tolerance defaults to ``dt_aux / 2`` where ``dt_aux`` is the *minimum*
+  spacing of the aux times (aux_sources.py:202-206 — A3).
+- tie-break: the reference computes ``np.argmin(|Δt|)`` over the
+  ascending-sorted time axis, so an exact tie picks the EARLIER candidate.
+  (aux_sources.py:216-218)
+
+Physical design (scale): Spark has no native as-of join, and the naive
+``a JOIN b ON abs(a.t-b.t) <= tol`` range join is O(n·m) work. We instead
+use the union-and-window idiom, which is one shuffle-sort:
+
+1. union left rows and right rows onto one time axis;
+2. per ordered partition, ``last(right_payload) IGNORE NULLS`` over
+   (-∞, current] gives the previous right row, ``first(...)`` over
+   [current, +∞) the next;
+3. pick the nearer of prev/next (tie → prev = earlier), apply tolerance.
+
+A keyless as-of would put the whole axis in ONE window partition, so when no
+``partition_by`` is given we synthesize one: time is bucketed by
+``ceil(tolerance)`` and right rows are replicated into the two neighbouring
+buckets (any match within tolerance is then guaranteed to live in the left
+row's bucket). That keeps the operator fully parallel at 100 TB; replication
+factor is a constant 3 on the (smaller) right side. With ``partition_by``
+(e.g. per aux product) the windows are already keyed and no replication is
+needed — unless a single key still carries the whole table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def infer_min_spacing(df: DataFrame, time_col: str, partition_by: list[str] | None = None):
+    """A3: min spacing (seconds, float) between consecutive distinct times.
+
+    Reference: ``dt_aux = min(diff(sorted(aux_times)))``
+    (aux_sources.py:202-206). Returns a float (driver-side scalar) — this is
+    plan-time metadata, like the reference's use of it.
+    """
+    w = Window.partitionBy(*(partition_by or [])).orderBy(time_col)
+    micros = F.unix_micros(F.col(time_col))
+    gaps = (
+        df.select(*(partition_by or []), time_col)
+        .distinct()
+        .withColumn("_gap", micros - F.lag(micros).over(w))
+        .where(F.col("_gap").isNotNull())
+        .agg(F.min("_gap").alias("m"))
+        .collect()
+    )
+    return gaps[0]["m"] / 1e6 if gaps and gaps[0]["m"] is not None else None
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    tolerance_seconds: float | None = None,
+    partition_by: list[str] | None = None,
+    right_prefix: str = "matched_",
+    keep_unmatched: bool = False,
+    dt_col: str | None = None,
+) -> DataFrame:
+    """Nearest-time join: each left row gains the nearest right row's columns
+    (prefixed), kept only when ``|Δt| <= tolerance`` (ties → earlier right).
+
+    ``partition_by`` lists equi-join keys present on BOTH sides (e.g.
+    ``["aux_name"]``). Without it, and with a tolerance, time-bucket
+    replication (see module docstring) keeps the plan parallel.
+    """
+    keys = list(partition_by or [])
+    payload_cols = [c for c in right.columns if c not in keys]
+    rstruct = F.struct(*[F.col(c) for c in payload_cols])
+
+    lhs = left.withColumn("_t", F.col(left_on)).withColumn("_is_left", F.lit(1))
+    rhs = (
+        right.withColumn("_t", F.col(right_on))
+        .withColumn("_is_left", F.lit(0))
+        .select(*keys, "_t", "_is_left", rstruct.alias("_r"))
+    )
+
+    bucketed = not keys and tolerance_seconds is not None
+    if bucketed:
+        width = max(float(tolerance_seconds), 1e-6)
+        bucket = F.floor(F.unix_micros(F.col("_t")) / F.lit(width * 1e6))
+        lhs = lhs.withColumn("_bucket", bucket)
+        rhs = (
+            rhs.withColumn("_b0", bucket)
+            .withColumn("_shift", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+            .withColumn("_bucket", F.col("_b0") + F.col("_shift"))
+            .drop("_b0", "_shift")
+        )
+        keys = ["_bucket"]
+
+    lcols = [c for c in lhs.columns if c not in {"_t", "_is_left"} and c not in keys]
+    unioned = lhs.select(
+        *keys, "_t", "_is_left", F.lit(None).cast(rhs.schema["_r"].dataType).alias("_r"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+    ).unionByName(rhs, allowMissingColumns=True)
+
+    # order right rows before left rows at equal t so an exact match is
+    # visible as "previous" with dt=0
+    w = Window.partitionBy(*keys).orderBy("_t", "_is_left")
+    prev = F.last("_r", ignorenulls=True).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    nxt = F.first("_r", ignorenulls=True).over(w.rowsBetween(0, Window.unboundedFollowing))
+
+    lm = F.unix_micros(F.col("_t"))
+    dt_prev = lm - F.unix_micros(prev[right_on])
+    dt_next = F.unix_micros(nxt[right_on]) - lm
+    use_prev = F.when(prev.isNull(), F.lit(False)).when(nxt.isNull(), F.lit(True)).otherwise(dt_prev <= dt_next)
+    chosen = F.when(use_prev, prev).otherwise(nxt)
+    dt = F.when(use_prev, dt_prev).otherwise(dt_next) / F.lit(1e6)
+
+    # annotate BEFORE filtering to left rows — the window must see both sides
+    matched = (
+        unioned.withColumn("_chosen", chosen)
+        .withColumn("_dt", dt)
+        .where(F.col("_is_left") == 1)
+    )
+    if tolerance_seconds is not None:
+        ok = F.col("_chosen").isNotNull() & (F.col("_dt") <= F.lit(float(tolerance_seconds)))
+    else:
+        ok = F.col("_chosen").isNotNull()
+    matched = matched.withColumn("_chosen", F.when(ok, F.col("_chosen")))
+    if not keep_unmatched:
+        matched = matched.where(F.col("_chosen").isNotNull())
+
+    out_cols = [F.col("_l")[c].alias(c) for c in lcols]
+    if partition_by:
+        out_cols = [F.col(k) for k in partition_by] + out_cols
+    out_cols += [F.col("_chosen")[c].alias(f"{right_prefix}{c}") for c in payload_cols]
+    if dt_col:
+        out_cols.append(
+            F.when(F.col("_chosen").isNotNull(), F.col("_dt")).alias(dt_col)
+        )
+    return matched.select(*out_cols)
+
+
+def match_aux_to_scenes(
+    scenes: DataFrame,
+    aux: DataFrame,
+    strategy: str = "single_scene_per_aux_time",
+    scene_time: str = "t",
+    aux_time: str = "t_aux",
+    dt_aux_seconds: float | None = None,
+) -> DataFrame:
+    """J2/J3 with the reference's two strategies and A3 tolerance inference.
+
+    Reference: aux_sources.py:178-231; tolerance is ``dt_aux/2`` with
+    ``<=`` at the edge (aux_sources.py:219,229).
+    """
+    if dt_aux_seconds is None:
+        dt_aux_seconds = infer_min_spacing(aux, aux_time)
+        if dt_aux_seconds is None:
+            raise ValueError("cannot infer dt_aux from a single aux time")
+    tol = dt_aux_seconds / 2.0
+    if strategy == "single_scene_per_aux_time":
+        return asof_join(aux, scenes, aux_time, scene_time, tolerance_seconds=tol, right_prefix="scene_")
+    if strategy == "all_scenes_within_dt_aux":
+        return asof_join(scenes, aux, scene_time, aux_time, tolerance_seconds=tol, right_prefix="aux_")
+    raise ValueError(f"unknown strategy {strategy!r}")

@@ -1,0 +1,129 @@
+"""Binned statistics, ECDF, equi-depth binning — SURVEY §2.4 A4–A7, §2.5 W4.
+
+Reference semantics:
+- A4 1-D binning: ``groupby_bins(v, bins=linspace(lo, hi, n))`` then a
+  per-bin reduction (convml_data/pipeline/embeddings/aux_fields/viz.py:211-227).
+- A5 2-D binned statistic with stats mean/sem/min/max/std/median/count and a
+  ``count > min_points`` mask, NaN/inf pre-filtered
+  (aux_fields/plot_types.py:26-92; stats list viz.py:370-373).
+- A6 ECDF: rank/N (viz.py:284-294) ≙ ``cume_dist()``.
+- A7 equi-depth bin edges: n equally spaced ECDF cut points
+  (viz.py:296-315) ≙ exact linear-interpolation percentiles.
+
+Scale: all of these are single-shuffle ``groupBy(bucket).agg`` plans with
+map-side partial aggregation; bucket ids are pure JVM expressions
+(whole-stage codegen), so they survive a 100× scale-up untouched. ``median``
+uses exact ``percentile`` to hash-match the DuckDB oracle; at cluster scale
+substitute ``percentile_approx`` for one-pass sketching when approximation
+is acceptable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(col: Column, lo: float, step: float) -> Column:
+    return F.floor((col - F.lit(lo)) / F.lit(step)).cast("int")
+
+
+_STATS = {
+    "mean": lambda c: F.avg(c),
+    "std": lambda c: F.stddev_samp(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "count": lambda c: F.count(c),
+    "median": lambda c: F.expr(f"percentile({c}, 0.5)"),
+    "sum": lambda c: F.sum(c),
+}
+
+
+def _agg_exprs(value_col: str, stats: list[str]) -> list[Column]:
+    exprs = []
+    for s in stats:
+        if s == "sem":
+            exprs.append(
+                (F.stddev_samp(value_col) / F.sqrt(F.count(value_col))).alias("sem")
+            )
+        else:
+            exprs.append(_STATS[s](value_col).alias(s))
+    return exprs
+
+
+def binned_statistic_1d(
+    df: DataFrame,
+    value_col: str,
+    by_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    stats: list[str] = ("mean", "count"),
+    extra_aggs: list[Column] | None = None,
+) -> DataFrame:
+    """A4: bin ``by_col`` into ``n_bins`` equal-width bins on [lo, hi) and
+    reduce ``value_col`` per bin. Returns (bin, bin_lo, <stats...>)."""
+    step = (hi - lo) / n_bins
+    binned = df.where(F.col(by_col).between(lo, hi - 1e-12)).withColumn(
+        "bin", _bucket(F.col(by_col), lo, step)
+    )
+    out = binned.groupBy("bin").agg(*_agg_exprs(value_col, list(stats)), *(extra_aggs or []))
+    return out.withColumn("bin_lo", (F.lit(lo) + F.col("bin") * F.lit(step)).cast("double"))
+
+
+def binned_statistic_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    value_col: str,
+    dx: float,
+    dy: float,
+    stats: list[str] = ("mean", "sem", "min", "max", "std", "median", "count"),
+    min_points: int | None = None,
+    x0: float = 0.0,
+    y0: float = 0.0,
+    extra_aggs: list[Column] | None = None,
+) -> DataFrame:
+    """A5: 2-D binned statistic on a (x, y) grid with steps (dx, dy).
+
+    NaN/inf values are pre-filtered (plot_types.py:34-51); bins with
+    ``count <= min_points`` are dropped (``np.where(count > min_points)``,
+    plot_types.py:74-79 — strictly greater).
+    """
+    v = F.col(value_col)
+    clean = df.where(v.isNotNull() & ~F.isnan(v) & (F.abs(v) != float("inf")))
+    binned = clean.withColumn("xbin", _bucket(F.col(x_col), x0, dx)).withColumn(
+        "ybin", _bucket(F.col(y_col), y0, dy)
+    )
+    out = binned.groupBy("xbin", "ybin").agg(
+        *_agg_exprs(value_col, list(stats)), *(extra_aggs or [])
+    )
+    if min_points is not None:
+        out = out.where(F.col("count") > min_points)
+    return out
+
+
+def ecdf(df: DataFrame, value_col: str, partition_by: list[str] | None = None) -> DataFrame:
+    """A6/W4: empirical CDF of ``value_col`` (optionally per group).
+
+    A keyless ECDF is a global ordering; ``cume_dist`` without partition
+    keys single-tasks the window, so prefer ``partition_by`` at scale (or
+    the two-pass rank/total formulation).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*(partition_by or [])).orderBy(value_col)
+    return df.withColumn("ecdf", F.cume_dist().over(w))
+
+
+def equidepth_bins(df: DataFrame, value_col: str, n_bins: int) -> DataFrame:
+    """A7: equi-depth bin boundaries = exact percentiles at k/n, k=0..n.
+
+    Returns (q DOUBLE, boundary DOUBLE), one row per cut point.
+    """
+    qs = [k / n_bins for k in range(n_bins + 1)]
+    arr = F.expr(f"percentile({value_col}, array({', '.join(map(repr, qs))}))")
+    cuts = df.agg(arr.alias("_cuts"))
+    return cuts.select(F.posexplode("_cuts").alias("k", "boundary")).select(
+        (F.col("k") / F.lit(float(n_bins))).alias("q"), F.col("boundary").cast("double")
+    )

@@ -1,0 +1,214 @@
+"""Deduplication operators for LLM-training-data pipelines (north-star
+extension; BASELINE.json). Exact, blocked-Jaccard, MinHash-LSH and SimHash
+variants over a ``documents(doc_id, text, ...)`` table.
+
+Scale design:
+- exact dedup is one hash-groupBy (map-side partial agg on md5);
+- blocked Jaccard explodes shingles and self-joins only *within a block*
+  (here (lang, source)) — the classic blocking strategy that bounds the
+  candidate-pair blowup;
+- MinHash-LSH computes k hashes per shingle with explicit affine hash
+  functions (deterministic cluster-wide — same motivation as the
+  reference's seed bugfix, CHANGELOG.md #19), bands them, and equi-joins on
+  (band, band_hash) buckets: candidate generation is a hash join, never a
+  cross product. Verification re-checks exact Jaccard on candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_ngrams
+
+# Affine minhash parameters: h_i(x) = (a_i * x + b_i) mod p over a 61-bit
+# Mersenne prime; a/b fixed (seeded) so signatures are reproducible across
+# partitionings and cluster sizes.
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _hash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P)) for _ in range(k)]
+
+
+def _shingle_hash64(col):
+    """Deterministic 60-bit integer hash of a shingle string via md5
+    (engine-agnostic — DuckDB can reproduce it, unlike xxhash64)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by md5(text); emit groups with >1 doc, keeping the
+    min id as canonical. Returns (text_hash, canonical_id, n_dupes)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_dupes"))
+        .where(F.col("n_dupes") > 1)
+    )
+
+
+def jaccard_dedup_blocked(
+    docs: DataFrame,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs within blocks by exact word-n-gram Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    The shingle self-join runs per block; distinct-shingle sets are
+    pre-aggregated so |pairs| cost is ∝ shared shingles within a block.
+    """
+    sh = (
+        docs.select(*block_cols, F.col(id_col).alias("id"), word_ngrams(F.col(text_col), ngram).alias("_sh"))
+        .select(*block_cols, "id", F.explode("_sh").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(*block_cols, F.col("id").alias("id_a"), "shingle")
+    b = sh.select(*block_cols, F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on=[*block_cols, "shingle"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return jac
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures: (id, sig ARRAY<LONG>[num_hashes]).
+
+    Signature values are min over shingles of affine hashes of the 60-bit
+    shingle hash — fully deterministic, partitioning-independent.
+    """
+    params = _hash_params(num_hashes, seed)
+    sh = (
+        docs.select(F.col(id_col).alias("id"), word_ngrams(F.col(text_col), ngram).alias("_sh"))
+        .select("id", F.explode(F.array_distinct("_sh")).alias("shingle"))
+    )
+    h = sh.withColumn("x", _shingle_hash64(F.col("shingle")))
+    # (a*x + b) mod p in double would lose precision; use pmod on
+    # decimal-free 64-bit arithmetic: Spark long overflow is a risk for
+    # a*x, so compute via (a mod p * x mod p) with 128-bit decimal.
+    aggs = []
+    for i, (ai, bi) in enumerate(params):
+        expr = F.pmod(
+            (F.lit(ai).cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)") + F.lit(bi)).cast("decimal(38,0)")
+            % F.lit(_MERSENNE_P).cast("decimal(38,0)"),
+            F.lit(_MERSENNE_P).cast("decimal(38,0)"),
+        ).cast("long").alias(f"h{i}")
+        aggs.append(F.min(expr).alias(f"h{i}"))
+    sigs = h.groupBy("id").agg(*aggs)
+    return sigs.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(sigs: DataFrame, bands: int = 8) -> DataFrame:
+    """Band signatures and bucket-join: (id_a, id_b) candidate pairs."""
+    # band b covers sig[b*r : (b+1)*r]
+    sample = sigs.select(F.size("sig").alias("n")).limit(1).collect()
+    n = sample[0]["n"] if sample else 0
+    rows_per_band = max(n // bands, 1)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.withColumnRenamed("id", "id_a")
+    b = banded.withColumnRenamed("id", "id_b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    exact-Jaccard verification of candidates only.
+
+    Returns (id_a, id_b, jaccard) like :func:`jaccard_dedup_blocked` but
+    without any blocking assumption — the LSH buckets ARE the blocks, so
+    this is the 100 TB path.
+    """
+    sigs = minhash_signatures(docs, num_hashes=num_hashes, ngram=ngram, text_col=text_col, id_col=id_col)
+    cands = minhash_lsh_candidates(sigs, bands=bands)
+    sh = (
+        docs.select(F.col(id_col).alias("id"), F.array_distinct(word_ngrams(F.col(text_col), ngram)).alias("sh"))
+    )
+    pairs = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash fingerprint per document from word-level features.
+
+    Bit b of the fingerprint is 1 iff the majority of token hashes have bit
+    b set. Pure JVM bit arithmetic (shiftright/bitwise-and over xxhash64) —
+    engine-internal fingerprints, verified by property tests rather than a
+    cross-engine oracle.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    hashed = toks.withColumn("h", F.xxhash64("tok"))
+    bit_sums = hashed.groupBy("id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+            for b in range(64)
+        ],
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        bit = F.when(
+            F.col(f"b{b}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        fp = fp.bitwiseOR(bit)
+    return bit_sums.select("id", fp.alias("simhash"))

@@ -1,0 +1,101 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two tiers:
+- :func:`cosine_topk` — exact brute-force top-k, the correctness baseline.
+  Dot products run JVM-side via ``zip_with``/``aggregate`` (no UDF); the
+  top-k is ``ORDER BY score DESC LIMIT k`` which Spark executes as a
+  per-partition TakeOrdered + driver merge — O(n) work, no full sort.
+- :func:`lsh_bucketed_topk` — scale path: random-hyperplane LSH signatures
+  bucket the vectors; search only the probe's bucket(s). Recall/latency
+  trade-off is (n_planes, n_probes). Signatures are computed with a
+  seed-fixed plane matrix so buckets are reproducible cluster-wide.
+
+The reference's embedding matrix is D6 (SURVEY §1.1,
+convml_data/pipeline/embeddings/sampling.py:45-69); nearest-neighbour-style
+retrieval over it is the natural extension the north star calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    Returns (id, score) — score rounded to 6 dp for stable comparison;
+    deterministic tie-break on id.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vector])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame,
+    n_planes: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane LSH: sign-bit signature as an INT bucket id."""
+    import random
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    sig = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), p, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(0)
+    return embeddings.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scan to LSH buckets within
+    ``multiprobe_hamming`` bit flips of the query's bucket (multi-probe
+    keeps recall up without more tables). At 100 TB the bucket column is a
+    partition/cluster key so the probe is a partition-pruned scan."""
+    import random
+
+    rng = random.Random(seed)
+    dim = len(query_vector)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vector, plane)) > 0:
+            qsig |= 1 << i
+    probes = {qsig}
+    if multiprobe_hamming >= 1:
+        probes.update(qsig ^ (1 << i) for i in range(n_planes))
+    sigs = hyperplane_signatures(
+        embeddings, n_planes=n_planes, dim=dim, seed=seed, vec_col=vec_col, id_col=id_col
+    )
+    candidates = sigs.where(F.col("bucket").isin(list(probes)))
+    return cosine_topk(candidates, query_vector, k=k, vec_col=vec_col, id_col=id_col)

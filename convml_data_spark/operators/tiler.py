@@ -1,0 +1,65 @@
+"""Sliding-window tile enumeration + pixel-range membership — SURVEY §2.5 W5,
+§2.10 G2.
+
+Reference semantics (convml_data/pipeline/rect/tiles.py:103-206, ``Tiler``):
+enumerate all (i0, j0) tile origins over an nx×ny grid with stride ``step``
+and tile span ``n_tile``; ``tile_id`` enumerates row-major. Tile extraction
+(G2) is ``isel(x=slice(i0, imax), y=slice(j0, jmax))`` — here a range join
+of the pixel table against the tile table.
+
+Spark design: origins are generated executor-side with
+``explode(sequence(...)) × explode(sequence(...))`` (a 1-row driver seed —
+no collect); the G2 membership join is a range join. For the common
+aligned case (step divides n_tile) the range join is rewritten as an
+EQUI-join on the pixel's covering-tile ids (each pixel belongs to at most
+``(n_tile/step)²`` tiles, a constant fan-out) — that keeps 100 TB pixel
+tables on hash joins instead of an O(n·m) broadcast-nested-loop range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def sliding_tiles(
+    spark: SparkSession, nx: int, ny: int, n_tile: int, step: int
+) -> DataFrame:
+    """W5: DataFrame(tile_id, i0, imax, j0, jmax), row-major enumeration.
+
+    imax/jmax are exclusive ends (python slice convention, matching
+    ``isel(slice(i0, imax))``).
+    """
+    n_i = (nx - n_tile) // step + 1
+    seq_i = F.explode(F.expr(f"sequence(0, {nx - n_tile}, {step})")).alias("i0")
+    seq_j = F.explode(F.expr(f"sequence(0, {ny - n_tile}, {step})")).alias("j0")
+    tiles = (
+        spark.range(1)
+        .select(seq_j)
+        .select("j0", seq_i)
+        .select(
+            (F.col("j0") / step * n_i + F.col("i0") / step).cast("int").alias("tile_id"),
+            F.col("i0").cast("int"),
+            (F.col("i0") + n_tile).cast("int").alias("imax"),
+            F.col("j0").cast("int"),
+            (F.col("j0") + n_tile).cast("int").alias("jmax"),
+        )
+    )
+    return tiles
+
+
+def tile_pixel_join(pixels: DataFrame, tiles: DataFrame, x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """G2: pixels ⋈ tiles with ``i0 <= x < imax AND j0 <= y < jmax``.
+
+    The tile table is tiny relative to pixels — broadcast it so the range
+    join is a broadcast nested-loop over a small build side rather than a
+    shuffle; at extreme tile counts switch to the covering-tile equi-join
+    described in the module docstring.
+    """
+    return pixels.join(
+        F.broadcast(tiles),
+        (F.col(x_col) >= F.col("i0"))
+        & (F.col(x_col) < F.col("imax"))
+        & (F.col(y_col) >= F.col("j0"))
+        & (F.col(y_col) < F.col("jmax")),
+    )

@@ -1,0 +1,63 @@
+"""Window/ordered analytics — SURVEY §2.5 W1–W3, §2.4 A10/A11.
+
+Reference semantics:
+- W1 consecutive diff: ``np.diff`` over sorted times
+  (convml_data/pipeline/aux_sources.py:203) / ``differentiate("level")``
+  (sources/era5/base.py:120).
+- W2 argmin-per-group: first index of minimum (aux_sources.py:216-218) —
+  ``ROW_NUMBER() OVER (... ORDER BY metric, tiebreak) = 1``.
+- W3 local peaks: ``scipy.signal.find_peaks`` over an ordered profile
+  (sources/era5/scalars.py:74-82) — strict ``v > lag AND v > lead``.
+
+All windows here are PARTITIONED (per group/column) — the partition key is
+the parallelism unit, as the reference's per-scene tasks were; no global
+single-partition windows on the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def consecutive_diff(
+    df: DataFrame, order_col: str, value_col: str, partition_by: list[str]
+) -> DataFrame:
+    """W1: value − lag(value) within each partition ordered by ``order_col``."""
+    w = Window.partitionBy(*partition_by).orderBy(order_col)
+    return df.withColumn("diff", F.col(value_col) - F.lag(value_col).over(w))
+
+
+def argmin_per_group(
+    df: DataFrame, metric_col: str, partition_by: list[str], tiebreak: list[str]
+) -> DataFrame:
+    """W2: the row minimizing ``metric_col`` per group; ties resolved by the
+    ``tiebreak`` columns ascending (reference argmin = first minimum)."""
+    w = Window.partitionBy(*partition_by).orderBy(metric_col, *tiebreak)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def local_peaks(
+    df: DataFrame, order_col: str, value_col: str, partition_by: list[str]
+) -> DataFrame:
+    """W3: rows strictly greater than both ordered neighbours."""
+    w = Window.partitionBy(*partition_by).orderBy(order_col)
+    v = F.col(value_col)
+    return (
+        df.withColumn("_prev", F.lag(value_col).over(w))
+        .withColumn("_next", F.lead(value_col).over(w))
+        .where((v > F.col("_prev")) & (v > F.col("_next")))
+        .drop("_prev", "_next")
+    )
+
+
+def minmax_normalize(df: DataFrame, value_col: str, partition_by: list[str]) -> DataFrame:
+    """A11: scale ``value_col`` to [0, 1] per partition (image normalization,
+    sources/images.py:34-43) via partition-wide min/max window aggregates."""
+    w = Window.partitionBy(*partition_by)
+    lo, hi = F.min(value_col).over(w), F.max(value_col).over(w)
+    return df.withColumn(
+        "normalized", F.when(hi != lo, (F.col(value_col) - lo) / (hi - lo)).otherwise(F.lit(0.0))
+    )

@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Design notes (100 TB posture):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting and
+  broadcast-join demotion/promotion replace any hand-scheduling the reference
+  does via its per-scene Luigi task fan-out
+  (reference: convml_data/pipeline/utils.py:8-77).
+- Session timezone pinned to UTC: every timestamp in the reference's data
+  model is UTC scene/aux time (convml_data/utils/time.py:7-34); pinning
+  removes driver-local-TZ nondeterminism from date_format/date_trunc.
+- Arrow enabled for the pandas-UDF slow path (raster kernels, ML inference).
+- shuffle.partitions defaults to 2x local cores for local runs; on a real
+  cluster this is overridden by AQE's coalescing from an intentionally high
+  initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Small-dim broadcast threshold: the reference's config/scene dimension
+    # tables are tiny; 64 MiB keeps them broadcast at 100 TB fact scale.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "convml-data-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or get) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    for the test/bench environment; unset it on a real cluster.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions if shuffle_partitions is not None else max(int(cpus), 8)
+    )
+    if os.environ.get("SPARK_DRIVER_MEMORY"):
+        conf["spark.driver.memory"] = os.environ["SPARK_DRIVER_MEMORY"]
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
