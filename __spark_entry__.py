@@ -52,18 +52,28 @@ def entry(spark: SparkSession) -> DataFrame:
     Day-bucketed so the sparse smoke table still yields complete scenes
     (hour buckets rarely contain all 5 inputs at sf0.001).
     """
-    events = _t(spark, SF_SMOKE, "events")
+    return _scene_table(spark, SF_SMOKE, time_bucket="day")
+
+
+def _evt_file(c: str):
+    return F.concat(F.lit("evt_"), F.lpad(F.col(c).cast("string"), 10, "0")).alias(c)
+
+
+def _scene_table(spark: SparkSession, sf_dir: str, time_bucket: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    # pivot on the numeric id (fixed-width → HashAggregate; a string payload
+    # would demote the whole pivot to SortAggregate) and format the
+    # filename string after aggregation — same lexicographic==numeric order
+    # thanks to zero padding
     files = events.select(
         F.col("ts").alias("t"),
         F.col("event_type").alias("input_name"),
-        F.concat(F.lit("evt_"), F.lpad(F.col("event_id").cast("string"), 10, "0")).alias(
-            "filename"
-        ),
+        F.col("event_id").alias("filename"),
     )
     scenes = ops.multi_input_scene_table(
-        files, EVENT_TYPES, source_name="events", time_bucket="day"
+        files, EVENT_TYPES, source_name="events", time_bucket=time_bucket
     )
-    return scenes.select("scene_id", "t", *EVENT_TYPES)
+    return scenes.select("scene_id", "t", *[_evt_file(et) for et in EVENT_TYPES])
 
 
 # ---------------------------------------------------------------- sources
@@ -102,18 +112,7 @@ def q_s5_calendar_offset_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- scene table
 
 def q_scene_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _t(spark, sf_dir, "events")
-    files = events.select(
-        F.col("ts").alias("t"),
-        F.col("event_type").alias("input_name"),
-        F.concat(F.lit("evt_"), F.lpad(F.col("event_id").cast("string"), 10, "0")).alias(
-            "filename"
-        ),
-    )
-    scenes = ops.multi_input_scene_table(
-        files, EVENT_TYPES, source_name="events", time_bucket="hour"
-    )
-    return scenes.select("scene_id", "t", *EVENT_TYPES)
+    return _scene_table(spark, sf_dir, time_bucket="hour")
 
 
 # ---------------------------------------------------------------- filters
@@ -460,7 +459,11 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # spread the expression-heavy per-doc work across cores (documents
+    # arrive as one small file = one scan task otherwise)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -473,7 +476,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(T.token_count(F.col("text"))).alias("total_tokens"),

@@ -46,16 +46,25 @@ def en_stopword_ratio(text: Column) -> Column:
     return F.size(stop) / F.greatest(F.size(toks), F.lit(1))
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Array of word n-grams (space-joined), for Jaccard shingling."""
-    toks = tokens(F.lower(text))
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Array of space-joined n-grams from a pre-materialized token array.
+
+    Prefer this over :func:`word_ngrams` in operators: materialize the token
+    array as a column first so the tokenizer runs once per row, not once per
+    n-gram position.
+    """
     k = F.size(toks) - (n - 1)
-    return F.when(k <= 0, F.array()).otherwise(
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), k - 1),
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         )
     )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of word n-grams (space-joined), for Jaccard shingling."""
+    return ngrams_from_tokens(tokens(F.lower(text)), n)
 
 
 def char_ngrams(text: Column, n: int) -> Column:

@@ -116,12 +116,81 @@ def ecdf(df: DataFrame, value_col: str, partition_by: list[str] | None = None) -
     return df.withColumn("ecdf", F.cume_dist().over(w))
 
 
-def equidepth_bins(df: DataFrame, value_col: str, n_bins: int) -> DataFrame:
+def exact_quantiles(df: DataFrame, value_col: str, qs: list[float]) -> list[float]:
+    """Distributed EXACT linear-interpolation quantiles (selection, not digest).
+
+    Spark's built-in exact ``percentile`` builds a value→count map per
+    partition and merges it in ONE final task — a driver-sized digest that
+    dies at 100 TB. This instead: range-partition sort (parallel), per-
+    partition ranks via a partition-local window (parallel), then fetch only
+    the ≤2·|qs| boundary rows and interpolate driver-side. Every stage scales
+    with the cluster.
+    """
+    from pyspark.sql import Window
+
+    vals = df.select(F.col(value_col).alias("v")).where(F.col("v").isNotNull())
+    p = max(vals.sparkSession.sparkContext.defaultParallelism, 2)
+    # Bucket ids MUST be an expression over the data, never
+    # spark_partition_id(): physical partition ids are not stable across the
+    # two jobs below (AQE may re-plan a repartitionByRange between actions),
+    # which would silently shift every rank. Approximate cut points become a
+    # literal, so both jobs assign identical buckets.
+    cuts = vals.stat.approxQuantile("v", [i / p for i in range(1, p)], 0.001)
+    cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
+    parts = vals.withColumn(
+        "_b", F.size(F.filter(cuts_arr, lambda c: c <= F.col("v")))
+    )
+    counts = {
+        r["_b"]: r["cnt"]
+        for r in parts.groupBy("_b").agg(F.count("*").alias("cnt")).collect()
+    }
+    n = sum(counts.values())
+    if n == 0:
+        return [float("nan")] * len(qs)
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_expr = F.element_at(
+        F.create_map(*[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]),
+        F.col("_b"),
+    )
+    w = Window.partitionBy("_b").orderBy("v")
+    ranked = parts.withColumn("_rank", F.row_number().over(w) - 1 + off_expr)
+    targets = set()
+    positions = []
+    for q in qs:
+        pos = (n - 1) * q
+        lo, hi = int(pos), min(int(pos) + (0 if pos == int(pos) else 1), n - 1)
+        positions.append((pos, lo, hi))
+        targets.update((lo, hi))
+    got = {
+        r["_rank"]: r["v"]
+        for r in ranked.where(F.col("_rank").isin(list(targets))).collect()
+    }
+    out = []
+    for pos, lo, hi in positions:
+        vlo, vhi = got[lo], got[hi]
+        frac = pos - lo
+        out.append(vlo + (vhi - vlo) * frac if frac else float(vlo))
+    return out
+
+
+def equidepth_bins(df: DataFrame, value_col: str, n_bins: int, method: str = "sort") -> DataFrame:
     """A7: equi-depth bin boundaries = exact percentiles at k/n, k=0..n.
 
     Returns (q DOUBLE, boundary DOUBLE), one row per cut point.
+    ``method="sort"`` uses the distributed-selection path
+    (:func:`exact_quantiles`); ``method="agg"`` uses the built-in exact
+    ``percentile`` aggregate (fine for modest inputs, single-task merge).
     """
     qs = [k / n_bins for k in range(n_bins + 1)]
+    spark = df.sparkSession
+    if method == "sort":
+        bounds = exact_quantiles(df, value_col, qs)
+        return spark.createDataFrame(
+            [(float(q), float(b)) for q, b in zip(qs, bounds)], "q double, boundary double"
+        )
     arr = F.expr(f"percentile({value_col}, array({', '.join(map(repr, qs))}))")
     cuts = df.agg(arr.alias("_cuts"))
     return cuts.select(F.posexplode("_cuts").alias("k", "boundary")).select(

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import word_ngrams
+from ..functions.text import ngrams_from_tokens, tokens
 
 # Affine minhash parameters: h_i(x) = (a_i * x + b_i) mod p over a 61-bit
 # Mersenne prime; a/b fixed (seeded) so signatures are reproducible across
@@ -38,6 +38,37 @@ def _shingle_hash64(col):
     """Deterministic 60-bit integer hash of a shingle string via md5
     (engine-agnostic — DuckDB can reproduce it, unlike xxhash64)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _spread(docs: DataFrame, id_col: str) -> DataFrame:
+    """Repartition before expression-heavy fan-out.
+
+    Document corpora often arrive as few large files; Spark's scan
+    parallelism follows file splits, so a single small parquet file would
+    put ALL tokenization on one task. Hash-repartitioning on the id column
+    decouples CPU parallelism from file layout — the difference between one
+    core and the whole cluster shingling at 100 TB.
+    """
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(parallelism, id_col)
+
+
+def _shingles(docs: DataFrame, text_col: str, id_col: str, ngram: int, extra_cols: list[str]):
+    """(extra..., id, sh ARRAY<STRING>) with the token array materialized
+    once per row (tokenizing inside the n-gram lambda is quadratic)."""
+    return (
+        _spread(docs, id_col)
+        .select(
+            *extra_cols,
+            F.col(id_col).alias("id"),
+            tokens(F.lower(F.col(text_col))).alias("_toks"),
+        )
+        .select(
+            *extra_cols,
+            "id",
+            F.array_distinct(ngrams_from_tokens(F.col("_toks"), ngram)).alias("sh"),
+        )
+    )
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -64,24 +95,17 @@ def jaccard_dedup_blocked(
     The shingle self-join runs per block; distinct-shingle sets are
     pre-aggregated so |pairs| cost is ∝ shared shingles within a block.
     """
-    sh = (
-        docs.select(*block_cols, F.col(id_col).alias("id"), word_ngrams(F.col(text_col), ngram).alias("_sh"))
-        .select(*block_cols, "id", F.explode("_sh").alias("shingle"))
-        .distinct()
-    )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(*block_cols, F.col("id").alias("id_a"), "shingle")
-    b = sh.select(*block_cols, F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, on=[*block_cols, "shingle"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    sh = _shingles(docs, text_col, id_col, ngram, block_cols)
+    a = sh.select(*block_cols, F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(*block_cols, F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     jac = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        a.join(b, on=list(block_cols))
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -102,9 +126,8 @@ def minhash_signatures(
     shingle hash — fully deterministic, partitioning-independent.
     """
     params = _hash_params(num_hashes, seed)
-    sh = (
-        docs.select(F.col(id_col).alias("id"), word_ngrams(F.col(text_col), ngram).alias("_sh"))
-        .select("id", F.explode(F.array_distinct("_sh")).alias("shingle"))
+    sh = _shingles(docs, text_col, id_col, ngram, []).select(
+        "id", F.explode("sh").alias("shingle")
     )
     h = sh.withColumn("x", _shingle_hash64(F.col("shingle")))
     # (a*x + b) mod p in double would lose precision; use pmod on
@@ -168,9 +191,7 @@ def minhash_dedup(
     """
     sigs = minhash_signatures(docs, num_hashes=num_hashes, ngram=ngram, text_col=text_col, id_col=id_col)
     cands = minhash_lsh_candidates(sigs, bands=bands)
-    sh = (
-        docs.select(F.col(id_col).alias("id"), F.array_distinct(word_ngrams(F.col(text_col), ngram)).alias("sh"))
-    )
+    sh = _shingles(docs, text_col, id_col, ngram, [])
     pairs = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -193,7 +214,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     engine-internal fingerprints, verified by property tests rather than a
     cross-engine oracle.
     """
-    toks = docs.select(
+    toks = _spread(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
