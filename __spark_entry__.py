@@ -444,6 +444,211 @@ def q_g2_tile_pixel_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- more joins
+
+def q_f4_traj_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: snap trajectory times to nearest scene time, dedup (as-of +
+    distinct; convml_data/__init__.py:273-280)."""
+    events = _t(spark, sf_dir, "events")
+    traj = events.where(F.col("event_type") == "purchase").select(F.col("ts").alias("t_traj"))
+    scenes = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("scene_event_id"), F.col("ts").alias("t_scene")
+    )
+    snapped = ops.asof_join(traj, scenes, "t_traj", "t_scene", right_prefix="")
+    return snapped.select("scene_event_id").distinct()
+
+
+def q_j6_emb_aux_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: embeddings ⋈ per-group aux reductions on the group key
+    (aux_fields/data.py:139-146) — the aux side is a tiny aggregate, so the
+    join broadcasts."""
+    emb = _t(spark, sf_dir, "embeddings")
+    first = F.element_at("embedding", 1).cast("double")
+    aux = emb.groupBy("label").agg(
+        F.count("*").alias("n_label"),
+        F.min(first).alias("min_first"),
+        F.max(first).alias("max_first"),
+    )
+    return emb.join(F.broadcast(aux), "label").select(
+        "vec_id", "label", "n_label", "min_first", "max_first"
+    )
+
+
+def q_j7_positional_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: pixel-index → projected-coord mapping with the y-axis flip
+    (embeddings/rect/sampling.py:74-109)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    tiles = emb.select(
+        "vec_id",
+        (F.col("vec_id") % 16).cast("int").alias("i0"),
+        ((F.col("vec_id") / 16).cast("int") % 16).cast("int").alias("j0"),
+    )
+    out = ops.attach_grid_coords(tiles, x0=100.0, dx=2.5, y0=-50.0, dy=2.5, ny=16)
+    return out.select("vec_id", "i0", "j0", "x", "y")
+
+
+# ---------------------------------------------------------------- more aggs
+
+def q_a9_layer_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: mean over a level slice per group (era5/base.py:77-116); levels ≙
+    linenumbers here."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = _dec("l_quantity")
+    return (
+        li.where(F.col("l_linenumber").between(3, 5))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("mean_qty"),
+        )
+    )
+
+
+def q_a11_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: per-channel min/max normalization to [0,1]
+    (sources/images.py:34-43,89-91) — window aggregates, no driver
+    round-trip."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    vmin = F.min("value").over(w)
+    vmax = F.max("value").over(w)
+    return events.select(
+        "event_id",
+        "event_type",
+        F.round((F.col("value") - vmin) / (vmax - vmin), 6).alias("norm"),
+    )
+
+
+def q_a2_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/X2: pluggable per-group UDAF via applyInPandas
+    (aux_fields/data.py:82-108) — grouped-map with Arrow batching; the
+    reduction (interpolated median of int ids) is exact in float64 so it
+    oracle-matches quantile_cont."""
+    import pandas as pd
+
+    events = _t(spark, sf_dir, "events")
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "n": len(pdf),
+                    "median_event_id": float(np.median(pdf["event_id"].to_numpy())),
+                }
+            ]
+        )
+
+    return events.groupBy("event_type").applyInPandas(
+        reduce_group, "event_type string, n long, median_event_id double"
+    )
+
+
+def q_e5_array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: stack/unstack — per-order sorted array of quantities (collect →
+    array_sort on a full sort-key struct so assembly order is deterministic),
+    then array element/size ops."""
+    li = _t(spark, sf_dir, "lineitem")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                "l_linenumber", "l_partkey", "l_suppkey", _dec("l_quantity").alias("q")
+            )
+        )
+    )
+    g = li.groupBy("l_orderkey").agg(
+        arr.alias("arr"), F.sum(_dec("l_quantity")).cast("double").alias("q_sum")
+    )
+    qtys = F.transform("arr", lambda x: x["q"])
+    return g.select(
+        "l_orderkey",
+        F.size("arr").alias("n_items"),
+        F.element_at(qtys, 1).cast("double").alias("q_first"),
+        F.element_at(qtys, -1).cast("double").alias("q_last"),
+        "q_sum",
+    )
+
+
+# ---------------------------------------------------------------- grids
+
+def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic point cloud: coords are pure expressions of
+    the events table (identical in the DuckDB oracle)."""
+    events = _t(spark, sf_dir, "events")
+    av = F.abs(F.col("value"))
+    return events.select(
+        "event_id",
+        "event_type",
+        "value",
+        ((av * 13.0) % 100.0).alias("x"),
+        ((av * 29.0) % 100.0).alias("y"),
+    )
+
+
+def q_g1_nearest_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = _event_points(spark, sf_dir)
+    out = ops.nearest_regrid(
+        px, x0=0.0, dx=10.0, nx=10, y0=0.0, dy=10.0, ny=10, value_col="event_id"
+    )
+    return out.select("ix", "iy", "cell_x", "cell_y", F.col("value").alias("event_id"))
+
+
+def q_g4_crop_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = _event_points(spark, sf_dir)
+    small = px.where(F.abs(F.col("value")) < 0.5)
+    bbox = ops.spanning_bbox(small, pad=2.0)
+    return ops.crop_to_bbox(px, bbox).select("event_id")
+
+
+def q_g6_spanning_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    av = F.abs(F.col("value"))
+    pts = events.select(
+        (((av * 7.0) % 160.0) - 80.0).alias("lat"),
+        (((av * 11.0) % 360.0) - 180.0).alias("lon"),
+    )
+    out = ops.unit_vector_center(pts)
+    return out.select(F.round("lat_c", 6).alias("lat_c"), F.round("lon_c", 6).alias("lon_c"))
+
+
+# ---------------------------------------------------------------- sampling
+
+def q_r1_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return ops.proportional_split(docs, "doc_id", {"train": 3, "study": 1}, seed=7)
+
+
+def q_r2_scene_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    scenes = ops.proportional_split(docs, "doc_id", {"train": 3, "study": 1}, seed=7)
+    triplets = spark.range(40).select(
+        F.col("id").alias("triplet_id"),
+        F.when(F.col("id") < 30, F.lit("train")).otherwise(F.lit("study")).alias("collection"),
+    )
+    return ops.pick_scene_pairs(triplets, scenes, scene_id_col="doc_id", seed=42)
+
+
+def q_r5_triplet_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    triplets = spark.range(50).select(F.col("id").alias("triplet_id"))
+    out = ops.triplet_tile_locations(
+        triplets,
+        x_range=(0.0, 100.0),
+        y_range=(0.0, 100.0),
+        tile_size=6.0,
+        neighbor_distance_scaling=2.0,
+        seed=11,
+    )
+    return out.select(
+        "triplet_id", "tile_type", F.round("x_c", 6).alias("x_c"), F.round("y_c", 6).alias("y_c")
+    )
+
+
 # ---------------------------------------------------------------- LLM ops
 
 def q_dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,6 +724,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_equidepth": q_a7_equidepth,
         "a8_daily_counts": q_a8_daily_counts,
         "a10_column_integral": q_a10_column_integral,
+        "f4_traj_snap": q_f4_traj_snap,
+        "j6_emb_aux_join": q_j6_emb_aux_join,
+        "j7_positional_coords": q_j7_positional_coords,
+        "a9_layer_mean": q_a9_layer_mean,
+        "a11_minmax_norm": q_a11_minmax_norm,
+        "a2_udaf_pandas": q_a2_udaf_pandas,
+        "e5_array_roundtrip": q_e5_array_roundtrip,
+        "g1_nearest_regrid": q_g1_nearest_regrid,
+        "g4_crop_pad": q_g4_crop_pad,
+        "g6_spanning_domain": q_g6_spanning_domain,
+        "r1_split": q_r1_split,
+        "r2_scene_pairs": q_r2_scene_pairs,
+        "r5_triplet_locations": q_r5_triplet_locations,
         "w2_argmin_per_group": q_w2_argmin_per_group,
         "w3_local_peaks": q_w3_local_peaks,
         "w5_sliding_tiles": q_w5_sliding_tiles,
@@ -731,6 +949,214 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_orderkey, round(CAST(sum(qdp) AS DOUBLE), 6) AS integral
             FROM d WHERE qdp IS NOT NULL GROUP BY l_orderkey
+        """,
+        "f4_traj_snap": """
+            WITH traj AS (SELECT ts AS t_traj FROM events WHERE event_type = 'purchase'),
+                 sc AS (SELECT event_id AS scene_event_id, ts AS t_scene FROM events WHERE event_type = 'click'),
+                 j AS (
+                   SELECT t.t_traj, s.scene_event_id,
+                          row_number() OVER (
+                            PARTITION BY t.t_traj
+                            ORDER BY abs(epoch_us(t.t_traj) - epoch_us(s.t_scene)), s.t_scene
+                          ) AS rn
+                   FROM traj t CROSS JOIN sc s
+                 )
+            SELECT DISTINCT scene_event_id FROM j WHERE rn = 1
+        """,
+        "j6_emb_aux_join": """
+            WITH aux AS (
+              SELECT label, count(*) AS n_label,
+                     min(CAST(embedding[1] AS DOUBLE)) AS min_first,
+                     max(CAST(embedding[1] AS DOUBLE)) AS max_first
+              FROM embeddings GROUP BY label
+            )
+            SELECT vec_id, e.label, n_label, min_first, max_first
+            FROM embeddings e JOIN aux ON e.label = aux.label
+        """,
+        "j7_positional_coords": """
+            SELECT vec_id,
+                   CAST(vec_id % 16 AS INT) AS i0,
+                   CAST(CAST(floor(vec_id / 16.0) AS INT) % 16 AS INT) AS j0,
+                   100.0 + CAST(vec_id % 16 AS INT) * 2.5 AS x,
+                   -50.0 + (16 - CAST(CAST(floor(vec_id / 16.0) AS INT) % 16 AS INT)) * 2.5 AS y
+            FROM embeddings
+        """,
+        "a9_layer_mean": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) / count(*), 6) AS mean_qty
+            FROM lineitem WHERE l_linenumber BETWEEN 3 AND 5 GROUP BY l_returnflag
+        """,
+        "a11_minmax_norm": """
+            SELECT event_id, event_type,
+                   round((value - min(value) OVER (PARTITION BY event_type))
+                         / (max(value) OVER (PARTITION BY event_type)
+                            - min(value) OVER (PARTITION BY event_type)), 6) AS norm
+            FROM events
+        """,
+        "a2_udaf_pandas": """
+            SELECT event_type, count(*) AS n,
+                   quantile_cont(event_id, 0.5) AS median_event_id
+            FROM events GROUP BY event_type
+        """,
+        "e5_array_roundtrip": """
+            WITH g AS (
+              SELECT l_orderkey,
+                     list(CAST(l_quantity AS DECIMAL(15,2))
+                          ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS arr,
+                     sum(CAST(l_quantity AS DECIMAL(15,2))) AS sum_q
+              FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT l_orderkey, CAST(len(arr) AS INT) AS n_items,
+                   CAST(arr[1] AS DOUBLE) AS q_first,
+                   CAST(arr[len(arr)] AS DOUBLE) AS q_last,
+                   CAST(sum_q AS DOUBLE) AS q_sum
+            FROM g
+        """,
+        "g1_nearest_regrid": """
+            WITH px AS (
+              SELECT event_id, (abs(value) * 13.0) % 100.0 AS x, (abs(value) * 29.0) % 100.0 AS y
+              FROM events
+            ), cand AS (
+              SELECT event_id, x, y,
+                     CAST(round(x / 10.0) AS INT) AS ix, CAST(round(y / 10.0) AS INT) AS iy
+              FROM px
+            ), d AS (
+              SELECT event_id, x, y, ix, iy, ix * 10.0 AS cell_x, iy * 10.0 AS cell_y,
+                     (x - ix * 10.0) * (x - ix * 10.0) + (y - iy * 10.0) * (y - iy * 10.0) AS d2
+              FROM cand WHERE ix BETWEEN 0 AND 9 AND iy BETWEEN 0 AND 9
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY ix, iy ORDER BY d2, x, y, event_id) AS rn FROM d
+            )
+            SELECT ix, iy, cell_x, cell_y, event_id FROM r WHERE rn = 1
+        """,
+        "g4_crop_pad": """
+            WITH px AS (
+              SELECT event_id, value,
+                     (abs(value) * 13.0) % 100.0 AS x, (abs(value) * 29.0) % 100.0 AS y
+              FROM events
+            ), bbox AS (
+              SELECT min(x) - 2.0 AS x_min, max(x) + 2.0 AS x_max,
+                     min(y) - 2.0 AS y_min, max(y) + 2.0 AS y_max
+              FROM px WHERE abs(value) < 0.5
+            )
+            SELECT event_id FROM px, bbox
+            WHERE x BETWEEN x_min AND x_max AND y BETWEEN y_min AND y_max
+        """,
+        "g6_spanning_domain": """
+            WITH p AS (
+              SELECT radians(((abs(value) * 7.0) % 160.0) - 80.0) AS lat,
+                     radians(((abs(value) * 11.0) % 360.0) - 180.0) AS lon
+              FROM events
+            ), a AS (
+              SELECT avg(cos(lat) * cos(lon)) AS mx, avg(cos(lat) * sin(lon)) AS my,
+                     avg(sin(lat)) AS mz
+              FROM p
+            )
+            SELECT round(degrees(atan2(mz, sqrt(mx * mx + my * my))), 6) AS lat_c,
+                   round(degrees(atan2(my, mx)), 6) AS lon_c
+            FROM a
+        """,
+        "r1_split": """
+            WITH u AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                       / 4503599627370496.0 AS u
+              FROM documents
+            ), r AS (
+              SELECT doc_id, row_number() OVER (ORDER BY u, doc_id) - 1 AS rk,
+                     count(*) OVER () AS n
+              FROM u
+            )
+            SELECT doc_id,
+                   CASE WHEN rk < CAST(floor(n * 3.0 / 4.0) AS BIGINT) THEN 'train' ELSE 'study' END AS collection
+            FROM r
+        """,
+        "r2_scene_pairs": """
+            WITH u AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                       / 4503599627370496.0 AS u
+              FROM documents
+            ), r AS (
+              SELECT doc_id, row_number() OVER (ORDER BY u, doc_id) - 1 AS rk,
+                     count(*) OVER () AS n
+              FROM u
+            ), sc AS (
+              SELECT doc_id,
+                     CASE WHEN rk < CAST(floor(n * 3.0 / 4.0) AS BIGINT) THEN 'train' ELSE 'study' END AS collection
+              FROM r
+            ), idx AS (
+              SELECT doc_id, collection,
+                     row_number() OVER (PARTITION BY collection ORDER BY doc_id) - 1 AS i,
+                     count(*) OVER (PARTITION BY collection) AS n
+              FROM sc
+            ), sz AS (
+              SELECT collection, max(n) AS n FROM idx GROUP BY collection
+            ), tr AS (
+              SELECT CAST(range AS BIGINT) AS triplet_id,
+                     CASE WHEN range < 30 THEN 'train' ELSE 'study' END AS collection
+              FROM range(40)
+            ), h AS (
+              SELECT t.triplet_id, t.collection, sz.n,
+                     CAST(('0x' || substr(md5('42|anchor|' || CAST(t.triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                       / 4503599627370496.0 AS ua,
+                     CAST(('0x' || substr(md5('42|distant|' || CAST(t.triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                       / 4503599627370496.0 AS ud
+              FROM tr t JOIN sz ON t.collection = sz.collection
+            ), hi AS (
+              SELECT triplet_id, collection,
+                     CAST(floor(ua * n) AS INT) AS ai,
+                     CAST(floor(ud * (n - 1)) AS INT) AS d0
+              FROM h
+            ), hh AS (
+              SELECT triplet_id, collection, ai,
+                     CASE WHEN d0 >= ai THEN d0 + 1 ELSE d0 END AS di
+              FROM hi
+            )
+            SELECT hh.triplet_id, hh.collection, a.doc_id AS anchor_scene, d.doc_id AS distant_scene
+            FROM hh
+            JOIN idx a ON a.collection = hh.collection AND a.i = hh.ai
+            JOIN idx d ON d.collection = hh.collection AND d.i = hh.di
+        """,
+        "r5_triplet_locations": """
+            WITH t AS (SELECT CAST(range AS BIGINT) AS triplet_id FROM range(50)),
+            anc AS (
+              SELECT triplet_id,
+                     4.0 + (CAST(('0x' || substr(md5('11|anchor|x|' || CAST(triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                            / 4503599627370496.0) * 92.0 AS x_c,
+                     4.0 + (CAST(('0x' || substr(md5('11|anchor|y|' || CAST(triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                            / 4503599627370496.0) * 92.0 AS y_c
+              FROM t
+            ), dis AS (
+              SELECT triplet_id,
+                     4.0 + (CAST(('0x' || substr(md5('11|distant|x|' || CAST(triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                            / 4503599627370496.0) * 92.0 AS x_c,
+                     4.0 + (CAST(('0x' || substr(md5('11|distant|y|' || CAST(triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                            / 4503599627370496.0) * 92.0 AS y_c
+              FROM t
+            ), nb AS (
+              SELECT triplet_id, x_c, y_c,
+                     list_filter(
+                       list_transform(range(0, 16), k -> {
+                         'x': x_c + 12.0 * cos(6.283185307179586 *
+                                (CAST(('0x' || substr(md5('11|neighbor|theta|' || CAST(k AS VARCHAR) || '|' || CAST(triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                                 / 4503599627370496.0)),
+                         'y': y_c + 12.0 * sin(6.283185307179586 *
+                                (CAST(('0x' || substr(md5('11|neighbor|theta|' || CAST(k AS VARCHAR) || '|' || CAST(triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                                 / 4503599627370496.0))
+                       }),
+                       s -> s.x >= 4.0 AND s.x <= 96.0 AND s.y >= 4.0 AND s.y <= 96.0
+                     ) AS valid
+              FROM anc
+            )
+            SELECT triplet_id, 'anchor' AS tile_type, round(x_c, 6) AS x_c, round(y_c, 6) AS y_c FROM anc
+            UNION ALL
+            SELECT triplet_id, 'neighbor' AS tile_type,
+                   round(CASE WHEN len(valid) > 0 THEN valid[1].x ELSE x_c END, 6) AS x_c,
+                   round(CASE WHEN len(valid) > 0 THEN valid[1].y ELSE y_c END, 6) AS y_c
+            FROM nb
+            UNION ALL
+            SELECT triplet_id, 'distant' AS tile_type, round(x_c, 6) AS x_c, round(y_c, 6) AS y_c FROM dis
         """,
         "w2_argmin_per_group": """
             WITH r AS (

@@ -1,7 +1,14 @@
 """Operator inventory (SURVEY.md §2) as composable DataFrame transforms."""
 
 from .asof import asof_join, infer_min_spacing, match_aux_to_scenes
-from .binning import binned_statistic_1d, binned_statistic_2d, ecdf, equidepth_bins
+from .binning import (
+    binned_statistic_1d,
+    binned_statistic_2d,
+    ecdf,
+    equidepth_bins,
+    exact_quantiles,
+    global_ranks,
+)
 from .calendar import calendar_scan
 from .filters import (
     datetime_component_filter,
@@ -10,6 +17,24 @@ from .filters import (
     solar_zenith_filter,
     time_interval_filter,
     wrap_longitude,
+)
+from .grids import (
+    attach_grid_coords,
+    bilinear_regrid,
+    crop_to_bbox,
+    infer_domain,
+    local_tangent_xy,
+    nearest_regrid,
+    spanning_bbox,
+    unit_vector_center,
+)
+from .sampling import (
+    hash_uniform,
+    neighbor_tile_placement,
+    pick_scene_pairs,
+    proportional_split,
+    triplet_tile_locations,
+    uniform_tile_placement,
 )
 from .scenes import multi_input_scene_table
 from .tiler import sliding_tiles, tile_pixel_join
@@ -32,4 +57,18 @@ __all__ = [
     "multi_input_scene_table",
     "sliding_tiles",
     "tile_pixel_join",
+    "attach_grid_coords",
+    "bilinear_regrid",
+    "crop_to_bbox",
+    "infer_domain",
+    "local_tangent_xy",
+    "nearest_regrid",
+    "spanning_bbox",
+    "unit_vector_center",
+    "hash_uniform",
+    "neighbor_tile_placement",
+    "pick_scene_pairs",
+    "proportional_split",
+    "triplet_tile_locations",
+    "uniform_tile_placement",
 ]

@@ -116,47 +116,65 @@ def ecdf(df: DataFrame, value_col: str, partition_by: list[str] | None = None) -
     return df.withColumn("ecdf", F.cume_dist().over(w))
 
 
-def exact_quantiles(df: DataFrame, value_col: str, qs: list[float]) -> list[float]:
-    """Distributed EXACT linear-interpolation quantiles (selection, not digest).
+def global_ranks(
+    df: DataFrame,
+    value_col: str,
+    tiebreak: list[str] | None = None,
+    rank_col: str = "_rank",
+) -> tuple[DataFrame, int]:
+    """Exact 0-based global ranks by ``(value_col, *tiebreak)`` without a
+    single-task global sort. Returns ``(df + rank_col, total_count)``.
 
-    Spark's built-in exact ``percentile`` builds a value→count map per
-    partition and merges it in ONE final task — a driver-sized digest that
-    dies at 100 TB. This instead: range-partition sort (parallel), per-
-    partition ranks via a partition-local window (parallel), then fetch only
-    the ≤2·|qs| boundary rows and interpolate driver-side. Every stage scales
-    with the cluster.
+    Design: approximate cut points (one sketch pass) become LITERAL bucket
+    boundaries; rows get an expression-computed bucket id; per-bucket
+    ``row_number`` windows run in parallel; bucket counts (one tiny agg)
+    give each bucket's global offset. Bucket ids MUST be data expressions,
+    never ``spark_partition_id()``: physical partition ids are not stable
+    across the two jobs (AQE may re-plan a repartition between actions),
+    which would silently shift every rank.
     """
     from pyspark.sql import Window
 
-    vals = df.select(F.col(value_col).alias("v")).where(F.col("v").isNotNull())
-    p = max(vals.sparkSession.sparkContext.defaultParallelism, 2)
-    # Bucket ids MUST be an expression over the data, never
-    # spark_partition_id(): physical partition ids are not stable across the
-    # two jobs below (AQE may re-plan a repartitionByRange between actions),
-    # which would silently shift every rank. Approximate cut points become a
-    # literal, so both jobs assign identical buckets.
-    cuts = vals.stat.approxQuantile("v", [i / p for i in range(1, p)], 0.001)
+    tiebreak = list(tiebreak or [])
+    p = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    cuts = df.stat.approxQuantile(value_col, [i / p for i in range(1, p)], 0.001)
     cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
-    parts = vals.withColumn(
-        "_b", F.size(F.filter(cuts_arr, lambda c: c <= F.col("v")))
+    parts = df.withColumn(
+        "_b", F.size(F.filter(cuts_arr, lambda c: c <= F.col(value_col)))
     )
     counts = {
         r["_b"]: r["cnt"]
         for r in parts.groupBy("_b").agg(F.count("*").alias("cnt")).collect()
     }
     n = sum(counts.values())
-    if n == 0:
-        return [float("nan")] * len(qs)
     offsets, acc = {}, 0
     for b in sorted(counts):
         offsets[b] = acc
         acc += counts[b]
+    if not offsets:
+        return parts.withColumn(rank_col, F.lit(0)).drop("_b").limit(0), 0
     off_expr = F.element_at(
         F.create_map(*[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]),
         F.col("_b"),
     )
-    w = Window.partitionBy("_b").orderBy("v")
-    ranked = parts.withColumn("_rank", F.row_number().over(w) - 1 + off_expr)
+    w = Window.partitionBy("_b").orderBy(value_col, *tiebreak)
+    ranked = parts.withColumn(rank_col, F.row_number().over(w) - 1 + off_expr).drop("_b")
+    return ranked, n
+
+
+def exact_quantiles(df: DataFrame, value_col: str, qs: list[float]) -> list[float]:
+    """Distributed EXACT linear-interpolation quantiles (selection, not digest).
+
+    Spark's built-in exact ``percentile`` builds a value→count map per
+    partition and merges it in ONE final task — a driver-sized digest that
+    dies at 100 TB. This instead ranks every row via :func:`global_ranks`
+    (parallel at every stage), then fetches only the ≤2·|qs| boundary rows
+    and interpolates driver-side.
+    """
+    vals = df.select(F.col(value_col).alias("v")).where(F.col("v").isNotNull())
+    ranked, n = global_ranks(vals, "v")
+    if n == 0:
+        return [float("nan")] * len(qs)
     targets = set()
     positions = []
     for q in qs:
