@@ -697,6 +697,153 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, [float(v) for v in qvec], k=10)
 
 
+# ---------------------------------------------------------------- derived DAG / UDF surface
+
+def q_derived_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11: derived-variable registry compiled to a withColumn chain
+    (umag → p → theta → lts; era5/base.py:127-151 shape)."""
+    from convml_data_spark.plans import derived as derived_mod
+
+    events = _t(spark, sf_dir, "events")
+    av = F.abs(F.col("value"))
+    base = events.select(
+        "event_id",
+        F.col("value").alias("u"),
+        (F.col("value") * 0.5).alias("v"),
+        (F.lit(250.0) + (av % 50.0)).alias("t"),
+        (F.lit(9.0) + (av % 3.0)).alias("lnsp"),
+        F.lit(300.0).alias("theta_700"),
+    )
+    reg = derived_mod.era5_like_registry()
+    out = reg.compile(base, ["umag", "lts"])
+    return out.select(
+        "event_id",
+        F.round("umag", 6).alias("umag"),
+        F.round("p", 6).alias("p"),
+        F.round("theta", 6).alias("theta"),
+        F.round("lts", 6).alias("lts"),
+    )
+
+
+def q_x1_user_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: user-function registry with metadata + [0,1] contract
+    (sources/user_functions.py:5-41, tests/example/user_functions.py)."""
+    from convml_data_spark.functions.userfuncs import UserFunctionRegistry
+
+    reg = UserFunctionRegistry()
+
+    @reg.register("cloud_mask", ["bt"], units="1", long_name="cloud mask (280K<=bt<=290K)")
+    def _cloud_mask(bt):
+        return (bt >= 280.0) & (bt <= 290.0)
+
+    @reg.register("norm_img", ["bt"], units="1", long_name="normalized image", bounded_01=True)
+    def _norm_img(bt):
+        return (bt - 250.0) / 50.0
+
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        "event_id", (F.lit(250.0) + (F.abs(F.col("value")) % 50.0)).alias("bt")
+    )
+    out = reg.apply(reg.apply(base, "cloud_mask"), "norm_img")
+    return out.select("event_id", "cloud_mask", F.round("norm_img", 6).alias("norm_img"))
+
+
+def q_x3_batch_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: broadcast-model batch inference over Arrow batches (rows-only:
+    the model is engine-internal, verified by property tests)."""
+    from convml_data_spark.operators import inference
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return inference.batch_embed(emb, in_dim=dim, out_dim=8)
+
+
+def q_x4_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: Spark ML PCA over the embedding matrix (rows-only)."""
+    from convml_data_spark.operators import inference
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out, _model = inference.pca_transform(emb, k=8)
+    return out
+
+
+def q_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13: file-stream scene discovery → watermarked 1-day windowed
+    counts, drained with Trigger.AvailableNow (batch-equivalent result, so
+    it oracle-checks against plain GROUP BY day)."""
+    from convml_data_spark import streaming
+
+    _prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+    def tx(df: DataFrame) -> DataFrame:
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    sdf = streaming.stream_windowed_counts(
+        spark, sf_dir, schema, path_glob="events.parquet",
+        group_cols=("event_type",), transform=tx,
+    )
+    return streaming.run_available_now(sdf)
+
+
+# ---------------------------------------------------------------- more LLM ops
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: k-gram hash window kept as an in-row array;
+    min-hash + distinct-count reductions are array expressions (no explode,
+    no shuffle)."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    g = T.kgram_hashes(F.col("text"), 8)
+    return docs.select(
+        "doc_id",
+        F.array_min(g).alias("min_hash"),
+        F.size(F.array_distinct(g)).alias("n_distinct"),
+    )
+
+
+def q_neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the exact
+    baseline; LSH-bucketed variant is the scale path in similarity.py)."""
+    from convml_data_spark.functions.vectors import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .where(F.col("score") >= 0.35)
+        .select("id_a", "id_b", "score")
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only: signature internals are
+    engine-defined; accuracy is property-tested against exact Jaccard)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(docs, threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only; property-tested)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash64(docs)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + Arrow-batched decode →
+    per-image features (rows-only; pixel math property-tested)."""
+    from convml_data_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    with_payload = multimodal.attach_fake_payload(docs, width=16, height=16)
+    return multimodal.image_features(with_payload)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s3_calendar_scan": q_s3_calendar_scan,
@@ -741,6 +888,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_local_peaks": q_w3_local_peaks,
         "w5_sliding_tiles": q_w5_sliding_tiles,
         "g2_tile_pixel_slice": q_g2_tile_pixel_slice,
+        "derived_dag": q_derived_dag,
+        "x1_user_function": q_x1_user_function,
+        "x3_batch_embed": q_x3_batch_embed,
+        "x4_pca": q_x4_pca,
+        "stream_daily_counts": q_stream_daily_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "neardup_cosine_pairs": q_neardup_cosine_pairs,
+        "dedup_minhash": q_dedup_minhash,
+        "simhash": q_simhash,
+        "multimodal_features": q_multimodal_features,
         "dedup_exact_prefix": q_dedup_exact_prefix,
         "dedup_jaccard": q_dedup_jaccard,
         "text_quality": q_text_quality,
@@ -1199,6 +1356,63 @@ def oracle_sql() -> dict[str, str]:
               ON px.x >= tiles.i0 AND px.x < tiles.imax AND px.y >= tiles.j0 AND px.y < tiles.jmax
             WHERE tile_id IN (0, 5, 24)
             GROUP BY tile_id
+        """,
+        "derived_dag": """
+            WITH base AS (
+              SELECT event_id, value AS u, value * 0.5 AS v,
+                     250.0 + (abs(value) % 50.0) AS t,
+                     9.0 + (abs(value) % 3.0) AS lnsp,
+                     300.0 AS theta_700
+              FROM events
+            ), d1 AS (
+              SELECT *, sqrt(u * u + v * v) AS umag, exp(lnsp) AS p FROM base
+            ), d2 AS (
+              SELECT *, t * power(100000.0 / p, 0.2854) AS theta FROM d1
+            )
+            SELECT event_id, round(umag, 6) AS umag, round(p, 6) AS p,
+                   round(theta, 6) AS theta, round(theta_700 - theta, 6) AS lts
+            FROM d2
+        """,
+        "x1_user_function": """
+            WITH b AS (
+              SELECT event_id, 250.0 + (abs(value) % 50.0) AS bt FROM events
+            )
+            SELECT event_id, (bt >= 280.0 AND bt <= 290.0) AS cloud_mask,
+                   round((bt - 250.0) / 50.0, 6) AS norm_img
+            FROM b
+        """,
+        "stream_daily_counts": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "doc_fingerprint": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, greatest(len(text) - 7, 0) + 1),
+                       i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 13)) AS BIGINT)
+                     ) AS hs
+              FROM documents
+            )
+            SELECT doc_id, list_aggregate(hs, 'min') AS min_hash,
+                   CAST(len(list_distinct(hs)) AS INT) AS n_distinct
+            FROM g
+        """,
+        "neardup_cosine_pairs": """
+            WITH p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(
+                       list_sum(list_transform(range(1, len(a.embedding) + 1),
+                                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                                i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS score
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, score FROM p WHERE score >= 0.35
         """,
         "dedup_exact_prefix": """
             SELECT md5(substr(text, 1, 100)) AS text_hash,

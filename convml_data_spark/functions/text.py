@@ -70,6 +70,19 @@ def word_ngrams(text: Column, n: int) -> Column:
 def char_ngrams(text: Column, n: int) -> Column:
     """Array of character n-grams."""
     k = F.length(text) - (n - 1)
-    return F.when(k <= 0, F.array()).otherwise(
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(text, i, n))
+    )
+
+
+def kgram_hashes(text: Column, k: int = 8) -> Column:
+    """Per-position k-gram 52-bit hashes (document fingerprinting).
+
+    The sliding window stays an in-row ARRAY (no explode): min / distinct
+    reductions happen with array expressions, so fingerprinting is one
+    narrow projection — no shuffle, no row blow-up at 100 TB.
+    """
+    return F.transform(
+        char_ngrams(text, k),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 13), 16, 10).cast("long"),
     )

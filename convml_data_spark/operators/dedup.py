@@ -145,8 +145,13 @@ def minhash_signatures(
     return sigs.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
-def minhash_lsh_candidates(sigs: DataFrame, bands: int = 8) -> DataFrame:
-    """Band signatures and bucket-join: (id_a, id_b) candidate pairs."""
+def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16) -> DataFrame:
+    """Band signatures and bucket-join: (id_a, id_b) candidate pairs.
+
+    Pick bands so the S-curve threshold ``(1/bands)^(bands/num_hashes)``
+    sits WELL BELOW the dedup threshold: with 32 hashes, 16 bands (r=2)
+    → ~0.25, so j≥0.5 pairs are caught w.p. ≥ 1-(1-0.25)^16 ≈ 0.99;
+    8 bands (r=4) → ~0.59, which silently drops pairs near j=0.5."""
     # band b covers sig[b*r : (b+1)*r]
     sample = sigs.select(F.size("sig").alias("n")).limit(1).collect()
     n = sample[0]["n"] if sample else 0
@@ -177,7 +182,7 @@ def minhash_dedup(
     docs: DataFrame,
     threshold: float = 0.5,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 16,
     ngram: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",

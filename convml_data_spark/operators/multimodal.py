@@ -1,0 +1,99 @@
+"""Multimodal (image/audio) columns — north-star extension of SURVEY D5
+(tile PNG + meta sidecar, convml_data/pipeline/tiles.py:340-371).
+
+Data model: media are opaque BINARY columns with a typed meta STRUCT
+(width, height, format) — the D5 ``.png + .yml`` pair as two columns of one
+row. Decode / feature-extract run as ``mapInPandas`` over Arrow batches so
+bytes never round-trip through Python row objects.
+
+The real decoders (PIL/OpenCV/ffmpeg) are not in this container, so
+``decode_payload`` dispatches: known fake format → deterministic synthetic
+pixels (md5-derived, reproducible everywhere); real formats →
+``NotImplementedError`` with the library name. The Spark-side plumbing —
+schema, batch shape, broadcast-free streaming decode, partition parallelism
+— is the production path either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FAKE_FORMAT = "fake-gray8"
+
+
+def attach_fake_payload(
+    df: DataFrame, id_col: str = "doc_id", width: int = 16, height: int = 16
+) -> DataFrame:
+    """Deterministic stand-in ingestion: payload bytes are md5-stream bytes
+    of the id — any engine/worker regenerates identical "images"."""
+    n = width * height
+    reps = (n + 15) // 16
+    # repeat md5(id|i) blocks to n bytes, JVM-side (unhex of concatenated md5s)
+    blocks = F.concat(
+        *[F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(i)))) for i in range(reps)]
+    )
+    payload = F.unhex(F.substring(blocks, 1, n * 2))
+    meta = F.struct(
+        F.lit(width).alias("width"),
+        F.lit(height).alias("height"),
+        F.lit(FAKE_FORMAT).alias("format"),
+    )
+    return df.withColumn("payload", payload).withColumn("media_meta", meta)
+
+
+def _decode_one(payload: bytes, width: int, height: int, fmt: str) -> np.ndarray:
+    if fmt == FAKE_FORMAT:
+        arr = np.frombuffer(payload, dtype=np.uint8)[: width * height]
+        return arr.reshape(height, width).astype(np.float64)
+    raise NotImplementedError(
+        f"decoding {fmt!r} needs PIL/OpenCV (not in this container); "
+        "plug a real decoder into _decode_one"
+    )
+
+
+def image_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", meta_col: str = "media_meta"
+) -> DataFrame:
+    """Decode + per-image features (mean/std/min/max of pixels) as one
+    Arrow-batched pass — the X3-style pattern for media instead of vectors."""
+    schema = f"{id_col} long, width int, height int, mean_px double, std_px double, min_px double, max_px double"
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = r[meta_col]
+                w, h, fmt = int(meta["width"]), int(meta["height"]), meta["format"]
+                px = _decode_one(r[payload_col], w, h, fmt)
+                rows.append(
+                    {
+                        id_col: r[id_col],
+                        "width": w,
+                        "height": h,
+                        "mean_px": float(px.mean()),
+                        "std_px": float(px.std()),
+                        "min_px": float(px.min()),
+                        "max_px": float(px.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col, meta_col).mapInPandas(extract, schema)
+
+
+def expected_fake_pixels(doc_id: int, width: int = 16, height: int = 16) -> np.ndarray:
+    """Driver-side replay of the fake payload, for tests."""
+    n = width * height
+    reps = (n + 15) // 16
+    raw = b"".join(
+        hashlib.md5(f"{doc_id}|{i}".encode()).hexdigest().encode() for i in range(reps)
+    )
+    payload = bytes.fromhex(raw[: n * 2].decode())
+    return np.frombuffer(payload, dtype=np.uint8)[:n].reshape(height, width).astype(np.float64)

@@ -1,0 +1,76 @@
+"""Incremental scene discovery as a Structured Streaming source — SURVEY
+§2.13.
+
+The reference is batch-only with file-existence incrementality
+(pipeline/utils.py:69-77): re-running skips completed targets. The Spark
+analog is a file streaming source — new files under the catalog path become
+new micro-batch rows — with event-time windowed aggregation standing in for
+the reference's daily grouping (pipeline/utils.py:80-114 ≙ tumbling 1-day
+window) and a watermark bounding state for late files.
+
+``Trigger.AvailableNow`` processes the current backlog and stops, which is
+exactly the reference's "run the DAG to completion over what exists now"
+semantics — the same query left running becomes a continuous pipeline.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_sink_counter = itertools.count()
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    path: str,
+    schema,
+    time_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "2 days",
+    path_glob: str | None = None,
+    group_cols: tuple[str, ...] = (),
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """File stream → (optional row transform) → watermarked tumbling-window
+    counts. Returns the STREAMING DataFrame (caller picks the trigger/sink).
+
+    The watermark bounds aggregation state: files later than ``watermark``
+    behind the max seen event time stop updating their window — the
+    streaming analog of the reference's tolerance-bounded as-of matching.
+    """
+    reader = spark.readStream.schema(schema)
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    stream = reader.parquet(path)
+    if transform is not None:
+        stream = transform(stream)
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window).alias("w"), *group_cols)
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n")
+    )
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain the current backlog (Trigger.AvailableNow) into a memory sink
+    and return the materialized result as a batch DataFrame.
+
+    Memory sink is test/driver plumbing; production sinks are partitioned
+    Parquet/Delta via the same writeStream call.
+    """
+    spark = stream_df.sparkSession
+    name = f"_stream_sink_{next(_sink_counter)}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,93 @@
+"""Property tests for the engine-internal (non-oracle) LLM-scale operators:
+minhash accuracy, simhash locality, batch inference, PCA, multimodal decode."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from convml_data_spark.operators import dedup, inference, multimodal
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different content about spark dataframes and shuffles here now"),
+        (4, "another unrelated snippet with its own vocabulary entirely distinct words"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_near_dups_not_unrelated(spark):
+    docs = _docs(spark)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs or (1, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_minhash_signatures_partitioning_independent(spark):
+    docs = _docs(spark)
+    a = dedup.minhash_signatures(docs).collect()
+    b = dedup.minhash_signatures(docs.repartition(7)).collect()
+    assert sorted((r["id"], tuple(r["sig"])) for r in a) == sorted(
+        (r["id"], tuple(r["sig"])) for r in b
+    )
+
+
+def test_simhash_locality(spark):
+    docs = _docs(spark)
+    fp = {r["id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert fp[0] == fp[1]  # identical docs → identical fingerprints
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(fp[0], fp[2]) < ham(fp[0], fp[3])
+
+
+def test_batch_embed_matches_numpy(spark):
+    rng = np.random.default_rng(0)
+    vecs = [(i, [float(v) for v in rng.standard_normal(16)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: np.array(r["emb_out"]) for r in inference.batch_embed(df, 16, 4, seed=9).collect()}
+    w = inference.linear_model_weights(16, 4, seed=9)
+    for i, v in vecs:
+        want = np.tanh(np.array(v) @ w)
+        assert np.allclose(out[i], want, atol=1e-12)
+
+
+def test_pca_shapes_and_reconstruction_order(spark):
+    rng = np.random.default_rng(1)
+    # anisotropic cloud: first principal axis must capture the most variance
+    base = rng.standard_normal((200, 6)) * np.array([10.0, 5.0, 1.0, 0.5, 0.1, 0.01])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    out, model = inference.pca_transform(df, k=3)
+    rows = out.collect()
+    assert all(len(r["pca"]) == 3 for r in rows)
+    ev = list(model.explainedVariance)
+    assert ev == sorted(ev, reverse=True) and ev[0] > 0.5
+
+
+def test_multimodal_fake_decode_matches_replay(spark):
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    feats = {
+        r["doc_id"]: r
+        for r in multimodal.image_features(
+            multimodal.attach_fake_payload(docs, width=16, height=16)
+        ).collect()
+    }
+    for i in range(10):
+        px = multimodal.expected_fake_pixels(i, 16, 16)
+        assert abs(feats[i]["mean_px"] - px.mean()) < 1e-9
+        assert abs(feats[i]["std_px"] - px.std()) < 1e-9
+        assert feats[i]["width"] == 16 and feats[i]["height"] == 16
