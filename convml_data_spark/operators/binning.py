@@ -137,7 +137,9 @@ def global_ranks(
 
     tiebreak = list(tiebreak or [])
     p = max(df.sparkSession.sparkContext.defaultParallelism, 2)
-    cuts = df.stat.approxQuantile(value_col, [i / p for i in range(1, p)], 0.001)
+    # cuts only balance bucket sizes — 1% relative error is plenty and keeps
+    # the GK sketch cheap
+    cuts = df.stat.approxQuantile(value_col, [i / p for i in range(1, p)], 0.01)
     cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
     parts = df.withColumn(
         "_b", F.size(F.filter(cuts_arr, lambda c: c <= F.col(value_col)))
@@ -167,31 +169,70 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float]) -> list[floa
 
     Spark's built-in exact ``percentile`` builds a value→count map per
     partition and merges it in ONE final task — a driver-sized digest that
-    dies at 100 TB. This instead ranks every row via :func:`global_ranks`
-    (parallel at every stage), then fetches only the ≤2·|qs| boundary rows
-    and interpolates driver-side.
+    dies at 100 TB. This instead: literal approximate cut points define
+    balanced buckets (expression-assigned, AQE-safe); one tiny agg counts
+    each bucket; target ranks resolve to (bucket, local index); only the
+    targeted buckets are sorted (per-bucket, in parallel) and the ≤2·|qs|
+    boundary values interpolate driver-side.
     """
+    import bisect
+
     vals = df.select(F.col(value_col).alias("v")).where(F.col("v").isNotNull())
-    ranked, n = global_ranks(vals, "v")
-    if n == 0:
-        return [float("nan")] * len(qs)
-    targets = set()
-    positions = []
-    for q in qs:
-        pos = (n - 1) * q
-        lo, hi = int(pos), min(int(pos) + (0 if pos == int(pos) else 1), n - 1)
-        positions.append((pos, lo, hi))
-        targets.update((lo, hi))
-    got = {
-        r["_rank"]: r["v"]
-        for r in ranked.where(F.col("_rank").isin(list(targets))).collect()
-    }
-    out = []
-    for pos, lo, hi in positions:
-        vlo, vhi = got[lo], got[hi]
-        frac = pos - lo
-        out.append(vlo + (vhi - vlo) * frac if frac else float(vlo))
-    return out
+    # three actions share this relation (cut-point sketch, bucket counts,
+    # boundary fetch) — persist so the source is scanned once, not 3×
+    vals = vals.persist()
+    try:
+        p = max(vals.sparkSession.sparkContext.defaultParallelism, 2)
+        cuts = vals.stat.approxQuantile("v", [i / p for i in range(1, p)], 0.01)
+        cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
+        parts = vals.withColumn(
+            "_b", F.size(F.filter(cuts_arr, lambda c: c <= F.col("v")))
+        )
+        counts = {
+            r["_b"]: r["cnt"]
+            for r in parts.groupBy("_b").agg(F.count("*").alias("cnt")).collect()
+        }
+        n = sum(counts.values())
+        if n == 0:
+            return [float("nan")] * len(qs)
+        offsets, acc = {}, 0
+        for b in sorted(counts):
+            offsets[b] = acc
+            acc += counts[b]
+        targets = set()
+        positions = []
+        for q in qs:
+            pos = (n - 1) * q
+            lo, hi = int(pos), min(int(pos) + (0 if pos == int(pos) else 1), n - 1)
+            positions.append((pos, lo, hi))
+            targets.update((lo, hi))
+        # map each target global rank to (bucket, local index); fetch ONLY
+        # those buckets as per-bucket sorted arrays — no global rank pass,
+        # and untargeted buckets are filtered out before any sort
+        bs = sorted(offsets)
+        boffs = [offsets[b] for b in bs]
+        need: dict[int, list[int]] = {}
+        for t in sorted(targets):
+            b = bs[bisect.bisect_right(boffs, t) - 1]
+            need.setdefault(b, []).append(t - offsets[b])
+        rows = (
+            parts.where(F.col("_b").isin(list(need)))
+            .groupBy("_b")
+            .agg(F.sort_array(F.collect_list("v")).alias("arr"))
+            .collect()
+        )
+        got = {}
+        for r in rows:
+            for local in need[r["_b"]]:
+                got[offsets[r["_b"]] + local] = r["arr"][local]
+        out = []
+        for pos, lo, hi in positions:
+            vlo, vhi = got[lo], got[hi]
+            frac = pos - lo
+            out.append(vlo + (vhi - vlo) * frac if frac else float(vlo))
+        return out
+    finally:
+        vals.unpersist()
 
 
 def equidepth_bins(df: DataFrame, value_col: str, n_bins: int, method: str = "sort") -> DataFrame:

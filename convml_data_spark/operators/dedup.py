@@ -101,6 +101,13 @@ def jaccard_dedup_blocked(
     jac = (
         a.join(b, on=list(block_cols))
         .where(F.col("id_a") < F.col("id_b"))
+        # necessary size condition for J >= t: |A| >= t(|A|+|B|)/(1+t) ⇒
+        # min/max size ratio >= t — an O(1) filter that skips the O(|A|+|B|)
+        # array_intersect for most pairs
+        .where(
+            F.least(F.size("sh_a"), F.size("sh_b"))
+            >= F.lit(threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
+        )
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
@@ -200,6 +207,11 @@ def minhash_dedup(
     pairs = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        # size-ratio necessary condition (min >= t·max ⟺ J can reach t)
+        .where(
+            F.least(F.size("sh_a"), F.size("sh_b"))
+            >= F.lit(threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
+        )
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
