@@ -697,6 +697,55 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, [float(v) for v in qvec], k=10)
 
 
+# ---------------------------------------------------------------- scalar families
+
+def q_e2_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: product-shorthand parsing, regex extraction, zero-padded ids,
+    slug normalization (goes16/utils.py:58-73, triplets.py:13,
+    ceres_syn1deg_modis/extract.py:17-26)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.split("p_name", " ").getItem(0).alias("name_prefix"),
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.lpad(F.col("p_partkey").cast("string"), 5, "0").alias("padded_id"),
+        F.concat_ws(
+            "__", F.lower(F.regexp_replace("p_type", " ", "_")), F.col("p_brand")
+        ).alias("shorthand"),
+    )
+
+
+def q_e7_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: JSON codec round-trip (DBTarget analog, utils/luigi.py:50-117):
+    parse the props payload, rebuild a typed struct, re-encode."""
+    events = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k int").getField("k")
+    return events.select(
+        "event_id",
+        k.alias("k"),
+        F.to_json(F.struct(F.col("event_type").alias("type"), k.alias("k"))).alias("meta_json"),
+    )
+
+
+def q_f8_dropna_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 dropna + F10 level slice + F12 rename/cast projection in one
+    plan (aux_fields/data_filters.py:14, era5/base.py:11-12)."""
+    li = _t(spark, sf_dir, "lineitem")
+    masked = li.withColumn(
+        "disc", F.when(F.col("l_discount") > 0.05, F.col("l_discount"))
+    )
+    return (
+        masked.na.drop(subset=["disc"])
+        .where(F.col("l_linenumber") >= 3)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").alias("level"),
+            F.col("l_quantity").cast("int").alias("qty_int"),
+            F.round("disc", 6).alias("disc"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- derived DAG / UDF surface
 
 def q_derived_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -888,6 +937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_local_peaks": q_w3_local_peaks,
         "w5_sliding_tiles": q_w5_sliding_tiles,
         "g2_tile_pixel_slice": q_g2_tile_pixel_slice,
+        "e2_string_ops": q_e2_string_ops,
+        "e7_json_map": q_e7_json_map,
+        "f8_dropna_slice": q_f8_dropna_slice,
         "derived_dag": q_derived_dag,
         "x1_user_function": q_x1_user_function,
         "x3_batch_embed": q_x3_batch_embed,
@@ -1356,6 +1408,27 @@ def oracle_sql() -> dict[str, str]:
               ON px.x >= tiles.i0 AND px.x < tiles.imax AND px.y >= tiles.j0 AND px.y < tiles.jmax
             WHERE tile_id IN (0, 5, 24)
             GROUP BY tile_id
+        """,
+        "e2_string_ops": """
+            SELECT p_partkey,
+                   string_split(p_name, ' ')[1] AS name_prefix,
+                   CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT) AS brand_num,
+                   lpad(CAST(p_partkey AS VARCHAR), 5, '0') AS padded_id,
+                   lower(replace(p_type, ' ', '_')) || '__' || p_brand AS shorthand
+            FROM part
+        """,
+        "e7_json_map": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS INT) AS k,
+                   to_json(struct_pack(type := event_type, k := CAST(json_extract(props, '$.k') AS INT))) AS meta_json
+            FROM events
+        """,
+        "f8_dropna_slice": """
+            SELECT l_orderkey, l_linenumber AS level,
+                   CAST(l_quantity AS INT) AS qty_int,
+                   round(l_discount, 6) AS disc
+            FROM lineitem
+            WHERE l_discount > 0.05 AND l_linenumber >= 3
         """,
         "derived_dag": """
             WITH base AS (

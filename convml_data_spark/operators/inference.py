@@ -70,6 +70,56 @@ def batch_embed(
     return df.select(id_col, vec_col).mapInPandas(infer, schema)
 
 
+def resolve_dotted(name: str, separator: str = "__"):
+    """X2: resolve ``pkg__module__fn`` (or dotted) to a callable — the
+    reference's importlib dispatch for pluggable per-tile metrics
+    (aux_fields/data.py:82-108)."""
+    import importlib
+
+    parts = name.split(separator) if separator in name else name.split(".")
+    mod_name, fn_name = ".".join(parts[:-1]), parts[-1]
+    mod = importlib.import_module(mod_name)
+    return getattr(mod, fn_name)
+
+
+def grouped_reduce_by_name(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    fn_name: str,
+    kwargs: dict | None = None,
+    out_col: str = "value",
+):
+    """X2: per-group array reduction by dotted/``__`` name with auto-kwarg
+    filtering by signature inspection (the reference injects
+    ``periodic_domain=False`` only when accepted, aux_fields/data.py:95-104).
+    """
+    import inspect
+
+    import pandas as pd
+
+    fn = resolve_dotted(fn_name)
+    accepted = {}
+    try:
+        sig = inspect.signature(fn)
+        has_varkw = any(p.kind is p.VAR_KEYWORD for p in sig.parameters.values())
+        for k, v in (kwargs or {}).items():
+            if has_varkw or k in sig.parameters:
+                accepted[k] = v
+    except (TypeError, ValueError):  # numpy ufunc-style: no signature
+        accepted = dict(kwargs or {})
+
+    group_schema = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols)
+    schema = f"{group_schema}, {out_col} double"
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = {c: pdf[c].iloc[0] for c in group_cols}
+        row[out_col] = float(fn(pdf[value_col].to_numpy(), **accepted))
+        return pd.DataFrame([row])
+
+    return df.groupBy(*group_cols).applyInPandas(reduce_group, schema)
+
+
 def to_ml_vector(df: DataFrame, vec_col: str = "embedding", out_col: str = "features") -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 

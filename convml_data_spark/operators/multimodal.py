@@ -88,6 +88,47 @@ def image_features(
     return df.select(id_col, payload_col, meta_col).mapInPandas(extract, schema)
 
 
+def encode_png(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", meta_col: str = "media_meta"
+) -> DataFrame:
+    """G8 sink half (tiles.py:340-371, sources/images.py:12-141): encode
+    decoded pixels to PNG bytes per row, Arrow-batched.
+
+    PIL isn't in this container: with it installed the branch below does the
+    real ``Image.fromarray(...).save(buf, 'PNG')``; without it we emit a
+    deterministic container (magic + dims + raw pixels) so the column
+    schema, batching and downstream contracts stay exercised.
+    """
+    schema = f"{id_col} long, png binary"
+
+    def encode(batches):
+        import io
+
+        import pandas as pd
+
+        try:
+            from PIL import Image  # pragma: no cover - not in container
+        except Exception:
+            Image = None
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = r[meta_col]
+                w, h, fmt = int(meta["width"]), int(meta["height"]), meta["format"]
+                px = _decode_one(r[payload_col], w, h, fmt).astype(np.uint8)
+                if Image is not None:
+                    buf = io.BytesIO()
+                    Image.fromarray(px, mode="L").save(buf, format="PNG")
+                    data = buf.getvalue()
+                else:
+                    data = b"STUBPNG" + w.to_bytes(4, "big") + h.to_bytes(4, "big") + px.tobytes()
+                rows.append({id_col: r[id_col], "png": data})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col, meta_col).mapInPandas(encode, schema)
+
+
 def expected_fake_pixels(doc_id: int, width: int = 16, height: int = 16) -> np.ndarray:
     """Driver-side replay of the fake payload, for tests."""
     n = width * height

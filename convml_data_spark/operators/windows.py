@@ -53,6 +53,39 @@ def local_peaks(
     )
 
 
+def sequential_scan(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    step_fn,
+    state0,
+    schema: str,
+):
+    """W6: ordered sequential stateful scan per group — the optical-flow
+    pattern (sampling/rect/methods/flow/calc.py:143-207: Lucas-Kanade state
+    carried image→image in time order inside a date group,
+    pipeline/utils.py:80-114).
+
+    ``step_fn(state, row_dict) -> (state, out_dict | None)`` runs over each
+    group's rows in ``order_by`` order inside ``applyInPandas`` — the group
+    is the parallelism unit (reference: one task per date group); rows
+    stream through Python once, state never leaves the group.
+    """
+    import pandas as pd
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+        state = state0
+        out = []
+        for row in pdf.to_dict("records"):
+            state, emitted = step_fn(state, row)
+            if emitted is not None:
+                out.append(emitted)
+        return pd.DataFrame(out, columns=[c.split()[0] for c in schema.split(",")])
+
+    return df.groupBy(*partition_by).applyInPandas(run, schema)
+
+
 def minmax_normalize(df: DataFrame, value_col: str, partition_by: list[str]) -> DataFrame:
     """A11: scale ``value_col`` to [0, 1] per partition (image normalization,
     sources/images.py:34-43) via partition-wide min/max window aggregates."""
