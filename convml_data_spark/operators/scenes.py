@@ -5,11 +5,13 @@ Reference semantics (convml_data/pipeline/scene_sources.py:31-93):
 keeps only timestamps present in ALL N inputs (incomplete groups dropped).
 The scene id is ``{source}__{yyyyMMddHHmm}`` (scene_sources.py:14-28).
 
-Spark design: a single ``groupBy(t).pivot(input).agg(first(file))`` with a
-``HAVING count(distinct input) = N``-style completeness predicate — one
-shuffle, map-side partial aggregation, no driver loop. The pivot values are
-passed explicitly (they are plan-time metadata, the configured input names)
-so Spark skips the extra distinct-collection job.
+Spark design: the pivot is CONDITIONAL AGGREGATION —
+``groupBy(t).agg(min(when(input = k, file)) for each k)`` — not
+``.pivot()``: Spark's pivot plans two aggregate phases with two shuffles
+(partial by (t, input), re-shuffle by t), while the conditional form
+map-side-combines straight into the pivoted layout and shuffles ONCE on t.
+Input names are plan-time metadata (the configured channels), so there is
+no distinct-collection job either.
 """
 
 from __future__ import annotations
@@ -42,10 +44,11 @@ def multi_input_scene_table(
     base = files.where(F.col(input_col).isin(input_names)).select(
         t.alias("t"), F.col(input_col).alias("_input"), F.col(file_col).alias("_file")
     )
-    pivoted = (
-        base.groupBy("t")
-        .pivot("_input", input_names)
-        .agg(F.min("_file"))
+    pivoted = base.groupBy("t").agg(
+        *[
+            F.min(F.when(F.col("_input") == name, F.col("_file"))).alias(name)
+            for name in input_names
+        ]
     )
     complete = pivoted.na.drop(subset=input_names)
     return complete.select(
