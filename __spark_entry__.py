@@ -615,6 +615,39 @@ def q_g6_spanning_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.round("lat_c", 6).alias("lat_c"), F.round("lon_c", 6).alias("lon_c"))
 
 
+def q_f11_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: non-empty-group guard (drop scenes with zero tiles,
+    tiles.py:469-476) — HAVING count >= threshold."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_items"))
+        .where(F.col("n_items") >= 3)
+    )
+
+
+def q_g7_tangent_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: closed-form azimuthal-equidistant projection as pure scalar
+    expressions (sampling/__init__.py:10-65 analog, no pyproj UDF)."""
+    events = _t(spark, sf_dir, "events")
+    av = F.abs(F.col("value"))
+    pts = events.select(
+        "event_id",
+        (((av * 7.0) % 160.0) - 80.0).alias("lat"),
+        (((av * 11.0) % 360.0) - 180.0).alias("lon"),
+    )
+    x, y = ops.local_tangent_xy(F.col("lat"), F.col("lon"), lat0=13.3, lon0=-57.7)
+    return pts.select("event_id", F.round(x, 4).alias("x_m"), F.round(y, 4).alias("y_m"))
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only: recall is probabilistic;
+    the exact baseline ann_cosine_topk is the oracle-checked twin)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.lsh_bucketed_topk(emb, [float(v) for v in qvec], k=10)
+
+
 # ---------------------------------------------------------------- sampling
 
 def q_r1_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -930,6 +963,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g1_nearest_regrid": q_g1_nearest_regrid,
         "g4_crop_pad": q_g4_crop_pad,
         "g6_spanning_domain": q_g6_spanning_domain,
+        "f11_nonempty": q_f11_nonempty,
+        "g7_tangent_projection": q_g7_tangent_projection,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
         "r1_split": q_r1_split,
         "r2_scene_pairs": q_r2_scene_pairs,
         "r5_triplet_locations": q_r5_triplet_locations,
@@ -1264,6 +1300,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(degrees(atan2(mz, sqrt(mx * mx + my * my))), 6) AS lat_c,
                    round(degrees(atan2(my, mx)), 6) AS lon_c
             FROM a
+        """,
+        "f11_nonempty": """
+            SELECT l_orderkey, count(*) AS n_items FROM lineitem
+            GROUP BY l_orderkey HAVING count(*) >= 3
+        """,
+        "g7_tangent_projection": """
+            WITH p AS (
+              SELECT event_id,
+                     radians(((abs(value) * 7.0) % 160.0) - 80.0) AS phi,
+                     radians(((abs(value) * 11.0) % 360.0) - 180.0) AS lam,
+                     radians(13.3) AS phi0, radians(-57.7) AS lam0
+              FROM events
+            ), c AS (
+              SELECT event_id, phi, lam, phi0, lam0,
+                     acos(least(greatest(
+                       sin(phi0) * sin(phi) + cos(phi0) * cos(phi) * cos(lam - lam0),
+                       -1.0), 1.0)) AS cc
+              FROM p
+            ), k AS (
+              SELECT *, CASE WHEN cc < 1e-12 THEN 1.0 ELSE cc / sin(cc) END AS kk FROM c
+            )
+            SELECT event_id,
+                   round(6371000.0 * kk * cos(phi) * sin(lam - lam0), 4) AS x_m,
+                   round(6371000.0 * kk * (cos(phi0) * sin(phi) - sin(phi0) * cos(phi) * cos(lam - lam0)), 4) AS y_m
+            FROM k
         """,
         "r1_split": """
             WITH u AS (
