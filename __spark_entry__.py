@@ -886,6 +886,21 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword ratios + deterministic
+    argmax (priority order on ties)."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    t = F.col("text")
+    s = T.lang_stopword_scores(t)
+    return docs.select(
+        "doc_id",
+        *[F.round(s[lang], 6).alias(f"s_{lang}") for lang in ("en", "de", "fr", "es")],
+        T.lang_guess(t).alias("lang_guess"),
+    )
+
+
 def q_neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (the exact
     baseline; LSH-bucketed variant is the scale path in similarity.py)."""
@@ -982,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_pca": q_x4_pca,
         "stream_daily_counts": q_stream_daily_counts,
         "doc_fingerprint": q_doc_fingerprint,
+        "text_langid": q_text_langid,
         "neardup_cosine_pairs": q_neardup_cosine_pairs,
         "dedup_minhash": q_dedup_minhash,
         "simhash": q_simhash,
@@ -1532,6 +1548,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, list_aggregate(hs, 'min') AS min_hash,
                    CAST(len(list_distinct(hs)) AS INT) AS n_distinct
             FROM g
+        """,
+        "text_langid": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / greatest(len(toks), 1) AS s_en,
+                     CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS DOUBLE) / greatest(len(toks), 1) AS s_de,
+                     CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','dans'))) AS DOUBLE) / greatest(len(toks), 1) AS s_fr,
+                     CAST(len(list_filter(toks, x -> x IN ('el','los','y','es','un','una','en','que'))) AS DOUBLE) / greatest(len(toks), 1) AS s_es
+              FROM t
+            )
+            SELECT doc_id,
+                   round(s_en, 6) AS s_en, round(s_de, 6) AS s_de,
+                   round(s_fr, 6) AS s_fr, round(s_es, 6) AS s_es,
+                   CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                        WHEN s_fr >= s_es THEN 'fr'
+                        ELSE 'es' END AS lang_guess
+            FROM s
         """,
         "neardup_cosine_pairs": """
             WITH p AS (

@@ -75,6 +75,39 @@ def char_ngrams(text: Column, n: int) -> Column:
     )
 
 
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es": ("el", "los", "y", "es", "un", "una", "en", "que"),
+}
+
+
+def lang_stopword_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio (n-gram-free language-ID heuristic).
+
+    The token array is shared across languages via common subexpression
+    elimination; each score is a JVM-side filter/size — no UDF."""
+    toks = tokens(F.lower(text))
+    denom = F.greatest(F.size(toks), F.lit(1))
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words))) / denom
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_guess(text: Column) -> Column:
+    """Argmax language with a fixed priority order on ties (en>de>fr>es) —
+    deterministic and replayable in any SQL engine as a CASE chain."""
+    s = lang_stopword_scores(text)
+    return (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), F.lit("en"))
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), F.lit("de"))
+        .when(s["fr"] >= s["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
 def kgram_hashes(text: Column, k: int = 8) -> Column:
     """Per-position k-gram 52-bit hashes (document fingerprinting).
 
