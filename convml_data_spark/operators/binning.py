@@ -247,8 +247,20 @@ def equidepth_bins(df: DataFrame, value_col: str, n_bins: int, method: str = "so
     spark = df.sparkSession
     if method == "sort":
         bounds = exact_quantiles(df, value_col, qs)
-        return spark.createDataFrame(
-            [(float(q), float(b)) for q, b in zip(qs, bounds)], "q double, boundary double"
+        # literal expression plan, not createDataFrame: no RDD round-trip
+        # for a dozen driver-side values
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(float(q)).alias("q"), F.lit(float(b)).alias("boundary")
+                )
+                for q, b in zip(qs, bounds)
+            ]
+        )
+        return (
+            spark.range(1)
+            .select(F.explode(rows).alias("r"))
+            .select("r.q", "r.boundary")
         )
     arr = F.expr(f"percentile({value_col}, array({', '.join(map(repr, qs))}))")
     cuts = df.agg(arr.alias("_cuts"))
