@@ -38,6 +38,12 @@ HEADLINE = [
     "dedup_jaccard",
     "text_quality",
     "ann_cosine_topk",
+    "derived_dag",
+    "r5_triplet_locations",
+    "g1_nearest_regrid",
+    "doc_fingerprint",
+    "text_langid",
+    "stream_daily_counts",
 ]
 
 
