@@ -1,0 +1,54 @@
+"""Randomized property test: asof_join must match a brute-force nearest
+(earlier-on-tie, tolerance-bounded) reference on arbitrary inputs —
+the reference's argmin semantics (aux_sources.py:216-218) including exact
+ties and tolerance edges, independent of partitioning."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from convml_data_spark.operators import asof
+
+BASE = datetime(2024, 1, 1)
+
+
+def brute_force(left_ts, right_rows, tol_s):
+    """right_rows: [(rid, t)] sorted input not required. Earlier wins ties."""
+    out = {}
+    for lt in left_ts:
+        best = None
+        for rid, rt in right_rows:
+            d = abs((lt - rt).total_seconds())
+            if d > tol_s:
+                continue
+            # smaller |dt| wins; exact tie -> EARLIER right time
+            if best is None or d < best[0] or (d == best[0] and rt < best[2]):
+                best = (d, rid, rt)
+        if best is not None:
+            out[lt] = best[1]
+    return out
+
+
+# offsets in whole seconds keep |dt| comparisons exact (no float fuzz);
+# duplicates allowed on both sides to exercise tie paths
+offsets = st.lists(st.integers(min_value=0, max_value=3600), min_size=1, max_size=12)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(left_off=offsets, right_off=offsets, tol=st.integers(min_value=1, max_value=900))
+def test_asof_matches_brute_force(spark, left_off, right_off, tol):
+    left_ts = sorted({BASE + timedelta(seconds=o) for o in left_off})
+    right = [(i, BASE + timedelta(seconds=o)) for i, o in enumerate(sorted(set(right_off)))]
+
+    ldf = spark.createDataFrame([(t,) for t in left_ts], "t_left timestamp")
+    rdf = spark.createDataFrame(right, "rid long, t_right timestamp")
+    got_rows = asof.asof_join(
+        ldf.repartition(3), rdf.repartition(2), "t_left", "t_right",
+        tolerance_seconds=float(tol), right_prefix="m_",
+    ).collect()
+    got = {r["t_left"]: r["m_rid"] for r in got_rows}
+    want = brute_force(left_ts, right, float(tol))
+    assert got == want
