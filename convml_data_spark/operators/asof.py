@@ -68,6 +68,7 @@ def asof_join(
     right_prefix: str = "matched_",
     keep_unmatched: bool = False,
     dt_col: str | None = None,
+    right_id_col: str | None = None,
 ) -> DataFrame:
     """Nearest-time join: each left row gains the nearest right row's columns
     (prefixed), kept only when ``|Δt| <= tolerance`` (ties → earlier right).
@@ -75,7 +76,37 @@ def asof_join(
     ``partition_by`` lists equi-join keys present on BOTH sides (e.g.
     ``["aux_name"]``). Without it, and with a tolerance, time-bucket
     replication (see module docstring) keeps the plan parallel.
+
+    ``right_id_col`` (a column that uniquely keys right rows): when set,
+    the union+window carries ONLY ``(right_on, right_id_col)`` and the full
+    right payload equi-joins back on the id afterwards. For wide right rows
+    (embedding vectors, tile arrays) this keeps the replicated/shuffled
+    window input to ~16 bytes/row — the 100 TB knob. Semantics identical.
     """
+    if right_id_col is not None:
+        keys = list(partition_by or [])
+        slim = right.select(*keys, right_on, right_id_col)
+        matched = asof_join(
+            left,
+            slim,
+            left_on,
+            right_on,
+            tolerance_seconds=tolerance_seconds,
+            partition_by=partition_by,
+            right_prefix=right_prefix,
+            keep_unmatched=keep_unmatched,
+            dt_col=dt_col,
+            right_id_col=None,
+        )
+        # matched already carries the prefixed right_on; the payload join
+        # contributes the id + remaining columns only
+        payload = right.drop(*keys, right_on) if keys else right.drop(right_on)
+        pref = payload.select(
+            *[F.col(c).alias(f"{right_prefix}{c}") for c in payload.columns]
+        )
+        how = "left" if keep_unmatched else "inner"
+        return matched.join(pref, on=f"{right_prefix}{right_id_col}", how=how)
+
     keys = list(partition_by or [])
     payload_cols = [c for c in right.columns if c not in keys]
     rstruct = F.struct(*[F.col(c) for c in payload_cols])

@@ -37,6 +37,28 @@ def brute_force(left_ts, right_rows, tol_s):
 offsets = st.lists(st.integers(min_value=0, max_value=3600), min_size=1, max_size=12)
 
 
+def test_asof_right_id_payload_path_equivalent(spark):
+    """The slim-window + payload-join variant (right_id_col) must return
+    exactly what the struct-carrying default returns, wide columns included."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(i, BASE + timedelta(seconds=37 * i)) for i in range(50)], "lid long, t_left timestamp"
+    )
+    right = spark.createDataFrame(
+        [(i, BASE + timedelta(seconds=53 * i), f"payload_{i}" * 10) for i in range(40)],
+        "rid long, t_right timestamp, wide string",
+    )
+    kwargs = dict(tolerance_seconds=60.0, right_prefix="m_", dt_col="dt")
+    a = asof.asof_join(left, right, "t_left", "t_right", **kwargs)
+    b = asof.asof_join(left, right, "t_left", "t_right", right_id_col="rid", **kwargs)
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    ra = sorted(tuple(r[c] for c in cols) for r in a.collect())
+    rb = sorted(tuple(r[c] for c in cols) for r in b.collect())
+    assert ra == rb
+
+
 @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(left_off=offsets, right_off=offsets, tol=st.integers(min_value=1, max_value=900))
 def test_asof_matches_brute_force(spark, left_off, right_off, tol):
