@@ -648,6 +648,14 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(emb, [float(v) for v in qvec], k=10)
 
 
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans inverted lists) approximate top-k (rows-only twin of
+    ann_cosine_topk; recall property-tested)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.ivf_topk(emb, [float(v) for v in qvec], k=10, n_lists=8, n_probes=3)
+
+
 # ---------------------------------------------------------------- sampling
 
 def q_r1_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -981,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f11_nonempty": q_f11_nonempty,
         "g7_tangent_projection": q_g7_tangent_projection,
         "similarity_lsh_topk": q_similarity_lsh_topk,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
         "r1_split": q_r1_split,
         "r2_scene_pairs": q_r2_scene_pairs,
         "r5_triplet_locations": q_r5_triplet_locations,

@@ -68,6 +68,57 @@ def hyperplane_signatures(
     return embeddings.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF coarse quantizer: Spark ML KMeans centroids + per-row list
+    assignment. Returns (assigned DataFrame with ``list_id``, centroids
+    list). At 100 TB the fit runs on a sample and ``list_id`` becomes the
+    table's partition/cluster key, so probes are partition-pruned scans.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = embeddings.withColumn(
+        "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_features", predictionCol="list_id")
+    model = km.fit(feats)
+    assigned = model.transform(feats).drop("_features")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probes: int = 3,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: exact search restricted to the ``n_probes``
+    inverted lists whose centroids are nearest the query (FAISS IVF-flat
+    shape). Recall/latency knob is (n_lists, n_probes); n_probes=n_lists
+    degenerates to the exact scan."""
+    assigned, centroids = ivf_index(
+        embeddings, n_lists=n_lists, seed=seed, vec_col=vec_col, id_col=id_col
+    )
+
+    def dist2(c):
+        return sum((a - b) ** 2 for a, b in zip(c, query_vector))
+
+    probe_ids = [i for i, _ in sorted(enumerate(centroids), key=lambda t: dist2(t[1]))[:n_probes]]
+    candidates = assigned.where(F.col("list_id").isin(probe_ids))
+    return cosine_topk(candidates, query_vector, k=k, vec_col=vec_col, id_col=id_col)
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_vector: list[float],

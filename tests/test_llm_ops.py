@@ -78,6 +78,27 @@ def test_pca_shapes_and_reconstruction_order(spark):
     assert ev == sorted(ev, reverse=True) and ev[0] > 0.5
 
 
+def test_ivf_recall_on_clustered_data(spark):
+    """IVF with enough probes finds the exact top-k when data clusters:
+    the query's neighbors share its inverted list."""
+    from convml_data_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((4, 8)) * 10
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, [float(v) for v in c + rng.standard_normal(8) * 0.1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[0][1]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=5).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(df, q, k=5, n_lists=4, n_probes=2).collect()
+    ]
+    assert set(approx) == set(exact)
+
+
 def test_multimodal_fake_decode_matches_replay(spark):
     docs = spark.range(10).select(F.col("id").alias("doc_id"))
     feats = {
