@@ -704,6 +704,13 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard via prefix filtering — oracle-checked against
+    a full O(n²) DuckDB scan (no blocking columns)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_dedup_prefix(docs, threshold=0.5, ngram=3)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the expression-heavy per-doc work across cores (documents
     # arrive as one small file = one scan task otherwise)
@@ -1008,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "text_langid": q_text_langid,
         "neardup_cosine_pairs": q_neardup_cosine_pairs,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_minhash": q_dedup_minhash,
         "simhash": q_simhash,
         "multimodal_features": q_multimodal_features,
@@ -1594,6 +1602,26 @@ def oracle_sql() -> dict[str, str]:
                 ON a.label = b.label AND a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, score FROM p WHERE score >= 0.35
+        """,
+        "dedup_jaccard_prefix": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
         """,
         "dedup_exact_prefix": """
             SELECT md5(substr(text, 1, 100)) AS text_hash,

@@ -119,6 +119,66 @@ def jaccard_dedup_blocked(
     return jac
 
 
+def jaccard_dedup_prefix(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ t via prefix filtering (PPJoin-style),
+    no blocking columns needed.
+
+    Under a global shingle order (rarity-first: ascending document
+    frequency, then shingle), any pair with J ≥ t must share a token inside
+    each side's prefix of length ``n − ⌈t·n⌉ + 1`` — so the candidate join
+    is an inverted-index join on PREFIX tokens only. Rarity-first ordering
+    makes prefixes mostly rare tokens, keeping each inverted list short:
+    the shuffle is ∝ Σ prefix lengths, not ∝ |docs|², which is what makes
+    exact all-pairs feasible at corpus scale. Candidates are verified with
+    the exact set intersection (plus the O(1) size-ratio filter).
+
+    Returns (id_a, id_b, jaccard) — identical semantics to a full O(n²)
+    scan, so this IS oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    sh = _shingles(docs, text_col, id_col, ngram, [])
+    ex = sh.select("id", F.explode("sh").alias("shingle"))
+    df_counts = ex.groupBy("shingle").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("id").orderBy("_df", "shingle")
+    pre = (
+        ex.join(df_counts, "shingle")
+        .withColumn("_rn", F.row_number().over(w))
+        .join(sh.select("id", F.size("sh").alias("_n")), "id")
+        .where(F.col("_rn") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
+        .select("id", "shingle")
+    )
+    cands = (
+        pre.select(F.col("id").alias("id_a"), "shingle")
+        .join(pre.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pairs = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .where(
+            F.least(F.size("sh_a"), F.size("sh_b"))
+            >= F.lit(threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 32,
