@@ -304,6 +304,31 @@ def q_a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join + agg + top-k: the general star-join
+    analytics path (customer ⋈ orders ⋈ lineitem) — Catalyst picks
+    broadcast for the filtered dimension sides, AQE rebalances the fact
+    shuffle."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    price = _dec("l_extendedprice")
+    disc_f = (F.lit(1).cast("decimal(9,4)") - F.col("l_discount").cast("decimal(9,4)")).cast(
+        "decimal(9,4)"
+    )
+    out = (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .where(F.col("l_shipdate") > ts_lit(datetime(1997, 1, 1)))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(price * disc_f).cast("decimal(38,6)").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(20)
+    )
+    return out.select("o_orderkey", "o_orderdate", "revenue")
+
+
 def q_a3_min_spacing(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     from pyspark.sql import Window
@@ -976,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_distinct": q_o3_distinct,
         "o4_topk": q_o4_topk,
         "a1_pricing_summary": q_a1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
         "a3_min_spacing": q_a3_min_spacing,
         "a4_binned_1d": q_a4_binned_1d,
         "a5_binned_2d": q_a5_binned_2d,
@@ -1166,6 +1192,18 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey, o_orderdate,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
+                        CAST(1 - CAST(l_discount AS DECIMAL(9,4)) AS DECIMAL(9,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING' AND l_shipdate > TIMESTAMP '1997-01-01'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 20
         """,
         "a3_min_spacing": """
             WITH g AS (

@@ -29,6 +29,7 @@ HEADLINE = [
     "f1_time_intervals",
     "j2_asof_single",
     "a1_pricing_summary",
+    "q3_shipping_priority",
     "a5_binned_2d",
     "a6_ecdf",
     "a7_equidepth",
