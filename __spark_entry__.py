@@ -971,6 +971,30 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(docs)
 
 
+def q_g9_optical_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: Shi-Tomasi + Lucas-Kanade trajectory tracking over per-group
+    image sequences (rows-only; displacement recovery is property-tested)."""
+    import numpy as np
+
+    from convml_data_spark.operators import flow
+
+    _prep(spark)
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((48, 48))
+    for _ in range(3):
+        base = (np.roll(base, 1, 0) + base + np.roll(base, -1, 0)) / 3.0
+        base = (np.roll(base, 1, 1) + base + np.roll(base, -1, 1)) / 3.0
+    base *= 100.0
+    frames = []
+    for g, (dx, dy) in (("d1", (1, 0)), ("d2", (0, 1)), ("d3", (1, 1))):
+        for step in range(4):
+            img = np.roll(np.roll(base, dy * step, axis=0), dx * step, axis=1)
+            frames.append((g, step, [float(v) for v in img.ravel()]))
+    df = spark.createDataFrame(frames, "g string, step long, image array<double>")
+    out = flow.track_image_sequence(df, "g", "step", "image", shape=(48, 48), max_corners=6)
+    return out.select("g", "step", "traj_id", F.round("x", 3).alias("x"), F.round("y", 3).alias("y"), "valid")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column + Arrow-batched decode →
     per-image features (rows-only; pixel math property-tested)."""
@@ -1044,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_minhash": q_dedup_minhash,
         "simhash": q_simhash,
+        "g9_optical_flow": q_g9_optical_flow,
         "multimodal_features": q_multimodal_features,
         "dedup_exact_prefix": q_dedup_exact_prefix,
         "dedup_jaccard": q_dedup_jaccard,

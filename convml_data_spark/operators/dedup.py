@@ -152,6 +152,11 @@ def jaccard_dedup_prefix(
         .withColumn("_rn", F.row_number().over(w))
         .join(sh.select("id", F.size("sh").alias("_n")), "id")
         .where(F.col("_rn") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
+        # a candidate pair must SHARE a prefix token, and a shared token has
+        # document frequency ≥ 2 — df=1 prefix tokens can't produce a pair,
+        # so dropping them shrinks the inverted-index join without losing
+        # any candidate (big win when most shingles are unique)
+        .where(F.col("_df") >= 2)
         .select("id", "shingle")
     )
     cands = (
