@@ -622,6 +622,30 @@ def q_g1_nearest_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("ix", "iy", "cell_x", "cell_y", F.col("value").alias("event_id"))
 
 
+def q_g1_bilinear_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 bilinear: 4-corner weighted interpolation of a regular source grid
+    at scattered target points. The grid value is a closed-form expression
+    of (i, j), so the oracle evaluates the same interpolation symbolically
+    while Spark gathers corners via the equi-join path."""
+    events = _t(spark, sf_dir, "events")
+    # DYADIC target coords (quarter/eighth steps): every corner weight,
+    # product, and the 4-term sum is then exact in float64, so the result
+    # is bitwise identical regardless of Spark's aggregation order
+    targets = events.select(
+        "event_id",
+        ((F.col("event_id") % 29).cast("double") + (F.col("event_id") % 4) * 0.25 + 1.0).alias("x"),
+        ((F.col("event_id") % 28).cast("double") + (F.col("event_id") % 8) * 0.125 + 1.0).alias("y"),
+    )
+    grid = (
+        spark.range(32)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(spark.range(32).select(F.col("id").cast("int").alias("j")))
+        .withColumn("value", F.col("i") * 3.0 + F.col("j") * 5.0 + (F.col("i") * F.col("j")) * 0.25)
+    )
+    out = ops.bilinear_regrid(grid, targets, sx0=0.0, sdx=1.0, sy0=0.0, sdy=1.0)
+    return out.select("event_id", F.col("value"))
+
+
 def q_g4_crop_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
     px = _event_points(spark, sf_dir)
     small = px.where(F.abs(F.col("value")) < 0.5)
@@ -1041,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_udaf_pandas": q_a2_udaf_pandas,
         "e5_array_roundtrip": q_e5_array_roundtrip,
         "g1_nearest_regrid": q_g1_nearest_regrid,
+        "g1_bilinear_regrid": q_g1_bilinear_regrid,
         "g4_crop_pad": q_g4_crop_pad,
         "g6_spanning_domain": q_g6_spanning_domain,
         "f11_nonempty": q_f11_nonempty,
@@ -1369,6 +1394,25 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY ix, iy ORDER BY d2, x, y, event_id) AS rn FROM d
             )
             SELECT ix, iy, cell_x, cell_y, event_id FROM r WHERE rn = 1
+        """,
+        "g1_bilinear_regrid": """
+            WITH t AS (
+              SELECT event_id,
+                     CAST(event_id % 29 AS DOUBLE) + (event_id % 4) * 0.25 + 1.0 AS x,
+                     CAST(event_id % 28 AS DOUBLE) + (event_id % 8) * 0.125 + 1.0 AS y
+              FROM events
+            ), d AS (
+              SELECT event_id,
+                     CAST(floor(x) AS INT) AS i0, CAST(floor(y) AS INT) AS j0,
+                     x - floor(x) AS rx, y - floor(y) AS ry
+              FROM t
+            )
+            SELECT event_id,
+                     (1.0 - rx) * (1.0 - ry) * (i0 * 3.0 + j0 * 5.0 + (i0 * j0) * 0.25)
+                   + rx * (1.0 - ry) * ((i0 + 1) * 3.0 + j0 * 5.0 + ((i0 + 1) * j0) * 0.25)
+                   + (1.0 - rx) * ry * (i0 * 3.0 + (j0 + 1) * 5.0 + (i0 * (j0 + 1)) * 0.25)
+                   + rx * ry * ((i0 + 1) * 3.0 + (j0 + 1) * 5.0 + ((i0 + 1) * (j0 + 1)) * 0.25) AS value
+            FROM d
         """,
         "g4_crop_pad": """
             WITH px AS (
