@@ -859,15 +859,17 @@ def q_derived_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(250.0) + (av % 50.0)).alias("t"),
         (F.lit(9.0) + (av % 3.0)).alias("lnsp"),
         F.lit(300.0).alias("theta_700"),
+        (F.lit(5.0) + (av % 20.0)).alias("e"),
     )
     reg = derived_mod.era5_like_registry()
-    out = reg.compile(base, ["umag", "lts"])
+    out = reg.compile(base, ["umag", "lts", "z_lcl"])
     return out.select(
         "event_id",
         F.round("umag", 6).alias("umag"),
         F.round("p", 6).alias("p"),
         F.round("theta", 6).alias("theta"),
         F.round("lts", 6).alias("lts"),
+        F.round("z_lcl", 6).alias("z_lcl"),
     )
 
 
@@ -1636,15 +1638,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_id, value AS u, value * 0.5 AS v,
                      250.0 + (abs(value) % 50.0) AS t,
                      9.0 + (abs(value) % 3.0) AS lnsp,
-                     300.0 AS theta_700
+                     300.0 AS theta_700,
+                     5.0 + (abs(value) % 20.0) AS e
               FROM events
             ), d1 AS (
               SELECT *, sqrt(u * u + v * v) AS umag, exp(lnsp) AS p FROM base
             ), d2 AS (
-              SELECT *, t * power(100000.0 / p, 0.2854) AS theta FROM d1
+              SELECT *, t * power(100000.0 / p, 0.2854) AS theta,
+                     2840.0 / (3.5 * ln(t) - ln(e) - 4.805) + 55.0 AS t_lcl
+              FROM d1
             )
             SELECT event_id, round(umag, 6) AS umag, round(p, 6) AS p,
-                   round(theta, 6) AS theta, round(theta_700 - theta, 6) AS lts
+                   round(theta, 6) AS theta, round(theta_700 - theta, 6) AS lts,
+                   round((t - t_lcl) * (1004.7 / 9.80665), 6) AS z_lcl
             FROM d2
         """,
         "x1_user_function": """

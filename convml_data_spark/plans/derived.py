@@ -116,4 +116,21 @@ def era5_like_registry() -> DerivedVariableRegistry:
         ["t", "p"],
     )
     reg.add("lts", lambda theta, theta_700: theta_700 - theta, ["theta", "theta_700"])
+    # Bolton (1980) eq. 21: LCL temperature from temperature T [K] and
+    # vapor pressure e [hPa]; lifting height via the dry-adiabatic lapse
+    # Γ=g/cp (z_lcl = (T − T_LCL)·cp/g). Pure log arithmetic — the deepest
+    # per-column physics in the reference's DAG (era5/scalars.py:31-120)
+    # expressed without any UDF.
+    reg.add(
+        "t_lcl",
+        lambda t, e: F.lit(2840.0)
+        / (F.lit(3.5) * F.log(t) - F.log(e) - F.lit(4.805))
+        + F.lit(55.0),
+        ["t", "e"],
+    )
+    reg.add(
+        "z_lcl",
+        lambda t, t_lcl: (t - t_lcl) * F.lit(1004.7 / 9.80665),
+        ["t", "t_lcl"],
+    )
     return reg

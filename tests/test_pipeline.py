@@ -35,6 +35,18 @@ def test_spec_compiles_to_scene_table(spark):
     assert all(r["ch1"] and r["ch2"] for r in rows)
 
 
+def test_spec_from_yaml_file(spark, tmp_path):
+    import yaml
+
+    path = os.path.join(str(tmp_path), "meta.yaml")
+    with open(path, "w") as fh:
+        yaml.safe_dump(SPEC, fh)
+    spec = pipeline.SceneSpec.from_yaml(path)
+    assert spec.source == "synth" and spec.inputs == ["ch1", "ch2"]
+    scenes = pipeline.build_scene_table(spark, spec)
+    assert scenes.count() == 5  # 4 on day 1 + day-2 hour 0 (inclusive edge)
+
+
 def test_materialize_is_incremental(spark, tmp_path):
     df = spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("k"))
     path = os.path.join(str(tmp_path), "out")

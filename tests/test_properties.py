@@ -101,6 +101,23 @@ def test_bilinear_drops_outside_hull(spark):
     assert [r["tid"] for r in out.collect()] == [0]
 
 
+def test_salted_join_equals_plain_join(spark):
+    from convml_data_spark.operators.joins import salted_groupby_count, salted_join
+
+    large = spark.range(5000).select(
+        (F.when(F.col("id") % 10 < 8, F.lit(1)).otherwise(F.col("id") % 100)).alias("k"),
+        F.col("id").alias("payload"),
+    )  # key 1 is hot (~80% of rows)
+    small = spark.createDataFrame([(i, f"dim_{i}") for i in range(100)], "k long, name string")
+    plain = large.join(small, "k").select("k", "payload", "name")
+    salted = salted_join(large, small, "k", salt_factor=4).select("k", "payload", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    counts = {r["k"]: r["count"] for r in salted_groupby_count(large, ["k"]).collect()}
+    want = {r["k"]: r["n"] for r in large.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert counts == want
+
+
 def test_local_tangent_plane_properties(spark):
     """G7: origin maps to (0,0); small northward steps ≈ R·Δφ meters."""
     df = spark.createDataFrame(
