@@ -984,6 +984,13 @@ def q_neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs (rows-only scale twin of
+    neardup_cosine_pairs; recall property-tested)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_neardup_pairs(emb, threshold=0.35, n_planes=6, dim=64)
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (rows-only: signature internals are
     engine-defined; accuracy is property-tested against exact Jaccard)."""
@@ -1092,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "text_langid": q_text_langid,
         "neardup_cosine_pairs": q_neardup_cosine_pairs,
+        "neardup_lsh_pairs": q_neardup_lsh_pairs,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_minhash": q_dedup_minhash,
         "simhash": q_simhash,

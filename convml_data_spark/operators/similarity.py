@@ -119,6 +119,39 @@ def ivf_topk(
     return cosine_topk(candidates, query_vector, k=k, vec_col=vec_col, id_col=id_col)
 
 
+def lsh_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS at scale: self-join within
+    hyperplane-LSH buckets only, then exact cosine verification.
+
+    The all-pairs exact variant (``neardup_cosine_pairs`` query) is O(n²)
+    within blocks; here the bucket is the block and collision probability
+    tracks cosine similarity (a pair at cosine s collides w.p.
+    (1−acos(s)/π)^n_planes), so candidates concentrate on true near-dups.
+    Approximate-recall — property-tested, not oracle-checked.
+    """
+    sigs = hyperplane_signatures(
+        embeddings, n_planes=n_planes, dim=dim, seed=seed, vec_col=vec_col, id_col=id_col
+    )
+    a = sigs.select(F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = sigs.select(F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .where(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+        .distinct()
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_vector: list[float],

@@ -99,6 +99,30 @@ def test_ivf_recall_on_clustered_data(spark):
     assert set(approx) == set(exact)
 
 
+def test_lsh_neardup_pairs_finds_planted_dups(spark):
+    """Planted near-identical vectors collide in LSH buckets and survive
+    exact verification; unrelated vectors don't appear."""
+    from convml_data_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(60):
+        v = rng.standard_normal(16)
+        rows.append((2 * i, [float(x) for x in v]))
+        if i < 5:  # plant 5 near-dups: tiny perturbation of the original
+            rows.append((2 * i + 1, [float(x) for x in v + rng.standard_normal(16) * 1e-3]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_neardup_pairs(
+            df, threshold=0.99, n_planes=8, dim=16
+        ).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(5)}
+    assert len(pairs & planted) >= 4  # ≥80% recall on planted dups
+    assert all(p in planted for p in pairs)  # no false positives at 0.99
+
+
 def test_multimodal_fake_decode_matches_replay(spark):
     docs = spark.range(10).select(F.col("id").alias("doc_id"))
     feats = {
