@@ -1,0 +1,72 @@
+"""Physical-plan quality gates: the properties that make these plans work
+at 100 TB must not regress — filter pushdown to the parquet scan, column
+pruning, broadcast selection for small sides, single-shuffle pivots, and
+no accidental cartesian products."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+QUERIES = entrymod.queries()
+
+
+def plan_of(spark, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, SF_DIR).explain("formatted")
+    return buf.getvalue()
+
+
+def exchange_count(plan: str) -> int:
+    # count Exchange operator nodes in the tree header, not mentions in
+    # per-node detail sections
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange (" in line and ("+-" in line or line.strip().startswith("Exchange"))
+    )
+
+
+def test_a1_pushdown_pruning_partial_agg(spark):
+    p = plan_of(spark, "a1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    assert "l_orderkey" not in p  # column pruned at the scan
+    assert p.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_f6_predicates_reach_scan(spark):
+    p = plan_of(spark, "f6_filter_dsl")
+    assert "PushedFilters" in p and "LessThan(l_quantity,10" in p
+
+
+def test_j5_broadcast_semi_join(spark):
+    p = plan_of(spark, "j5_semi_join")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "GreaterThan(o_totalprice" in p  # dim filter pushed
+
+
+def test_q3_star_join_broadcasts(spark):
+    p = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p  # top-k without a global sort
+
+
+def test_scene_table_single_shuffle(spark):
+    p = plan_of(spark, "scene_table")
+    assert exchange_count(p) <= 1  # conditional-agg pivot: ONE shuffle
+
+
+def test_g4_bbox_broadcast(spark):
+    p = plan_of(spark, "g4_crop_pad")
+    assert "BroadcastNestedLoopJoin" in p  # 1-row bbox broadcast, not shuffle
+
+
+def test_no_cartesian_products_anywhere(spark):
+    for name in ("j2_asof_single", "scene_table", "a5_binned_2d", "dedup_jaccard"):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
