@@ -392,6 +392,16 @@ def q_a6_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "event_id", F.round("ecdf", 6).alias("ecdf"))
 
 
+def q_a6_ecdf_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 keyless at scale: distributed ≤-count ranks, no single-partition
+    window."""
+    from convml_data_spark.operators.binning import ecdf_global
+
+    events = _t(spark, sf_dir, "events")
+    out = ecdf_global(events.select("event_id", "value"), "value")
+    return out.select("event_id", F.round("ecdf", 6).alias("ecdf"))
+
+
 def q_a7_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     out = ops.equidepth_bins(li, "l_extendedprice", 10)
@@ -1063,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_binned_1d": q_a4_binned_1d,
         "a5_binned_2d": q_a5_binned_2d,
         "a6_ecdf": q_a6_ecdf,
+        "a6_ecdf_global": q_a6_ecdf_global,
         "a7_equidepth": q_a7_equidepth,
         "a8_daily_counts": q_a8_daily_counts,
         "a10_column_integral": q_a10_column_integral,
@@ -1306,6 +1317,10 @@ def oracle_sql() -> dict[str, str]:
         "a6_ecdf": """
             SELECT event_type, event_id,
                    round(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 6) AS ecdf
+            FROM events
+        """,
+        "a6_ecdf_global": """
+            SELECT event_id, round(cume_dist() OVER (ORDER BY value), 6) AS ecdf
             FROM events
         """,
         "a7_equidepth": quantiles_union,

@@ -103,11 +103,24 @@ def binned_statistic_2d(
     return out
 
 
+def ecdf_global(df: DataFrame, value_col: str) -> DataFrame:
+    """A6 without partition keys, at scale: (# rows ≤ v) / N per distinct
+    value via :func:`global_ranks` — identical to ``cume_dist() OVER
+    (ORDER BY v)`` but with no single-partition window anywhere. Equal
+    values always land in one rank bucket (bucket ids are `<=`-cut
+    expressions), so ``max(rank)+1`` per value IS the ≤-count."""
+    ranked, n = global_ranks(df, value_col)
+    cume = ranked.groupBy(value_col).agg(
+        ((F.max("_rank") + 1) / F.lit(float(n))).alias("ecdf")
+    )
+    return df.join(cume, on=value_col)
+
+
 def ecdf(df: DataFrame, value_col: str, partition_by: list[str] | None = None) -> DataFrame:
     """A6/W4: empirical CDF of ``value_col`` (optionally per group).
 
     A keyless ECDF is a global ordering; ``cume_dist`` without partition
-    keys single-tasks the window, so prefer ``partition_by`` at scale (or
+    keys single-tasks the window, so use :func:`ecdf_global` at scale (or
     the two-pass rank/total formulation).
     """
     from pyspark.sql import Window

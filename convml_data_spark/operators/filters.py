@@ -111,13 +111,24 @@ def parse_filter_dsl(spec: str) -> Column:
     return pred
 
 
-def percentile_filter(df: DataFrame, col: str, q: float, keep: str = "above") -> DataFrame:
+def percentile_filter(
+    df: DataFrame, col: str, q: float, keep: str = "above", method: str = "sort"
+) -> DataFrame:
     """F7: keep rows above/below the exact q-th percentile of ``col``.
 
-    Uses exact ``percentile`` (linear interpolation — identical to DuckDB's
-    ``quantile_cont``) computed in a 1-row broadcast subquery; at scale swap
-    to ``percentile_approx`` if a single-pass sketch is preferred.
+    ``method="sort"`` (default) computes the limit with the distributed
+    exact-quantile selection (no single-task digest) and filters on the
+    resulting LITERAL — which Catalyst pushes down to the parquet scan.
+    ``method="agg"`` keeps the single-plan broadcast-subquery variant
+    (lazy, but the limit merge is one task). Both are exact linear
+    interpolation — identical to DuckDB's ``quantile_cont``.
     """
+    if method == "sort":
+        from .binning import exact_quantiles
+
+        lim = exact_quantiles(df, col, [q])[0]
+        pred = F.col(col) > F.lit(lim) if keep == "above" else F.col(col) < F.lit(lim)
+        return df.filter(pred)
     lim = df.agg(F.expr(f"percentile({col}, {q})").alias("_lim"))
     joined = df.join(F.broadcast(lim))
     pred = F.col(col) > F.col("_lim") if keep == "above" else F.col(col) < F.col("_lim")
