@@ -56,21 +56,54 @@ def stream_windowed_counts(
     )
 
 
-def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, output_mode: str = "complete", checkpoint: str | None = None
+) -> DataFrame:
     """Drain the current backlog (Trigger.AvailableNow) into a memory sink
     and return the materialized result as a batch DataFrame.
 
-    Memory sink is test/driver plumbing; production sinks are partitioned
-    Parquet/Delta via the same writeStream call.
+    Memory sink is test/driver plumbing and does NOT support checkpoint
+    recovery — for checkpoint-chained incremental runs use
+    :func:`drain_available_now` (foreachBatch). Production sinks are
+    partitioned Parquet/Delta via the same call shape.
     """
     spark = stream_df.sparkSession
     name = f"_stream_sink_{next(_sink_counter)}"
-    q = (
+    writer = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def drain_available_now(
+    stream_df: DataFrame, checkpoint: str, output_mode: str = "update"
+) -> list:
+    """Checkpoint-chained incremental drain: process ONLY what arrived since
+    the last call with the same ``checkpoint`` (watermark, seen-file and
+    aggregation state resume from it) and return the emitted rows.
+
+    This is the reference's run-again-and-skip incrementality
+    (pipeline/utils.py:69-77) as restart semantics; uses ``foreachBatch``,
+    the recoverable sink (memory sink cannot resume a checkpoint).
+    """
+    collected: list = []
+
+    def sink(batch_df, _batch_id):
+        collected.extend(batch_df.collect())
+
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return collected

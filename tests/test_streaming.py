@@ -34,6 +34,44 @@ def test_streaming_seen_filter_dedups_across_batches(spark, tmp_path):
     assert got["b"] == 3 and got["c"] == 5
 
 
+def test_watermark_drops_too_late_rows(spark, tmp_path):
+    """Update-mode windowed counts with a 2-day watermark across CHECKPOINT-
+    chained runs (deterministic batch order): a row arriving after its
+    window expired must be dropped; on-time rows still aggregate."""
+    data = str(tmp_path / "data")
+    ckpt = str(tmp_path / "ckpt")
+
+    def append(rows):
+        spark.createDataFrame(rows, "id long, ts_s string").coalesce(1).write.mode(
+            "append"
+        ).parquet(data)
+
+    def drain():
+        stream = spark.readStream.schema("id long, ts_s string").parquet(data)
+        agg = (
+            stream.withColumn("ts", F.to_timestamp("ts_s"))
+            .withWatermark("ts", "2 days")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
+        rows = streaming.drain_available_now(agg, checkpoint=ckpt, output_mode="update")
+        return {str(r["window_start"]): r["n"] for r in rows}
+
+    # run 1: on-time rows; watermark advances to Jan 5 06:00 − 2d = Jan 3
+    append([(1, "2024-01-01 06:00:00"), (2, "2024-01-05 06:00:00")])
+    r1 = drain()
+    assert r1.get("2024-01-01 00:00:00") == 1 and r1.get("2024-01-05 00:00:00") == 1
+
+    # run 2: a day-1 row is now beyond the watermark → dropped, no update
+    append([(3, "2024-01-01 07:00:00")])
+    assert drain() == {}
+
+    # run 3: an on-time day-5 row still updates its live window
+    append([(4, "2024-01-05 08:00:00")])
+    assert drain() == {"2024-01-05 00:00:00": 2}
+
+
 def test_streaming_running_counts(spark, tmp_path):
     path = _write_batches(spark, str(tmp_path))
     stream = spark.readStream.schema("id long, k string").parquet(path + "/*")
