@@ -70,6 +70,35 @@ def test_split_by_time_partition(spark, tmp_path):
     assert parts == ["_part=2024-01-01", "_part=2024-01-02"]
 
 
+def test_cf_metadata_survives_parquet_roundtrip(spark, tmp_path):
+    """SURVEY §7: CF units/long_name ride as column metadata and must
+    survive a parquet round-trip (the reference ASSERTS on units)."""
+    from convml_data_spark.functions.userfuncs import UserFunctionRegistry
+
+    reg = UserFunctionRegistry()
+
+    @reg.register("bt_norm", ["bt"], units="1", long_name="normalized brightness", bounded_01=True)
+    def _f(bt):
+        return (bt - 250.0) / 50.0
+
+    df = spark.createDataFrame([(1, 260.0), (2, 280.0)], "id long, bt double")
+    out = reg.apply(df, "bt_norm")
+    path = os.path.join(str(tmp_path), "meta")
+    out.write.parquet(path)
+    back = spark.read.parquet(path)
+    md = back.schema["bt_norm"].metadata
+    assert md["units"] == "1" and md["long_name"] == "normalized brightness"
+
+
+def test_materialize_json_format(spark, tmp_path):
+    """S11: the DBTarget-analog small-relation JSON sink."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    path = os.path.join(str(tmp_path), "db")
+    assert pipeline.materialize(df, path, fmt="json") is True
+    back = spark.read.json(path)
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
 def test_sequential_scan_carries_state(spark):
     df = spark.createDataFrame(
         [("a", 1, 10.0), ("a", 2, 5.0), ("a", 3, 7.0), ("b", 1, 2.0), ("b", 2, 4.0)],
