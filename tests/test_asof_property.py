@@ -59,6 +59,29 @@ def test_asof_right_id_payload_path_equivalent(spark):
     assert ra == rb
 
 
+def test_asof_keep_unmatched_and_partition_by(spark):
+    """keep_unmatched retains every left row (nulls for no-match); with
+    partition_by, matching never crosses the key."""
+    left = spark.createDataFrame(
+        [("a", BASE), ("a", BASE + timedelta(hours=10)), ("b", BASE)],
+        "k string, t_left timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", 1, BASE + timedelta(minutes=5)), ("b", 2, BASE + timedelta(minutes=30))],
+        "k string, rid long, t_right timestamp",
+    )
+    out = asof.asof_join(
+        left, right, "t_left", "t_right",
+        tolerance_seconds=3600.0, partition_by=["k"],
+        right_prefix="m_", keep_unmatched=True,
+    )
+    rows = {(r["k"], str(r["t_left"])): r["m_rid"] for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[("a", str(BASE))] == 1
+    assert rows[("a", str(BASE + timedelta(hours=10)))] is None  # outside tolerance
+    assert rows[("b", str(BASE))] == 2  # never matches key 'a' rows
+
+
 @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(left_off=offsets, right_off=offsets, tol=st.integers(min_value=1, max_value=900))
 def test_asof_matches_brute_force(spark, left_off, right_off, tol):
