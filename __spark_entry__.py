@@ -1009,9 +1009,20 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (rows-only; property-tested)."""
+    """SimHash fingerprints on the replayable md5-60-bit hash path, so the
+    bit-majority logic is oracle-checked cross-engine (the production
+    xxhash64 path shares everything but the token hash; locality is
+    property-tested)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash64(docs)
+    return dedup.simhash64(docs, hash_fn="md5_60")
+
+
+def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 affine hashes over md5-hashed distinct word
+    3-grams) — the deterministic core of dedup_minhash, oracle-checked
+    value-for-value against DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, num_hashes=8)
 
 
 def q_g9_optical_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1113,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_lsh_pairs": q_neardup_lsh_pairs,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "simhash": q_simhash,
         "g9_optical_flow": q_g9_optical_flow,
         "multimodal_features": q_multimodal_features,
@@ -1132,6 +1144,25 @@ def oracle_sql() -> dict[str, str]:
     quantiles_union = "\nUNION ALL\n".join(
         f"SELECT {k}/10.0 AS q, round(quantile_cont(l_extendedprice, {k}/10.0), 6) AS boundary FROM lineitem"
         for k in range(11)
+    )
+    # MinHash affine params: replay of dedup._hash_params(8, seed=42)
+    # (random.Random(42) is version-stable for randrange on a fixed bound).
+    import random as _random
+
+    _p61 = (1 << 61) - 1
+    _rng = _random.Random(42)
+    _mh = [(_rng.randrange(1, _p61), _rng.randrange(0, _p61)) for _ in range(8)]
+    minhash_terms = ",\n                     ".join(
+        f"CAST((CAST({a} AS HUGEINT)*x + {b}) % {_p61} AS BIGINT) AS t{i}"
+        for i, (a, b) in enumerate(_mh)
+    )
+    minhash_aggs = ", ".join(f"min(t{i}) AS h{i}" for i in range(8))
+    minhash_arr = ", ".join(f"h{i}" for i in range(8))
+    simhash_bitsums = ",\n                     ".join(
+        f"sum((h >> {b}) & 1) AS b{b}" for b in range(60)
+    )
+    simhash_fp = "\n                 | ".join(
+        f"(CASE WHEN 2*b{b} > n THEN 1::BIGINT << {b} ELSE 0 END)" for b in range(60)
     )
     return {
         "s3_calendar_scan": """
@@ -1763,6 +1794,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(substr(text, 1, 100)) AS text_hash,
                    min(doc_id) AS canonical_id, count(*) AS n_dupes
             FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_minhash_sigs": f"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS tk
+              FROM documents
+            ), sh AS (
+              SELECT id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(tk) - 2, 0) + 1),
+                       i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+              FROM toks
+            ), h AS (
+              SELECT id, {minhash_terms}
+              FROM (SELECT id, CAST('0x'||substr(md5(shingle),1,15) AS BIGINT) AS x FROM sh)
+            ), m AS (SELECT id, {minhash_aggs} FROM h GROUP BY id)
+            SELECT id, [{minhash_arr}] AS sig FROM m
+        """,
+        "simhash": f"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS tok
+              FROM documents
+            ), h AS (
+              SELECT id, CAST('0x'||substr(md5(tok),1,15) AS BIGINT) AS h FROM toks
+            ), b AS (
+              SELECT id, count(*) AS n,
+                     {simhash_bitsums}
+              FROM h GROUP BY id
+            )
+            SELECT id, {simhash_fp}
+                   AS simhash
+            FROM b
         """,
         "dedup_jaccard": """
             WITH toks AS (

@@ -288,28 +288,44 @@ def minhash_dedup(
     return pairs
 
 
-def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash fingerprint per document from word-level features.
+def simhash64(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash fingerprint per document from word-level features.
 
     Bit b of the fingerprint is 1 iff the majority of token hashes have bit
-    b set. Pure JVM bit arithmetic (shiftright/bitwise-and over xxhash64) —
-    engine-internal fingerprints, verified by property tests rather than a
-    cross-engine oracle.
+    b set. Pure JVM bit arithmetic (shiftright/bitwise-and) either way:
+
+    - ``hash_fn="xxhash64"`` (default): 64-bit xxhash64 token hashes — the
+      fastest JVM path for production fingerprinting;
+    - ``hash_fn="md5_60"``: 60-bit md5-derived token hashes — bit-identical
+      replayable in any engine with md5 (the DuckDB oracle path).
+
+    Locality is the same in both (independent uniform bits per token).
     """
+    n_bits = 64 if hash_fn == "xxhash64" else 60
     toks = _spread(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
-    hashed = toks.withColumn("h", F.xxhash64("tok"))
+    if hash_fn == "xxhash64":
+        hashed = toks.withColumn("h", F.xxhash64("tok"))
+    elif hash_fn == "md5_60":
+        hashed = toks.withColumn("h", _shingle_hash64(F.col("tok")))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     bit_sums = hashed.groupBy("id").agg(
         F.count("*").alias("n"),
         *[
             F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ],
     )
     fp = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         bit = F.when(
             F.col(f"b{b}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
