@@ -460,6 +460,57 @@ def q_w5_sliding_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.sliding_tiles(spark, nx=256, ny=256, n_tile=32, step=16)
 
 
+def q_w7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) per user over events — the
+    scale-path generalization of the reference's nearest-in-time frame
+    grouping (pipeline/rect/flow.py, aux_sources.py spacing inference).
+    One shuffle by user_id; session state never crosses keys."""
+    events = _t(spark, sf_dir, "events")
+    out = windows.sessionize(
+        events, ["user_id"], "ts", gap_seconds=1800.0, tiebreak=["event_id"]
+    )
+    return out.select(
+        "user_id", "session_id", "session_start", "session_end", "n_events", "sum_value"
+    )
+
+
+def q_a14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (year → month → grand total) in ONE pass via
+    ROLLUP grouping sets — the hypertable-continuous-aggregate shape; Spark
+    expands grouping sets inside a single shuffle instead of 3 jobs."""
+    orders = _t(spark, sf_dir, "orders")
+    y = F.year("o_orderdate").alias("y")
+    m = F.month("o_orderdate").alias("m")
+    out = orders.rollup(y, m).agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice", 18, 2)).alias("revenue"),
+    )
+    return out.select("y", "m", "gid", "n_orders", "revenue")
+
+
+def q_a15_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped COUNT(DISTINCT) — Spark plans this as a two-stage
+    expand + partial-agg (no driver-side set), the exact twin of the HLL
+    sketch query below."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def q_hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-count sketch (approx_count_distinct, rsd=2%) — the
+    mergeable-sketch path that replaces exact distinct at 100 TB (fixed-size
+    state per group, no expand). Rows-only in the driver (DuckDB's HLL is a
+    different implementation); the error bound vs exact is property-tested
+    in tests/test_properties.py."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx")
+    )
+
+
 def q_g2_tile_pixel_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2: range-join pixel membership + per-tile reduction on a synthetic
     64×64 integer grid (exact arithmetic both engines)."""
@@ -1109,6 +1160,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_argmin_per_group": q_w2_argmin_per_group,
         "w3_local_peaks": q_w3_local_peaks,
         "w5_sliding_tiles": q_w5_sliding_tiles,
+        "w7_sessionize": q_w7_sessionize,
+        "a14_rollup": q_a14_rollup,
+        "a15_distinct_users": q_a15_distinct_users,
+        "hll_user_counts": q_hll_user_counts,
         "g2_tile_pixel_slice": q_g2_tile_pixel_slice,
         "e2_string_ops": q_e2_string_ops,
         "e7_json_map": q_e7_json_map,
@@ -1641,6 +1696,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, event_id, round(value, 6) AS value
             FROM n WHERE value > pv AND value > nv
+        """,
+        "w7_sessionize": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS opens
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *, sum(opens) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM o
+            )
+            SELECT user_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        "a14_rollup": """
+            SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+                   GROUPING(year(o_orderdate), month(o_orderdate)) AS gid,
+                   count(*) AS n_orders,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders
+            GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
+        """,
+        "a15_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "w5_sliding_tiles": """
             SELECT CAST((j0/16) * 15 + (i0/16) AS INT) AS tile_id,

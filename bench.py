@@ -35,6 +35,8 @@ HEADLINE = [
     "a7_equidepth",
     "w2_argmin_per_group",
     "w5_sliding_tiles",
+    "w7_sessionize",
+    "a14_rollup",
     "g2_tile_pixel_slice",
     "dedup_jaccard",
     "text_quality",

@@ -94,3 +94,62 @@ def minmax_normalize(df: DataFrame, value_col: str, partition_by: list[str]) -> 
     return df.withColumn(
         "normalized", F.when(hi != lo, (F.col(value_col) - lo) / (hi - lo)).otherwise(F.lit(0.0))
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    gap_seconds: float,
+    tiebreak: list[str] | None = None,
+    method: str = "window",
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of a key belong to one
+    session while the inter-event gap is ≤ ``gap_seconds``; a strictly
+    larger gap opens a new session.
+
+    The scale-path generalization of the reference's per-scene time grouping
+    (trajectory frames bucketed by proximity in time,
+    pipeline/rect/flow.py + aux_sources.py spacing inference): the key is
+    the shuffle/parallelism unit, session state never crosses keys.
+
+    - ``method="window"``: lag + running sum of session-open flags — two
+      window passes over ONE shuffle by ``key_cols`` (Spark plans both
+      windows into a single sort), exactly replayable in any SQL engine.
+    - ``method="native"``: Spark's built-in ``session_window`` aggregate —
+      the same operator Structured Streaming uses for streaming sessions
+      (state-store-backed there). Boundary semantics differ only when a gap
+      equals ``gap_seconds`` exactly (native closes strictly-greater-or-
+      equal at window merge; window method opens on strictly-greater).
+
+    Returns one row per (key, session): ``session_id`` (1-based per key,
+    window method only), ``session_start``, ``session_end`` (last event
+    time), ``n_events``, ``sum_value`` (decimal-exact sum of ``value``).
+    """
+    tiebreak = tiebreak or []
+    gap_us = int(round(gap_seconds * 1_000_000))
+    val = F.col("value").cast("decimal(38,6)")
+    if method == "native":
+        sw = F.session_window(F.col(time_col), f"{gap_us} microseconds")
+        out = df.groupBy(*key_cols, sw.alias("_w")).agg(
+            F.min(time_col).alias("session_start"),
+            F.max(time_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(val).alias("sum_value"),
+        )
+        return out.drop("_w")
+    w = Window.partitionBy(*key_cols).orderBy(time_col, *tiebreak)
+    t_us = F.unix_micros(F.col(time_col))
+    opens = F.when(
+        F.lag(time_col).over(w).isNull()
+        | (t_us - F.lag(t_us).over(w) > F.lit(gap_us)),
+        1,
+    ).otherwise(0)
+    sid = F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tagged = df.withColumn("_sid", sid)
+    return tagged.groupBy(*key_cols, "_sid").agg(
+        F.min(time_col).alias("session_start"),
+        F.max(time_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(val).alias("sum_value"),
+    ).withColumnRenamed("_sid", "session_id")

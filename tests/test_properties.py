@@ -9,6 +9,8 @@ import math
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_DIR
+
 from convml_data_spark.operators import (
     bilinear_regrid,
     global_ranks,
@@ -131,3 +133,43 @@ def test_local_tangent_plane_properties(spark):
     assert abs(rows[1]["x"]) < 1.0
     want_x = 6371000.0 * math.radians(0.1) * math.cos(math.radians(10.0))
     assert abs(rows[2]["x"] - want_x) / want_x < 1e-4
+
+
+def test_hll_within_rsd_of_exact(spark):
+    """approx_count_distinct(rsd=0.02) stays within 5·rsd of the exact
+    grouped distinct count — the sketch the 100 TB path substitutes for
+    COUNT(DISTINCT)'s expand."""
+    from convml_data_spark.tables import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.10 * n), (k, approx[k], n)
+
+
+def test_sessionize_native_matches_window_method(spark):
+    """The lag+cumsum sessionizer and Spark's built-in session_window agree
+    on session boundaries and per-session aggregates (no inter-event gap in
+    the synthetic data lands exactly on the 1800 s boundary)."""
+    from convml_data_spark.operators import windows as W
+    from convml_data_spark.tables import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    a = W.sessionize(events, ["user_id"], "ts", 1800.0, tiebreak=["event_id"])
+    b = W.sessionize(events, ["user_id"], "ts", 1800.0, method="native")
+    key = lambda r: (r["user_id"], str(r["session_start"]))
+    am = {key(r): (str(r["session_end"]), r["n_events"], r["sum_value"]) for r in a.collect()}
+    bm = {key(r): (str(r["session_end"]), r["n_events"], r["sum_value"]) for r in b.collect()}
+    assert am == bm
