@@ -1,5 +1,15 @@
 """Structured Streaming front door (SURVEY §2.13)."""
 
-from .scene_stream import drain_available_now, run_available_now, stream_windowed_counts
+from .scene_stream import (
+    drain_available_now,
+    run_available_now,
+    stream_sessionize,
+    stream_windowed_counts,
+)
 
-__all__ = ["drain_available_now", "run_available_now", "stream_windowed_counts"]
+__all__ = [
+    "drain_available_now",
+    "run_available_now",
+    "stream_sessionize",
+    "stream_windowed_counts",
+]

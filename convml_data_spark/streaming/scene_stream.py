@@ -107,3 +107,34 @@ def drain_available_now(
     )
     q.awaitTermination()
     return collected
+
+
+def stream_sessionize(
+    stream: DataFrame,
+    key_col: str,
+    time_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-sessionization: the state-store-backed face of
+    ``operators.windows.sessionize`` (same output columns, minus the
+    per-key ordinal).
+
+    ``session_window`` merges events within ``gap`` into one growing
+    session; the watermark both bounds state AND decides emission — in
+    append mode a session row is emitted exactly once, when the watermark
+    passes its close (last event + gap). One shuffle by (key, session);
+    state per open session is a constant-size aggregate, so a key with a
+    billion events across sessions never accumulates unbounded state.
+    """
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(time_col), gap).alias("_w"))
+        .agg(
+            F.min(time_col).alias("session_start"),
+            F.max(time_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+        )
+        .drop("_w")
+    )

@@ -83,3 +83,63 @@ def test_streaming_running_counts(spark, tmp_path):
         for r in result.groupBy("k").agg(F.max("running_count").alias("mx")).collect()
     }
     assert final == {"a": 3, "b": 2, "c": 1}
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Append-mode streaming sessionization across checkpoint-chained runs:
+    sessions flush exactly when the watermark passes their close, and the
+    full emitted set equals the batch sessionizer over the same events."""
+    from convml_data_spark.operators import windows as W
+
+    data = str(tmp_path / "data")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts_s string, value double"
+
+    def append(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(data)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(data)
+            .withColumn("ts", F.to_timestamp("ts_s"))
+        )
+        out = streaming.stream_sessionize(
+            stream, "user_id", "ts", gap="30 minutes", watermark="1 hour"
+        )
+        return streaming.drain_available_now(out, checkpoint=ckpt, output_mode="append")
+
+    # two sessions for user 1 (gap > 30 min), one for user 2
+    batch1 = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:10:00", 2.0),
+        (1, "2024-01-01 12:00:00", 4.0),
+        (2, "2024-01-01 11:00:00", 8.0),
+    ]
+    append(batch1)
+    r1 = drain()
+    # watermark after run 1 = 12:00 − 1h = 11:00 → only the 10:00–10:10
+    # session (closes 10:40) has been passed by the watermark
+    assert {(r["user_id"], str(r["session_start"])) for r in r1} == {
+        (1, "2024-01-01 10:00:00")
+    }
+
+    # a far-future event closes everything else
+    append([(2, "2024-01-02 09:00:00", 16.0)])
+    r2 = drain()
+    emitted = r1 + r2
+
+    events = spark.createDataFrame(batch1 + [(2, "2024-01-02 09:00:00", 16.0)], schema)
+    events = events.select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    batch = W.sessionize(events, ["user_id"], "ts", 1800.0, method="native")
+    want = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"], float(r["sum_value"]))
+        for r in batch.collect()
+        # the sentinel's own session is still open (watermark never passed it)
+        if str(r["session_start"]) != "2024-01-02 09:00:00"
+    }
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"], float(r["sum_value"]))
+        for r in emitted
+    }
+    assert got == want
