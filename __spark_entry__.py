@@ -1110,6 +1110,19 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_features(with_payload)
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video boundary: synthetic video payloads → every-3rd-frame sampling →
+    nearest resize → per-frame features, all Arrow-batched (rows-only;
+    frame slicing and resize are byte-exact property-tested)."""
+    from convml_data_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").limit(100)
+    vids = multimodal.attach_fake_video(docs, n_frames=6, width=8, height=8)
+    frames = multimodal.sample_frames(vids, every=3)
+    small = multimodal.resize_nearest(frames.drop("frame_idx"), 4, 4)
+    return multimodal.image_features(small)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s3_calendar_scan": q_s3_calendar_scan,
@@ -1183,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "g9_optical_flow": q_g9_optical_flow,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "dedup_exact_prefix": q_dedup_exact_prefix,
         "dedup_jaccard": q_dedup_jaccard,
         "text_quality": q_text_quality,

@@ -138,3 +138,120 @@ def expected_fake_pixels(doc_id: int, width: int = 16, height: int = 16) -> np.n
     )
     payload = bytes.fromhex(raw[: n * 2].decode())
     return np.frombuffer(payload, dtype=np.uint8)[:n].reshape(height, width).astype(np.float64)
+
+
+def resize_nearest(
+    df: DataFrame,
+    out_width: int,
+    out_height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Nearest-neighbor resize, Arrow-batched — a REAL kernel (pure numpy
+    index sampling), not a stub: only the codec decode step depends on
+    external libs. Emits a new payload + meta at the target dims, so resize
+    composes with :func:`image_features` / :func:`encode_png` downstream.
+
+    Reference analog: tile extraction resamples source pixels to the fixed
+    256×256 tile raster (pipeline/tiles.py + regridding).
+    """
+    schema = f"{id_col} long, payload binary, media_meta struct<width:int,height:int,format:string>"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = r[meta_col]
+                w, h, fmt = int(meta["width"]), int(meta["height"]), meta["format"]
+                px = _decode_one(r[payload_col], w, h, fmt)
+                iy = (np.arange(out_height) * h) // out_height
+                ix = (np.arange(out_width) * w) // out_width
+                out = px[iy][:, ix].astype(np.uint8)
+                rows.append(
+                    {
+                        id_col: r[id_col],
+                        "payload": out.tobytes(),
+                        "media_meta": {
+                            "width": out_width,
+                            "height": out_height,
+                            "format": FAKE_FORMAT if fmt == FAKE_FORMAT else fmt,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col, meta_col).mapInPandas(run, schema)
+
+
+def attach_fake_video(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 8, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Deterministic stand-in video: ``n_frames`` fake-gray8 frames
+    concatenated into one binary payload (raw planar layout), meta carries
+    the frame geometry. Real containers (mp4 etc.) would arrive via
+    ``sources.read_binary_files`` and decode behind the same schema."""
+    n = width * height * n_frames
+    reps = (n + 15) // 16
+    blocks = F.concat(
+        *[
+            F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit("v"), F.lit(str(i))))
+            for i in range(reps)
+        ]
+    )
+    payload = F.unhex(F.substring(blocks, 1, n * 2))
+    meta = F.struct(
+        F.lit(width).alias("width"),
+        F.lit(height).alias("height"),
+        F.lit(n_frames).alias("n_frames"),
+        F.lit(FAKE_FORMAT).alias("format"),
+    )
+    return df.withColumn("video", payload).withColumn("video_meta", meta)
+
+
+def sample_frames(
+    df: DataFrame,
+    every: int,
+    id_col: str = "doc_id",
+    video_col: str = "video",
+    meta_col: str = "video_meta",
+) -> DataFrame:
+    """Frame sampling: one output row per kept frame (every ``every``-th),
+    each a standalone image payload + meta — the video→image boundary of
+    the pipeline. Runs as one Arrow pass; a 2-hour video never materializes
+    as Python row objects, and downstream image ops see ordinary rows.
+    """
+    schema = (
+        f"{id_col} long, frame_idx int, payload binary, "
+        "media_meta struct<width:int,height:int,format:string>"
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = r[meta_col]
+                w, h, nf = int(meta["width"]), int(meta["height"]), int(meta["n_frames"])
+                fmt = meta["format"]
+                if fmt != FAKE_FORMAT:
+                    raise NotImplementedError(
+                        f"demuxing {fmt!r} needs ffmpeg (not in this container)"
+                    )
+                raw = bytes(r[video_col])
+                fsz = w * h
+                for k in range(0, nf, every):
+                    rows.append(
+                        {
+                            id_col: r[id_col],
+                            "frame_idx": k,
+                            "payload": raw[k * fsz : (k + 1) * fsz],
+                            "media_meta": {"width": w, "height": h, "format": FAKE_FORMAT},
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, video_col, meta_col).mapInPandas(run, schema)

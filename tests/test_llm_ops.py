@@ -136,3 +136,38 @@ def test_multimodal_fake_decode_matches_replay(spark):
         assert abs(feats[i]["mean_px"] - px.mean()) < 1e-9
         assert abs(feats[i]["std_px"] - px.std()) < 1e-9
         assert feats[i]["width"] == 16 and feats[i]["height"] == 16
+
+
+def test_resize_nearest_matches_numpy_replay(spark):
+    import numpy as np
+
+    docs = spark.range(6).select(F.col("id").alias("doc_id"))
+    resized = multimodal.resize_nearest(
+        multimodal.attach_fake_payload(docs, width=16, height=16), 8, 4
+    )
+    got = {r["doc_id"]: r for r in resized.collect()}
+    for i in range(6):
+        px = multimodal.expected_fake_pixels(i, 16, 16)
+        iy = (np.arange(4) * 16) // 4
+        ix = (np.arange(8) * 16) // 8
+        want = px[iy][:, ix].astype(np.uint8).tobytes()
+        assert bytes(got[i]["payload"]) == want
+        meta = got[i]["media_meta"]
+        assert (meta["width"], meta["height"]) == (8, 4)
+    # resized output composes with the feature extractor unchanged
+    feats = multimodal.image_features(resized).collect()
+    assert all(r["width"] == 8 and r["height"] == 4 for r in feats)
+
+
+def test_sample_frames_every_k(spark):
+    docs = spark.range(4).select(F.col("id").alias("doc_id"))
+    vids = multimodal.attach_fake_video(docs, n_frames=8, width=8, height=8)
+    frames = multimodal.sample_frames(vids, every=3)
+    got = sorted((r["doc_id"], r["frame_idx"]) for r in frames.collect())
+    assert got == sorted((d, k) for d in range(4) for k in (0, 3, 6))
+    # each sampled frame is the right 64-byte slice of the source payload
+    raw = {r["doc_id"]: bytes(r["video"]) for r in vids.collect()}
+    for r in frames.collect():
+        k, fsz = r["frame_idx"], 64
+        assert bytes(r["payload"]) == raw[r["doc_id"]][k * fsz : (k + 1) * fsz]
+        assert r["media_meta"]["format"] == multimodal.FAKE_FORMAT
