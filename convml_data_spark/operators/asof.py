@@ -138,10 +138,25 @@ def asof_join(
     ).unionByName(rhs, allowMissingColumns=True)
 
     # order right rows before left rows at equal t so an exact match is
-    # visible as "previous" with dt=0
-    w = Window.partitionBy(*keys).orderBy("_t", "_is_left")
-    prev = F.last("_r", ignorenulls=True).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    nxt = F.first("_r", ignorenulls=True).over(w.rowsBetween(0, Window.unboundedFollowing))
+    # visible as "previous" with dt=0. The _r tiebreak makes TIED right
+    # timestamps deterministic (struct-min payload wins on both sides,
+    # matching an oracle's ORDER BY (t, id) chain when the payload leads
+    # with (right_on, id)) — without it, AQE re-plans could flip which of
+    # two same-t right rows last()/first() lands on. Struct ordering
+    # requires orderable payload types; for map-typed payloads pass
+    # right_id_col so the slim (t, id) struct is what gets ordered.
+    w_prev = Window.partitionBy(*keys).orderBy(
+        F.col("_t").asc(), F.col("_is_left").asc(), F.col("_r").desc()
+    )
+    w_next = Window.partitionBy(*keys).orderBy(
+        F.col("_t").asc(), F.col("_is_left").asc(), F.col("_r").asc()
+    )
+    prev = F.last("_r", ignorenulls=True).over(
+        w_prev.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nxt = F.first("_r", ignorenulls=True).over(
+        w_next.rowsBetween(0, Window.unboundedFollowing)
+    )
 
     lm = F.unix_micros(F.col("_t"))
     dt_prev = lm - F.unix_micros(prev[right_on])

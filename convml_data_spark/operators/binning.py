@@ -61,8 +61,22 @@ def binned_statistic_1d(
     stats: list[str] = ("mean", "count"),
     extra_aggs: list[Column] | None = None,
 ) -> DataFrame:
-    """A4: bin ``by_col`` into ``n_bins`` equal-width bins on [lo, hi) and
-    reduce ``value_col`` per bin. Returns (bin, bin_lo, <stats...>)."""
+    """A4: bin ``by_col`` into ``n_bins`` equal-width bins and reduce
+    ``value_col`` per bin. Returns (bin, bin_lo, <stats...>).
+
+    Boundary semantics are ENGINE-DEFINED as left-closed ``[lo_i, hi_i)``
+    (floor-based index) — deliberately NOT xarray ``groupby_bins`` /
+    ``pandas.cut``, whose default is right-closed ``(lo_i, hi_i]``: a value
+    exactly on an interior edge lands in the HIGHER bin here, one lower
+    there. Left-closed is the natural floor() formulation (one JVM
+    expression, no epsilon on every edge) and matches histogramming
+    conventions (numpy.histogram); the reference's per-plot binning
+    (plot_types.py) never places data exactly on an edge, so the choice is
+    observable only for synthetic edge-exact inputs. The upper domain edge
+    keeps a 1e-12 guard so ``by == hi`` stays out of a phantom bin
+    ``n_bins``; callers needing ``hi`` inclusive in the last bin should
+    pre-clamp values.
+    """
     step = (hi - lo) / n_bins
     binned = df.where(F.col(by_col).between(lo, hi - 1e-12)).withColumn(
         "bin", _bucket(F.col(by_col), lo, step)
@@ -177,6 +191,32 @@ def global_ranks(
     return ranked, n
 
 
+def _boundary_rows(parts: DataFrame, need: dict[int, list[int]]) -> DataFrame:
+    """Rank ONLY the targeted buckets and keep the needed local ranks.
+
+    Returns (_b, _r, v) with at most sum(len(locs)) rows — the caller
+    collects boundary scalars, never bucket contents. The window sorts each
+    targeted bucket in one task, which is fine because buckets are sized
+    ~N/parallelism by the approx cut points.
+    """
+    from pyspark.sql import Window
+
+    need_map = F.create_map(
+        *[
+            x
+            for b, locs in need.items()
+            for x in (F.lit(b), F.array(*[F.lit(loc) for loc in locs]))
+        ]
+    )
+    w = Window.partitionBy("_b").orderBy("v")
+    return (
+        parts.where(F.col("_b").isin(list(need)))
+        .withColumn("_r", F.row_number().over(w) - 1)
+        .where(F.array_contains(F.element_at(need_map, F.col("_b")), F.col("_r")))
+        .select("_b", "_r", "v")
+    )
+
+
 def exact_quantiles(df: DataFrame, value_col: str, qs: list[float]) -> list[float]:
     """Distributed EXACT linear-interpolation quantiles (selection, not digest).
 
@@ -219,25 +259,18 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float]) -> list[floa
             lo, hi = int(pos), min(int(pos) + (0 if pos == int(pos) else 1), n - 1)
             positions.append((pos, lo, hi))
             targets.update((lo, hi))
-        # map each target global rank to (bucket, local index); fetch ONLY
-        # those buckets as per-bucket sorted arrays — no global rank pass,
-        # and untargeted buckets are filtered out before any sort
+        # map each target global rank to (bucket, local index); rank ONLY the
+        # targeted buckets (per-bucket window sort, parallel across buckets)
+        # and filter to the exact target local ranks BEFORE collecting — the
+        # driver receives ≤2·|qs| scalar rows, never a bucket's contents
         bs = sorted(offsets)
         boffs = [offsets[b] for b in bs]
         need: dict[int, list[int]] = {}
         for t in sorted(targets):
             b = bs[bisect.bisect_right(boffs, t) - 1]
             need.setdefault(b, []).append(t - offsets[b])
-        rows = (
-            parts.where(F.col("_b").isin(list(need)))
-            .groupBy("_b")
-            .agg(F.sort_array(F.collect_list("v")).alias("arr"))
-            .collect()
-        )
-        got = {}
-        for r in rows:
-            for local in need[r["_b"]]:
-                got[offsets[r["_b"]] + local] = r["arr"][local]
+        rows = _boundary_rows(parts, need).collect()
+        got = {offsets[r["_b"]] + r["_r"]: r["v"] for r in rows}
         out = []
         for pos, lo, hi in positions:
             vlo, vhi = got[lo], got[hi]

@@ -56,6 +56,36 @@ def _decode_one(payload: bytes, width: int, height: int, fmt: str) -> np.ndarray
     )
 
 
+def _decode_groups(pdf, payload_col: str, meta_col: str, extra_meta: tuple = ()):
+    """Vectorized batch decode: yield (row_positions, w, h, fmt, extras, px)
+    per (meta) group, where ``px`` is a stacked ``(B, n)`` uint8 matrix.
+
+    One ``np.frombuffer`` over the group's concatenated payload bytes —
+    no per-row Python loop — valid because fake payloads are exactly
+    ``n`` bytes each (enforced). Non-fake formats raise at the GROUP
+    level, same contract as :func:`_decode_one`.
+    """
+    import pandas as pd
+
+    metas = pd.DataFrame(list(pdf[meta_col]))
+    keys = ["width", "height", "format", *extra_meta]
+    for key, sub in metas.groupby(keys, sort=False):
+        w, h, fmt = int(key[0]), int(key[1]), key[2]
+        extras = tuple(int(k) for k in key[3:])
+        n = w * h * (extras[0] if extras else 1)
+        if fmt != FAKE_FORMAT:
+            # real codecs live here; dims/batching identical either way
+            raise NotImplementedError(
+                f"decoding {fmt!r} needs PIL/OpenCV/ffmpeg (not in this container)"
+            )
+        pos = sub.index.to_numpy()
+        payloads = pdf[payload_col].iloc[pos]
+        if not (payloads.str.len() == n).all():
+            raise ValueError(f"fake payload length != {n}")
+        px = np.frombuffer(b"".join(payloads), dtype=np.uint8).reshape(len(pos), n)
+        yield pos, w, h, fmt, extras, px
+
+
 def image_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", meta_col: str = "media_meta"
 ) -> DataFrame:
@@ -67,23 +97,25 @@ def image_features(
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                meta = r[meta_col]
-                w, h, fmt = int(meta["width"]), int(meta["height"]), meta["format"]
-                px = _decode_one(r[payload_col], w, h, fmt)
-                rows.append(
-                    {
-                        id_col: r[id_col],
-                        "width": w,
-                        "height": h,
-                        "mean_px": float(px.mean()),
-                        "std_px": float(px.std()),
-                        "min_px": float(px.min()),
-                        "max_px": float(px.max()),
-                    }
+            frames = []
+            for pos, w, h, _fmt, _x, px in _decode_groups(pdf, payload_col, meta_col):
+                m = px.astype(np.float64)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf[id_col].iloc[pos].to_numpy(),
+                            "width": w,
+                            "height": h,
+                            "mean_px": m.mean(axis=1),
+                            "std_px": m.std(axis=1),
+                            "min_px": m.min(axis=1),
+                            "max_px": m.max(axis=1),
+                        }
+                    )
                 )
-            yield pd.DataFrame(rows)
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                columns=[id_col, "width", "height", "mean_px", "std_px", "min_px", "max_px"]
+            )
 
     return df.select(id_col, payload_col, meta_col).mapInPandas(extract, schema)
 
@@ -112,19 +144,25 @@ def encode_png(
             Image = None
 
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                meta = r[meta_col]
-                w, h, fmt = int(meta["width"]), int(meta["height"]), meta["format"]
-                px = _decode_one(r[payload_col], w, h, fmt).astype(np.uint8)
+            frames = []
+            for pos, w, h, _fmt, _x, px in _decode_groups(pdf, payload_col, meta_col):
                 if Image is not None:
-                    buf = io.BytesIO()
-                    Image.fromarray(px, mode="L").save(buf, format="PNG")
-                    data = buf.getvalue()
+                    datas = []
+                    for row in px.reshape(len(pos), h, w):
+                        buf = io.BytesIO()
+                        Image.fromarray(row, mode="L").save(buf, format="PNG")
+                        datas.append(buf.getvalue())
                 else:
-                    data = b"STUBPNG" + w.to_bytes(4, "big") + h.to_bytes(4, "big") + px.tobytes()
-                rows.append({id_col: r[id_col], "png": data})
-            yield pd.DataFrame(rows)
+                    hdr = b"STUBPNG" + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                    # bytes-per-row slice of the stacked matrix; the codec
+                    # call is the only irreducibly per-image step
+                    raw = px.tobytes()
+                    n = w * h
+                    datas = [hdr + raw[i * n : (i + 1) * n] for i in range(len(pos))]
+                frames.append(
+                    pd.DataFrame({id_col: pdf[id_col].iloc[pos].to_numpy(), "png": datas})
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(columns=[id_col, "png"])
 
     return df.select(id_col, payload_col, meta_col).mapInPandas(encode, schema)
 
@@ -162,26 +200,27 @@ def resize_nearest(
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                meta = r[meta_col]
-                w, h, fmt = int(meta["width"]), int(meta["height"]), meta["format"]
-                px = _decode_one(r[payload_col], w, h, fmt)
+            frames = []
+            for pos, w, h, fmt, _x, px in _decode_groups(pdf, payload_col, meta_col):
                 iy = (np.arange(out_height) * h) // out_height
                 ix = (np.arange(out_width) * w) // out_width
-                out = px[iy][:, ix].astype(np.uint8)
-                rows.append(
-                    {
-                        id_col: r[id_col],
-                        "payload": out.tobytes(),
-                        "media_meta": {
-                            "width": out_width,
-                            "height": out_height,
-                            "format": FAKE_FORMAT if fmt == FAKE_FORMAT else fmt,
-                        },
-                    }
+                # one fancy-index over the whole stacked (B, h, w) group
+                out = px.reshape(len(pos), h, w)[:, iy][:, :, ix]
+                raw = np.ascontiguousarray(out).tobytes()
+                n = out_width * out_height
+                meta = {"width": out_width, "height": out_height, "format": fmt}
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf[id_col].iloc[pos].to_numpy(),
+                            "payload": [raw[i * n : (i + 1) * n] for i in range(len(pos))],
+                            "media_meta": [meta] * len(pos),
+                        }
+                    )
                 )
-            yield pd.DataFrame(rows)
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                columns=[id_col, "payload", "media_meta"]
+            )
 
     return df.select(id_col, payload_col, meta_col).mapInPandas(run, schema)
 
@@ -232,26 +271,32 @@ def sample_frames(
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                meta = r[meta_col]
-                w, h, nf = int(meta["width"]), int(meta["height"]), int(meta["n_frames"])
-                fmt = meta["format"]
-                if fmt != FAKE_FORMAT:
-                    raise NotImplementedError(
-                        f"demuxing {fmt!r} needs ffmpeg (not in this container)"
-                    )
-                raw = bytes(r[video_col])
+            frames = []
+            for pos, w, h, _fmt, (nf,), px in _decode_groups(
+                pdf, video_col, meta_col, extra_meta=("n_frames",)
+            ):
                 fsz = w * h
-                for k in range(0, nf, every):
-                    rows.append(
+                kept = np.arange(0, nf, every)
+                # (B, nf, fsz) view → (B, n_kept, fsz) slice, one copy
+                sel = np.ascontiguousarray(px.reshape(len(pos), nf, fsz)[:, kept])
+                raw = sel.tobytes()
+                ids = np.repeat(pdf[id_col].iloc[pos].to_numpy(), len(kept))
+                meta = {"width": w, "height": h, "format": FAKE_FORMAT}
+                n_out = len(pos) * len(kept)
+                frames.append(
+                    pd.DataFrame(
                         {
-                            id_col: r[id_col],
-                            "frame_idx": k,
-                            "payload": raw[k * fsz : (k + 1) * fsz],
-                            "media_meta": {"width": w, "height": h, "format": FAKE_FORMAT},
+                            id_col: ids,
+                            "frame_idx": np.tile(kept, len(pos)).astype("int32"),
+                            "payload": [
+                                raw[i * fsz : (i + 1) * fsz] for i in range(n_out)
+                            ],
+                            "media_meta": [meta] * n_out,
                         }
                     )
-            yield pd.DataFrame(rows)
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                columns=[id_col, "frame_idx", "payload", "media_meta"]
+            )
 
     return df.select(id_col, video_col, meta_col).mapInPandas(run, schema)

@@ -66,6 +66,33 @@ def test_g4_bbox_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in p  # 1-row bbox broadcast, not shuffle
 
 
+def test_exact_quantile_boundary_fetch_is_rank_filtered(spark):
+    """exact_quantiles must never collect bucket CONTENTS to the driver —
+    the boundary fetch ranks targeted buckets and filters to the exact
+    target ranks, so the collect is ≤2·|qs| scalar rows (round-1 ADVICE)."""
+    import io as _io
+    import contextlib as _ctx
+
+    from pyspark.sql import functions as F
+
+    from convml_data_spark.operators.binning import _boundary_rows
+
+    parts = (
+        spark.range(1000)
+        .select((F.col("id") % 997).cast("double").alias("v"))
+        .withColumn("_b", (F.col("v") / 250).cast("int"))
+    )
+    bdf = _boundary_rows(parts, {1: [0, 3], 2: [5]})
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        bdf.explain("formatted")
+    plan = buf.getvalue()
+    assert "collect_list" not in plan and "sort_array" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    rows = bdf.collect()
+    assert len(rows) == 3  # exactly the requested ranks, nothing more
+
+
 def test_no_cartesian_products_anywhere(spark):
     for name in ("j2_asof_single", "scene_table", "a5_binned_2d", "dedup_jaccard"):
         p = plan_of(spark, name)
