@@ -469,8 +469,15 @@ def q_w7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = windows.sessionize(
         events, ["user_id"], "ts", gap_seconds=1800.0, tiebreak=["event_id"]
     )
+    # session_id is cast to double to match the oracle's natural type under
+    # pandas canonicalization (DuckDB windowed sum(int) -> HUGEINT -> float64).
     return out.select(
-        "user_id", "session_id", "session_start", "session_end", "n_events", "sum_value"
+        "user_id",
+        F.col("session_id").cast("double").alias("session_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "sum_value",
     )
 
 
@@ -486,7 +493,16 @@ def q_a14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(_dec("o_totalprice", 18, 2)).alias("revenue"),
     )
-    return out.select("y", "m", "gid", "n_orders", "revenue")
+    # y/m cast to bigint and gid pinned to bigint: DuckDB year()/month() and
+    # GROUPING() are BIGINT, and the driver hash model keeps integer widths
+    # distinct, so Spark must emit the same widths.
+    return out.select(
+        F.col("y").cast("bigint").alias("y"),
+        F.col("m").cast("bigint").alias("m"),
+        F.col("gid").cast("bigint").alias("gid"),
+        "n_orders",
+        "revenue",
+    )
 
 
 def q_a15_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1306,7 +1322,8 @@ def oracle_sql() -> dict[str, str]:
                           abs(epoch_us(a.t_aux) - epoch_us(s.scene_t)) AS adt_us,
                           row_number() OVER (
                             PARTITION BY a.aux_event_id
-                            ORDER BY abs(epoch_us(a.t_aux) - epoch_us(s.scene_t)), s.scene_t
+                            ORDER BY abs(epoch_us(a.t_aux) - epoch_us(s.scene_t)), s.scene_t,
+                                     CASE WHEN s.scene_t <= a.t_aux THEN -s.scene_event_id ELSE s.scene_event_id END
                           ) AS rn
                    FROM aux a JOIN sc s
                      ON abs(epoch_us(a.t_aux) - epoch_us(s.scene_t)) / 1e6 <= 1800.0
@@ -1324,7 +1341,8 @@ def oracle_sql() -> dict[str, str]:
                           abs(epoch_us(s.scene_t) - epoch_us(a.t_aux)) AS adt_us,
                           row_number() OVER (
                             PARTITION BY s.scene_event_id
-                            ORDER BY abs(epoch_us(s.scene_t) - epoch_us(a.t_aux)), a.t_aux
+                            ORDER BY abs(epoch_us(s.scene_t) - epoch_us(a.t_aux)), a.t_aux,
+                                     CASE WHEN a.t_aux <= s.scene_t THEN -a.aux_event_id ELSE a.aux_event_id END
                           ) AS rn
                    FROM sc s, tol, aux a
                    WHERE abs(epoch_us(s.scene_t) - epoch_us(a.t_aux)) / 1e6 <= tol.tol_s
@@ -1448,7 +1466,8 @@ def oracle_sql() -> dict[str, str]:
                    SELECT t.t_traj, s.scene_event_id,
                           row_number() OVER (
                             PARTITION BY t.t_traj
-                            ORDER BY abs(epoch_us(t.t_traj) - epoch_us(s.t_scene)), s.t_scene
+                            ORDER BY abs(epoch_us(t.t_traj) - epoch_us(s.t_scene)), s.t_scene,
+                                     CASE WHEN s.t_scene <= t.t_traj THEN -s.scene_event_id ELSE s.scene_event_id END
                           ) AS rn
                    FROM traj t CROSS JOIN sc s
                  )
@@ -1720,9 +1739,9 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
-              SELECT *, CAST(sum(opens) OVER (
+              SELECT *, sum(opens) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
               FROM o
             )
             SELECT user_id, session_id,
@@ -1732,11 +1751,10 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_id
         """,
         "a14_rollup": """
-            SELECT CAST(year(o_orderdate) AS INT) AS y,
-                   CAST(month(o_orderdate) AS INT) AS m,
-                   GROUPING(year(o_orderdate), month(o_orderdate)) AS gid,
+            SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+                   CAST(GROUPING(year(o_orderdate), month(o_orderdate)) AS BIGINT) AS gid,
                    count(*) AS n_orders,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
             FROM orders
             GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
         """,

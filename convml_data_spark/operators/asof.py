@@ -138,24 +138,26 @@ def asof_join(
     ).unionByName(rhs, allowMissingColumns=True)
 
     # order right rows before left rows at equal t so an exact match is
-    # visible as "previous" with dt=0. The _r tiebreak makes TIED right
-    # timestamps deterministic (struct-min payload wins on both sides,
-    # matching an oracle's ORDER BY (t, id) chain when the payload leads
-    # with (right_on, id)) — without it, AQE re-plans could flip which of
-    # two same-t right rows last()/first() lands on. Struct ordering
-    # requires orderable payload types; for map-typed payloads pass
-    # right_id_col so the slim (t, id) struct is what gets ordered.
-    w_prev = Window.partitionBy(*keys).orderBy(
-        F.col("_t").asc(), F.col("_is_left").asc(), F.col("_r").desc()
-    )
-    w_next = Window.partitionBy(*keys).orderBy(
+    # visible as "previous" with dt=0. ONE ordering serves both frames, so
+    # Spark sorts each key partition exactly once (two orderings differing
+    # only in _r direction forced a second sort). The _r tiebreak makes
+    # TIED right timestamps deterministic — without it, AQE re-plans could
+    # flip which of two same-t right rows last()/first() lands on. Tie
+    # rule under the shared ascending order: among rights tied at the
+    # nearest EARLIER time, last() picks the struct-MAX payload; among
+    # rights tied at the nearest LATER time, first() picks the struct-MIN
+    # payload. Oracles mirror this with an ORDER BY chain of
+    # (|dt|, t, sign-flipped id). Struct ordering requires orderable
+    # payload types; for map-typed payloads pass right_id_col so the slim
+    # (t, id) struct is what gets ordered.
+    w = Window.partitionBy(*keys).orderBy(
         F.col("_t").asc(), F.col("_is_left").asc(), F.col("_r").asc()
     )
     prev = F.last("_r", ignorenulls=True).over(
-        w_prev.rowsBetween(Window.unboundedPreceding, 0)
+        w.rowsBetween(Window.unboundedPreceding, 0)
     )
     nxt = F.first("_r", ignorenulls=True).over(
-        w_next.rowsBetween(0, Window.unboundedFollowing)
+        w.rowsBetween(0, Window.unboundedFollowing)
     )
 
     lm = F.unix_micros(F.col("_t"))

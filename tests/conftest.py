@@ -95,13 +95,31 @@ def _canon_duck_type(t: str) -> str:
     return _DUCK_CANON.get(t, t.lower())
 
 
+def _coerce_row(row, canons):
+    """Apply the pandas canonicalization the driver uses to raw fetchall
+    values: a column whose DECLARED type canonicalizes to float renders
+    float64 through pandas even when the raw value is an int (HUGEINT,
+    DECIMAL). Without this, fetchall yields Python ints for HUGEINT and the
+    stringified compare sees '1' vs '1.0' where the driver sees 1.0 == 1.0."""
+    import decimal
+
+    return tuple(
+        float(v)
+        if c == "float" and isinstance(v, (int, decimal.Decimal)) and not isinstance(v, bool)
+        else v
+        for v, c in zip(row, canons)
+    )
+
+
 def compare_spark_duckdb(sdf, con, sql, check_types: bool = True):
     spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_canons = [_canon_spark_type(t) for _, t in sdf.dtypes]
+    spark_rows = [_coerce_row(tuple(r), spark_canons) for r in sdf.collect()]
     rel = con.sql(sql)
     duck_cols = list(rel.columns)
     duck_types = [str(t) for t in rel.types]
-    duck_rows = rel.fetchall()
+    duck_canons = [_canon_duck_type(t) for t in duck_types]
+    duck_rows = [_coerce_row(r, duck_canons) for r in rel.fetchall()]
     if check_types:
         stypes = dict(sdf.dtypes)
         dtypes = dict(zip(duck_cols, duck_types))
