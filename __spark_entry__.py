@@ -197,8 +197,14 @@ def q_j2_asof_single(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_j3_asof_all_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # aux is THINNED (one user stratum) so the inferred min spacing — and
+    # hence the dt_aux/2 tolerance — is wide enough for matches to exist at
+    # small SFs; with the full purchase stream the min gap is sub-second and
+    # the result is a signal-free empty set.
     events = _t(spark, sf_dir, "events")
-    aux = events.where(F.col("event_type") == "purchase").select(
+    aux = events.where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 41 == 0)
+    ).select(
         F.col("event_id").alias("aux_event_id"), F.col("ts").alias("t_aux")
     )
     scenes = events.where(F.col("event_type") == "view").select(
@@ -229,10 +235,14 @@ def q_j5_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_u3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # anti join against BIG orders only: every synthetic customer has at
+    # least one order, so the unrestricted anti join is a signal-free empty
+    # set; "customers with no large order" exercises the same plan with rows.
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 400000.0)
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        big, customer.c_custkey == big.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
@@ -1332,7 +1342,7 @@ def oracle_sql() -> dict[str, str]:
             FROM j WHERE rn = 1
         """,
         "j3_asof_all_within": """
-            WITH aux AS (SELECT event_id AS aux_event_id, ts AS t_aux FROM events WHERE event_type = 'purchase'),
+            WITH aux AS (SELECT event_id AS aux_event_id, ts AS t_aux FROM events WHERE event_type = 'purchase' AND user_id % 41 = 0),
                  sc AS (SELECT event_id AS scene_event_id, ts AS scene_t FROM events WHERE event_type = 'view'),
                  gaps AS (SELECT epoch_us(t_aux) - lag(epoch_us(t_aux)) OVER (ORDER BY t_aux) AS g FROM aux),
                  tol AS (SELECT (min(g)/1e6)/2.0 AS tol_s FROM gaps WHERE g IS NOT NULL),
@@ -1356,7 +1366,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "u3_anti_join": """
             SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         """,
         "u1_union_by_name": """
             SELECT 'customer' AS kind, c_custkey AS key, c_name AS name, c_acctbal AS acctbal, c_mktsegment AS mktsegment FROM customer

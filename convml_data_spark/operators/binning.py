@@ -201,18 +201,17 @@ def _boundary_rows(parts: DataFrame, need: dict[int, list[int]]) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    need_map = F.create_map(
-        *[
-            x
-            for b, locs in need.items()
-            for x in (F.lit(b), F.array(*[F.lit(loc) for loc in locs]))
-        ]
-    )
+    # the wanted (bucket, local-rank) pairs pack into one long each, so the
+    # post-window filter is a single codegen `In` on ≤2·|qs| literals instead
+    # of a per-row map lookup + array scan
+    packed = [int(b) * (1 << 32) + int(loc) for b, locs in need.items() for loc in locs]
     w = Window.partitionBy("_b").orderBy("v")
     return (
         parts.where(F.col("_b").isin(list(need)))
         .withColumn("_r", F.row_number().over(w) - 1)
-        .where(F.array_contains(F.element_at(need_map, F.col("_b")), F.col("_r")))
+        .where(
+            (F.shiftleft(F.col("_b").cast("long"), 32) + F.col("_r")).isin(packed)
+        )
         .select("_b", "_r", "v")
     )
 

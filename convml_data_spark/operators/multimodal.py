@@ -67,8 +67,22 @@ def _decode_groups(pdf, payload_col: str, meta_col: str, extra_meta: tuple = ())
     """
     import pandas as pd
 
+    if len(pdf) == 0:
+        return
     metas = pd.DataFrame(list(pdf[meta_col]))
     keys = ["width", "height", "format", *extra_meta]
+    missing = [k for k in keys if k not in metas.columns]
+    if missing:
+        raise ValueError(f"media_meta rows lack key(s) {missing}")
+    # groupby(dropna=True) would silently DROP rows whose meta key is null —
+    # fail loudly with the offending ids instead
+    nulls = metas[keys].isna().any(axis=1)
+    if nulls.any():
+        bad = pdf.iloc[metas.index[nulls]].iloc[:5]
+        raise ValueError(
+            f"null media_meta key(s) in {int(nulls.sum())} row(s); first ids: "
+            f"{bad.iloc[:, 0].tolist()}"
+        )
     for key, sub in metas.groupby(keys, sort=False):
         w, h, fmt = int(key[0]), int(key[1]), key[2]
         extras = tuple(int(k) for k in key[3:])

@@ -2,6 +2,7 @@
 
 from .scene_stream import (
     drain_available_now,
+    drain_to_parquet,
     run_available_now,
     stream_sessionize,
     stream_windowed_counts,
@@ -9,6 +10,7 @@ from .scene_stream import (
 
 __all__ = [
     "drain_available_now",
+    "drain_to_parquet",
     "run_available_now",
     "stream_sessionize",
     "stream_windowed_counts",

@@ -85,9 +85,11 @@ def run_available_now(
 def drain_available_now(
     stream_df: DataFrame, checkpoint: str, output_mode: str = "update"
 ) -> list:
-    """Checkpoint-chained incremental drain: process ONLY what arrived since
-    the last call with the same ``checkpoint`` (watermark, seen-file and
-    aggregation state resume from it) and return the emitted rows.
+    """HARNESS-ONLY checkpoint-chained drain: collects every micro-batch to
+    the driver so tests/driver sims can assert on the emitted rows. Driver
+    memory scales with the emitted-row count, so this is NOT the engine
+    path — production uses :func:`drain_to_parquet`, the same foreachBatch
+    shape writing distributed parquet appends instead of collecting.
 
     This is the reference's run-again-and-skip incrementality
     (pipeline/utils.py:69-77) as restart semantics; uses ``foreachBatch``,
@@ -107,6 +109,42 @@ def drain_available_now(
     )
     q.awaitTermination()
     return collected
+
+
+def drain_to_parquet(
+    stream_df: DataFrame,
+    checkpoint: str,
+    out_path: str,
+    output_mode: str = "update",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """ENGINE sink: checkpoint-chained incremental drain into a parquet
+    directory. Each micro-batch is appended executor-side (optionally
+    ``partitionBy`` for downstream partition pruning) — no rows ever pass
+    through the driver, so emitted volume is unbounded. Re-running with the
+    same ``checkpoint`` processes only newly arrived files — the reference's
+    file-existence incrementality (pipeline/utils.py:69-77) at S10/S11 sink
+    parity (partitioned parquet, SURVEY §2.1).
+
+    foreachBatch (not a bare parquet sink) so ``update``-mode aggregations
+    can re-emit revised windows; readers dedup on the grouping key with
+    max(batch id) if exactly-once materialization matters.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        writer = batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out_path)
+
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def stream_sessionize(

@@ -171,3 +171,30 @@ def test_sample_frames_every_k(spark):
         k, fsz = r["frame_idx"], 64
         assert bytes(r["payload"]) == raw[r["doc_id"]][k * fsz : (k + 1) * fsz]
         assert r["media_meta"]["format"] == multimodal.FAKE_FORMAT
+
+
+def test_multimodal_null_meta_fails_loudly(spark):
+    """A row with a null media_meta key must raise, not silently vanish
+    from the pandas groupby; an all-empty batch yields zero rows cleanly."""
+    import pytest
+    from convml_data_spark.operators import multimodal
+
+    good = multimodal.attach_fake_payload(
+        spark.range(4).select(F.col("id").alias("doc_id")), width=4, height=2
+    )
+    broken = good.withColumn(
+        "media_meta",
+        F.when(
+            F.col("doc_id") == 2,
+            F.struct(
+                F.lit(None).cast("int").alias("width"),
+                F.col("media_meta.height").alias("height"),
+                F.col("media_meta.format").alias("format"),
+            ),
+        ).otherwise(F.col("media_meta")),
+    )
+    with pytest.raises(Exception, match="null media_meta"):
+        multimodal.image_features(broken).collect()
+
+    empty = good.where(F.lit(False))
+    assert multimodal.image_features(empty).count() == 0

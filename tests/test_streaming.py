@@ -143,3 +143,33 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
         for r in emitted
     }
     assert got == want
+
+
+def test_drain_to_parquet_engine_sink(spark, tmp_path):
+    """Engine sink: foreachBatch parquet appends are readable back and a
+    checkpoint-chained re-run appends ONLY newly arrived files."""
+    data = str(tmp_path / "data")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    os.makedirs(data)
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string").write.parquet(
+        data + "/b1"
+    )
+
+    def agg():
+        stream = spark.readStream.schema("id long, k string").parquet(data + "/*")
+        return stream.groupBy("k").agg(F.count("*").alias("n"))
+
+    streaming.drain_to_parquet(agg(), checkpoint=ckpt, out_path=sink, output_mode="update")
+    first = {(r["k"], r["n"]) for r in spark.read.parquet(sink).collect()}
+    assert first == {("a", 1), ("b", 1)}
+
+    spark.createDataFrame([(3, "a")], "id long, k string").write.parquet(data + "/b2")
+    streaming.drain_to_parquet(agg(), checkpoint=ckpt, out_path=sink, output_mode="update")
+    rows = spark.read.parquet(sink).collect()
+    # update-mode re-emits revised groups; latest batch id wins per key
+    latest = {}
+    for r in rows:
+        if r["k"] not in latest or r["_batch_id"] > latest[r["k"]][1]:
+            latest[r["k"]] = (r["n"], r["_batch_id"])
+    assert {k: v[0] for k, v in latest.items()} == {"a": 2, "b": 1}
