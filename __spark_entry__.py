@@ -776,20 +776,120 @@ def q_g7_tangent_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select("event_id", F.round(x, 4).alias("x_m"), F.round(y, 4).alias("y_m"))
 
 
-def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only: recall is probabilistic;
-    the exact baseline ann_cosine_topk is the oracle-checked twin)."""
+def q_g8_rgb_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: true-color RGB composite (mask→clip→gamma→true-green mix→contrast,
+    goes16/utils.py:5-56) plus per-scene min/max channel scaling
+    (images.py:12-62 make_rgb) — all whole-stage-codegen Column math over a
+    synthetic 1/256-scaled channel table with -1 missing sentinels."""
+    events = _t(spark, sf_dir, "events")
+    av = F.abs(F.col("value"))
+    px = events.select(
+        "event_id",
+        (F.col("user_id") % 8).alias("scene"),
+        F.when(F.col("event_id") % 97 == 0, F.lit(-1.0))
+        .otherwise((av % F.lit(300.0)) / F.lit(256.0))
+        .alias("cb"),
+        F.when(F.col("event_id") % 89 == 0, F.lit(-1.0))
+        .otherwise(((av * F.lit(1.7)) % F.lit(280.0)) / F.lit(256.0))
+        .alias("cr"),
+        (((av * F.lit(2.3)) % F.lit(260.0)) / F.lit(256.0)).alias("cg"),
+        F.col("value").alias("c1"),
+        (F.col("value") * F.lit(0.5) + F.lit(1.0)).alias("c2"),
+        av.alias("c3"),
+    )
+    mk = ops.make_rgb(px, ("c1", "c2", "c3"), scene_col="scene")
+    mk = (
+        mk.withColumnRenamed("r", "sr")
+        .withColumnRenamed("g", "sg")
+        .withColumnRenamed("b", "sb")
+    )
+    r2, g2, b2 = ops.true_color_rgb(F.col("cb"), F.col("cr"), F.col("cg"))
+    return mk.select(
+        "event_id",
+        F.round(r2, 6).alias("r"),
+        F.round(g2, 6).alias("g"),
+        F.round(b2, 6).alias("b"),
+        F.round("sr", 6).alias("sr"),
+        F.round("sg", 6).alias("sg"),
+        F.round("sb", 6).alias("sb"),
+        F.col("a"),
+    )
+
+
+def q_x2_dotted_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: per-group reduction resolved by dotted name (``numpy__median``)
+    through the importlib dispatch (aux_fields/data.py:82-108) — Arrow
+    applyInPandas per group, one shuffle by the group key."""
+    from convml_data_spark.operators import inference
+
+    events = _t(spark, sf_dir, "events")
+    out = inference.grouped_reduce_by_name(
+        events.select("event_type", "value"),
+        ["event_type"],
+        "value",
+        "numpy__median",
+        out_col="med",
+    )
+    return out.select("event_type", F.round("med", 6).alias("med"))
+
+
+def _recall_certification(spark, sf_dir, approx_fn, n_queries=5, k=10, min_recall=0.4):
+    """Macro recall@k of an approximate ANN method vs the exact scan,
+    certified as a boolean bound: hits across ``n_queries`` probe vectors
+    must reach ``min_recall``·(n_queries·k). The intersection/count runs
+    Spark-side (one union + join); only the tiny query vectors are
+    collected (plan-time literals, like any query embedding)."""
+    from functools import reduce
+
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return similarity.lsh_bucketed_topk(emb, [float(v) for v in qvec], k=10)
+    qrows = (
+        emb.where(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect()
+    )
+    exacts, approxes = [], []
+    for r in qrows:
+        qv = [float(v) for v in r["embedding"]]
+        qid = F.lit(int(r["vec_id"])).alias("qid")
+        exacts.append(
+            similarity.cosine_topk(emb, qv, k=k).select(qid, F.col("vec_id").alias("id"))
+        )
+        approxes.append(
+            approx_fn(emb, qv).select(qid, F.col("vec_id").alias("id"))
+        )
+    exall = reduce(lambda a, b: a.unionByName(b), exacts)
+    apall = reduce(lambda a, b: a.unionByName(b), approxes)
+    hits = exall.join(apall, ["qid", "id"]).agg(F.count("*").alias("hits"))
+    need = int(min_recall * n_queries * k)
+    return hits.select(
+        F.lit(n_queries).cast("bigint").alias("n_queries"),
+        (F.col("hits") >= F.lit(need)).alias("recall_ok"),
+    )
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k, certified by a macro recall@10 >= 0.4
+    bound vs the exact scan over 5 probe vectors (measured 0.60-0.66 at
+    sf0.001/0.01 with 6 planes + hamming-2 multiprobe; the synthetic
+    embeddings are near-random, so recall tracks fraction-scanned)."""
+    return _recall_certification(
+        spark,
+        sf_dir,
+        lambda emb, qv: similarity.lsh_bucketed_topk(
+            emb, qv, k=10, n_planes=6, multiprobe_hamming=2
+        ),
+    )
 
 
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (KMeans inverted lists) approximate top-k (rows-only twin of
-    ann_cosine_topk; recall property-tested)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return similarity.ivf_topk(emb, [float(v) for v in qvec], k=10, n_lists=8, n_probes=3)
+    """IVF (sample-fit KMeans inverted lists, 3/8 lists probed) approximate
+    top-k, certified by a macro recall@10 >= 0.4 bound vs the exact scan
+    (measured 0.60-0.74 at sf0.001/0.01 with fit_fraction=0.25)."""
+    return _recall_certification(
+        spark,
+        sf_dir,
+        lambda emb, qv: similarity.ivf_topk(
+            emb, qv, k=10, n_lists=8, n_probes=3, fit_fraction=0.25
+        ),
+    )
 
 
 # ---------------------------------------------------------------- sampling
@@ -933,30 +1033,58 @@ def q_f8_dropna_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- derived DAG / UDF surface
 
 def q_derived_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.11: derived-variable registry compiled to a withColumn chain
-    (umag → p → theta → lts; era5/base.py:127-151 shape)."""
+    """§2.11: the reference's full 14-variable physics DAG
+    (era5/base.py:127-151) compiled to a withColumn chain over a synthetic
+    (column, level) profile carved from events: per-row math in codegen,
+    per-column reductions (layer means, LTS/EIS level picks, cumulative
+    hydrostatic alt integration) as windows over one shuffle by column id."""
     from convml_data_spark.plans import derived as derived_mod
 
     events = _t(spark, sf_dir, "events")
     av = F.abs(F.col("value"))
+    cid = F.floor(F.col("event_id") / F.lit(40))
+    lev = F.col("event_id") % 40
+    sig = (lev.cast("double") + F.lit(1.0)) / F.lit(40.0)
     base = events.select(
-        "event_id",
+        cid.alias("cid"),
+        lev.alias("level"),
         F.col("value").alias("u"),
         (F.col("value") * 0.5).alias("v"),
-        (F.lit(250.0) + (av % 50.0)).alias("t"),
-        (F.lit(9.0) + (av % 3.0)).alias("lnsp"),
-        F.lit(300.0).alias("theta_700"),
-        (F.lit(5.0) + (av % 20.0)).alias("e"),
+        (
+            F.lit(300.0)
+            - (F.lit(39) - lev).cast("double") * F.lit(1.5)
+            - (av % F.lit(5.0))
+        ).alias("t"),
+        (F.lit(0.015) * sig * sig * (F.lit(0.9) + (av % F.lit(0.2)))).alias("q"),
+        (F.lit(10.0) * (cid % 50).cast("double")).alias("z"),
+        (F.lit(11.5) + (cid % 7).cast("double") * F.lit(0.01)).alias("lnsp"),
     )
-    reg = derived_mod.era5_like_registry()
-    out = reg.compile(base, ["umag", "lts", "z_lcl"])
+    reg = derived_mod.era5_like_registry(
+        column_keys=("cid",), level_col="level", n_levels=40
+    )
+    out = reg.compile(
+        base,
+        [
+            "umag", "rh", "theta", "alt", "p", "d_theta__lts", "z_lcl",
+            "d_theta__eis", "bl_umag", "cl_umag", "bl_qmean", "cl_qmean", "tpw",
+        ],
+    )
     return out.select(
-        "event_id",
+        "cid",
+        "level",
         F.round("umag", 6).alias("umag"),
         F.round("p", 6).alias("p"),
         F.round("theta", 6).alias("theta"),
-        F.round("lts", 6).alias("lts"),
+        F.round("rh", 6).alias("rh"),
+        F.round("alt", 6).alias("alt"),
+        F.round("d_theta__lts", 6).alias("lts"),
         F.round("z_lcl", 6).alias("z_lcl"),
+        F.round("d_theta__eis", 6).alias("eis"),
+        F.round("bl_umag", 6).alias("bl_umag"),
+        F.round("cl_umag", 6).alias("cl_umag"),
+        F.round("bl_qmean", 8).alias("bl_qmean"),
+        F.round("cl_qmean", 8).alias("cl_qmean"),
+        F.round("tpw", 6).alias("tpw"),
     )
 
 
@@ -1191,6 +1319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g6_spanning_domain": q_g6_spanning_domain,
         "f11_nonempty": q_f11_nonempty,
         "g7_tangent_projection": q_g7_tangent_projection,
+        "g8_rgb_composite": q_g8_rgb_composite,
+        "x2_dotted_udaf": q_x2_dotted_udaf,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "r1_split": q_r1_split,
@@ -1620,6 +1750,57 @@ def oracle_sql() -> dict[str, str]:
                    round(6371000.0 * kk * (cos(phi0) * sin(phi) - sin(phi0) * cos(phi) * cos(lam - lam0)), 4) AS y_m
             FROM k
         """,
+        "g8_rgb_composite": f"""
+            WITH px AS (
+              SELECT event_id, user_id % 8 AS scene,
+                     CASE WHEN event_id % 97 = 0 THEN -1.0 ELSE (abs(value) % 300.0) / 256.0 END AS cb,
+                     CASE WHEN event_id % 89 = 0 THEN -1.0 ELSE ((abs(value) * 1.7) % 280.0) / 256.0 END AS cr,
+                     ((abs(value) * 2.3) % 260.0) / 256.0 AS cg,
+                     value AS c1, value * 0.5 + 1.0 AS c2, abs(value) AS c3
+              FROM events
+            ), msk AS (
+              SELECT *, CASE WHEN cr = -1.0 THEN NULL ELSE cr END AS mr,
+                     CASE WHEN cg = -1.0 THEN NULL ELSE cg END AS mg,
+                     CASE WHEN cb = -1.0 THEN NULL ELSE cb END AS mb
+              FROM px
+            ), gam AS (
+              SELECT *, power(CASE WHEN mr < 0.0 THEN 0.0 WHEN mr > 1.0 THEN 1.0 ELSE mr END, 0.4) AS gr,
+                     power(CASE WHEN mg < 0.0 THEN 0.0 WHEN mg > 1.0 THEN 1.0 ELSE mg END, 0.4) AS gg,
+                     power(CASE WHEN mb < 0.0 THEN 0.0 WHEN mb > 1.0 THEN 1.0 ELSE mb END, 0.4) AS gb
+              FROM msk
+            ), mix AS (
+              SELECT *, 0.48358168 * gr + 0.45706946 * gb + 0.06038137 * gg AS gt0
+              FROM gam
+            ), tg AS (
+              SELECT *, CASE WHEN gt0 < 0.0 THEN 0.0 WHEN gt0 > 1.0 THEN 1.0 ELSE gt0 END AS gtc
+              FROM mix
+            ), sc AS (
+              SELECT *, min(c1) OVER ws AS mn1, max(c1) OVER ws AS mx1,
+                     min(c2) OVER ws AS mn2, max(c2) OVER ws AS mx2,
+                     min(c3) OVER ws AS mn3, max(c3) OVER ws AS mx3
+              FROM tg WINDOW ws AS (PARTITION BY scene)
+            ), fin AS (
+              SELECT event_id,
+                     {(259.0 * (80.0 + 255.0)) / (255.0 * 259.0 - 80.0)!r} * (gr - 0.5) + 0.5 AS fr,
+                     {(259.0 * (80.0 + 255.0)) / (255.0 * 259.0 - 80.0)!r} * (gtc - 0.5) + 0.5 AS fg,
+                     {(259.0 * (80.0 + 255.0)) / (255.0 * 259.0 - 80.0)!r} * (gb - 0.5) + 0.5 AS fb,
+                     (c1 - mn1) / (mx1 - mn1) AS sr,
+                     (c2 - mn2) / (mx2 - mn2) AS sg,
+                     (c3 - mn3) / (mx3 - mn3) AS sb
+              FROM sc
+            )
+            SELECT event_id,
+                   round(CASE WHEN fr < 0.0 THEN 0.0 WHEN fr > 1.0 THEN 1.0 ELSE fr END, 6) AS r,
+                   round(CASE WHEN fg < 0.0 THEN 0.0 WHEN fg > 1.0 THEN 1.0 ELSE fg END, 6) AS g,
+                   round(CASE WHEN fb < 0.0 THEN 0.0 WHEN fb > 1.0 THEN 1.0 ELSE fb END, 6) AS b,
+                   round(sr, 6) AS sr, round(sg, 6) AS sg, round(sb, 6) AS sb,
+                   0.5 AS a
+            FROM fin
+        """,
+        "x2_dotted_udaf": """
+            SELECT event_type, round(median(value), 6) AS med
+            FROM events GROUP BY event_type
+        """,
         "r1_split": """
             WITH u AS (
               SELECT doc_id,
@@ -1817,25 +1998,79 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_discount > 0.05 AND l_linenumber >= 3
         """,
-        "derived_dag": """
+        "derived_dag": f"""
             WITH base AS (
-              SELECT event_id, value AS u, value * 0.5 AS v,
-                     250.0 + (abs(value) % 50.0) AS t,
-                     9.0 + (abs(value) % 3.0) AS lnsp,
-                     300.0 AS theta_700,
-                     5.0 + (abs(value) % 20.0) AS e
+              SELECT event_id // 40 AS cid, event_id % 40 AS level,
+                     value AS u, value * 0.5 AS v,
+                     300.0 - (39 - (event_id % 40)) * 1.5 - (abs(value) % 5.0) AS t,
+                     0.015 * ((event_id % 40 + 1.0) / 40.0) * ((event_id % 40 + 1.0) / 40.0) * (0.9 + (abs(value) % 0.2)) AS q,
+                     10.0 * ((event_id // 40) % 50) AS z,
+                     11.5 + ((event_id // 40) % 7) * 0.01 AS lnsp
               FROM events
             ), d1 AS (
-              SELECT *, sqrt(u * u + v * v) AS umag, exp(lnsp) AS p FROM base
+              SELECT *, sqrt(u * u + v * v) AS umag, exp(lnsp) AS sp,
+                     t * (1.0 + 0.608 * q) AS tv,
+                     ln((level + 2.0) / (level + 1.0)) AS lnr
+              FROM base
             ), d2 AS (
-              SELECT *, t * power(100000.0 / p, 0.2854) AS theta,
-                     2840.0 / (3.5 * ln(t) - ln(e) - 4.805) + 55.0 AS t_lcl
+              SELECT *, sp * (2.0 * level + 3.0) / 82.0 AS p,
+                     z / 9.80665 + {287.06 / 9.80665!r} * sum(tv * lnr) OVER (
+                       PARTITION BY cid ORDER BY level
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS alt
               FROM d1
+            ), d3 AS (
+              SELECT *, 611.2 * exp(17.67 * (t - 273.15) / (t - 29.65)) AS es
+              FROM d2
+            ), d4 AS (
+              SELECT *, t * power(100000.0 / p, 0.2854) AS theta,
+                     (q / (1.0 - q)) / (0.622 * es / (p - es)) AS rh
+              FROM d3
+            ), d4b AS (
+              SELECT *, (coalesce(lead(p) OVER wo, p) - coalesce(lag(p) OVER wo, p))
+                        / (CASE WHEN lead(p) OVER wo IS NOT NULL AND lag(p) OVER wo IS NOT NULL
+                           THEN 2.0 ELSE 1.0 END) AS dp
+              FROM d4
+              WINDOW wo AS (PARTITION BY cid ORDER BY level)
+            ), d5 AS (
+              SELECT *,
+                     arg_min(theta, abs(p - 70000.0)) OVER wc
+                       - arg_max(theta, level) OVER wc AS lts,
+                     arg_min(t, abs(p - 85000.0)) OVER wc AS t850,
+                     arg_min(alt, abs(p - 70000.0)) OVER wc AS z700,
+                     avg(CASE WHEN level >= 35 THEN sqrt(u * u + v * v) END) OVER wc AS bl_umag,
+                     avg(CASE WHEN level >= 29 AND level < 35 THEN sqrt(u * u + v * v) END) OVER wc AS cl_umag,
+                     avg(CASE WHEN level >= 35 THEN q END) OVER wc AS bl_qmean,
+                     avg(CASE WHEN level >= 29 AND level < 35 THEN q END) OVER wc AS cl_qmean,
+                     sum(q * dp) OVER wc / 9.8 AS tpw,
+                     1.0 / (1.0 / (t - 55.0) - ln(rh) / 2840.0) + 55.0 AS t_lcl
+              FROM d4b
+              WINDOW wc AS (PARTITION BY cid)
+            ), d6 AS (
+              SELECT *,
+                     0.5 * (min(CASE WHEN level >= 35 AND rh > 0.0
+                                THEN alt - {1004.7 / 9.80665!r} * (t_lcl - t) END) OVER wc
+                          + max(CASE WHEN level >= 35 AND rh > 0.0
+                                THEN alt - {1004.7 / 9.80665!r} * (t_lcl - t) END) OVER wc) AS z_lcl,
+                     611.2 * exp(17.67 * (t850 - 273.15) / (t850 - 29.65)) AS es850
+              FROM d5
+              WINDOW wc AS (PARTITION BY cid)
+            ), d7 AS (
+              SELECT *, 0.622 * es850 / (85000.0 - es850) AS qs850 FROM d6
+            ), d8 AS (
+              SELECT *, lts - ({9.80665 / 1004.7!r} * (1.0
+                       - (1.0 + {2.501e6!r} * qs850 / ({287.06!r} * t850))
+                       / (1.0 + {2.501e6 * 2.501e6 * 0.622!r} * qs850
+                          / ({1004.7 * 287.06!r} * t850 * t850)))) * (z700 - z_lcl) AS eis
+              FROM d7
             )
-            SELECT event_id, round(umag, 6) AS umag, round(p, 6) AS p,
-                   round(theta, 6) AS theta, round(theta_700 - theta, 6) AS lts,
-                   round((t - t_lcl) * (1004.7 / 9.80665), 6) AS z_lcl
-            FROM d2
+            SELECT cid, level, round(umag, 6) AS umag, round(p, 6) AS p,
+                   round(theta, 6) AS theta, round(rh, 6) AS rh,
+                   round(alt, 6) AS alt, round(lts, 6) AS lts,
+                   round(z_lcl, 6) AS z_lcl, round(eis, 6) AS eis,
+                   round(bl_umag, 6) AS bl_umag, round(cl_umag, 6) AS cl_umag,
+                   round(bl_qmean, 8) AS bl_qmean, round(cl_qmean, 8) AS cl_qmean,
+                   round(tpw, 6) AS tpw
+            FROM d8
         """,
         "x1_user_function": """
             WITH b AS (
@@ -2016,4 +2251,10 @@ def oracle_sql() -> dict[str, str]:
                  )
             SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
         """,
+        # recall-bound certifications: the Spark side computes macro
+        # recall@10 of the approximate method vs the exact scan and asserts
+        # the bound IN the result; the oracle pins the asserted outcome, so
+        # a recall regression below the bound flips the row red.
+        "similarity_lsh_topk": "SELECT CAST(5 AS BIGINT) AS n_queries, true AS recall_ok",
+        "similarity_ivf_topk": "SELECT CAST(5 AS BIGINT) AS n_queries, true AS recall_ok",
     }

@@ -36,10 +36,14 @@ from .sampling import (
     triplet_tile_locations,
     uniform_tile_placement,
 )
+from .images import contrast_correction, make_rgb, true_color_rgb
 from .scenes import multi_input_scene_table
 from .tiler import sliding_tiles, tile_pixel_join
 
 __all__ = [
+    "contrast_correction",
+    "make_rgb",
+    "true_color_rgb",
     "asof_join",
     "infer_min_spacing",
     "match_aux_to_scenes",

@@ -74,23 +74,60 @@ def ivf_index(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    fit_fraction: float = 0.25,
+    centroids: list[list[float]] | None = None,
 ):
     """IVF coarse quantizer: Spark ML KMeans centroids + per-row list
     assignment. Returns (assigned DataFrame with ``list_id``, centroids
-    list). At 100 TB the fit runs on a sample and ``list_id`` becomes the
-    table's partition/cluster key, so probes are partition-pruned scans.
+    list).
+
+    The quantizer NEVER fits on the full table: it trains on a
+    ``fit_fraction`` sample (coarse centroids only need a sketch of the
+    distribution — FAISS trains IVF on ~256·n_lists points), or skips the
+    fit entirely when prebuilt ``centroids`` are passed. Assignment of all
+    rows is a single broadcast-centroid map pass. At 100 TB ``fit_fraction``
+    shrinks toward 0 and ``list_id`` becomes the table's partition key (see
+    :func:`ivf_write_index`), so probes are partition-pruned scans.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feats = embeddings.withColumn(
         "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
-    km = KMeans(k=n_lists, seed=seed, featuresCol="_features", predictionCol="list_id")
-    model = km.fit(feats)
-    assigned = model.transform(feats).drop("_features")
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    if centroids is None:
+        fit_df = feats if fit_fraction >= 1.0 else feats.sample(fit_fraction, seed=seed)
+        km = KMeans(
+            k=n_lists, seed=seed, featuresCol="_features", predictionCol="list_id"
+        )
+        model = km.fit(fit_df)
+        centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    # assignment = argmin over broadcast centroid literals, pure Column math
+    # (JVM-side, no model UDF): min-struct over (dist2, list id)
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for c in centroids
+    ]
+    choice = F.array_min(
+        F.array(*[F.struct(d.alias("d"), F.lit(i).alias("i")) for i, d in enumerate(dists)])
+    )["i"]
+    assigned = embeddings.withColumn("list_id", choice)
     return assigned, centroids
+
+
+def nearest_lists(centroids: list[list[float]], query_vector: list[float], n_probes: int) -> list[int]:
+    def dist2(c):
+        return sum((a - b) ** 2 for a, b in zip(c, query_vector))
+
+    return [i for i, _ in sorted(enumerate(centroids), key=lambda t: dist2(t[1]))[:n_probes]]
 
 
 def ivf_topk(
@@ -102,21 +139,70 @@ def ivf_topk(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    fit_fraction: float = 0.25,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: exact search restricted to the ``n_probes``
     inverted lists whose centroids are nearest the query (FAISS IVF-flat
     shape). Recall/latency knob is (n_lists, n_probes); n_probes=n_lists
     degenerates to the exact scan."""
     assigned, centroids = ivf_index(
-        embeddings, n_lists=n_lists, seed=seed, vec_col=vec_col, id_col=id_col
+        embeddings,
+        n_lists=n_lists,
+        seed=seed,
+        vec_col=vec_col,
+        id_col=id_col,
+        fit_fraction=fit_fraction,
+        centroids=centroids,
     )
-
-    def dist2(c):
-        return sum((a - b) ** 2 for a, b in zip(c, query_vector))
-
-    probe_ids = [i for i, _ in sorted(enumerate(centroids), key=lambda t: dist2(t[1]))[:n_probes]]
+    probe_ids = nearest_lists(centroids, query_vector, n_probes)
     candidates = assigned.where(F.col("list_id").isin(probe_ids))
     return cosine_topk(candidates, query_vector, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def ivf_write_index(
+    embeddings: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    fit_fraction: float = 0.25,
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Materialize the IVF index: rows written parquet-partitioned BY
+    ``list_id``, so a probe reads only its lists' directories (scan shows
+    PartitionFilters — the 100 TB probe path). Returns the centroids to
+    keep with the index."""
+    assigned, centroids = ivf_index(
+        embeddings,
+        n_lists=n_lists,
+        seed=seed,
+        vec_col=vec_col,
+        id_col=id_col,
+        fit_fraction=fit_fraction,
+        centroids=centroids,
+    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    return centroids
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vector: list[float],
+    k: int = 10,
+    n_probes: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a materialized IVF index: the ``list_id`` filter prunes
+    parquet partitions at planning time — only n_probes/n_lists of the
+    data is ever read."""
+    probe_ids = nearest_lists(centroids, query_vector, n_probes)
+    df = spark.read.parquet(path).where(F.col("list_id").isin(probe_ids))
+    return cosine_topk(df, query_vector, k=k, vec_col=vec_col, id_col=id_col)
 
 
 def lsh_neardup_pairs(
@@ -178,6 +264,12 @@ def lsh_bucketed_topk(
     probes = {qsig}
     if multiprobe_hamming >= 1:
         probes.update(qsig ^ (1 << i) for i in range(n_planes))
+    if multiprobe_hamming >= 2:
+        probes.update(
+            qsig ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        )
     sigs = hyperplane_signatures(
         embeddings, n_planes=n_planes, dim=dim, seed=seed, vec_col=vec_col, id_col=id_col
     )

@@ -97,3 +97,31 @@ def test_no_cartesian_products_anywhere(spark):
     for name in ("j2_asof_single", "scene_table", "a5_binned_2d", "dedup_jaccard"):
         p = plan_of(spark, name)
         assert "CartesianProduct" not in p, name
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
+    """The materialized IVF index is parquet-partitioned by list_id; a probe
+    must show PartitionFilters on list_id in the scan (only n_probes/n_lists
+    directories read — the 100 TB probe path)."""
+    from pyspark.sql import functions as F
+
+    from convml_data_spark import tables
+    from convml_data_spark.operators import similarity
+
+    emb = tables.load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf")
+    centroids = similarity.ivf_write_index(
+        emb, path, n_lists=4, fit_fraction=0.5, seed=42
+    )
+    qv = [float(v) for v in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    probe = similarity.ivf_topk_from_index(spark, path, centroids, qv, k=5, n_probes=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    # and the filter is not empty: the pruned scan must mention the probe ids
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("list_id" in ln and "[]" not in ln.replace("[],", "") for ln in pf_lines)
+    got = {r["vec_id"] for r in probe.collect()}
+    assert len(got) == 5
