@@ -528,12 +528,21 @@ def q_a15_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-count sketch (approx_count_distinct, rsd=2%) — the
     mergeable-sketch path that replaces exact distinct at 100 TB (fixed-size
-    state per group, no expand). Rows-only in the driver (DuckDB's HLL is a
-    different implementation); the error bound vs exact is property-tested
-    in tests/test_properties.py."""
+    state per group, no expand). Sketch internals differ per engine, so the
+    certification is the ERROR BOUND: |hll − exact| <= 3·rsd·exact per
+    group, with the exact count hash-checked against the oracle."""
     events = _t(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx")
+    agg = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("_hll"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("_hll") - F.col("n_users_exact"))
+            <= F.lit(3 * 0.02) * F.col("n_users_exact")
+        ).alias("within_bound"),
     )
 
 
@@ -1112,22 +1121,44 @@ def q_x1_user_function(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x3_batch_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3: broadcast-model batch inference over Arrow batches (rows-only:
-    the model is engine-internal, verified by property tests)."""
+    """X3: broadcast-model batch inference over Arrow batches. The seeded
+    checkpoint's weights are a fixed artifact, so the oracle replays the
+    same tanh(V·W) with the weight matrix embedded as literals — output is
+    exploded to (vec_id, component, value) scalars for hashing."""
     from convml_data_spark.operators import inference
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    return inference.batch_embed(emb, in_dim=dim, out_dim=8)
+    out = inference.batch_embed(emb, in_dim=dim, out_dim=8)
+    return out.select(
+        "vec_id", F.posexplode("emb_out").alias("j", "v")
+    ).select("vec_id", F.col("j").cast("bigint").alias("j"), F.round("v", 6).alias("v"))
 
 
 def q_x4_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4: Spark ML PCA over the embedding matrix (rows-only)."""
+    """X4: Spark ML PCA over the embedding matrix, certified structurally
+    (eigenvector SIGNS are solver-defined, so raw loadings aren't
+    cross-engine comparable): the principal basis must be orthonormal, the
+    explained-variance ratios non-increasing, and every row projected.
+    A violated invariant flips the pinned-outcome oracle row red."""
+    import numpy as np
+
     from convml_data_spark.operators import inference
 
     emb = _t(spark, sf_dir, "embeddings")
-    out, _model = inference.pca_transform(emb, k=8)
-    return out
+    out, model = inference.pca_transform(emb, k=8)
+    pc = model.pc.toArray()  # (dim, k) loadings — small, driver-side
+    gram = pc.T @ pc
+    orthonormal_ok = bool(np.allclose(gram, np.eye(pc.shape[1]), atol=1e-8))
+    ev = list(model.explainedVariance)
+    variance_ok = all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+    n = out.where(F.size("pca") == 8).agg(F.count("*").alias("n"))
+    return n.select(
+        F.lit(8).cast("bigint").alias("k"),
+        F.col("n").alias("n_rows"),
+        F.lit(orthonormal_ok).alias("orthonormal_ok"),
+        F.lit(variance_ok).alias("variance_ok"),
+    )
 
 
 def q_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1251,7 +1282,36 @@ def q_g9_optical_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
             frames.append((g, step, [float(v) for v in img.ravel()]))
     df = spark.createDataFrame(frames, "g string, step long, image array<double>")
     out = flow.track_image_sequence(df, "g", "step", "image", shape=(48, 48), max_corners=6)
-    return out.select("g", "step", "traj_id", F.round("x", 3).alias("x"), F.round("y", 3).alias("y"), "valid")
+    # certify against the PLANTED motion: each group is a pure (dx, dy)
+    # translation per step, so every valid tracked point must sit within
+    # 0.5 px of corner0 + step*(dx, dy); also require 6 tracks per group
+    # and >=12 valid points so the bound isn't vacuous
+    from pyspark.sql import Window
+
+    dx = F.when(F.col("g") == "d2", 0.0).otherwise(1.0)
+    dy = F.when(F.col("g") == "d1", 0.0).otherwise(1.0)
+    w = Window.partitionBy("g", "traj_id")
+    x0 = F.min(F.struct("step", "x")).over(w)["x"]
+    y0 = F.min(F.struct("step", "y")).over(w)["y"]
+    err = F.greatest(
+        F.abs(F.col("x") - (x0 + dx * F.col("step"))),
+        F.abs(F.col("y") - (y0 + dy * F.col("step"))),
+    )
+    tagged = out.withColumn("_err", F.when(F.col("valid"), err))
+    return (
+        tagged.groupBy("g")
+        .agg(
+            F.countDistinct("traj_id").alias("n_tracks"),
+            F.sum(F.when(F.col("valid"), 1).otherwise(0)).alias("_nv"),
+            F.max("_err").alias("_maxerr"),
+        )
+        .select(
+            "g",
+            "n_tracks",
+            (F.col("_nv") >= 12).alias("tracked_ok"),
+            (F.col("_maxerr") <= 0.5).alias("disp_ok"),
+        )
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1261,7 +1321,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     with_payload = multimodal.attach_fake_payload(docs, width=16, height=16)
-    return multimodal.image_features(with_payload)
+    out = multimodal.image_features(with_payload)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_px", 6).alias("mean_px"),
+        F.round("std_px", 6).alias("std_px"),
+        "min_px",
+        "max_px",
+    )
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,11 +1339,21 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame slicing and resize are byte-exact property-tested)."""
     from convml_data_spark.operators import multimodal
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id").limit(100)
+    # doc_id predicate, not limit(): deterministic subset either engine
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 100)
     vids = multimodal.attach_fake_video(docs, n_frames=6, width=8, height=8)
     frames = multimodal.sample_frames(vids, every=3)
     small = multimodal.resize_nearest(frames.drop("frame_idx"), 4, 4)
-    return multimodal.image_features(small)
+    out = multimodal.image_features(small)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_px", 6).alias("mean_px"),
+        F.round("std_px", 6).alias("std_px"),
+        "min_px",
+        "max_px",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1371,6 +1450,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_argmin_per_group": q_w2_argmin_per_group,
         "w3_local_peaks": q_w3_local_peaks,
     }
+
+
+def _x3_oracle_sql() -> str:
+    """tanh(V·W) replay with the fixed seeded checkpoint's weights inlined
+    as SQL literals (64x8, same array the Spark side broadcasts)."""
+    from convml_data_spark.operators.inference import linear_model_weights
+
+    w = linear_model_weights(64, 8)
+    exprs = []
+    for j in range(8):
+        wj = ", ".join(repr(float(x)) for x in w[:, j])
+        # this DuckDB build has no tanh(); (e^2x - 1)/(e^2x + 1) agrees
+        # with numpy tanh well inside the round(6) tolerance
+        exprs.append(
+            "round((exp(2 * (list_sum(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{wj}])[i])))) - 1) "
+            "/ (exp(2 * (list_sum(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{wj}])[i])))) + 1), 6)"
+        )
+    arr = ",\n                   ".join(exprs)
+    return f"""
+            SELECT vec_id, unnest(range(0, 8)) AS j,
+                   unnest([{arr}]) AS v
+            FROM embeddings
+        """
+
+
+def _neardup_lsh_oracle_sql() -> str:
+    """Full DuckDB replay of the hyperplane-LSH near-dup pipeline: the
+    seed-42 gaussian planes are inlined as literals, bucket = sign-bit
+    signature, candidates = same-bucket pairs, then exact cosine >= t —
+    byte-for-byte the Spark plan's semantics (both engines fold the
+    64-element dot products left-to-right, so even the sign of a
+    near-zero projection agrees)."""
+    import random as _random
+
+    rng = _random.Random(42)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(6)]
+    bits = []
+    for i, plane in enumerate(planes):
+        pl = ", ".join(repr(v) for v in plane)
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{pl}])[i])) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = "\n                     + ".join(bits)
+    return f"""
+            WITH sig AS (
+              SELECT vec_id, embedding,
+                     {bucket} AS bucket
+              FROM embeddings
+            ), cand AS (
+              SELECT a.vec_id AS id_a, a.embedding AS va,
+                     b.vec_id AS id_b, b.embedding AS vb
+              FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ), scored AS (
+              SELECT DISTINCT id_a, id_b,
+                     round(
+                       list_sum(list_transform(range(1, len(va) + 1),
+                                i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(range(1, len(va) + 1),
+                                i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(range(1, len(vb) + 1),
+                                i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))))), 6) AS score
+              FROM cand
+            )
+            SELECT id_a, id_b, score FROM scored WHERE score >= 0.35
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2172,6 +2320,31 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS canonical_id, count(*) AS n_dupes
             FROM documents GROUP BY 1 HAVING count(*) > 1
         """,
+        # the MinHash-LSH pipeline emits exact-Jaccard-verified pairs, so
+        # its oracle is the EXACT all-pairs result: the banded-LSH candidate
+        # stage must reach 100% recall at threshold 0.5 (16 bands over 32
+        # md5-affine minhashes -> per-pair miss prob <=1e-4 at j=0.5,
+        # deterministic signatures) or this row turns red.
+        "dedup_minhash": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        """,
         "dedup_minhash_sigs": f"""
             WITH toks AS (
               SELECT doc_id AS id,
@@ -2262,6 +2435,77 @@ def oracle_sql() -> dict[str, str]:
                    FROM embeddings v, q
                  )
             SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        # fake-media decode replay: payload bytes ARE md5 hex pairs, so the
+        # oracle regenerates the same pixels from md5 substrings and reduces
+        # them with exact integer-valued double sums (divisors are powers of
+        # two, so means are exact; std via sqrt(E[x^2]-E[x]^2) matches numpy
+        # at round(6))
+        "multimodal_features": """
+            WITH px AS (
+              SELECT doc_id, flatten(list_transform(range(0, 16), blk ->
+                       list_transform(range(0, 16), j ->
+                         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(blk AS VARCHAR)), 2 * j + 1, 2)) AS BIGINT) AS DOUBLE)))) AS b
+              FROM documents
+            ), s AS (
+              SELECT doc_id, list_sum(b) / 256.0 AS m,
+                     list_sum(list_transform(b, x -> x * x)) / 256.0 AS m2,
+                     list_min(b) AS mn, list_max(b) AS mx
+              FROM px
+            )
+            SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+                   round(m, 6) AS mean_px, round(sqrt(m2 - m * m), 6) AS std_px,
+                   mn AS min_px, mx AS max_px
+            FROM s
+        """,
+        # video replay: frame f of the 6x(8x8) fake video lives at byte
+        # offset f*64; every-3rd-frame sampling keeps f in {0,3}; nearest
+        # 8x8 -> 4x4 resize picks source pixel (2r, 2c), i.e. md5 block
+        # f*4+r, hex chars 4c+1..4c+2
+        "multimodal_frames": """
+            WITH fr AS (SELECT unnest([0, 3]) AS f),
+            px AS (
+              SELECT doc_id, f, flatten(list_transform(range(0, 4), r ->
+                       list_transform(range(0, 4), c ->
+                         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|v|' || CAST(f * 4 + r AS VARCHAR)), 4 * c + 1, 2)) AS BIGINT) AS DOUBLE)))) AS b
+              FROM documents, fr
+              WHERE doc_id < 100
+            ), s AS (
+              SELECT doc_id, list_sum(b) / 16.0 AS m,
+                     list_sum(list_transform(b, x -> x * x)) / 16.0 AS m2,
+                     list_min(b) AS mn, list_max(b) AS mx
+              FROM px
+            )
+            SELECT doc_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+                   round(m, 6) AS mean_px, round(sqrt(m2 - m * m), 6) AS std_px,
+                   mn AS min_px, mx AS max_px
+            FROM s
+        """,
+        # X3: the seeded linear "checkpoint" is a fixed artifact; its weight
+        # matrix is embedded as literals and the oracle recomputes
+        # tanh(V·W) per output component
+        "x3_batch_embed": _x3_oracle_sql(),
+        "neardup_lsh_pairs": _neardup_lsh_oracle_sql(),
+        # pinned-outcome certifications for engine-internal numerics: the
+        # Spark side computes the invariant (HLL error bound, planted-motion
+        # recovery, PCA orthonormality) and the oracle pins the asserted
+        # outcome plus every cross-checkable exact value
+        "hll_user_counts": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+                   true AS within_bound
+            FROM events GROUP BY event_type
+        """,
+        "g9_optical_flow": """
+            SELECT * FROM (VALUES
+              ('d1', CAST(6 AS BIGINT), true, true),
+              ('d2', CAST(6 AS BIGINT), true, true),
+              ('d3', CAST(6 AS BIGINT), true, true)
+            ) t(g, n_tracks, tracked_ok, disp_ok)
+        """,
+        "x4_pca": """
+            SELECT CAST(8 AS BIGINT) AS k,
+                   (SELECT count(*) FROM embeddings) AS n_rows,
+                   true AS orthonormal_ok, true AS variance_ok
         """,
         # recall-bound certifications: the Spark side computes macro
         # recall@10 of the approximate method vs the exact scan and asserts
