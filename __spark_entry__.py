@@ -1161,6 +1161,19 @@ def q_x4_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_transform_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-transform registry (transforms.py:17-139): dispatch
+    ``standard_scaler`` by type string, fit + apply as a Spark ML
+    transformer, output exploded to (vec_id, dim, value) scalars."""
+    from convml_data_spark.operators import inference
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out, _model = inference.apply_transform(emb, "standard_scaler")
+    return out.select("vec_id", F.posexplode("emb").alias("dim", "v")).select(
+        "vec_id", F.col("dim").cast("bigint").alias("dim"), F.round("v", 6).alias("v")
+    )
+
+
 def q_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.13: file-stream scene discovery → watermarked 1-day windowed
     counts, drained with Trigger.AvailableNow (batch-equivalent result, so
@@ -1414,7 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_pricing_summary": q_a1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
         "a5_binned_2d": q_a5_binned_2d,
-        "a6_ecdf": q_a6_ecdf,
+        "emb_transform_scaler": q_emb_transform_scaler,
         "w5_sliding_tiles": q_w5_sliding_tiles,
         "g1_nearest_regrid": q_g1_nearest_regrid,
         "r5_triplet_locations": q_r5_triplet_locations,
@@ -1449,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r2_scene_pairs": q_r2_scene_pairs,
         "w2_argmin_per_group": q_w2_argmin_per_group,
         "w3_local_peaks": q_w3_local_peaks,
+        "a6_ecdf": q_a6_ecdf,
     }
 
 
@@ -2506,6 +2520,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(8 AS BIGINT) AS k,
                    (SELECT count(*) FROM embeddings) AS n_rows,
                    true AS orthonormal_ok, true AS variance_ok
+        """,
+        "emb_transform_scaler": """
+            WITH x AS (
+              SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+              FROM embeddings, UNNEST(range(1, 65)) t(i)
+            ), st AS (
+              SELECT i, avg(v) AS mu, stddev_samp(v) AS sd FROM x GROUP BY i
+            )
+            SELECT x.vec_id, x.i - 1 AS dim, round((x.v - st.mu) / st.sd, 6) AS v
+            FROM x JOIN st USING (i)
         """,
         # recall-bound certifications: the Spark side computes macro
         # recall@10 of the approximate method vs the exact scan and asserts

@@ -149,3 +149,107 @@ def pca_transform(
         id_col, vector_to_array(F.col("_pca_vec")).alias(out_col)
     )
     return out, model
+
+
+# ---------------------------------------------------------------------------
+# X4+ embedding-transform registry (embeddings/transforms.py:17-139):
+# transform_type string -> fit+apply; extra args arrive as the reference's
+# "k=v,k=v" string with the same int-coercion allowlist; fitted models are
+# Spark ML transformers persistable with model.save(path) (the joblib
+# analog) and reusable as the pretrained_model argument.
+
+TRANSFORM_INT_KWARGS = {
+    # reference allowlist (transforms.py:96-101) + our registry's names
+    "min_cluster_size", "min_samples", "pca__n_components", "n_components", "k",
+}
+
+
+def parse_transform_kwargs(extra_args: str) -> dict:
+    """transforms.py:89-103: ``"a=1,b=2.5"`` -> {"a": 1, "b": 2.5} with the
+    known integer keys coerced to int, everything else to float."""
+    kwargs: dict = {}
+    if extra_args:
+        for s in extra_args.split(","):
+            k, v = s.split("=")
+            kwargs[k] = int(v) if k in TRANSFORM_INT_KWARGS else float(v)
+    return kwargs
+
+
+def _vector_out(df, model, id_col, out_col):
+    from pyspark.ml.functions import vector_to_array
+
+    return model.transform(df).select(
+        id_col, vector_to_array(F.col("_t_out")).alias(out_col)
+    )
+
+
+def _fit_pca(feats, kwargs):
+    from pyspark.ml.feature import PCA
+
+    k = kwargs.get("n_components", kwargs.get("pca__n_components", 8))
+    return PCA(k=int(k), inputCol="features", outputCol="_t_out").fit(feats)
+
+
+def _fit_standard_scaler(feats, kwargs):
+    from pyspark.ml.feature import StandardScaler
+
+    return StandardScaler(
+        withMean=True, withStd=True, inputCol="features", outputCol="_t_out"
+    ).fit(feats)
+
+
+def _fit_minmax_scaler(feats, kwargs):
+    from pyspark.ml.feature import MinMaxScaler
+
+    return MinMaxScaler(inputCol="features", outputCol="_t_out").fit(feats)
+
+
+def _fit_kmeans_labels(feats, kwargs):
+    from pyspark.ml.clustering import KMeans
+
+    k = kwargs.get("n_components", kwargs.get("k", 8))
+    return KMeans(
+        k=int(k), seed=int(kwargs.get("seed", 42)),
+        featuresCol="features", predictionCol="_t_label",
+    ).fit(feats)
+
+
+TRANSFORMS = {
+    "pca": _fit_pca,
+    "standard_scaler": _fit_standard_scaler,
+    "minmax": _fit_minmax_scaler,
+    # the reference dispatches hdbscan here; that lib isn't in this
+    # container, so the clustering transform is KMeans (same fit/apply +
+    # label-column shape)
+    "kmeans": _fit_kmeans_labels,
+}
+
+
+def apply_transform(
+    df: DataFrame,
+    transform_type: str,
+    pretrained_model=None,
+    transform_extra_args: str = "",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "emb",
+):
+    """EmbeddingTransform.run (transforms.py:51-86) on DataFrames: dispatch
+    by type, fit unless a pretrained model is given, apply, return
+    (transformed df, model). Unknown types raise with the registry listing,
+    mirroring the reference's missing-model error text shape."""
+    if transform_type not in TRANSFORMS:
+        avail = "\n".join(f"\t{k}" for k in sorted(TRANSFORMS))
+        raise ValueError(
+            f"unknown transform type {transform_type!r}. Available transforms:\n{avail}"
+        )
+    kwargs = parse_transform_kwargs(transform_extra_args)
+    feats = to_ml_vector(df, vec_col=vec_col)
+    model = pretrained_model or TRANSFORMS[transform_type](feats, kwargs)
+    if transform_type == "kmeans":
+        out = model.transform(feats).select(
+            id_col, F.col("_t_label").alias(out_col)
+        )
+    else:
+        out = _vector_out(feats, model, id_col, out_col)
+    return out, model

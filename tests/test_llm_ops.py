@@ -198,3 +198,41 @@ def test_multimodal_null_meta_fails_loudly(spark):
 
     empty = good.where(F.lit(False))
     assert multimodal.image_features(empty).count() == 0
+
+
+def test_transform_registry_dispatch(spark):
+    """transforms.py:17-139 parity: type dispatch, kwarg-string parsing with
+    int coercion, pretrained-model reuse, unknown-type error listing."""
+    import pytest
+    from convml_data_spark import tables
+    from convml_data_spark.operators import inference
+    from tests.conftest import SF_DIR
+
+    emb = tables.load_table(spark, SF_DIR, "embeddings")
+
+    kw = inference.parse_transform_kwargs("n_components=4,alpha=0.5")
+    assert kw == {"n_components": 4, "alpha": 0.5}
+    assert isinstance(kw["n_components"], int)
+
+    out, model = inference.apply_transform(
+        emb, "pca", transform_extra_args="n_components=4"
+    )
+    assert len(out.first()["emb"]) == 4
+
+    # pretrained model reuse skips the fit
+    out2, model2 = inference.apply_transform(emb, "pca", pretrained_model=model)
+    assert model2 is model
+    assert out2.count() == out.count()
+
+    mm = inference.apply_transform(emb, "minmax")[0]
+    import numpy as np
+
+    vals = np.array([r["emb"] for r in mm.collect()])
+    assert vals.min() >= -1e-9 and vals.max() <= 1 + 1e-9
+
+    km = inference.apply_transform(emb, "kmeans", transform_extra_args="k=4")[0]
+    labels = {r["emb"] for r in km.collect()}
+    assert labels <= set(range(4)) and len(labels) > 1
+
+    with pytest.raises(ValueError, match="Available transforms"):
+        inference.apply_transform(emb, "umap")

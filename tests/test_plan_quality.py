@@ -125,3 +125,20 @@ def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
     assert any("list_id" in ln and "[]" not in ln.replace("[],", "") for ln in pf_lines)
     got = {r["vec_id"] for r in probe.collect()}
     assert len(got) == 5
+
+
+def test_derived_dag_single_shuffle(spark):
+    """The full 14-variable physics DAG must stay ONE shuffle by column id
+    (all windows share the cid partitioning) and at most one sort (the
+    ordered windows share the (cid, level) sort)."""
+    plan = plan_of(spark, "derived_dag")
+    assert exchange_count(plan) <= 1, plan
+    sorts = sum(1 for ln in plan.splitlines() if "Sort (" in ln)
+    assert sorts <= 1, plan
+
+
+def test_g8_rgb_composite_single_shuffle(spark):
+    """True-color composite is pure row math; only the per-scene min/max
+    window may shuffle — once."""
+    plan = plan_of(spark, "g8_rgb_composite")
+    assert exchange_count(plan) <= 1, plan
