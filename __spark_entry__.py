@@ -109,6 +109,53 @@ def q_s5_calendar_offset_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cal.select("t")
 
 
+def q_s4_era5_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 fetch planning (era5/pipeline.py:17-95): hourly calendar × the 7
+    source variables → JASMIN-layout filename + remote path, crossing a
+    month boundary to exercise the directory rollover."""
+    _prep(spark)
+    from convml_data_spark.sources import fetch_plans as fp
+
+    return fp.era5_fetch_manifest(spark, datetime(2020, 1, 28), datetime(2020, 2, 3))
+
+
+def q_s6_ceres_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 fetch planning (ceres_geo/pipeline.py:11-69, query.py:5-53):
+    phased hourly grids per satellite, known-missing-time exclusion,
+    day-of-year URL templating. Window covers the goes16n missing slot."""
+    _prep(spark)
+    from convml_data_spark.sources import fetch_plans as fp
+
+    return fp.ceres_fetch_manifest(
+        spark, datetime(2018, 12, 17), datetime(2018, 12, 20)
+    )
+
+
+def q_s2_goes16_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 GOES16Query semantics (goes16/pipeline.py:21-56): match a key
+    listing against query times within dt_max, keyed by the start time
+    parsed back out of each ABI key. BroadcastHashJoin on hour buckets."""
+    _prep(spark)
+    from convml_data_spark.sources import fetch_plans as fp
+
+    keys = fp.goes16_key_table(
+        spark,
+        datetime(2020, 2, 1, 0, 0),
+        datetime(2020, 2, 1, 6, 0),
+        channels=[1, 2, 3],
+        step="10 minutes",
+    )
+    return fp.goes16_query_match(
+        keys,
+        [
+            datetime(2020, 2, 1, 1, 5),
+            datetime(2020, 2, 1, 3, 30),
+            datetime(2020, 2, 1, 5, 55),
+        ],
+        dt_max="20 minutes",
+    )
+
+
 # ---------------------------------------------------------------- scene table
 
 def q_scene_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1418,12 +1465,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u3_anti_join": q_u3_anti_join,
         "a7_equidepth": q_a7_equidepth,
         "f4_traj_snap": q_f4_traj_snap,
+        # --- new this round: fetch-manifest planning (S2/S4/S6) ---
+        "s2_goes16_query": q_s2_goes16_query,
+        "s4_era5_manifest": q_s4_era5_manifest,
+        "s6_ceres_manifest": q_s6_ceres_manifest,
         # --- family representatives (certified r1/r2, kept in-window) ---
-        "s3_calendar_scan": q_s3_calendar_scan,
         "scene_table": q_scene_table,
-        "f6_filter_dsl": q_f6_filter_dsl,
         "j6_emb_aux_join": q_j6_emb_aux_join,
-        "o4_topk": q_o4_topk,
         "a1_pricing_summary": q_a1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
         "a5_binned_2d": q_a5_binned_2d,
@@ -1463,6 +1511,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_argmin_per_group": q_w2_argmin_per_group,
         "w3_local_peaks": q_w3_local_peaks,
         "a6_ecdf": q_a6_ecdf,
+        "s3_calendar_scan": q_s3_calendar_scan,
+        "f6_filter_dsl": q_f6_filter_dsl,
+        "o4_topk": q_o4_topk,
     }
 
 
@@ -1575,6 +1626,65 @@ def oracle_sql() -> dict[str, str]:
             WHERE t < TIMESTAMP '2024-01-31'
               AND t + INTERVAL 30 MINUTE NOT IN (
                 TIMESTAMP '2024-01-03 05:30:00', TIMESTAMP '2024-01-10 12:30:00', TIMESTAMP '2024-01-20 00:30:00')
+        """,
+        "s4_era5_manifest": """
+            WITH cal AS (
+              SELECT unnest(generate_series(TIMESTAMP '2020-01-28', TIMESTAMP '2020-02-03', INTERVAL 1 HOUR)) AS t
+            ), g AS (
+              SELECT t, unnest(['sst','lnsp','z','u','v','t','q']) AS var
+              FROM cal WHERE t < TIMESTAMP '2020-02-03'
+            ), x AS (
+              SELECT var, t, CASE WHEN var = 'sst' THEN 'sfc' ELSE 'ml' END AS lvl FROM g
+            )
+            SELECT var, t,
+                   'ecmwf-era5_oper_an_' || lvl || '_' || strftime(t, '%Y%m%d%H%M') || '.' || var || '.nc' AS filename,
+                   '/badc/ecmwf-era5/data/oper/an_' || lvl || '/' || strftime(t, '%Y/%m/%d')
+                     || '/ecmwf-era5_oper_an_' || lvl || '_' || strftime(t, '%Y%m%d%H%M') || '.' || var || '.nc' AS remote_path
+            FROM x
+        """,
+        "s6_ceres_manifest": """
+            WITH cal AS (
+              SELECT unnest(generate_series(TIMESTAMP '2018-12-17', TIMESTAMP '2018-12-20', INTERVAL 1 HOUR)) AS h
+            ), sats AS (
+              SELECT * FROM (VALUES ('goes16n', 'GOE16_NH', INTERVAL 30 MINUTE),
+                                    ('meteosat9n', 'MET09_NH', INTERVAL 0 MINUTE)) s(satellite, platform_id, off)
+            ), g AS (
+              SELECT satellite, platform_id, h + off AS t
+              FROM cal CROSS JOIN sats
+              WHERE h < TIMESTAMP '2018-12-20' AND h + off < TIMESTAMP '2018-12-20'
+                AND NOT (satellite = 'goes16n' AND h + off = TIMESTAMP '2018-12-18 16:30:00')
+            )
+            SELECT satellite, t,
+                   strftime(t, '%Y%m%d%H%M') || '__' || satellite || '.nc' AS filename,
+                   platform_id,
+                   'https://asdc.larc.nasa.gov/data/CERES/GEO/Edition4/' || platform_id || '_V01.2/'
+                     || strftime(t, '%Y') || '/' || strftime(t, '%j') || '/CER_GEO_Ed4_' || platform_id
+                     || '_V01.2_' || strftime(t, '%Y') || '.' || strftime(t, '%j') || '.'
+                     || strftime(t, '%H%M') || '.06K.nc' AS url
+            FROM g
+        """,
+        "s2_goes16_query": """
+            WITH cal AS (
+              SELECT unnest(generate_series(TIMESTAMP '2020-02-01 00:00:00', TIMESTAMP '2020-02-01 06:00:00', INTERVAL 10 MINUTE)) AS t
+            ), kk AS (
+              SELECT t, ch, strftime(t, '%Y%j%H%M%S') AS stamp, strftime(t, '%j') AS doy
+              FROM cal CROSS JOIN (SELECT unnest([1, 2, 3]) AS ch)
+              WHERE t < TIMESTAMP '2020-02-01 06:00:00'
+            ), k AS (
+              SELECT t, ch,
+                     'ABI-L1b-RadF/' || strftime(t, '%Y') || '/' || doy || '/' || strftime(t, '%H')
+                       || '/OR_ABI-L1b-RadF-M6C' || lpad(CAST(ch AS VARCHAR), 2, '0') || '_G16_s'
+                       || stamp || '0_e' || stamp || '0_c' || stamp || '0.nc' AS key
+              FROM kk
+            ), q AS (
+              SELECT unnest([TIMESTAMP '2020-02-01 01:05:00',
+                             TIMESTAMP '2020-02-01 03:30:00',
+                             TIMESTAMP '2020-02-01 05:55:00']) AS query_time
+            )
+            SELECT q.query_time, k.t AS start_time, CAST(k.ch AS INT) AS channel, k.key
+            FROM k JOIN q
+              ON k.t >= q.query_time - INTERVAL 20 MINUTE
+             AND k.t <= q.query_time + INTERVAL 20 MINUTE
         """,
         "scene_table": f"""
             WITH f AS (
