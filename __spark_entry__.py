@@ -1290,6 +1290,25 @@ def q_neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster collapse: cosine pairs (threshold 0.30 — denser
+    graph than neardup_cosine_pairs, multi-hop chains up to size 6 at
+    sf0.01) → connected components by min-label propagation with pointer
+    jumping (dedup.py::connected_components). Output (id, component)."""
+    from convml_data_spark.functions.vectors import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine_similarity(F.col("va"), F.col("vb")), 6) >= 0.30)
+        .select("id_a", "id_b")
+    )
+    return dedup.connected_components(pairs)
+
+
 def q_neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup pairs (rows-only scale twin of
     neardup_cosine_pairs; recall property-tested)."""
@@ -1471,7 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_ceres_manifest": q_s6_ceres_manifest,
         # --- family representatives (certified r1/r2, kept in-window) ---
         "scene_table": q_scene_table,
-        "j6_emb_aux_join": q_j6_emb_aux_join,
+        "dedup_components": q_dedup_components,
         "a1_pricing_summary": q_a1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
         "a5_binned_2d": q_a5_binned_2d,
@@ -1514,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_calendar_scan": q_s3_calendar_scan,
         "f6_filter_dsl": q_f6_filter_dsl,
         "o4_topk": q_o4_topk,
+        "j6_emb_aux_join": q_j6_emb_aux_join,
     }
 
 
@@ -2403,6 +2423,32 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_fr >= s_es THEN 'fr'
                         ELSE 'es' END AS lang_guess
             FROM s
+        """,
+        "dedup_components": """
+            WITH RECURSIVE pr AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE round(
+                      list_sum(list_transform(range(1, len(a.embedding) + 1),
+                               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                         * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6)
+                    >= 0.30
+            ), e AS (
+              SELECT id_a AS s, id_b AS d FROM pr
+              UNION
+              SELECT id_b, id_a FROM pr
+            ), nodes AS (
+              SELECT DISTINCT s AS id FROM e
+            ), reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s
+            )
+            SELECT id, min(r) AS component FROM reach GROUP BY id
         """,
         "neardup_cosine_pairs": """
             WITH p AS (

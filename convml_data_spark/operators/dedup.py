@@ -331,3 +331,92 @@ def simhash64(
         ).otherwise(F.lit(0).cast("long"))
         fp = fp.bitwiseOR(bit)
     return bit_sums.select("id", fp.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected near-dup edge list:
+    (id, component) with component = the minimum node id reachable.
+
+    This is the clustering step a dedup pipeline runs after candidate-pair
+    generation (minhash/LSH/cosine) to pick one canonical document per
+    duplicate cluster — the reference stops at pairwise filtering, but at
+    corpus scale transitive near-dup chains must collapse together.
+
+    Algorithm: min-label propagation with pointer jumping ("hash-to-min",
+    cf. Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): each round every node takes the min of its own label and its
+    neighbors' labels, then labels are compressed one hop
+    (label := label(label)), giving O(log diameter) rounds.
+
+    Scale design: labels and edges only ever move through hash-partitioned
+    equi-joins and groupBy(min) — no driver-sized state; the per-round
+    convergence check collects a single scalar count; ``localCheckpoint``
+    truncates lineage each round so the plan does not grow with the
+    iteration count. Only nodes that appear in ``pairs`` are labelled.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("src"), F.col("component").alias("lsrc")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lsrc").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: component := component(component)
+        jumped = (
+            stepped.alias("s")
+            .join(
+                stepped.select(
+                    F.col("id").alias("component"),
+                    F.col("component").alias("c2"),
+                ).alias("p"),
+                "component",
+                "left",
+            )
+            .select(
+                F.col("s.id").alias("id"),
+                F.least(F.col("component"), F.coalesce("c2", F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

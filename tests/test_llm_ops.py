@@ -236,3 +236,28 @@ def test_transform_registry_dispatch(spark):
 
     with pytest.raises(ValueError, match="Available transforms"):
         inference.apply_transform(emb, "umap")
+
+
+def test_connected_components_chain_star_isolated(spark):
+    """Min-label propagation + pointer jumping (dedup.py) collapses
+    multi-hop chains, stars, and leaves separate components untouched;
+    convergence is independent of edge direction."""
+    from convml_data_spark.operators.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(10)]          # chain, diameter 10
+        + [(100, x) for x in range(101, 106)]    # star
+        + [(200, 201)]                           # pair
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert all(got[i] == 0 for i in range(11))
+    assert all(got[x] == 100 for x in range(100, 106))
+    assert got[200] == got[201] == 200
+
+    rev = spark.createDataFrame([(i + 1, i) for i in range(15)], "id_a long, id_b long")
+    got_rev = {r["id"]: r["component"] for r in connected_components(rev).collect()}
+    assert set(got_rev.values()) == {0}
+
+    empty = df.where("id_a < 0")
+    assert connected_components(empty).count() == 0
