@@ -1031,6 +1031,103 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs whose md5 bucket is 0 play the
+    held-out eval suite; every train doc sharing a distinct word 7-gram
+    with any eval doc is flagged with overlap counts (corpus.py::
+    ngram_overlap — broadcast eval n-gram set, no shuffle of the train
+    side beyond the matched-row agg)."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    out = corpus.ngram_overlap(
+        docs.where(~is_eval), docs.where(is_eval), n=7
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_shared_ngrams").cast("bigint").alias("n_shared_ngrams"),
+        F.col("n_eval_docs").cast("bigint").alias("n_eval_docs"),
+    )
+
+
+def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate (corpus.py::gopher_quality): word-count /
+    word-length / repetition / stopword rules with per-rule flags."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return corpus.gopher_quality(docs)
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (corpus.py::tfidf_top_terms) —
+    characteristic-term extraction for corpus exploration/clustering."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.tfidf_top_terms(docs, k=3)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: plant deterministic contact strings (the synthetic
+    corpus has none), then count and redact emails/phones with the pure-
+    Column regex pass (text.py::redact_pii). Both the planting and the
+    scrub replay exactly in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or 555-010"),
+        F.lpad(F.pmod(F.col("doc_id"), 100).cast("string"), 2, "0"),
+    )
+    n_email, n_phone = T.pii_counts(planted)
+    return docs.select(
+        "doc_id",
+        n_email.cast("int").alias("n_emails"),
+        n_phone.cast("int").alias("n_phones"),
+        F.substring(T.redact_pii(planted), -40, 40).alias("scrubbed_tail"),
+    )
+
+
+def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional importance sampling (corpus.py::
+    quality_weighted_sample): keep probability = token_count/100, md5
+    uniform — deterministic, replayable, no shuffle."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", T.token_count(F.col("text")) / F.lit(100.0)
+    )
+    return corpus.quality_weighted_sample(docs, "w", seed=3).select(
+        "doc_id", F.round("w", 6).alias("keep_prob")
+    )
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup collapse (dedup.py::canonical_survivors): cosine
+    near-dup pairs at 0.30 → connected components → keep the minimum id
+    per cluster plus all unpaired rows — the surviving corpus a dedup
+    pipeline actually emits."""
+    from convml_data_spark.functions.vectors import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine_similarity(F.col("va"), F.col("vb")), 6) >= 0.30)
+        .select("id_a", "id_b")
+    )
+    return dedup.canonical_survivors(
+        emb.select("vec_id", "label"), pairs, id_col="vec_id"
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -1488,18 +1585,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_goes16_query": q_s2_goes16_query,
         "s4_era5_manifest": q_s4_era5_manifest,
         "s6_ceres_manifest": q_s6_ceres_manifest,
-        # --- family representatives (certified r1/r2, kept in-window) ---
-        "scene_table": q_scene_table,
+        # --- new this round: corpus-curation surface ---
         "dedup_components": q_dedup_components,
+        "dedup_survivors": q_dedup_survivors,
+        "decontam_ngram_overlap": q_decontam_ngram_overlap,
+        "text_gopher_quality": q_text_gopher_quality,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "pii_scrub": q_pii_scrub,
+        "sample_quality_weighted": q_sample_quality_weighted,
+        "emb_transform_scaler": q_emb_transform_scaler,
+        # --- family representative (certified r1/r2, kept in-window) ---
+        "scene_table": q_scene_table,
+        # ---------------- position 51+: certified green in r1/r2, rotated
+        # out of the window this round; rotate back in next round ----------
         "a1_pricing_summary": q_a1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
         "a5_binned_2d": q_a5_binned_2d,
-        "emb_transform_scaler": q_emb_transform_scaler,
         "w5_sliding_tiles": q_w5_sliding_tiles,
         "g1_nearest_regrid": q_g1_nearest_regrid,
         "r5_triplet_locations": q_r5_triplet_locations,
-        # ---------------- position 51+: certified green in r1/r2, rotated
-        # out of the window this round; rotate back in next round ----------
         "s5_calendar_offset_missing": q_s5_calendar_offset_missing,
         "f1_time_intervals": q_f1_time_intervals,
         "f2_datetime_components": q_f2_datetime_components,
@@ -2449,6 +2553,148 @@ def oracle_sql() -> dict[str, str]:
               SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s
             )
             SELECT id, min(r) AS component FROM reach GROUP BY id
+        """,
+        "dedup_survivors": """
+            WITH RECURSIVE pr AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE round(
+                      list_sum(list_transform(range(1, len(a.embedding) + 1),
+                               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                         * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6)
+                    >= 0.30
+            ), e AS (
+              SELECT id_a AS s, id_b AS d FROM pr
+              UNION
+              SELECT id_b, id_a FROM pr
+            ), nodes AS (
+              SELECT DISTINCT s AS id FROM e
+            ), reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s
+            ), comp AS (
+              SELECT id, min(r) AS component FROM reach GROUP BY id
+            )
+            SELECT v.vec_id, v.label
+            FROM embeddings v LEFT JOIN comp ON comp.id = v.vec_id
+            WHERE comp.id IS NULL OR comp.component = v.vec_id
+        """,
+        "decontam_ngram_overlap": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval
+              FROM documents
+            ), g AS (
+              SELECT DISTINCT doc_id, is_eval,
+                     array_to_string(w[i:i+6], ' ') AS ng
+              FROM toks, UNNEST(range(1, len(w) - 6 + 1)) AS t(i)
+              WHERE len(w) >= 7
+            )
+            SELECT a.doc_id,
+                   CAST(count(DISTINCT a.ng) AS BIGINT) AS n_shared_ngrams,
+                   CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+            FROM g a JOIN g e ON a.ng = e.ng AND e.is_eval
+            WHERE NOT a.is_eval
+            GROUP BY a.doc_id
+        """,
+        "text_gopher_quality": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+              FROM documents
+            ), m AS (
+              SELECT doc_id, w,
+                     len(w) AS n_words,
+                     CASE WHEN len(w) = 0 THEN 0.0
+                          ELSE list_sum(list_transform(w, x -> len(x))) / len(w) END AS mwl,
+                     list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                    i -> w[i] || ' ' || w[i+1]) AS g2,
+                     list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3,
+                     len(list_filter(list_distinct(w),
+                         x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS stop_hits
+              FROM t
+            ), r AS (
+              SELECT doc_id, n_words, mwl, stop_hits,
+                     CASE WHEN len(g2) = 0 THEN 0.0
+                          ELSE list_max(list_transform(list_distinct(g2),
+                                 x -> len(list_filter(g2, y -> y = x)))) / len(g2) END AS top2,
+                     CASE WHEN len(g3) = 0 THEN 0.0
+                          ELSE 1.0 - len(list_distinct(g3)) / len(g3) END AS dup3
+              FROM m
+            )
+            SELECT doc_id,
+                   CAST(n_words AS INT) AS n_words,
+                   round(mwl, 6) AS mean_word_len,
+                   round(top2, 6) AS top_bigram_frac,
+                   round(dup3, 6) AS dup_trigram_frac,
+                   CAST(stop_hits AS INT) AS stopword_hits,
+                   (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+                   (mwl >= 3.0 AND mwl <= 10.0) AS word_len_ok,
+                   (top2 <= 0.20) AS rep_2gram_ok,
+                   (dup3 <= 0.30) AS rep_3gram_ok,
+                   (stop_hits >= 2) AS stopword_ok,
+                   ((n_words >= 50 AND n_words <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+                    AND (top2 <= 0.20) AND (dup3 <= 0.30) AND (stop_hits >= 2)) AS pass_gopher
+            FROM r
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), n AS (
+              SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+            ), s AS (
+              SELECT tf.doc_id, tf.term,
+                     round(tf * ln((n_docs + 1) / (df + 1)), 6) AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            ), r AS (
+              SELECT doc_id, term, score,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, term ASC) AS INT) AS rank
+              FROM s
+            )
+            SELECT doc_id, term, score, rank FROM r WHERE rank <= 3
+        """,
+        "pii_scrub": """
+            WITH p AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example or 555-010'
+                          || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS pt
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(pt,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(pt,
+                        '\\b\\d{3}-\\d{3,4}-?\\d{0,4}\\b')) AS INT) AS n_phones,
+                   right(regexp_replace(regexp_replace(pt,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                        '\\b\\d{3}-\\d{3,4}-?\\d{0,4}\\b', '<PHONE>', 'g'), 40) AS scrubbed_tail
+            FROM p
+        """,
+        "sample_quality_weighted": """
+            WITH d AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) / 100.0 AS w
+              FROM documents
+            )
+            SELECT doc_id, round(w, 6) AS keep_prob
+            FROM d
+            WHERE CAST('0x' || substr(md5('3|' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                  / 4503599627370496.0 < least(greatest(w, 0.0), 1.0)
         """,
         "neardup_cosine_pairs": """
             WITH p AS (

@@ -108,6 +108,62 @@ def lang_guess(text: Column) -> Column:
     )
 
 
+def mean_word_len(toks: Column) -> Column:
+    """Mean character length of the tokens (0.0 for empty docs)."""
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) <= 0, F.lit(0.0)).otherwise(
+        total / F.size(toks)
+    )
+
+
+def top_ngram_frac(toks: Column, n: int) -> Column:
+    """Fraction of n-gram occurrences taken by the single most frequent
+    n-gram — the Gopher-style repetition signal (Rae et al. 2021, "Scaling
+    Language Models", table A1 uses the top-2-gram character fraction; we
+    use the occurrence fraction, engine-defined).
+
+    In-row array math (distinct × filter/size): O(d·g) per row where d is
+    the distinct-gram count — no explode, no shuffle, codegen-friendly at
+    100 TB. Returns 0.0 for docs shorter than n tokens.
+    """
+    g = ngrams_from_tokens(toks, n)
+    counts = F.transform(
+        F.array_distinct(g), lambda x: F.size(F.filter(g, lambda y: y == x))
+    )
+    return F.when(F.size(g) <= 0, F.lit(0.0)).otherwise(
+        F.array_max(counts) / F.size(g)
+    )
+
+
+def dup_ngram_frac(toks: Column, n: int) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier one:
+    ``1 - distinct/total`` (0.0 for docs shorter than n tokens)."""
+    g = ngrams_from_tokens(toks, n)
+    return F.when(F.size(g) <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g)
+    )
+
+
+# PII patterns chosen for identical semantics in Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3,4}-?\d{0,4}\b"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in ``text`` — JVM regex, no UDF."""
+    n_email = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), F.lit(0)))
+    return n_email, n_phone
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every email / phone match with a typed placeholder token
+    (the scrubbing pass an LLM-corpus pipeline runs before training)."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
 def kgram_hashes(text: Column, k: int = 8) -> Column:
     """Per-position k-gram 52-bit hashes (document fingerprinting).
 

@@ -1,0 +1,180 @@
+"""Corpus-level LLM-training-data operators: benchmark decontamination,
+Gopher-style quality gating, TF-IDF term extraction, quality-weighted
+sampling.
+
+These extend the reference's surface (the reference stops at per-scene
+filtering; a 100 TB text corpus additionally needs eval-set leakage
+removal and quality curation). All hot paths are JVM Column expressions
+and hash-partitioned joins/aggregations — no Python in the data path, no
+driver-sized state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+from .sampling import hash_uniform
+
+
+def ngram_overlap(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per-train-document overlap with an
+    eval/benchmark set, measured in distinct shared word n-grams.
+
+    Returns ``(doc_id, n_shared_ngrams, n_eval_docs)`` for every train
+    document sharing at least one n-gram with any eval document — the
+    rows a decontamination pass would drop or flag.
+
+    Scale design: the eval side (benchmark suites are ≤ millions of
+    n-grams even at 100 TB train scale) is deduplicated then broadcast,
+    so the train side is one scan + broadcast-hash-join + partial agg —
+    no shuffle of the 100 TB side beyond the final per-doc groupBy, and
+    that groupBy only carries matching rows (a tiny fraction after the
+    semi-selective join). Set ``broadcast_eval=False`` to fall back to a
+    shuffle join when the eval side is genuinely large.
+    """
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        toks = T.tokens(F.lower(F.col(text_col)))
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(T.ngrams_from_tokens(toks, n))).alias("ng"),
+        )
+
+    eg = grams(eval_docs, "eval_id")
+    if broadcast_eval:
+        eg = F.broadcast(eg)
+    return (
+        grams(train, "doc_id")
+        .join(eg, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("ng").alias("n_shared_ngrams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+def gopher_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_top_bigram_frac: float = 0.20,
+    max_dup_trigram_frac: float = 0.30,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, appendix A1.1,
+    thresholds engine-defined): word-count bounds, mean-word-length band,
+    repetition caps (top-2-gram / duplicate-3-gram fractions), and a
+    stopword-presence check. Emits the measures, per-rule flags, and the
+    conjunction ``pass_gopher``.
+
+    One narrow projection per row — token array built once and shared by
+    every measure through common-subexpression elimination; no shuffle.
+    """
+    toks = T.tokens(F.lower(F.col(text_col)))
+    n_words = F.size(toks)
+    mwl = T.mean_word_len(toks)
+    top2 = T.top_ngram_frac(toks, 2)
+    dup3 = T.dup_ngram_frac(toks, 3)
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in T.EN_STOPWORDS]))
+    )
+    flags = {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "word_len_ok": (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len),
+        "rep_2gram_ok": top2 <= max_top_bigram_frac,
+        "rep_3gram_ok": dup3 <= max_dup_trigram_frac,
+        "stopword_ok": stop_hits >= min_stopword_hits,
+    }
+    passed = None
+    for c in flags.values():
+        passed = c if passed is None else (passed & c)
+    return docs.select(
+        id_col,
+        n_words.cast("int").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(top2, 6).alias("top_bigram_frac"),
+        F.round(dup3, 6).alias("dup_trigram_frac"),
+        stop_hits.cast("int").alias("stopword_hits"),
+        *[c.alias(name) for name, c in flags.items()],
+        passed.alias("pass_gopher"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF
+    (idf = ln((N+1)/(df+1)), smoothed).
+
+    Two hash-partitioned aggregations (term frequency by (doc, term),
+    document frequency by term) plus a per-document window rank — every
+    shuffle is on a high-cardinality key, the doc-count scalar travels as
+    a broadcast 1-row join rather than a driver collect, and the rank
+    window partitions by document (millions of small partitions, never
+    one global sort). Deterministic: ties rank by rounded score then
+    term.
+    """
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(df_.join(F.broadcast(n_docs))), "term")
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def quality_weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    seed: int | str = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Importance sampling: keep each row with probability
+    ``clamp(weight, 0, 1)`` using the replayable md5 uniform (the
+    quality-proportional downsampling step of a corpus-curation
+    pipeline, cf. CCNet / Gopher quality buckets).
+
+    Pure per-row expression filter — no shuffle, deterministic across
+    retries and engines (DuckDB replays the same md5 arithmetic).
+    """
+    u = hash_uniform(seed, F.col(id_col))
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    return docs.where(u < w)

@@ -420,3 +420,27 @@ def connected_components(
             break
     edges.unpersist()
     return labels
+
+
+def canonical_survivors(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The user-facing dedup collapse: given the full id set and the
+    near-dup pair list (from any candidate generator — minhash-LSH,
+    cosine, prefix-filter), keep exactly one canonical row per duplicate
+    cluster (the minimum id) plus every row in no pair.
+
+    Composition: :func:`connected_components` labels each paired node
+    with its cluster minimum; non-canonical members (``id != component``)
+    are removed with a left-anti join. Both steps are hash-partitioned
+    joins — no driver state, no cross product.
+    """
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    drop = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return ids.join(drop, id_col, "left_anti")
