@@ -146,6 +146,36 @@ def materialize(
     return True
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """S10 sink variant: hash-bucketed, bucket-sorted external parquet
+    table registered in the session catalog.
+
+    At 100 TB the dominant recurring cost is re-shuffling fact tables by
+    the same join/agg key in every job; bucketing pays that shuffle once
+    at write time. Any later equi-join or groupBy on the bucket key
+    (with matching bucket counts) reads co-located buckets and skips the
+    Exchange entirely — plan-gated by
+    ``test_plan_quality.py::test_bucketed_join_is_exchange_free``.
+    Returns the registered table as a DataFrame.
+    """
+    (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .option("path", path)
+        .saveAsTable(name)
+    )
+    return df.sparkSession.table(name)
+
+
 def split_by_time_partition(
     df: DataFrame, path: str, time_col: str = "t", granularity: str = "day"
 ) -> bool:

@@ -142,3 +142,42 @@ def test_g8_rgb_composite_single_shuffle(spark):
     window may shuffle — once."""
     plan = plan_of(spark, "g8_rgb_composite")
     assert exchange_count(plan) <= 1, plan
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Tables bucketed on their join key with matching bucket counts must
+    join with ZERO Exchange nodes — the co-location payoff write_bucketed
+    buys at 100 TB (shuffle paid once at write, never per query)."""
+    from pyspark.sql import functions as F
+
+    from convml_data_spark import pipeline, tables
+
+    li = tables.load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = tables.load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    t_li = pipeline.write_bucketed(
+        li, "bkt_li", ["l_orderkey"], 8, str(tmp_path / "li")
+    )
+    t_or = pipeline.write_bucketed(
+        orders, "bkt_orders", ["l_orderkey"], 8, str(tmp_path / "orders")
+    )
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = t_li.join(t_or, "l_orderkey")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert exchange_count(plan) == 0, plan
+            assert "SortMergeJoin" in plan
+            assert joined.count() == li.join(orders, "l_orderkey").count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_li")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
