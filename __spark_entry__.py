@@ -528,13 +528,18 @@ def q_w7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # session_id is cast to double to match the oracle's natural type under
     # pandas canonicalization (DuckDB windowed sum(int) -> HUGEINT -> float64).
+    # sum_value: the decimal sum is the exact, order-free reduction, but a
+    # Spark DECIMAL column reaches pandas as object-dtype decimal.Decimal
+    # while DuckDB DECIMAL fetches float64 — the driver hash then differs on
+    # equal values. Cast the final (exact) decimal to double on BOTH sides:
+    # decimal→double is correctly rounded in both engines, so bits match.
     return out.select(
         "user_id",
         F.col("session_id").cast("double").alias("session_id"),
         "session_start",
         "session_end",
         "n_events",
-        "sum_value",
+        F.col("sum_value").cast("double").alias("sum_value"),
     )
 
 
@@ -552,13 +557,16 @@ def q_a14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # y/m cast to bigint and gid pinned to bigint: DuckDB year()/month() and
     # GROUPING() are BIGINT, and the driver hash model keeps integer widths
-    # distinct, so Spark must emit the same widths.
+    # distinct, so Spark must emit the same widths. revenue: decimal sum is
+    # the exact reduction, but Spark DECIMAL → pandas object(Decimal) while
+    # DuckDB DECIMAL → float64, so the driver hash splits on equal values —
+    # emit the exact sum as double on both sides (cents < 2^53, lossless).
     return out.select(
         F.col("y").cast("bigint").alias("y"),
         F.col("m").cast("bigint").alias("m"),
         F.col("gid").cast("bigint").alias("gid"),
         "n_orders",
-        "revenue",
+        F.col("revenue").cast("double").alias("revenue"),
     )
 
 
@@ -1325,11 +1333,24 @@ def q_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from convml_data_spark import streaming
 
     _prep(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # sniff the files' physical timestamp type: TIMESTAMP(NANOS) needs the
+    # legacy long read + µs conversion, TIMESTAMP(MICROS, utc=false) reads
+    # as NTZ and is cast to the engine's instant type (UTC session, exact)
+    path = f"{sf_dir}/events.parquet"
+    if tables._nanos_columns(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
 
-    def tx(df: DataFrame) -> DataFrame:
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        def tx(df: DataFrame) -> DataFrame:
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        batch = spark.read.parquet(path)
+        schema = batch.schema
+        tx = None
+        if dict(batch.dtypes).get("ts") == "timestamp_ntz":
+
+            def tx(df: DataFrame) -> DataFrame:
+                return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
     sdf = streaming.stream_windowed_counts(
         spark, sf_dir, schema, path_glob="events.parquet",
@@ -1432,9 +1453,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 affine hashes over md5-hashed distinct word
     3-grams) — the deterministic core of dedup_minhash, oracle-checked
-    value-for-value against DuckDB."""
+    value-for-value against DuckDB. Emitted as 8 scalar columns (h0..h7),
+    not an array: the driver's canonical row sort can't order list-valued
+    cells (pandas factorize raises on lists)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_signatures(docs, num_hashes=8)
+    sigs = dedup.minhash_signatures(docs, num_hashes=8)
+    return sigs.select(
+        "id", *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(8)]
+    )
 
 
 def q_g9_optical_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1540,64 +1566,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one in-window representative; keys certified green in earlier rounds
     # rotate behind position 50 and back in on later rounds.
     return {
-        # --- LLM-ops surface (never certified before round 3) ---
-        "dedup_exact_prefix": q_dedup_exact_prefix,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "dedup_minhash": q_dedup_minhash,
+        # --- red in round 3, fixed this round: must re-prove first ---
+        # (NTZ timestamp breakage: j2/j3/f4/w7 + bench; stream schema sniff;
+        # minhash sigs de-arrayed; w7/a14 decimal→double portability)
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
-        "simhash": q_simhash,
-        "neardup_cosine_pairs": q_neardup_cosine_pairs,
-        "neardup_lsh_pairs": q_neardup_lsh_pairs,
-        "text_quality": q_text_quality,
-        "text_corpus_stats": q_text_corpus_stats,
-        "text_langid": q_text_langid,
-        "doc_fingerprint": q_doc_fingerprint,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "g9_optical_flow": q_g9_optical_flow,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "similarity_lsh_topk": q_similarity_lsh_topk,
-        "similarity_ivf_topk": q_similarity_ivf_topk,
-        # --- never-certified §2 keys ---
-        "derived_dag": q_derived_dag,
         "stream_daily_counts": q_stream_daily_counts,
-        "x1_user_function": q_x1_user_function,
-        "x2_dotted_udaf": q_x2_dotted_udaf,
-        "x3_batch_embed": q_x3_batch_embed,
-        "x4_pca": q_x4_pca,
-        "f8_dropna_slice": q_f8_dropna_slice,
-        "e2_string_ops": q_e2_string_ops,
-        "e7_json_map": q_e7_json_map,
-        "g2_tile_pixel_slice": q_g2_tile_pixel_slice,
-        "a15_distinct_users": q_a15_distinct_users,
-        "hll_user_counts": q_hll_user_counts,
-        "g8_rgb_composite": q_g8_rgb_composite,
-        # --- operators changed this round: re-prove ---
         "w7_sessionize": q_w7_sessionize,
         "a14_rollup": q_a14_rollup,
         "j2_asof_single": q_j2_asof_single,
         "j3_asof_all_within": q_j3_asof_all_within,
-        "u3_anti_join": q_u3_anti_join,
-        "a7_equidepth": q_a7_equidepth,
         "f4_traj_snap": q_f4_traj_snap,
-        # --- new this round: fetch-manifest planning (S2/S4/S6) ---
-        "s2_goes16_query": q_s2_goes16_query,
-        "s4_era5_manifest": q_s4_era5_manifest,
-        "s6_ceres_manifest": q_s6_ceres_manifest,
-        # --- new this round: corpus-curation surface ---
-        "dedup_components": q_dedup_components,
-        "dedup_survivors": q_dedup_survivors,
-        "decontam_ngram_overlap": q_decontam_ngram_overlap,
-        "text_gopher_quality": q_text_gopher_quality,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "pii_scrub": q_pii_scrub,
-        "sample_quality_weighted": q_sample_quality_weighted,
-        "emb_transform_scaler": q_emb_transform_scaler,
-        # --- family representative (certified r1/r2, kept in-window) ---
-        "scene_table": q_scene_table,
-        # ---------------- position 51+: certified green in r1/r2, rotated
-        # out of the window this round; rotate back in next round ----------
+        # --- last certified in round 1 only, under the OLD testdata
+        # (timestamp[ns]) and old driver — re-prove under NTZ-era files ---
         "a1_pricing_summary": q_a1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
         "a5_binned_2d": q_a5_binned_2d,
@@ -1638,6 +1618,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6_filter_dsl": q_f6_filter_dsl,
         "o4_topk": q_o4_topk,
         "j6_emb_aux_join": q_j6_emb_aux_join,
+        # --- keepers: flagship + perf-hot canaries, green r3, kept in ---
+        "scene_table": q_scene_table,
+        "a7_equidepth": q_a7_equidepth,
+        "u3_anti_join": q_u3_anti_join,
+        # ---------------- position 51+: certified green in round 3 under
+        # the CURRENT testdata/driver; rotate back in next round ----------
+        "dedup_exact_prefix": q_dedup_exact_prefix,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "dedup_minhash": q_dedup_minhash,
+        "simhash": q_simhash,
+        "neardup_cosine_pairs": q_neardup_cosine_pairs,
+        "neardup_lsh_pairs": q_neardup_lsh_pairs,
+        "text_quality": q_text_quality,
+        "text_corpus_stats": q_text_corpus_stats,
+        "text_langid": q_text_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "g9_optical_flow": q_g9_optical_flow,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "derived_dag": q_derived_dag,
+        "x1_user_function": q_x1_user_function,
+        "x2_dotted_udaf": q_x2_dotted_udaf,
+        "x3_batch_embed": q_x3_batch_embed,
+        "x4_pca": q_x4_pca,
+        "f8_dropna_slice": q_f8_dropna_slice,
+        "e2_string_ops": q_e2_string_ops,
+        "e7_json_map": q_e7_json_map,
+        "g2_tile_pixel_slice": q_g2_tile_pixel_slice,
+        "a15_distinct_users": q_a15_distinct_users,
+        "hll_user_counts": q_hll_user_counts,
+        "g8_rgb_composite": q_g8_rgb_composite,
+        "s2_goes16_query": q_s2_goes16_query,
+        "s4_era5_manifest": q_s4_era5_manifest,
+        "s6_ceres_manifest": q_s6_ceres_manifest,
+        "dedup_components": q_dedup_components,
+        "dedup_survivors": q_dedup_survivors,
+        "decontam_ngram_overlap": q_decontam_ngram_overlap,
+        "text_gopher_quality": q_text_gopher_quality,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "pii_scrub": q_pii_scrub,
+        "sample_quality_weighted": q_sample_quality_weighted,
+        "emb_transform_scaler": q_emb_transform_scaler,
     }
 
 
@@ -2346,14 +2372,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id,
                    min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events,
-                   sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, session_id
         """,
         "a14_rollup": """
             SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
                    CAST(GROUPING(year(o_orderdate), month(o_orderdate)) AS BIGINT) AS gid,
                    count(*) AS n_orders,
-                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders
             GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
         """,
@@ -2775,7 +2801,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT id, {minhash_terms}
               FROM (SELECT id, CAST('0x'||substr(md5(shingle),1,15) AS BIGINT) AS x FROM sh)
             ), m AS (SELECT id, {minhash_aggs} FROM h GROUP BY id)
-            SELECT id, [{minhash_arr}] AS sig FROM m
+            SELECT id, {minhash_arr} FROM m
         """,
         "simhash": f"""
             WITH toks AS (

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from convml_data_spark.functions.timeutils import epoch_micros
+
 
 def infer_min_spacing(df: DataFrame, time_col: str, partition_by: list[str] | None = None):
     """A3: min spacing (seconds, float) between consecutive distinct times.
@@ -46,7 +48,7 @@ def infer_min_spacing(df: DataFrame, time_col: str, partition_by: list[str] | No
     plan-time metadata, like the reference's use of it.
     """
     w = Window.partitionBy(*(partition_by or [])).orderBy(time_col)
-    micros = F.unix_micros(F.col(time_col))
+    micros = epoch_micros(time_col, dict(df.dtypes)[time_col])
     gaps = (
         df.select(*(partition_by or []), time_col)
         .distinct()
@@ -109,9 +111,21 @@ def asof_join(
 
     keys = list(partition_by or [])
     payload_cols = [c for c in right.columns if c not in keys]
-    rstruct = F.struct(*[F.col(c) for c in payload_cols])
+    # _tus (epoch µs, computed per-side with that side's timestamp dtype —
+    # TIMESTAMP or TIMESTAMP_NTZ) leads the struct: all Δt arithmetic below
+    # is integer math on it, and since it is a monotone image of _t it never
+    # perturbs the struct tie-ordering (equal _t ⇒ equal _tus ⇒ ties still
+    # fall through to the payload fields).
+    rstruct = F.struct(
+        epoch_micros(right_on, dict(right.dtypes)[right_on]).alias("_tus"),
+        *[F.col(c) for c in payload_cols],
+    )
 
-    lhs = left.withColumn("_t", F.col(left_on)).withColumn("_is_left", F.lit(1))
+    lhs = (
+        left.withColumn("_t", F.col(left_on))
+        .withColumn("_tus", epoch_micros(left_on, dict(left.dtypes)[left_on]))
+        .withColumn("_is_left", F.lit(1))
+    )
     rhs = (
         right.withColumn("_t", F.col(right_on))
         .withColumn("_is_left", F.lit(0))
@@ -121,19 +135,19 @@ def asof_join(
     bucketed = not keys and tolerance_seconds is not None
     if bucketed:
         width = max(float(tolerance_seconds), 1e-6)
-        bucket = F.floor(F.unix_micros(F.col("_t")) / F.lit(width * 1e6))
-        lhs = lhs.withColumn("_bucket", bucket)
+        lhs = lhs.withColumn("_bucket", F.floor(F.col("_tus") / F.lit(width * 1e6)))
         rhs = (
-            rhs.withColumn("_b0", bucket)
+            rhs.withColumn("_b0", F.floor(F.col("_r._tus") / F.lit(width * 1e6)))
             .withColumn("_shift", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
             .withColumn("_bucket", F.col("_b0") + F.col("_shift"))
             .drop("_b0", "_shift")
         )
         keys = ["_bucket"]
 
-    lcols = [c for c in lhs.columns if c not in {"_t", "_is_left"} and c not in keys]
+    lcols = [c for c in lhs.columns if c not in {"_t", "_tus", "_is_left"} and c not in keys]
     unioned = lhs.select(
-        *keys, "_t", "_is_left", F.lit(None).cast(rhs.schema["_r"].dataType).alias("_r"),
+        *keys, "_t", "_tus", "_is_left",
+        F.lit(None).cast(rhs.schema["_r"].dataType).alias("_r"),
         F.struct(*[F.col(c) for c in lcols]).alias("_l"),
     ).unionByName(rhs, allowMissingColumns=True)
 
@@ -160,9 +174,9 @@ def asof_join(
         w.rowsBetween(0, Window.unboundedFollowing)
     )
 
-    lm = F.unix_micros(F.col("_t"))
-    dt_prev = lm - F.unix_micros(prev[right_on])
-    dt_next = F.unix_micros(nxt[right_on]) - lm
+    lm = F.col("_tus")
+    dt_prev = lm - prev["_tus"]
+    dt_next = nxt["_tus"] - lm
     use_prev = F.when(prev.isNull(), F.lit(False)).when(nxt.isNull(), F.lit(True)).otherwise(dt_prev <= dt_next)
     chosen = F.when(use_prev, prev).otherwise(nxt)
     dt = F.when(use_prev, dt_prev).otherwise(dt_next) / F.lit(1e6)

@@ -139,7 +139,9 @@ def sessionize(
         )
         return out.drop("_w")
     w = Window.partitionBy(*key_cols).orderBy(time_col, *tiebreak)
-    t_us = F.unix_micros(F.col(time_col))
+    from convml_data_spark.functions.timeutils import epoch_micros
+
+    t_us = epoch_micros(time_col, dict(df.dtypes)[time_col])
     opens = F.when(
         F.lag(time_col).over(w).isNull()
         | (t_us - F.lag(t_us).over(w) > F.lit(gap_us)),

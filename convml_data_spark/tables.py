@@ -55,6 +55,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer division (`div`) keeps exactness — float division of
         # ~1e18 ns loses µs precision in a double
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as
+    # TIMESTAMP_NTZ under Spark 4; the engine's time model is instants
+    # (session TZ pinned UTC, session.py), and unix_micros & friends reject
+    # NTZ. Under the UTC pin the cast is the exact naive-as-UTC mapping
+    # (identical to DuckDB's reading of the same file), and Catalyst still
+    # pushes comparison filters down to the scan through it (verified:
+    # PushedFilters carries the timestamp bound either way).
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
