@@ -14,6 +14,14 @@ from pyspark.sql import functions as F
 # BPE-ish pre-tokenizer: word runs or single non-word-non-space marks.
 TOKEN_PATTERN = r"\w+|[^\w\s]"
 
+# GPT-2-style byte-pair pre-tokenizer, restricted to the RE2∩Java regex
+# subset (no lookahead, ASCII classes): contraction suffixes, then
+# space-prefixed letter runs / digit runs / punctuation runs, then residual
+# whitespace. Both engines use leftmost-first alternation, so piece COUNTS
+# agree exactly (the dropped `\s+(?!\S)` branch only re-segments runs of
+# blanks, which the count is insensitive to for single-space text).
+BPE_PIECE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
 # Tiny high-frequency English function-word list for the language-ID
 # heuristic (stopword-ratio); deterministic and oracle-expressible.
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
@@ -31,6 +39,13 @@ def token_count(text: Column) -> Column:
 def regex_token_count(text: Column) -> Column:
     """BPE-ish regex token count (words + punctuation marks)."""
     return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def bpe_piece_count(text: Column) -> Column:
+    """GPT-2-style pre-tokenizer piece count (the unit LLM token budgets
+    are phrased in). One JVM `regexp_count` per row — no Python, no
+    explode; DuckDB replays as ``len(regexp_extract_all(...))``."""
+    return F.regexp_count(text, F.lit(BPE_PIECE_PATTERN))
 
 
 def punct_ratio(text: Column) -> Column:

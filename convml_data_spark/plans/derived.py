@@ -82,10 +82,23 @@ class DerivedVariableRegistry:
         missing = need - set(df.columns)
         if missing:
             raise ValueError(f"missing base variables {sorted(missing)} for targets {list(targets)}")
+        # batch CONSECUTIVE runs of the topological order into one
+        # withColumns projection each: a 14-variable chain of withColumn
+        # calls costs 14 full plan re-analyses, run-batched it is ~the
+        # DAG's dependency chain length. Runs (not depth levels) so the
+        # registration order of window-bearing variables is preserved —
+        # reordering them can demote the shared (keys, order) sort below a
+        # keys-only window and cost a second sort in the physical plan.
         out = df
+        batch: dict[str, Column] = {}
         for name in self._order(targets):
             fn, inputs = self._vars[name]
-            out = out.withColumn(name, fn(**{i: F.col(i) for i in inputs}))
+            if any(i in batch for i in inputs):
+                out = out.withColumns(batch)
+                batch = {}
+            batch[name] = fn(**{i: F.col(i) for i in inputs})
+        if batch:
+            out = out.withColumns(batch)
         return out
 
 

@@ -33,15 +33,22 @@ def streaming_seen_filter(
         import pandas as pd
 
         seen = state.exists
-        first = None
+        # min over ALL Arrow chunks of the batch — a key's rows can span
+        # chunks, so taking the first non-empty chunk's min would make the
+        # surviving row depend on chunk boundaries. With min-over-batch,
+        # a single-batch drain (one input file + AvailableNow) emits
+        # exactly min(id) per key — deterministic and oracle-checkable.
+        best = None
         for pdf in pdfs:
-            if len(pdf) and first is None:
-                first = pdf.sort_values(id_col).iloc[0]
-        if seen or first is None:
+            if len(pdf):
+                m = pdf[id_col].min()
+                if best is None or m < best:
+                    best = m
+        if seen or best is None:
             yield pd.DataFrame(columns=out_schema.replace(",", " ").split()[::2])
         else:
             state.update((1,))
-            yield pd.DataFrame([{key_col: key[0], id_col: first[id_col]}])
+            yield pd.DataFrame([{key_col: key[0], id_col: best}])
 
     return stream.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, "count long", "append", GroupStateTimeout.NoTimeout

@@ -112,6 +112,15 @@ def _coerce_row(row, canons):
 
 
 def compare_spark_duckdb(sdf, con, sql, check_types: bool = True):
+    # The real driver canonicalizes through pandas: Spark DECIMAL arrives as
+    # object-dtype decimal.Decimal (red vs DuckDB's float64 on equal values)
+    # and list-valued cells crash its row sort — so a final query schema may
+    # only carry double/int/string/bool/timestamp/date (round-3 lesson).
+    nonportable = [
+        (c, t) for c, t in sdf.dtypes
+        if t.startswith(("decimal", "array", "map", "struct"))
+    ]
+    assert not nonportable, f"driver-nonportable output dtypes: {nonportable}"
     spark_cols = sdf.columns
     spark_canons = [_canon_spark_type(t) for _, t in sdf.dtypes]
     spark_rows = [_coerce_row(tuple(r), spark_canons) for r in sdf.collect()]
