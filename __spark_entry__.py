@@ -1149,6 +1149,26 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_j10_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D range join (joins.py::interval_join): click events falling in
+    10-minute incident windows opened by error events, counted per
+    incident. Bucket-replicated equi-join (replication ≤2, width inferred
+    from the longest interval) — never a cartesian/BNLJ plan."""
+    from convml_data_spark.operators import joins
+
+    events = _t(spark, sf_dir, "events")
+    err = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t1"),
+    )
+    clk = events.where(F.col("event_type") == "click").select(
+        F.col("ts").alias("t_click")
+    )
+    j = joins.interval_join(clk, err, "t_click", "t0", "t1")
+    return j.groupBy("incident_id").agg(F.count("*").alias("n_clicks"))
+
+
 def q_w6_sequential_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6: ordered stateful scan per group (windows.py::sequential_scan,
     the applyInPandas Lucas-Kanade/state-machine pattern) certified on a
@@ -1704,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantiles": q_sketch_quantiles,
         "stream_seen_filter": q_stream_seen_filter,
         "w6_sequential_scan": q_w6_sequential_scan,
+        "j10_interval_join": q_j10_interval_join,
         # --- last certified in round 1 only, under the OLD testdata
         # (timestamp[ns]) and old driver — re-prove under NTZ-era files ---
         "a1_pricing_summary": q_a1_pricing_summary,
@@ -2898,6 +2919,17 @@ def oracle_sql() -> dict[str, str]:
         "stream_seen_filter": """
             SELECT user_id, min(event_id) AS event_id
             FROM events GROUP BY user_id
+        """,
+        "j10_interval_join": """
+            WITH err AS (
+              SELECT event_id AS incident_id, ts AS t0, ts + INTERVAL 10 MINUTE AS t1
+              FROM events WHERE event_type = 'error'
+            ), clk AS (
+              SELECT ts AS t_click FROM events WHERE event_type = 'click'
+            )
+            SELECT incident_id, count(*) AS n_clicks
+            FROM err JOIN clk ON t_click >= t0 AND t_click <= t1
+            GROUP BY incident_id
         """,
         "w6_sequential_scan": """
             WITH w AS (

@@ -37,5 +37,5 @@ def epoch_micros(col: Column | str, dtype: str = "timestamp") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     if dtype == "timestamp_ntz":
         epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-        return F.timestampdiff("MICROSECOND", epoch, c)
+        return F.timestamp_diff("MICROSECOND", epoch, c)
     return F.unix_micros(c)

@@ -51,3 +51,56 @@ def salted_groupby_count(
         .agg(F.count("*").alias("_n"))
     )
     return partial.groupBy(*key_cols).agg(F.sum("_n").alias("count"))
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width_seconds: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join (``start <= t <= end``) as an equi-join —
+    the 1-D range join Spark has no native operator for (the time-axis
+    face of G2's 2-D ``tile_pixel_join``; reference analog: per-scene
+    time-window membership in aux_sources.py).
+
+    A naive ``ON t BETWEEN start AND end`` plans as
+    BroadcastNestedLoop/cartesian — O(n·m) and a driver OOM once neither
+    side broadcasts. Instead the time axis is cut into buckets of
+    ``bucket_width_seconds``; every interval is exploded into the buckets
+    it overlaps, points land in exactly one bucket, and the join becomes
+    hash-partitioned on the bucket key with the exact BETWEEN predicate
+    re-checked after. With the width ≥ the longest interval (the default:
+    one tiny agg infers it plan-time, like asof's A3 spacing inference)
+    the replication factor is ≤ 2 — constant memory per row at any scale,
+    and skewed buckets split by AQE like any hash join.
+
+    Time columns may be TIMESTAMP or TIMESTAMP_NTZ (dtype-aware epoch
+    arithmetic); both sides keep all their columns in the output.
+    """
+    from convml_data_spark.functions.timeutils import epoch_micros
+
+    t_us = epoch_micros(point_col, dict(points.dtypes)[point_col])
+    s_us = epoch_micros(start_col, dict(intervals.dtypes)[start_col])
+    e_us = epoch_micros(end_col, dict(intervals.dtypes)[end_col])
+
+    if bucket_width_seconds is None:
+        row = intervals.agg(F.max(e_us - s_us).alias("m")).first()
+        bucket_width_seconds = max((row["m"] or 0) / 1e6, 1e-6)
+    w_us = int(max(bucket_width_seconds, 1e-6) * 1e6)
+
+    p = points.withColumn("_bucket", F.floor(t_us / F.lit(w_us)))
+    iv = (
+        intervals.withColumn("_b0", F.floor(s_us / F.lit(w_us)))
+        .withColumn("_b1", F.floor(e_us / F.lit(w_us)))
+        .withColumn("_bucket", F.explode(F.sequence(F.col("_b0"), F.col("_b1"))))
+        .drop("_b0", "_b1")
+    )
+    joined = p.join(iv, "_bucket", how).where(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) <= F.col(end_col))
+    )
+    return joined.drop("_bucket")

@@ -99,6 +99,15 @@ def test_no_cartesian_products_anywhere(spark):
         assert "CartesianProduct" not in p, name
 
 
+def test_interval_join_is_hash_join(spark):
+    """The bucket-replicated interval join must plan as a hash/sort-merge
+    equi-join on the bucket key — the naive BETWEEN range join would be a
+    BroadcastNestedLoop/cartesian, O(n·m) at scale."""
+    p = plan_of(spark, "j10_interval_join")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Join" in p
+
+
 def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
     """The materialized IVF index is parquet-partitioned by list_id; a probe
     must show PartitionFilters on list_id in the scan (only n_probes/n_lists
