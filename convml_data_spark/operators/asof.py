@@ -23,11 +23,11 @@ use the union-and-window idiom, which is one shuffle-sort:
 3. pick the nearer of prev/next (tie → prev = earlier), apply tolerance.
 
 A keyless as-of would put the whole axis in ONE window partition, so when no
-``partition_by`` is given we synthesize one: time is bucketed by
-``ceil(tolerance)`` and right rows are replicated into the two neighbouring
-buckets (any match within tolerance is then guaranteed to live in the left
-row's bucket). That keeps the operator fully parallel at 100 TB; replication
-factor is a constant 3 on the (smaller) right side. With ``partition_by``
+``partition_by`` is given we synthesize one: time is bucketed at twice the
+tolerance and each right row is replicated into the (at most 2, often 1)
+buckets covering ``[r-tol, r+tol]`` — any match within tolerance is then
+guaranteed to live in the left row's bucket. That keeps the operator fully
+parallel at 100 TB with right-side replication ≤ 2×. With ``partition_by``
 (e.g. per aux product) the windows are already keyed and no replication is
 needed — unless a single key still carries the whole table.
 """
@@ -134,13 +134,26 @@ def asof_join(
 
     bucketed = not keys and tolerance_seconds is not None
     if bucketed:
-        width = max(float(tolerance_seconds), 1e-6)
-        lhs = lhs.withColumn("_bucket", F.floor(F.col("_tus") / F.lit(width * 1e6)))
-        rhs = (
-            rhs.withColumn("_b0", F.floor(F.col("_r._tus") / F.lit(width * 1e6)))
-            .withColumn("_shift", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-            .withColumn("_bucket", F.col("_b0") + F.col("_shift"))
-            .drop("_b0", "_shift")
+        # width = 2·tol with rights exploded into the buckets covering
+        # [r-tol, r+tol]: that interval has length exactly 2·tol = one
+        # bucket width, so its endpoints' floors differ by ≤1 — every
+        # right lands in ≤2 buckets (1 when both floors agree), vs the 3×
+        # blanket-neighbor replication of width=tol. Any left t in bucket
+        # b with |t-r| ≤ tol satisfies r+tol ≥ t ≥ b·w and r-tol ≤ t <
+        # (b+1)·w, so b is always among the covered buckets — exact.
+        tol_us = F.lit(max(float(tolerance_seconds), 1e-6) * 1e6)
+        w_us = F.lit(2.0 * max(float(tolerance_seconds), 1e-6) * 1e6)
+        lhs = lhs.withColumn("_bucket", F.floor(F.col("_tus") / w_us))
+        rhs = rhs.withColumn(
+            "_bucket",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor((F.col("_r._tus") - tol_us) / w_us),
+                        F.floor((F.col("_r._tus") + tol_us) / w_us),
+                    )
+                )
+            ),
         )
         keys = ["_bucket"]
 
