@@ -1126,6 +1126,29 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.duplicate_span_dedup(docs, span_words=5, min_docs=2)
 
 
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training precursor (corpus.py::build_vocab): corpus-wide
+    token frequencies (one map-side-combined hash agg), frequency cutoff,
+    rank-assigned contiguous ids — the rank window runs over the bounded
+    vocabulary, never the corpus."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.build_vocab(docs, min_count=2)
+
+
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional token-id encoding against the built vocab
+    (corpus.py::encode_tokens): broadcast vocab join + per-doc reduction;
+    the order-sensitive id checksum certifies the full encoding without an
+    array output."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = corpus.build_vocab(docs, min_count=2)
+    return corpus.encode_tokens(docs, vocab)
+
+
 def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM token budgeting: GPT-2-style pre-tokenizer piece counts
     (functions/text.py::bpe_piece_count, RE2∩Java-safe pattern) next to
@@ -1725,6 +1748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_seen_filter": q_stream_seen_filter,
         "w6_sequential_scan": q_w6_sequential_scan,
         "j10_interval_join": q_j10_interval_join,
+        "vocab_build": q_vocab_build,
+        "vocab_encode": q_vocab_encode,
         # --- last certified in round 1 only, under the OLD testdata
         # (timestamp[ns]) and old driver — re-prove under NTZ-era files ---
         "a1_pricing_summary": q_a1_pricing_summary,
@@ -2898,6 +2923,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.n_spans - COALESCE(r.n_kept, 0) AS INT) AS n_dropped,
                    COALESCE(r.clean_text, '') AS clean_text
             FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "vocab_build": """
+            WITH t AS (
+              SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS token
+              FROM documents
+            ), c AS (
+              SELECT token, count(*) AS n FROM t GROUP BY token HAVING count(*) >= 2
+            )
+            SELECT token, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS INT) AS token_id
+            FROM c
+        """,
+        "vocab_encode": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+              FROM documents
+            ), flat AS (
+              SELECT doc_id, s.pos AS pos, s.token AS token
+              FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+                       i -> struct_pack(pos := i - 1, token := tk[i]))) AS s
+                    FROM toks)
+            ), c AS (
+              SELECT token, count(*) AS n FROM (SELECT unnest(tk) AS token FROM toks)
+              GROUP BY token HAVING count(*) >= 2
+            ), v AS (
+              SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS INT) AS token_id
+              FROM c
+            )
+            SELECT f.doc_id, count(*) AS n_tokens, count(v.token_id) AS n_known,
+                   count(*) - count(v.token_id) AS n_unk,
+                   CAST(sum((f.pos + 1) * CAST(v.token_id AS BIGINT)) AS BIGINT) AS id_checksum
+            FROM flat f LEFT JOIN v ON f.token = v.token
+            GROUP BY f.doc_id
         """,
         "text_bpe_tokens": f"""
             SELECT doc_id,

@@ -180,6 +180,62 @@ def quality_weighted_sample(
     return docs.where(u < w)
 
 
+def build_vocab(
+    docs: DataFrame,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide vocabulary build (the tokenizer-training precursor):
+    global token frequencies, frequency cutoff, contiguous ids assigned by
+    ``(count DESC, token ASC)`` rank.
+
+    Returns ``(token, n, token_id)`` with ids 0..|V|-1.
+
+    Scale design: the corpus-side work is ONE hash aggregation with
+    map-side combine (the explode never shuffles raw tokens — partial
+    counts do). The ranking window then runs over the post-cutoff
+    VOCABULARY, which is bounded by the token-type count (≤ millions at
+    any corpus size, vs trillions of token instances) — a deliberate,
+    documented single-partition sort of a small table, the same shape
+    the reference uses for its catalog-level metadata."""
+    toks = docs.select(F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token"))
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= F.lit(min_count))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return counts.withColumn("token_id", (F.row_number().over(w) - 1).cast("int"))
+
+
+def encode_tokens(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents against a built vocabulary (broadcast join — the
+    vocab is the small side at any corpus scale) and reduce per document:
+    ``(doc_id, n_tokens, n_known, n_unk, id_checksum)`` where the
+    checksum is ``sum((pos+1) * token_id)`` over known tokens — an
+    order-sensitive scalar that certifies the full positional encoding
+    without emitting an array column.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(T.tokens(F.lower(F.col(text_col)))).alias("pos", "token"),
+    )
+    joined = tok.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.count("token_id").alias("n_known"),
+        (F.count("*") - F.count("token_id")).alias("n_unk"),
+        F.sum(
+            (F.col("pos") + F.lit(1)) * F.col("token_id").cast("bigint")
+        ).alias("id_checksum"),
+    )
+
+
 def duplicate_span_dedup(
     docs: DataFrame,
     span_words: int = 5,
