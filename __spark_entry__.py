@@ -1241,6 +1241,42 @@ def q_stream_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(out, output_mode="append")
 
 
+def q_corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture diagnostics (corpus.py::source_token_entropy): token
+    count, vocab size, Shannon entropy per source — two map-side-combined
+    hash aggs, no window/sort anywhere."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.source_token_entropy(docs, group_col="source")
+
+
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 built-in streaming dedup: dropDuplicatesWithinWatermark keeps
+    one row per user_id with state expiring at the watermark horizon —
+    WHICH row survives depends on micro-batch arrival order, so the
+    certified contract is the surviving KEY SET (≡ SELECT DISTINCT), the
+    part that is deterministic under any batch split."""
+    from convml_data_spark import streaming
+
+    _prep(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_type = dict(batch.dtypes).get("ts")
+    if ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = (
+        stream.withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id")
+    )
+    return streaming.run_available_now(deduped, output_mode="append")
+
+
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (approx_percentile, rank error ≤ n/acc)
     per group — the fixed-state path that replaces exact sorts at 100 TB.
@@ -1750,6 +1786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j10_interval_join": q_j10_interval_join,
         "vocab_build": q_vocab_build,
         "vocab_encode": q_vocab_encode,
+        "corpus_entropy": q_corpus_entropy,
+        "stream_dedup_watermark": q_stream_dedup_watermark,
         # --- last certified in round 1 only, under the OLD testdata
         # (timestamp[ns]) and old driver — re-prove under NTZ-era files ---
         "a1_pricing_summary": q_a1_pricing_summary,
@@ -2923,6 +2961,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.n_spans - COALESCE(r.n_kept, 0) AS INT) AS n_dropped,
                    COALESCE(r.clean_text, '') AS clean_text
             FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "corpus_entropy": """
+            WITH tok AS (
+              SELECT source, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS token
+              FROM documents
+            ), tc AS (
+              SELECT source, token, count(*) AS c FROM tok GROUP BY source, token
+            )
+            SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS vocab_size,
+                   round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy_nats
+            FROM tc GROUP BY source
+        """,
+        "stream_dedup_watermark": """
+            SELECT DISTINCT user_id FROM events
         """,
         "vocab_build": """
             WITH t AS (

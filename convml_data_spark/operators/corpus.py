@@ -236,6 +236,33 @@ def encode_tokens(
     )
 
 
+def source_token_entropy(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-mixture diagnostics: per-group token count, vocabulary size
+    and Shannon entropy (nats) of the token distribution — the numbers a
+    data-mixing pipeline monitors when reweighting sources.
+
+    Two hash aggregations ((group, token) counts → per-group reduction),
+    both map-side combined; no window, no sort, no driver state. Entropy
+    uses ln so DuckDB replays it exactly at round(6) (libm vs JVM ≤1 ulp,
+    see the verify notes on float parity)."""
+    tok = docs.select(
+        F.col(group_col), F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    tc = tok.groupBy(group_col, "token").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    # H = ln(N) - sum(c*ln c)/N  (algebraic form avoids a second pass for p)
+    ent = F.log(n) - F.sum(F.col("c") * F.log("c")) / n
+    return tc.groupBy(group_col).agg(
+        n.alias("n_tokens"),
+        F.count("*").alias("vocab_size"),
+        F.round(ent, 6).alias("entropy_nats"),
+    )
+
+
 def duplicate_span_dedup(
     docs: DataFrame,
     span_words: int = 5,
