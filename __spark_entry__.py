@@ -1229,12 +1229,7 @@ def q_stream_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from convml_data_spark.streaming import stateful
 
     _prep(spark)
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    _, stream = streaming.stream_table(spark, sf_dir, "events")
     out = stateful.streaming_seen_filter(
         stream, "user_id", "event_id", out_schema="user_id long, event_id long"
     )
@@ -1260,15 +1255,7 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from convml_data_spark import streaming
 
     _prep(spark)
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ts_type = dict(batch.dtypes).get("ts")
-    if ts_type == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    _, stream = streaming.stream_table(spark, sf_dir, "events")
     deduped = (
         stream.withWatermark("ts", "2 days")
         .dropDuplicatesWithinWatermark(["user_id"])
@@ -1535,8 +1522,8 @@ def q_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     # sniff the files' physical timestamp type: TIMESTAMP(NANOS) needs the
-    # legacy long read + µs conversion, TIMESTAMP(MICROS, utc=false) reads
-    # as NTZ and is cast to the engine's instant type (UTC session, exact)
+    # legacy long read + µs conversion; MICROS-NTZ and file-vs-directory
+    # layout are handled by streaming.stream_table
     path = f"{sf_dir}/events.parquet"
     if tables._nanos_columns(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1544,19 +1531,16 @@ def q_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def tx(df: DataFrame) -> DataFrame:
             return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+        sdf = streaming.stream_windowed_counts(
+            spark, sf_dir, schema, path_glob="events.parquet",
+            group_cols=("event_type",), transform=tx,
+        )
     else:
-        batch = spark.read.parquet(path)
-        schema = batch.schema
-        tx = None
-        if dict(batch.dtypes).get("ts") == "timestamp_ntz":
-
-            def tx(df: DataFrame) -> DataFrame:
-                return df.withColumn("ts", F.col("ts").cast("timestamp"))
-
-    sdf = streaming.stream_windowed_counts(
-        spark, sf_dir, schema, path_glob="events.parquet",
-        group_cols=("event_type",), transform=tx,
-    )
+        _, stream = streaming.stream_table(spark, sf_dir, "events")
+        sdf = streaming.stream_windowed_counts(
+            spark, sf_dir, None, group_cols=("event_type",), source=stream
+        )
     return streaming.run_available_now(sdf)
 
 

@@ -5,6 +5,7 @@ from .scene_stream import (
     drain_to_parquet,
     run_available_now,
     stream_sessionize,
+    stream_table,
     stream_windowed_counts,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "drain_to_parquet",
     "run_available_now",
     "stream_sessionize",
+    "stream_table",
     "stream_windowed_counts",
 ]

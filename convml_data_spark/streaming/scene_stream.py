@@ -16,12 +16,41 @@ semantics — the same query left running becomes a continuous pipeline.
 from __future__ import annotations
 
 import itertools
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _sink_counter = itertools.count()
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> tuple[DataFrame, DataFrame]:
+    """(batch_df, stream_df) for one of the driver's parquet tables,
+    robust to both physical layouts:
+
+    - ``{name}.parquet`` as a single FILE: the file source rejects a bare
+      file path ("basePath must be a directory"), so stream the parent
+      dir with a ``pathGlobFilter`` on the file name;
+    - ``{name}.parquet`` as a DIRECTORY of part files: the glob would
+      match no leaf file and the stream would be silently empty, so
+      stream the directory itself.
+
+    The batch read supplies the schema (file streams require one), and a
+    TIMESTAMP_NTZ ``ts`` column is cast to the engine's instant type.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    batch = spark.read.parquet(path)
+    reader = spark.readStream.schema(batch.schema)
+    if os.path.isdir(path):
+        stream = reader.parquet(path)
+    else:
+        stream = reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
+    for c, t in batch.dtypes:
+        if t == "timestamp_ntz":
+            stream = stream.withColumn(c, F.col(c).cast("timestamp"))
+            batch = batch.withColumn(c, F.col(c).cast("timestamp"))
+    return batch, stream
 
 
 def stream_windowed_counts(
@@ -34,18 +63,24 @@ def stream_windowed_counts(
     path_glob: str | None = None,
     group_cols: tuple[str, ...] = (),
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    source: DataFrame | None = None,
 ) -> DataFrame:
     """File stream → (optional row transform) → watermarked tumbling-window
     counts. Returns the STREAMING DataFrame (caller picks the trigger/sink).
+    Pass ``source`` (e.g. from :func:`stream_table`) to supply a ready
+    streaming DataFrame instead of the path/schema/glob reader.
 
     The watermark bounds aggregation state: files later than ``watermark``
     behind the max seen event time stop updating their window — the
     streaming analog of the reference's tolerance-bounded as-of matching.
     """
-    reader = spark.readStream.schema(schema)
-    if path_glob:
-        reader = reader.option("pathGlobFilter", path_glob)
-    stream = reader.parquet(path)
+    if source is not None:
+        stream = source
+    else:
+        reader = spark.readStream.schema(schema)
+        if path_glob:
+            reader = reader.option("pathGlobFilter", path_glob)
+        stream = reader.parquet(path)
     if transform is not None:
         stream = transform(stream)
     return (

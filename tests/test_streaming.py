@@ -173,3 +173,24 @@ def test_drain_to_parquet_engine_sink(spark, tmp_path):
         if r["k"] not in latest or r["_batch_id"] > latest[r["k"]][1]:
             latest[r["k"]] = (r["n"], r["_batch_id"])
     assert {k: v[0] for k, v in latest.items()} == {"a": 2, "b": 1}
+
+
+def test_stream_table_handles_file_and_directory_layouts(spark, tmp_path):
+    """stream_table must yield the same rows whether {name}.parquet is a
+    single file (driver layout: needs dir + glob) or a directory of part
+    files (Spark writer layout: glob would silently match nothing)."""
+    from convml_data_spark import streaming, tables
+
+    src = tables.load_table(spark, "/root/testdata/sf0.001", "events")
+    n = src.count()
+    d = str(tmp_path / "dirfmt")
+    src.write.parquet(d + "/events.parquet")
+
+    for sf_dir in ("/root/testdata/sf0.001", d):
+        batch, stream = streaming.stream_table(spark, sf_dir, "events")
+        assert batch.count() == n
+        out = streaming.run_available_now(
+            stream.groupBy().count(), output_mode="complete"
+        )
+        assert out.first()["count"] == n
+        assert dict(batch.dtypes)["ts"] == "timestamp"
