@@ -1521,26 +1521,12 @@ def q_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from convml_data_spark import streaming
 
     _prep(spark)
-    # sniff the files' physical timestamp type: TIMESTAMP(NANOS) needs the
-    # legacy long read + µs conversion; MICROS-NTZ and file-vs-directory
-    # layout are handled by streaming.stream_table
-    path = f"{sf_dir}/events.parquet"
-    if tables._nanos_columns(path):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
-
-        def tx(df: DataFrame) -> DataFrame:
-            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-
-        sdf = streaming.stream_windowed_counts(
-            spark, sf_dir, schema, path_glob="events.parquet",
-            group_cols=("event_type",), transform=tx,
-        )
-    else:
-        _, stream = streaming.stream_table(spark, sf_dir, "events")
-        sdf = streaming.stream_windowed_counts(
-            spark, sf_dir, None, group_cols=("event_type",), source=stream
-        )
+    # stream_table normalizes every physical timestamp era (ns-as-long,
+    # MICROS-NTZ, instants) and both file-vs-directory layouts
+    _, stream = streaming.stream_table(spark, sf_dir, "events")
+    sdf = streaming.stream_windowed_counts(
+        spark, sf_dir, None, group_cols=("event_type",), source=stream
+    )
     return streaming.run_available_now(sdf)
 
 
@@ -1761,6 +1747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_asof_single": q_j2_asof_single,
         "j3_asof_all_within": q_j3_asof_all_within,
         "f4_traj_snap": q_f4_traj_snap,
+        # exact_quantiles was rewritten this round (percentile_approx cut
+        # points) — its certifying key re-proves in-window
+        "a7_equidepth": q_a7_equidepth,
         # --- new this round: span dedup, BPE pieces, quantile sketch ---
         "dedup_spans": q_dedup_spans,
         "text_bpe_tokens": q_text_bpe_tokens,
@@ -1817,7 +1806,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- position 51+: certified green in round 3 under
         # the CURRENT testdata/driver; rotate back in next round ----------
         "scene_table": q_scene_table,
-        "a7_equidepth": q_a7_equidepth,
         "u3_anti_join": q_u3_anti_join,
         "dedup_exact_prefix": q_dedup_exact_prefix,
         "dedup_jaccard": q_dedup_jaccard,
@@ -2955,7 +2943,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
                    count(*) AS vocab_size,
-                   round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy_nats
+                   round(ln(sum(c)) - CAST(sum(CAST(c * ln(c) AS DECIMAL(38,12))) AS DOUBLE) / sum(c), 6) AS entropy_nats
             FROM tc GROUP BY source
         """,
         "stream_dedup_watermark": """

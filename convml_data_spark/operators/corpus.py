@@ -193,19 +193,37 @@ def build_vocab(
 
     Scale design: the corpus-side work is ONE hash aggregation with
     map-side combine (the explode never shuffles raw tokens — partial
-    counts do). The ranking window then runs over the post-cutoff
-    VOCABULARY, which is bounded by the token-type count (≤ millions at
-    any corpus size, vs trillions of token instances) — a deliberate,
-    documented single-partition sort of a small table, the same shape
-    the reference uses for its catalog-level metadata."""
+    counts do). The global rank decomposes so no single-partition window
+    ever sees the vocabulary: rank(token) = (# tokens in strictly more
+    frequent count-classes) + (lexicographic rank within its own class).
+    The cross-class prefix sum runs over the count-class HISTOGRAM
+    (distinct frequency values — thousands at most, Zipf collapses the
+    tail), and the within-class ranks are windows PARTITIONED by count,
+    so parallelism follows the class structure; the min-count tail class
+    is the widest single partition and bounds the critical path."""
     toks = docs.select(F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token"))
     counts = (
         toks.groupBy("token")
         .agg(F.count("*").alias("n"))
         .where(F.col("n") >= F.lit(min_count))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    return counts.withColumn("token_id", (F.row_number().over(w) - 1).cast("int"))
+    hist = counts.groupBy("n").agg(F.count("*").alias("_cnt"))
+    w_hist = (
+        Window.orderBy(F.col("n").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = hist.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_hist), F.lit(0))
+    ).select("n", "_off")
+    w_class = Window.partitionBy("n").orderBy("token")
+    return (
+        counts.join(F.broadcast(offsets), "n")
+        .withColumn(
+            "token_id",
+            (F.col("_off") + F.row_number().over(w_class) - 1).cast("int"),
+        )
+        .select("token", "n", "token_id")
+    )
 
 
 def encode_tokens(
@@ -246,16 +264,19 @@ def source_token_entropy(
     data-mixing pipeline monitors when reweighting sources.
 
     Two hash aggregations ((group, token) counts → per-group reduction),
-    both map-side combined; no window, no sort, no driver state. Entropy
-    uses ln so DuckDB replays it exactly at round(6) (libm vs JVM ≤1 ulp,
-    see the verify notes on float parity)."""
+    both map-side combined; no window, no sort, no driver state. Float
+    discipline: each ``c·ln c`` term is truncated to DECIMAL(38,12) BEFORE
+    summing, so the reduction is exact and order-independent (a raw double
+    sum would drift with partial-aggregation order under AQE); the per-term
+    ln itself agrees across engines at this scale (≤1 ulp ≪ 1e-12)."""
     tok = docs.select(
         F.col(group_col), F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token")
     )
     tc = tok.groupBy(group_col, "token").agg(F.count("*").alias("c"))
     n = F.sum("c")
     # H = ln(N) - sum(c*ln c)/N  (algebraic form avoids a second pass for p)
-    ent = F.log(n) - F.sum(F.col("c") * F.log("c")) / n
+    term = (F.col("c") * F.log("c")).cast("decimal(38,12)")
+    ent = F.log(n) - F.sum(term).cast("double") / n
     return tc.groupBy(group_col).agg(
         n.alias("n_tokens"),
         F.count("*").alias("vocab_size"),

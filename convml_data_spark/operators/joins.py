@@ -60,7 +60,6 @@ def interval_join(
     start_col: str,
     end_col: str,
     bucket_width_seconds: float | None = None,
-    how: str = "inner",
 ) -> DataFrame:
     """Point-in-interval join (``start <= t <= end``) as an equi-join —
     the 1-D range join Spark has no native operator for (the time-axis
@@ -79,7 +78,10 @@ def interval_join(
     and skewed buckets split by AQE like any hash join.
 
     Time columns may be TIMESTAMP or TIMESTAMP_NTZ (dtype-aware epoch
-    arithmetic); both sides keep all their columns in the output.
+    arithmetic); both sides keep all their columns in the output. INNER
+    semantics only: the BETWEEN re-check after the bucket join would
+    silently drop an outer join's null-extended rows, so outer variants
+    must be composed explicitly (e.g. anti-join the matched point ids).
     """
     from convml_data_spark.functions.timeutils import epoch_micros
 
@@ -99,7 +101,7 @@ def interval_join(
         .withColumn("_bucket", F.explode(F.sequence(F.col("_b0"), F.col("_b1"))))
         .drop("_b0", "_b1")
     )
-    joined = p.join(iv, "_bucket", how).where(
+    joined = p.join(iv, "_bucket").where(
         (F.col(point_col) >= F.col(start_col))
         & (F.col(point_col) <= F.col(end_col))
     )

@@ -36,16 +36,29 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> tuple[DataFrame
       match no leaf file and the stream would be silently empty, so
       stream the directory itself.
 
-    The batch read supplies the schema (file streams require one), and a
-    TIMESTAMP_NTZ ``ts`` column is cast to the engine's instant type.
+    The batch read supplies the schema (file streams require one), and
+    every physical timestamp era normalizes to the engine's instant type:
+    TIMESTAMP(NANOS) columns read as long (legacy conf) and convert with
+    exact integer division, TIMESTAMP_NTZ casts under the pinned-UTC
+    session — mirroring ``tables.load_table`` so batch and stream always
+    agree.
     """
+    from convml_data_spark import tables
+
     path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = tables._nanos_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(path)
     reader = spark.readStream.schema(batch.schema)
     if os.path.isdir(path):
         stream = reader.parquet(path)
     else:
         stream = reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
+    for c in ns_cols:
+        conv = F.expr(f"timestamp_micros(`{c}` div 1000)")
+        batch = batch.withColumn(c, conv)
+        stream = stream.withColumn(c, conv)
     for c, t in batch.dtypes:
         if t == "timestamp_ntz":
             stream = stream.withColumn(c, F.col(c).cast("timestamp"))

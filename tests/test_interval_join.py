@@ -29,12 +29,15 @@ ivals = st.lists(
 
 
 def _expected(p_offs, iv_specs):
-    out = set()
+    # sorted LIST, not set: duplicate pair emission (e.g. a right row
+    # joining from two bucket replicas) must fail the comparison, since
+    # downstream count(*) aggregates would double-count it
+    out = []
     for pi, po in enumerate(p_offs):
         for ii, (s, length) in enumerate(iv_specs):
             if s <= po <= s + length:
-                out.add((pi, ii))
-    return out
+                out.append((pi, ii))
+    return sorted(out)
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
@@ -51,12 +54,12 @@ def test_interval_join_matches_brute_force(spark, p_offs, iv_specs, width):
         ],
         "iid long, t0 timestamp, t1 timestamp",
     )
-    got = {
+    got = sorted(
         (r["pid"], r["iid"])
         for r in interval_join(
             points, intervals, "t", "t0", "t1", bucket_width_seconds=width
         ).collect()
-    }
+    )
     assert got == _expected(p_offs, iv_specs)
 
 
@@ -78,8 +81,8 @@ def test_interval_join_infers_width_and_accepts_ntz(spark):
         F.col("t0").cast("timestamp_ntz").alias("t0"),
         F.col("t1").cast("timestamp_ntz").alias("t1"),
     )
-    got = {
+    got = sorted(
         (r["pid"], r["iid"])
         for r in interval_join(points, intervals, "t", "t0", "t1").collect()
-    }
+    )
     assert got == _expected(p_offs, iv_specs)
