@@ -60,6 +60,40 @@ def infer_min_spacing(df: DataFrame, time_col: str, partition_by: list[str] | No
     return gaps[0]["m"] / 1e6 if gaps and gaps[0]["m"] is not None else None
 
 
+_COARSE_US = 3_600_000_000  # 1 h — coarse-bucket granularity for gap stats
+
+
+def _right_gap_stats(df: DataFrame, time_col: str):
+    """(min_us, max_us, max_consecutive_gap_us) of a time column, computed
+    WITHOUT a single-partition window: per-coarse-bucket lag windows run in
+    parallel (partitioned by the 1-hour bucket), and gaps that straddle
+    bucket boundaries come from an ordered pass over the BUCKET SUMMARY
+    table, whose row count is bounded by the data's time span in hours —
+    not its row count. Returns None for an empty side. Three plan-time
+    scalars, like infer_min_spacing's A3 inference."""
+    t = epoch_micros(time_col, dict(df.dtypes)[time_col])
+    rows = df.select(t.alias("_t")).where(F.col("_t").isNotNull())
+    b = rows.withColumn("_b", F.floor(F.col("_t") / F.lit(_COARSE_US)))
+    w_in = Window.partitionBy("_b").orderBy("_t")
+    local = b.withColumn("_g", F.col("_t") - F.lag("_t").over(w_in))
+    summary = local.groupBy("_b").agg(
+        F.min("_t").alias("_mn"), F.max("_t").alias("_mx"), F.max("_g").alias("_lg")
+    )
+    w_b = Window.orderBy("_b")
+    g = summary.withColumn("_bg", F.col("_mn") - F.lag("_mx").over(w_b))
+    out = g.agg(
+        F.min("_mn").alias("mn"),
+        F.max("_mx").alias("mx"),
+        F.greatest(
+            F.coalesce(F.max("_lg"), F.lit(0)), F.coalesce(F.max("_bg"), F.lit(0))
+        ).alias("gap"),
+    ).collect()
+    if not out or out[0]["mn"] is None:
+        return None
+    r = out[0]
+    return int(r["mn"]), int(r["mx"]), int(r["gap"])
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -132,18 +166,39 @@ def asof_join(
         .select(*keys, "_t", "_is_left", rstruct.alias("_r"))
     )
 
-    bucketed = not keys and tolerance_seconds is not None
-    if bucketed:
-        # width = 2·tol with rights exploded into the buckets covering
-        # [r-tol, r+tol]: that interval has length exactly 2·tol = one
-        # bucket width, so its endpoints' floors differ by ≤1 — every
-        # right lands in ≤2 buckets (1 when both floors agree), vs the 3×
-        # blanket-neighbor replication of width=tol. Any left t in bucket
-        # b with |t-r| ≤ tol satisfies r+tol ≥ t ≥ b·w and r-tol ≤ t <
+    radius_us = None
+    clamp = None
+    if not keys:
+        if tolerance_seconds is not None:
+            radius_us = max(float(tolerance_seconds), 1e-6) * 1e6
+        else:
+            # no tolerance given: without buckets the whole axis lands in
+            # ONE window partition (the banned single-partition window —
+            # 123 s at sf0.1 before this path existed). Infer a radius
+            # that still guarantees exactness: with G = the rights' max
+            # consecutive gap, every point CLAMPED into [min_r, max_r] has
+            # its nearest right within G/2 ≤ G; out-of-range lefts clamp
+            # to the boundary for BUCKETING only (their nearest right is
+            # the boundary right, which lives in the clamped bucket), and
+            # all Δt math still uses the original time.
+            stats = _right_gap_stats(right, right_on)
+            if stats is not None:
+                min_us, max_us, gap_us = stats
+                radius_us = float(max(gap_us, 1))
+                clamp = (min_us, max_us)
+    if radius_us is not None:
+        # width = 2·radius with rights exploded into the buckets covering
+        # [r-radius, r+radius]: that interval is exactly one bucket wide,
+        # so its endpoints' floors differ by ≤1 — every right lands in ≤2
+        # buckets (1 when both floors agree). Any left t in bucket b with
+        # |t-r| ≤ radius satisfies r+radius ≥ t ≥ b·w and r-radius ≤ t <
         # (b+1)·w, so b is always among the covered buckets — exact.
-        tol_us = F.lit(max(float(tolerance_seconds), 1e-6) * 1e6)
-        w_us = F.lit(2.0 * max(float(tolerance_seconds), 1e-6) * 1e6)
-        lhs = lhs.withColumn("_bucket", F.floor(F.col("_tus") / w_us))
+        tol_us = F.lit(radius_us)
+        w_us = F.lit(2.0 * radius_us)
+        lt = F.col("_tus")
+        if clamp is not None:
+            lt = F.greatest(F.lit(min_us), F.least(F.lit(max_us), lt))
+        lhs = lhs.withColumn("_bucket", F.floor(lt / w_us))
         rhs = rhs.withColumn(
             "_bucket",
             F.explode(
