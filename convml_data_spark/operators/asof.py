@@ -46,18 +46,38 @@ def infer_min_spacing(df: DataFrame, time_col: str, partition_by: list[str] | No
     Reference: ``dt_aux = min(diff(sorted(aux_times)))``
     (aux_sources.py:202-206). Returns a float (driver-side scalar) — this is
     plan-time metadata, like the reference's use of it.
+
+    With ``partition_by`` the lag window is keyed and parallel. WITHOUT it,
+    a bare ordered window would funnel every distinct time through one
+    partition, so the keyless path uses the coarse-bucket scheme (see
+    ``_right_gap_stats``): per-hour-bucket lag windows in parallel, plus
+    boundary gaps from the bucket-summary table (bounded by time span).
     """
-    w = Window.partitionBy(*(partition_by or [])).orderBy(time_col)
     micros = epoch_micros(time_col, dict(df.dtypes)[time_col])
-    gaps = (
-        df.select(*(partition_by or []), time_col)
-        .distinct()
-        .withColumn("_gap", micros - F.lag(micros).over(w))
-        .where(F.col("_gap").isNotNull())
-        .agg(F.min("_gap").alias("m"))
-        .collect()
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(time_col)
+        gaps = (
+            df.select(*partition_by, time_col)
+            .distinct()
+            .withColumn("_gap", micros - F.lag(micros).over(w))
+            .where(F.col("_gap").isNotNull())
+            .agg(F.min("_gap").alias("m"))
+            .collect()
+        )
+        return gaps[0]["m"] / 1e6 if gaps and gaps[0]["m"] is not None else None
+    rows = df.select(micros.alias("_t")).where(F.col("_t").isNotNull()).distinct()
+    b = rows.withColumn("_b", F.floor(F.col("_t") / F.lit(_COARSE_US)))
+    w_in = Window.partitionBy("_b").orderBy("_t")
+    local = b.withColumn("_g", F.col("_t") - F.lag("_t").over(w_in))
+    summary = local.groupBy("_b").agg(
+        F.min("_t").alias("_mn"), F.max("_t").alias("_mx"), F.min("_g").alias("_lg")
     )
-    return gaps[0]["m"] / 1e6 if gaps and gaps[0]["m"] is not None else None
+    w_b = Window.orderBy("_b")
+    g = summary.withColumn("_bg", F.col("_mn") - F.lag("_mx").over(w_b))
+    # least() skips nulls, so either side may be empty (single bucket /
+    # no in-bucket pairs) without poisoning the min
+    out = g.agg(F.least(F.min("_lg"), F.min("_bg")).alias("m")).collect()
+    return out[0]["m"] / 1e6 if out and out[0]["m"] is not None else None
 
 
 _COARSE_US = 3_600_000_000  # 1 h — coarse-bucket granularity for gap stats
