@@ -634,6 +634,37 @@ def q_f4_traj_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapped.select("scene_event_id").distinct()
 
 
+def q_traj_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-tile placement (tiler.py::trajectory_tile_locations;
+    reference pipeline/trajectory_tiles.py:46-74): scenes snap to the
+    nearest trajectory time (F4), gain that point's exact global time
+    index and (lat, lon), and a square tile of resolution*tile_N meters is
+    centered there. Trajectory positions are synthesized deterministically
+    from the time value itself so the DuckDB replay is exact."""
+    from convml_data_spark.operators import tiler
+
+    events = _t(spark, sf_dir, "events")
+    tsec = F.expr("_tus div 1000000")
+    traj = (
+        events.where(F.col("event_type") == "purchase")
+        .select(F.col("ts").alias("t_traj"))
+        .distinct()
+        .withColumn("_tus", F.unix_micros("t_traj"))
+        .select(
+            "t_traj",
+            (F.pmod(tsec, F.lit(140)) - 70).cast("double").alias("lat"),
+            (F.pmod(tsec, F.lit(360)) - 180).cast("double").alias("lon"),
+        )
+    )
+    scenes = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("scene_id"), F.col("ts").alias("t_scene")
+    )
+    return tiler.trajectory_tile_locations(
+        scenes, traj, resolution=250.0, tile_N=256,
+        scene_time="t_scene", traj_time="t_traj",
+    ).drop("t_scene")
+
+
 def q_j6_emb_aux_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: embeddings ⋈ per-group aux reductions on the group key
     (aux_fields/data.py:139-146) — the aux side is a tiny aggregate, so the
@@ -1201,16 +1232,23 @@ def q_w6_sequential_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
 
     def step(state, row):
-        if state is None or row["value"] > state:
-            return row["value"], {
+        # nulls arrive as NaN in applyInPandas; NaN > state is False AND
+        # state=NaN poisons every later comparison, while the SQL
+        # running-max oracle simply ignores NULLs — skip them (v == v is
+        # the NaN test) so both sides agree on null-bearing data
+        v = row["value"]
+        if v is not None and v == v and (state is None or v > state):
+            return v, {
                 "event_type": row["event_type"],
                 "event_id": row["event_id"],
-                "value": row["value"],
+                "value": v,
             }
         return state, None
 
     return windows.sequential_scan(
-        events.select("event_type", "ts", "event_id", "value"),
+        events.select("event_type", "ts", "event_id", "value").where(
+            F.col("value").isNotNull()
+        ),
         partition_by=["event_type"],
         order_by=["ts", "event_id"],
         step_fn=step,
@@ -1229,7 +1267,10 @@ def q_stream_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from convml_data_spark.streaming import stateful
 
     _prep(spark)
-    _, stream = streaming.stream_table(spark, sf_dir, "events")
+    # single_batch: the min(event_id)-per-user contract only holds if the
+    # whole backlog drains as ONE micro-batch (a multi-part-file events
+    # table would otherwise emit the first id per batch, not the min)
+    _, stream = streaming.stream_table(spark, sf_dir, "events", single_batch=True)
     out = stateful.streaming_seen_filter(
         stream, "user_id", "event_id", out_schema="user_id long, event_id long"
     )
@@ -1737,6 +1778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one in-window representative; keys certified green in earlier rounds
     # rotate behind position 50 and back in on later rounds.
     return {
+        # --- NEW in round 5: never certified ---
+        "traj_tiles": q_traj_tiles,
         # --- red in round 3, fixed this round: must re-prove first ---
         # (NTZ timestamp breakage: j2/j3/f4/w7 + bench; stream schema sniff;
         # minhash sigs de-arrayed; w7/a14 decimal→double portability)
@@ -2232,6 +2275,34 @@ def oracle_sql() -> dict[str, str]:
                    FROM traj t CROSS JOIN sc s
                  )
             SELECT DISTINCT scene_event_id FROM j WHERE rn = 1
+        """,
+        "traj_tiles": """
+            WITH traj AS (
+              SELECT DISTINCT ts AS t_traj FROM events WHERE event_type = 'purchase'
+            ),
+            t2 AS (
+              SELECT t_traj,
+                     CAST(row_number() OVER (ORDER BY t_traj) - 1 AS BIGINT) AS time_idx,
+                     CAST(epoch_us(t_traj) // 1000000 % 140 - 70 AS DOUBLE) AS lat,
+                     CAST(epoch_us(t_traj) // 1000000 % 360 - 180 AS DOUBLE) AS lon
+              FROM traj
+            ),
+            sc AS (
+              SELECT event_id AS scene_id, ts AS t_scene
+              FROM events WHERE event_type = 'click'
+            ),
+            j AS (
+              SELECT s.scene_id, t.t_traj, t.time_idx, t.lat, t.lon,
+                     row_number() OVER (
+                       PARTITION BY s.scene_id
+                       ORDER BY abs(epoch_us(s.t_scene) - epoch_us(t.t_traj)), t.t_traj
+                     ) AS rn
+              FROM sc s CROSS JOIN t2 t
+            )
+            SELECT scene_id, t_traj, time_idx,
+                   lat AS central_latitude, lon AS central_longitude,
+                   CAST(64000.0 AS DOUBLE) AS size
+            FROM j WHERE rn = 1
         """,
         "j6_emb_aux_join": """
             WITH aux AS (
@@ -3019,7 +3090,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type, event_id, value,
                      max(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
-              FROM events
+              FROM events WHERE value IS NOT NULL
             )
             SELECT event_type, event_id, value
             FROM w WHERE prev_max IS NULL OR value > prev_max

@@ -30,14 +30,44 @@ guaranteed to live in the left row's bucket. That keeps the operator fully
 parallel at 100 TB with right-side replication ≤ 2×. With ``partition_by``
 (e.g. per aux product) the windows are already keyed and no replication is
 needed — unless a single key still carries the whole table.
+
+All bucket arithmetic is INTEGER microseconds (``_floordiv``): a float
+``(t ± tol)/w`` near a bucket boundary can round across it and silently
+drop an exactly-at-tolerance match, so the radius is ``ceil`` ed to whole
+microseconds (conservative — only ever widens the bucket cover) and the
+exact user tolerance is applied only in the final ``_dt`` filter.
+
+Keyless with NO tolerance, the bucket radius is inferred from the right
+side's consecutive gaps. Using the MAX gap alone is exact but skew-fragile:
+one year-long hole in the rights inflates every bucket to 2×that gap and
+parallelism collapses. The skew guard runs geometric PASSES instead —
+radius p99-gap, then 4×, 16×, … capped at the max gap — keeping a match
+only when its distance ≤ the pass radius (which proves the in-bucket winner
+IS the global nearest: a right within radius of the left always shares the
+left's bucket) and re-bucketing only the unresolved hole-straddling lefts,
+with the rights semi-joined down to the buckets those lefts occupy. Dense
+regions never leave pass 1; the hole costs O(log(max/p99)) small passes.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from convml_data_spark.functions.timeutils import epoch_micros
+
+
+def _floordiv(col: Column, w: int) -> Column:
+    """Exact floor division of a bigint column by a positive int literal.
+
+    ``floor(col / w)`` in doubles can misround near bucket boundaries;
+    ``col - pmod(col, w)`` is an exact multiple of ``w`` (pmod ≥ 0 also for
+    negative inputs), and dividing two exactly-representable doubles whose
+    true quotient is an integer < 2^53 is exact in IEEE arithmetic."""
+    wl = F.lit(int(w)).cast("long")
+    return ((col - F.pmod(col, wl)) / wl).cast("long")
 
 
 def infer_min_spacing(df: DataFrame, time_col: str, partition_by: list[str] | None = None):
@@ -84,13 +114,15 @@ _COARSE_US = 3_600_000_000  # 1 h — coarse-bucket granularity for gap stats
 
 
 def _right_gap_stats(df: DataFrame, time_col: str):
-    """(min_us, max_us, max_consecutive_gap_us) of a time column, computed
+    """(min_us, max_us, max_gap_us, p99_gap_us) of a time column, computed
     WITHOUT a single-partition window: per-coarse-bucket lag windows run in
     parallel (partitioned by the 1-hour bucket), and gaps that straddle
     bucket boundaries come from an ordered pass over the BUCKET SUMMARY
     table, whose row count is bounded by the data's time span in hours —
-    not its row count. Returns None for an empty side. Three plan-time
-    scalars, like infer_min_spacing's A3 inference."""
+    not its row count. Returns None for an empty side. Four plan-time
+    scalars, like infer_min_spacing's A3 inference. The p99 gap (GK sketch,
+    mergeable) is the skew guard's starting radius; being approximate only
+    shifts WHERE the geometric pass ladder starts, never correctness."""
     t = epoch_micros(time_col, dict(df.dtypes)[time_col])
     rows = df.select(t.alias("_t")).where(F.col("_t").isNotNull())
     b = rows.withColumn("_b", F.floor(F.col("_t") / F.lit(_COARSE_US)))
@@ -111,7 +143,16 @@ def _right_gap_stats(df: DataFrame, time_col: str):
     if not out or out[0]["mn"] is None:
         return None
     r = out[0]
-    return int(r["mn"]), int(r["mx"]), int(r["gap"])
+    mn, mx, gap = int(r["mn"]), int(r["mx"]), int(r["gap"])
+    # p99 of ALL consecutive gaps = in-bucket gaps ∪ boundary gaps (cheap
+    # second agg over the same plan-time inputs; both sides map-combine)
+    allg = local.select(F.col("_g").alias("g")).where(F.col("g").isNotNull())
+    allg = allg.unionByName(
+        g.select(F.col("_bg").alias("g")).where(F.col("_bg").isNotNull())
+    )
+    p = allg.agg(F.percentile_approx("g", 0.99, 10000).alias("p")).collect()
+    p99 = int(p[0]["p"]) if p and p[0]["p"] is not None else gap
+    return mn, mx, gap, p99
 
 
 def asof_join(
@@ -163,120 +204,192 @@ def asof_join(
         how = "left" if keep_unmatched else "inner"
         return matched.join(pref, on=f"{right_prefix}{right_id_col}", how=how)
 
-    keys = list(partition_by or [])
-    payload_cols = [c for c in right.columns if c not in keys]
+    pkeys = list(partition_by or [])
+    payload_cols = [c for c in right.columns if c not in pkeys]
+    lcols = [c for c in left.columns if c not in pkeys]
     # _tus (epoch µs, computed per-side with that side's timestamp dtype —
     # TIMESTAMP or TIMESTAMP_NTZ) leads the struct: all Δt arithmetic below
-    # is integer math on it, and since it is a monotone image of _t it never
-    # perturbs the struct tie-ordering (equal _t ⇒ equal _tus ⇒ ties still
-    # fall through to the payload fields).
+    # is integer math on it, and since timestamps carry µs precision it is
+    # an injective monotone image of the time — ordering by it never
+    # perturbs the struct tie-ordering (equal time ⇒ equal _tus ⇒ ties
+    # still fall through to the payload fields).
     rstruct = F.struct(
         epoch_micros(right_on, dict(right.dtypes)[right_on]).alias("_tus"),
         *[F.col(c) for c in payload_cols],
     )
-
-    lhs = (
-        left.withColumn("_t", F.col(left_on))
-        .withColumn("_tus", epoch_micros(left_on, dict(left.dtypes)[left_on]))
-        .withColumn("_is_left", F.lit(1))
+    lhs = left.select(
+        *pkeys,
+        epoch_micros(left_on, dict(left.dtypes)[left_on]).alias("_tus"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
     )
-    rhs = (
-        right.withColumn("_t", F.col(right_on))
-        .withColumn("_is_left", F.lit(0))
-        .select(*keys, "_t", "_is_left", rstruct.alias("_r"))
+    rhs = right.select(*pkeys, rstruct.alias("_r")).select(
+        *pkeys,
+        F.col("_r._tus").alias("_tus"),
+        F.lit(0).alias("_is_left"),
+        F.col("_r"),
     )
+    rtype = rhs.schema["_r"].dataType
 
-    radius_us = None
-    clamp = None
-    if not keys:
-        if tolerance_seconds is not None:
-            radius_us = max(float(tolerance_seconds), 1e-6) * 1e6
-        else:
-            # no tolerance given: without buckets the whole axis lands in
-            # ONE window partition (the banned single-partition window —
-            # 123 s at sf0.1 before this path existed). Infer a radius
-            # that still guarantees exactness: with G = the rights' max
-            # consecutive gap, every point CLAMPED into [min_r, max_r] has
-            # its nearest right within G/2 ≤ G; out-of-range lefts clamp
-            # to the boundary for BUCKETING only (their nearest right is
-            # the boundary right, which lives in the clamped bucket), and
-            # all Δt math still uses the original time.
-            stats = _right_gap_stats(right, right_on)
-            if stats is not None:
-                min_us, max_us, gap_us = stats
-                radius_us = float(max(gap_us, 1))
-                clamp = (min_us, max_us)
-    if radius_us is not None:
+    def _window_match(lh: DataFrame, rh: DataFrame, keys: list[str]) -> DataFrame:
+        """Union-and-window core: lefts annotated with _chosen (nearest
+        right struct within the key partition) and _dt_us (integer µs).
+
+        Ordering: right rows before left rows at equal t so an exact match
+        is visible as "previous" with dt=0. ONE ordering serves both
+        frames, so Spark sorts each key partition exactly once (two
+        orderings differing only in _r direction forced a second sort).
+        The _r tiebreak makes TIED right timestamps deterministic —
+        without it, AQE re-plans could flip which of two same-t right rows
+        last()/first() lands on. Tie rule under the shared ascending
+        order: among rights tied at the nearest EARLIER time, last() picks
+        the struct-MAX payload; among rights tied at the nearest LATER
+        time, first() picks the struct-MIN payload. Oracles mirror this
+        with an ORDER BY chain of (|dt|, t, sign-flipped id). Struct
+        ordering requires orderable payload types; for map-typed payloads
+        pass right_id_col so the slim (t, id) struct is what gets
+        ordered. The window must see BOTH sides — lefts are filtered only
+        after annotation."""
+        unioned = lh.withColumn("_r", F.lit(None).cast(rtype)).unionByName(
+            rh, allowMissingColumns=True
+        )
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("_tus").asc(), F.col("_is_left").asc(), F.col("_r").asc()
+        )
+        prev = F.last("_r", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        nxt = F.first("_r", ignorenulls=True).over(
+            w.rowsBetween(0, Window.unboundedFollowing)
+        )
+        lm = F.col("_tus")
+        dt_prev = lm - prev["_tus"]
+        dt_next = nxt["_tus"] - lm
+        use_prev = (
+            F.when(prev.isNull(), F.lit(False))
+            .when(nxt.isNull(), F.lit(True))
+            .otherwise(dt_prev <= dt_next)
+        )
+        return (
+            unioned.withColumn("_chosen", F.when(use_prev, prev).otherwise(nxt))
+            .withColumn("_dt_us", F.when(use_prev, dt_prev).otherwise(dt_next))
+            .where(F.col("_is_left") == 1)
+        )
+
+    def _bucket_lhs(lh: DataFrame, radius_us: int, clamp) -> DataFrame:
+        lt = F.col("_tus")
+        if clamp is not None:
+            lt = F.greatest(F.lit(clamp[0]), F.least(F.lit(clamp[1]), lt))
+        return lh.withColumn("_bucket", _floordiv(lt, 2 * radius_us))
+
+    def _bucket_rhs(rh: DataFrame, radius_us: int) -> DataFrame:
         # width = 2·radius with rights exploded into the buckets covering
         # [r-radius, r+radius]: that interval is exactly one bucket wide,
         # so its endpoints' floors differ by ≤1 — every right lands in ≤2
         # buckets (1 when both floors agree). Any left t in bucket b with
         # |t-r| ≤ radius satisfies r+radius ≥ t ≥ b·w and r-radius ≤ t <
-        # (b+1)·w, so b is always among the covered buckets — exact.
-        tol_us = F.lit(radius_us)
-        w_us = F.lit(2.0 * radius_us)
-        lt = F.col("_tus")
-        if clamp is not None:
-            lt = F.greatest(F.lit(min_us), F.least(F.lit(max_us), lt))
-        lhs = lhs.withColumn("_bucket", F.floor(lt / w_us))
-        rhs = rhs.withColumn(
+        # (b+1)·w, so b is always among the covered buckets — exact. All
+        # arithmetic integer µs (_floordiv), so the at-radius edge case
+        # cannot round across a boundary.
+        r = F.lit(int(radius_us)).cast("long")
+        return rh.withColumn(
             "_bucket",
             F.explode(
                 F.array_distinct(
                     F.array(
-                        F.floor((F.col("_r._tus") - tol_us) / w_us),
-                        F.floor((F.col("_r._tus") + tol_us) / w_us),
+                        _floordiv(F.col("_r._tus") - r, 2 * radius_us),
+                        _floordiv(F.col("_r._tus") + r, 2 * radius_us),
                     )
                 )
             ),
         )
-        keys = ["_bucket"]
 
-    lcols = [c for c in lhs.columns if c not in {"_t", "_tus", "_is_left"} and c not in keys]
-    unioned = lhs.select(
-        *keys, "_t", "_tus", "_is_left",
-        F.lit(None).cast(rhs.schema["_r"].dataType).alias("_r"),
-        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
-    ).unionByName(rhs, allowMissingColumns=True)
+    if pkeys:
+        matched = _window_match(lhs, rhs, pkeys)
+    elif tolerance_seconds is not None:
+        # ceil to whole µs: a conservative (≥ exact) bucket radius is
+        # always safe; the exact float tolerance is re-applied on _dt below
+        radius = max(1, math.ceil(float(tolerance_seconds) * 1e6))
+        matched = _window_match(
+            _bucket_lhs(lhs, radius, None), _bucket_rhs(rhs, radius), ["_bucket"]
+        )
+    else:
+        # no tolerance given: without buckets the whole axis lands in ONE
+        # window partition (the banned single-partition window — 123 s at
+        # sf0.1 before this path existed). Infer a radius that still
+        # guarantees exactness: with G = the rights' max consecutive gap,
+        # every point CLAMPED into [min_r, max_r] has its nearest right
+        # within G; out-of-range lefts clamp to the boundary for BUCKETING
+        # only (their nearest right is the boundary right, which lives in
+        # the clamped bucket), and all Δt math still uses the original
+        # time. When G ≫ p99 gap (a hole in the rights), radius G would
+        # collapse parallelism — run the geometric pass ladder instead
+        # (module docstring): a match at distance d ≤ pass-radius R is
+        # provably the GLOBAL nearest (that nearest is within R, hence in
+        # the left's bucket), so accepted matches are exact and only
+        # hole-straddling lefts continue to the next 4× radius.
+        stats = _right_gap_stats(right, right_on)
+        if stats is None:
+            # right side empty of usable times: nothing can ever match —
+            # skip the window entirely rather than degenerate to one task
+            matched = lhs.withColumn(
+                "_chosen", F.lit(None).cast(rtype)
+            ).withColumn("_dt_us", F.lit(None).cast("long"))
+        else:
+            mn, mx, gap, p99 = stats
+            gap = max(int(gap), 1)
+            start = max(int(p99), 1)
+            clamp = (mn, mx)
+            if gap <= 4 * start:
+                matched = _window_match(
+                    _bucket_lhs(lhs, gap, clamp), _bucket_rhs(rhs, gap), ["_bucket"]
+                )
+            else:
+                radii: list[int] = []
+                r_ = start
+                while r_ < gap:
+                    radii.append(r_)
+                    r_ *= 4
+                radii.append(gap)
+                out_of_range = (F.col("_tus") < F.lit(mn)) | (
+                    F.col("_tus") > F.lit(mx)
+                )
+                remaining = lhs
+                parts: list[DataFrame] = []
+                for i, R in enumerate(radii):
+                    lh_k = _bucket_lhs(remaining, R, clamp)
+                    rh_k = _bucket_rhs(rhs, R)
+                    if i > 0:
+                        # only hole-neighborhood buckets still hold lefts;
+                        # semi-join prunes the rights (and their window
+                        # sort) down to those buckets — dense regions
+                        # never pay for passes beyond the first
+                        active = lh_k.select("_bucket").distinct()
+                        rh_k = rh_k.join(active, "_bucket", "left_semi")
+                    m = _window_match(lh_k, rh_k, ["_bucket"])
+                    if i == len(radii) - 1:
+                        parts.append(m)  # radius = G: everything resolves
+                    else:
+                        # out-of-range lefts are exact at ANY radius (their
+                        # nearest is the boundary right, co-bucketed by
+                        # construction); in-range lefts are exact iff the
+                        # in-bucket distance is within this pass's radius
+                        ok = F.coalesce(
+                            out_of_range | (F.col("_dt_us") <= F.lit(int(R))),
+                            F.lit(False),
+                        )
+                        parts.append(m.where(ok))
+                        remaining = (
+                            m.where(~ok).drop("_chosen", "_dt_us", "_bucket").persist()
+                        )
+                matched = parts[0]
+                for p_ in parts[1:]:
+                    matched = matched.unionByName(p_)
 
-    # order right rows before left rows at equal t so an exact match is
-    # visible as "previous" with dt=0. ONE ordering serves both frames, so
-    # Spark sorts each key partition exactly once (two orderings differing
-    # only in _r direction forced a second sort). The _r tiebreak makes
-    # TIED right timestamps deterministic — without it, AQE re-plans could
-    # flip which of two same-t right rows last()/first() lands on. Tie
-    # rule under the shared ascending order: among rights tied at the
-    # nearest EARLIER time, last() picks the struct-MAX payload; among
-    # rights tied at the nearest LATER time, first() picks the struct-MIN
-    # payload. Oracles mirror this with an ORDER BY chain of
-    # (|dt|, t, sign-flipped id). Struct ordering requires orderable
-    # payload types; for map-typed payloads pass right_id_col so the slim
-    # (t, id) struct is what gets ordered.
-    w = Window.partitionBy(*keys).orderBy(
-        F.col("_t").asc(), F.col("_is_left").asc(), F.col("_r").asc()
-    )
-    prev = F.last("_r", ignorenulls=True).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)
-    )
-    nxt = F.first("_r", ignorenulls=True).over(
-        w.rowsBetween(0, Window.unboundedFollowing)
-    )
-
-    lm = F.col("_tus")
-    dt_prev = lm - prev["_tus"]
-    dt_next = nxt["_tus"] - lm
-    use_prev = F.when(prev.isNull(), F.lit(False)).when(nxt.isNull(), F.lit(True)).otherwise(dt_prev <= dt_next)
-    chosen = F.when(use_prev, prev).otherwise(nxt)
-    dt = F.when(use_prev, dt_prev).otherwise(dt_next) / F.lit(1e6)
-
-    # annotate BEFORE filtering to left rows — the window must see both sides
-    matched = (
-        unioned.withColumn("_chosen", chosen)
-        .withColumn("_dt", dt)
-        .where(F.col("_is_left") == 1)
-    )
     if tolerance_seconds is not None:
-        ok = F.col("_chosen").isNotNull() & (F.col("_dt") <= F.lit(float(tolerance_seconds)))
+        ok = F.col("_chosen").isNotNull() & (
+            F.col("_dt_us") / F.lit(1e6) <= F.lit(float(tolerance_seconds))
+        )
     else:
         ok = F.col("_chosen").isNotNull()
     matched = matched.withColumn("_chosen", F.when(ok, F.col("_chosen")))
@@ -289,7 +402,9 @@ def asof_join(
     out_cols += [F.col("_chosen")[c].alias(f"{right_prefix}{c}") for c in payload_cols]
     if dt_col:
         out_cols.append(
-            F.when(F.col("_chosen").isNotNull(), F.col("_dt")).alias(dt_col)
+            F.when(
+                F.col("_chosen").isNotNull(), F.col("_dt_us") / F.lit(1e6)
+            ).alias(dt_col)
         )
     return matched.select(*out_cols)
 

@@ -134,12 +134,15 @@ def ecdf(df: DataFrame, value_col: str, partition_by: list[str] | None = None) -
     """A6/W4: empirical CDF of ``value_col`` (optionally per group).
 
     A keyless ECDF is a global ordering; ``cume_dist`` without partition
-    keys single-tasks the window, so use :func:`ecdf_global` at scale (or
-    the two-pass rank/total formulation).
+    keys would single-task the window, so the keyless call DELEGATES to
+    :func:`ecdf_global` (same values: cume_dist(v) = (# rows ≤ v)/N), with
+    the original column order preserved. Keyed calls window in parallel.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*(partition_by or [])).orderBy(value_col)
+    if not partition_by:
+        return ecdf_global(df, value_col).select(*df.columns, "ecdf")
+    w = Window.partitionBy(*partition_by).orderBy(value_col)
     return df.withColumn("ecdf", F.cume_dist().over(w))
 
 
@@ -291,35 +294,31 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float]) -> list[floa
         vals.unpersist()
 
 
-def equidepth_bins(df: DataFrame, value_col: str, n_bins: int, method: str = "sort") -> DataFrame:
+def equidepth_bins(df: DataFrame, value_col: str, n_bins: int) -> DataFrame:
     """A7: equi-depth bin boundaries = exact percentiles at k/n, k=0..n.
 
-    Returns (q DOUBLE, boundary DOUBLE), one row per cut point.
-    ``method="sort"`` uses the distributed-selection path
-    (:func:`exact_quantiles`); ``method="agg"`` uses the built-in exact
-    ``percentile`` aggregate (fine for modest inputs, single-task merge).
+    Returns (q DOUBLE, boundary DOUBLE), one row per cut point, via the
+    distributed-selection path (:func:`exact_quantiles`). A former
+    ``method="agg"`` variant used the built-in exact ``percentile``
+    aggregate — deleted: its per-partition value→count maps merge in ONE
+    final task, a driver-sized digest that dies at 100 TB, and a
+    non-default footgun is still a footgun.
     """
     qs = [k / n_bins for k in range(n_bins + 1)]
     spark = df.sparkSession
-    if method == "sort":
-        bounds = exact_quantiles(df, value_col, qs)
-        # literal expression plan, not createDataFrame: no RDD round-trip
-        # for a dozen driver-side values
-        rows = F.array(
-            *[
-                F.struct(
-                    F.lit(float(q)).alias("q"), F.lit(float(b)).alias("boundary")
-                )
-                for q, b in zip(qs, bounds)
-            ]
-        )
-        return (
-            spark.range(1)
-            .select(F.explode(rows).alias("r"))
-            .select("r.q", "r.boundary")
-        )
-    arr = F.expr(f"percentile({value_col}, array({', '.join(map(repr, qs))}))")
-    cuts = df.agg(arr.alias("_cuts"))
-    return cuts.select(F.posexplode("_cuts").alias("k", "boundary")).select(
-        (F.col("k") / F.lit(float(n_bins))).alias("q"), F.col("boundary").cast("double")
+    bounds = exact_quantiles(df, value_col, qs)
+    # literal expression plan, not createDataFrame: no RDD round-trip
+    # for a dozen driver-side values
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"), F.lit(float(b)).alias("boundary")
+            )
+            for q, b in zip(qs, bounds)
+        ]
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(rows).alias("r"))
+        .select("r.q", "r.boundary")
     )

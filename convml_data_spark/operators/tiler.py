@@ -48,6 +48,69 @@ def sliding_tiles(
     return tiles
 
 
+def trajectory_tile_locations(
+    scenes: DataFrame,
+    trajectory: DataFrame,
+    resolution: float,
+    tile_N: int,
+    scene_time: str = "t_scene",
+    traj_time: str = "t_traj",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """D7→D4 trajectory-tile placement: one tile per scene, centered on the
+    trajectory position at the NEAREST trajectory time to the scene time.
+
+    Reference (convml_data/pipeline/trajectory_tiles.py:46-74): per scene,
+    ``find_nearest_time`` over the trajectory time axis (returning the
+    index too), then a LocalCartesianSquareTileDomain at that point's
+    (lat, lon) with ``size = resolution * tile_N``; serialized as tile
+    meta ``(scene_id, time, time_idx, loc)``.
+
+    Spark composition — F4 snap + A6-style global ranks, no driver loops:
+
+    - ``time_idx`` is an exact global rank over the distinct trajectory
+      times via :func:`binning.global_ranks` (bucket-decomposed — never a
+      keyless ``row_number`` window);
+    - the nearest-time match is :func:`asof.asof_join` with no tolerance
+      (ties → earlier trajectory time, the reference's argmin rule), which
+      self-buckets off the trajectory's gap statistics, so a 100 TB scene
+      table still matches in parallel.
+
+    ``trajectory`` must be unique per ``traj_time`` (the reference's
+    ``sel(time=...)`` assumes the same); exact duplicate rows are dropped.
+    Output: scene columns + ``(t_traj, time_idx, central_latitude,
+    central_longitude, size)``.
+    """
+    from convml_data_spark.functions.timeutils import epoch_micros
+    from convml_data_spark.operators import asof
+    from convml_data_spark.operators.binning import global_ranks
+
+    traj = trajectory.select(traj_time, lat_col, lon_col).dropDuplicates()
+    traj = traj.withColumn(
+        "_tus", epoch_micros(traj_time, dict(traj.dtypes)[traj_time])
+    )
+    ranked, _n = global_ranks(traj, "_tus", rank_col="time_idx")
+    ranked = ranked.select(
+        traj_time,
+        F.col("time_idx").cast("long").alias("time_idx"),
+        F.col(lat_col).alias("central_latitude"),
+        F.col(lon_col).alias("central_longitude"),
+    )
+    snapped = asof.asof_join(
+        scenes, ranked, scene_time, traj_time, right_prefix="traj_"
+    )
+    out_scene = [F.col(c) for c in scenes.columns]
+    return snapped.select(
+        *out_scene,
+        F.col(f"traj_{traj_time}").alias(traj_time),
+        F.col("traj_time_idx").alias("time_idx"),
+        F.col("traj_central_latitude").alias("central_latitude"),
+        F.col("traj_central_longitude").alias("central_longitude"),
+        F.lit(float(resolution) * int(tile_N)).alias("size"),
+    )
+
+
 def tile_pixel_join(pixels: DataFrame, tiles: DataFrame, x_col: str = "x", y_col: str = "y") -> DataFrame:
     """G2: pixels ⋈ tiles with ``i0 <= x < imax AND j0 <= y < jmax``.
 

@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 _sink_counter = itertools.count()
 
 
-def stream_table(spark: SparkSession, sf_dir: str, name: str) -> tuple[DataFrame, DataFrame]:
+def stream_table(
+    spark: SparkSession, sf_dir: str, name: str, single_batch: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """(batch_df, stream_df) for one of the driver's parquet tables,
     robust to both physical layouts:
 
@@ -46,11 +48,20 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> tuple[DataFrame
     from convml_data_spark import tables
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    ns_cols = tables._nanos_columns(path)
-    if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # shared session-invariant conf handling — see tables.enable_nanos_compat
+    ns_cols = tables.enable_nanos_compat(spark, path)
     batch = spark.read.parquet(path)
-    reader = spark.readStream.schema(batch.schema)
+    if single_batch:
+        # Pin one-micro-batch drain semantics: operators whose output
+        # contract depends on seeing the whole backlog at once (e.g. the
+        # first-seen filter's min-id guarantee) break silently if a
+        # multi-part-file layout or a default cap splits the AvailableNow
+        # drain into several batches.
+        reader = spark.readStream.option("maxFilesPerTrigger", 10_000_000).schema(
+            batch.schema
+        )
+    else:
+        reader = spark.readStream.schema(batch.schema)
     if os.path.isdir(path):
         stream = reader.parquet(path)
     else:

@@ -43,13 +43,29 @@ def _nanos_columns(path: str) -> list[str]:
         return []
 
 
+def enable_nanos_compat(spark: SparkSession, path: str) -> list[str]:
+    """SESSION INVARIANT (single shared entry point — batch ``load_table``
+    and streaming ``stream_table`` both route here): when a parquet input
+    carries TIMESTAMP(NANOS) columns, ``spark.sql.legacy.parquet.nanosAsLong``
+    is turned on for the REST OF THE SESSION and deliberately never
+    restored. Save/restore around the read would be unsound: the file scan
+    re-reads the conf when the action executes, not when the DataFrame is
+    built, so a restored conf would crash the deferred scan. Consequence: a
+    later read of a DIFFERENT nanos-timestamp parquet in the same session
+    sees long columns — which is exactly the normalized contract this
+    engine wants (every caller converts via ``timestamp_micros(c div
+    1000)``, the exact integer path). Returns the nanos column names."""
+    ns_cols = _nanos_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return ns_cols
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    ns_cols = _nanos_columns(path)
-    if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ns_cols = enable_nanos_compat(spark, path)
     df = spark.read.parquet(path)
     for c in ns_cols:
         # integer division (`div`) keeps exactness — float division of

@@ -97,3 +97,68 @@ def test_asof_matches_brute_force(spark, left_off, right_off, tol):
     got = {r["t_left"]: r["m_rid"] for r in got_rows}
     want = brute_force(left_ts, right, float(tol))
     assert got == want
+
+
+def test_asof_no_tolerance_exact_at_fractional_tolerance_edge(spark):
+    """Integer-µs bucket math: a right exactly AT a fractional tolerance
+    (0.1 s -> tol_us = 100000.00000000001 in doubles) must still match —
+    the old float floor((t±tol)/w) could misbucket the boundary row."""
+    lts = [BASE + timedelta(seconds=i) for i in range(20)]
+    ldf = spark.createDataFrame([(t,) for t in lts], "t_left timestamp")
+    rdf = spark.createDataFrame(
+        [(i, t + timedelta(microseconds=100_000)) for i, t in enumerate(lts)],
+        "rid long, t_right timestamp",
+    )
+    out = asof.asof_join(
+        ldf, rdf, "t_left", "t_right", tolerance_seconds=0.1,
+        right_prefix="m_", dt_col="dt",
+    ).collect()
+    assert len(out) == 20
+    assert all(abs(r["dt"] - 0.1) < 1e-12 for r in out)
+    # and strictly-over-tolerance is dropped
+    rdf2 = spark.createDataFrame(
+        [(i, t + timedelta(microseconds=100_001)) for i, t in enumerate(lts)],
+        "rid long, t_right timestamp",
+    )
+    assert (
+        asof.asof_join(
+            ldf, rdf2, "t_left", "t_right", tolerance_seconds=0.1, right_prefix="m_"
+        ).count()
+        == 0
+    )
+
+
+def test_asof_skew_guard_exact_across_giant_hole(spark):
+    """Keyless no-tolerance as-of with a hole ~1000x the typical right gap:
+    the geometric pass ladder must (a) actually engage (max gap > 4 x p99
+    gap so radius starts at the p99 gap, keeping the dense region split
+    across many buckets instead of a handful of hole-sized ones) and
+    (b) stay EXACT for lefts in the dense regions, inside the hole (both
+    halves), exactly mid-hole (tie -> earlier right), and out of range."""
+    dense_a = [BASE + timedelta(seconds=10 * i) for i in range(200)]
+    hole_end = dense_a[-1] + timedelta(seconds=10_000)  # 1000x the 10 s gap
+    dense_b = [hole_end + timedelta(seconds=10 * i) for i in range(200)]
+    right_rows = [(i, t) for i, t in enumerate(dense_a + dense_b)]
+    left_ts = (
+        [BASE + timedelta(seconds=7 * i) for i in range(150)]  # dense region
+        + [dense_a[-1] + timedelta(seconds=s) for s in (1, 999, 4999, 5000, 5001, 9999)]
+        + [BASE - timedelta(seconds=500), dense_b[-1] + timedelta(seconds=500)]
+    )
+    ldf = spark.createDataFrame([(t,) for t in left_ts], "t_left timestamp")
+    rdf = spark.createDataFrame(right_rows, "rid long, t_right timestamp")
+
+    stats = asof._right_gap_stats(rdf, "t_right")
+    assert stats is not None
+    mn, mx, gap, p99 = stats
+    assert gap == 10_000 * 1_000_000 and gap > 4 * p99  # ladder engages
+    # pass-1 bucket width 2*p99 keeps the dense span in MANY buckets
+    assert (mx - mn) // (2 * p99) > 50
+
+    got_rows = asof.asof_join(
+        ldf.repartition(5), rdf.repartition(3), "t_left", "t_right",
+        right_prefix="m_", dt_col="dt",
+    ).collect()
+    got = {r["t_left"]: r["m_rid"] for r in got_rows}
+    want = brute_force(left_ts, right_rows, float("inf"))
+    assert got == want
+    assert len(got) == len(left_ts)  # no tolerance: every left matches

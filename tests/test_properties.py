@@ -173,3 +173,32 @@ def test_sessionize_native_matches_window_method(spark):
     am = {key(r): (str(r["session_end"]), r["n_events"], r["sum_value"]) for r in a.collect()}
     bm = {key(r): (str(r["session_end"]), r["n_events"], r["sum_value"]) for r in b.collect()}
     assert am == bm
+
+
+def test_keyless_ecdf_delegates_to_global(spark):
+    """The keyless ecdf() call must NOT build a cume_dist over an empty
+    partition spec (single-task global window); it delegates to the
+    rank-decomposed ecdf_global with identical values and column order."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from convml_data_spark.operators import binning
+
+    df = spark.range(0, 500).select(
+        F.col("id"), (F.pmod(F.col("id") * 37, F.lit(101))).cast("double").alias("v")
+    )
+    out = binning.ecdf(df, "v")
+    assert out.columns == ["id", "v", "ecdf"]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "cume_dist" not in buf.getvalue()
+    rows = out.collect()
+    vals = sorted(r["v"] for r in df.collect())
+    n = len(vals)
+    import bisect
+
+    for r in rows:
+        assert abs(r["ecdf"] - bisect.bisect_right(vals, r["v"]) / n) < 1e-12
