@@ -665,6 +665,46 @@ def q_traj_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("t_scene")
 
 
+def q_spec_triplet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL meta.yaml lifecycle compiled from one DatasetSpec
+    (pipeline.py::build_triplet_dataset): §3.1 calendar scene table →
+    R1 proportional split → R2 scene pairing → R3–R5 triplet placement →
+    per-scene tile table, replayed end-to-end in DuckDB (every stage's
+    md5-seeded randomness is an expression, so the whole program is one
+    SQL query on the oracle side). Reference: convml_data/__init__.py:
+    100-147 + pipeline/tiles.py:440-496 (GenerateTiles)."""
+    from convml_data_spark import pipeline
+
+    _prep(spark)
+    spec = pipeline.DatasetSpec.from_dict(
+        {
+            "source": "specdemo",
+            "inputs": ["vis", "ir"],
+            "t_start": "2024-01-01T00:00:00",
+            "t_end": "2024-01-03T00:00:00",
+            "step": "1 hour",
+            "sampling": {
+                "resolution": 96.0,
+                "triplets": {
+                    "N_triplets": {"train": 30, "study": 10},
+                    "tile_N": 16,  # tile_size 1536 -> margin exactly 1024
+                },
+            },
+            "domain": {"l_zonal": 20000.0, "l_meridional": 20000.0},
+        }
+    )
+    tiles = pipeline.build_triplet_dataset(spark, spec)["tiles"]
+    return tiles.select(
+        "triplet_id",
+        "collection",
+        "tile_type",
+        "scene_id",
+        F.round("x_c", 6).alias("x_c"),
+        F.round("y_c", 6).alias("y_c"),
+        "tile_size",
+    )
+
+
 def q_j6_emb_aux_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: embeddings ⋈ per-group aux reductions on the group key
     (aux_fields/data.py:139-146) — the aux side is a tiny aggregate, so the
@@ -1778,11 +1818,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one in-window representative; keys certified green in earlier rounds
     # rotate behind position 50 and back in on later rounds.
     return {
-        # --- NEW in round 5: never certified ---
+        # ROUND 5 WINDOW (first 50 = driver-certified this round), per the
+        # r4 verdict's rotation plan: the 2 never-certified new keys, then
+        # the 8 keys last certified in r1/r2, then 40 of the 42 r3-
+        # certified keys. The two displaced r3 keys (s2/s6 static fetch-
+        # plan manifests — zero code churn since r3, covered by
+        # test_fetch_plans + the in-repo oracle-parity replay) and the 50
+        # r4-certified keys sit at 51+ and rotate back in round 6.
+        # --- new in round 5 ---
         "traj_tiles": q_traj_tiles,
-        # --- red in round 3, fixed this round: must re-prove first ---
-        # (NTZ timestamp breakage: j2/j3/f4/w7 + bench; stream schema sniff;
-        # minhash sigs de-arrayed; w7/a14 decimal→double portability)
+        "spec_triplet_pipeline": q_spec_triplet_pipeline,
+        # --- last certified r1/r2 (pre-NTZ testdata) ---
+        "r2_scene_pairs": q_r2_scene_pairs,
+        "w2_argmin_per_group": q_w2_argmin_per_group,
+        "w3_local_peaks": q_w3_local_peaks,
+        "a6_ecdf": q_a6_ecdf,
+        "s3_calendar_scan": q_s3_calendar_scan,
+        "f6_filter_dsl": q_f6_filter_dsl,
+        "o4_topk": q_o4_topk,
+        "j6_emb_aux_join": q_j6_emb_aux_join,
+        # --- last certified r3 ---
+        "scene_table": q_scene_table,
+        "u3_anti_join": q_u3_anti_join,
+        "dedup_exact_prefix": q_dedup_exact_prefix,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "dedup_minhash": q_dedup_minhash,
+        "simhash": q_simhash,
+        "neardup_cosine_pairs": q_neardup_cosine_pairs,
+        "neardup_lsh_pairs": q_neardup_lsh_pairs,
+        "text_quality": q_text_quality,
+        "text_corpus_stats": q_text_corpus_stats,
+        "text_langid": q_text_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "g9_optical_flow": q_g9_optical_flow,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "derived_dag": q_derived_dag,
+        "x1_user_function": q_x1_user_function,
+        "x2_dotted_udaf": q_x2_dotted_udaf,
+        "x3_batch_embed": q_x3_batch_embed,
+        "x4_pca": q_x4_pca,
+        "f8_dropna_slice": q_f8_dropna_slice,
+        "e2_string_ops": q_e2_string_ops,
+        "e7_json_map": q_e7_json_map,
+        "g2_tile_pixel_slice": q_g2_tile_pixel_slice,
+        "a15_distinct_users": q_a15_distinct_users,
+        "hll_user_counts": q_hll_user_counts,
+        "g8_rgb_composite": q_g8_rgb_composite,
+        "s4_era5_manifest": q_s4_era5_manifest,
+        "dedup_components": q_dedup_components,
+        "dedup_survivors": q_dedup_survivors,
+        "decontam_ngram_overlap": q_decontam_ngram_overlap,
+        "text_gopher_quality": q_text_gopher_quality,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "pii_scrub": q_pii_scrub,
+        "sample_quality_weighted": q_sample_quality_weighted,
+        "emb_transform_scaler": q_emb_transform_scaler,
+        # ---------------- position 51+: r3-certified manifests displaced
+        # by the two new keys, then the r4-certified 50 (rotate back r6).
+        # Keys whose operator code changed THIS round (asof refactor: j2/
+        # j3/f4/a3; w6 null guard; stream_seen_filter single-batch pin;
+        # a7 signature) are re-proven today by the in-repo oracle-parity
+        # replay + the verify-skill driver sim, and re-certify in r6. ----
+        "s2_goes16_query": q_s2_goes16_query,
+        "s6_ceres_manifest": q_s6_ceres_manifest,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "stream_daily_counts": q_stream_daily_counts,
         "w7_sessionize": q_w7_sessionize,
@@ -1790,10 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_asof_single": q_j2_asof_single,
         "j3_asof_all_within": q_j3_asof_all_within,
         "f4_traj_snap": q_f4_traj_snap,
-        # exact_quantiles was rewritten this round (percentile_approx cut
-        # points) — its certifying key re-proves in-window
         "a7_equidepth": q_a7_equidepth,
-        # --- new this round: span dedup, BPE pieces, quantile sketch ---
         "dedup_spans": q_dedup_spans,
         "text_bpe_tokens": q_text_bpe_tokens,
         "sketch_quantiles": q_sketch_quantiles,
@@ -1804,8 +1904,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_encode": q_vocab_encode,
         "corpus_entropy": q_corpus_entropy,
         "stream_dedup_watermark": q_stream_dedup_watermark,
-        # --- last certified in round 1 only, under the OLD testdata
-        # (timestamp[ns]) and old driver — re-prove under NTZ-era files ---
         "a1_pricing_summary": q_a1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
         "a5_binned_2d": q_a5_binned_2d,
@@ -1838,58 +1936,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g6_spanning_domain": q_g6_spanning_domain,
         "g7_tangent_projection": q_g7_tangent_projection,
         "r1_split": q_r1_split,
-        "r2_scene_pairs": q_r2_scene_pairs,
-        "w2_argmin_per_group": q_w2_argmin_per_group,
-        "w3_local_peaks": q_w3_local_peaks,
-        "a6_ecdf": q_a6_ecdf,
-        "s3_calendar_scan": q_s3_calendar_scan,
-        "f6_filter_dsl": q_f6_filter_dsl,
-        "o4_topk": q_o4_topk,
-        "j6_emb_aux_join": q_j6_emb_aux_join,
-        # ---------------- position 51+: certified green in round 3 under
-        # the CURRENT testdata/driver; rotate back in next round ----------
-        "scene_table": q_scene_table,
-        "u3_anti_join": q_u3_anti_join,
-        "dedup_exact_prefix": q_dedup_exact_prefix,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "dedup_minhash": q_dedup_minhash,
-        "simhash": q_simhash,
-        "neardup_cosine_pairs": q_neardup_cosine_pairs,
-        "neardup_lsh_pairs": q_neardup_lsh_pairs,
-        "text_quality": q_text_quality,
-        "text_corpus_stats": q_text_corpus_stats,
-        "text_langid": q_text_langid,
-        "doc_fingerprint": q_doc_fingerprint,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "g9_optical_flow": q_g9_optical_flow,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "similarity_lsh_topk": q_similarity_lsh_topk,
-        "similarity_ivf_topk": q_similarity_ivf_topk,
-        "derived_dag": q_derived_dag,
-        "x1_user_function": q_x1_user_function,
-        "x2_dotted_udaf": q_x2_dotted_udaf,
-        "x3_batch_embed": q_x3_batch_embed,
-        "x4_pca": q_x4_pca,
-        "f8_dropna_slice": q_f8_dropna_slice,
-        "e2_string_ops": q_e2_string_ops,
-        "e7_json_map": q_e7_json_map,
-        "g2_tile_pixel_slice": q_g2_tile_pixel_slice,
-        "a15_distinct_users": q_a15_distinct_users,
-        "hll_user_counts": q_hll_user_counts,
-        "g8_rgb_composite": q_g8_rgb_composite,
-        "s2_goes16_query": q_s2_goes16_query,
-        "s4_era5_manifest": q_s4_era5_manifest,
-        "s6_ceres_manifest": q_s6_ceres_manifest,
-        "dedup_components": q_dedup_components,
-        "dedup_survivors": q_dedup_survivors,
-        "decontam_ngram_overlap": q_decontam_ngram_overlap,
-        "text_gopher_quality": q_text_gopher_quality,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "pii_scrub": q_pii_scrub,
-        "sample_quality_weighted": q_sample_quality_weighted,
-        "emb_transform_scaler": q_emb_transform_scaler,
     }
 
 
@@ -2303,6 +2349,117 @@ def oracle_sql() -> dict[str, str]:
                    lat AS central_latitude, lon AS central_longitude,
                    CAST(64000.0 AS DOUBLE) AS size
             FROM j WHERE rn = 1
+        """,
+        "spec_triplet_pipeline": """
+            WITH cal AS (
+              SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                            TIMESTAMP '2024-01-03',
+                                            INTERVAL 1 HOUR)) AS t
+            ),
+            sc AS (
+              SELECT 'specdemo__' || strftime(t, '%Y%m%d%H%M') AS scene_id
+              FROM cal WHERE t < TIMESTAMP '2024-01-03'
+            ),
+            u AS (
+              SELECT scene_id,
+                     CAST(('0x' || substr(md5('42|' || scene_id), 1, 13)) AS BIGINT)
+                       / 4503599627370496.0 AS u
+              FROM sc
+            ),
+            r AS (
+              SELECT scene_id, row_number() OVER (ORDER BY u, scene_id) - 1 AS rk,
+                     count(*) OVER () AS n
+              FROM u
+            ),
+            spl AS (
+              SELECT scene_id,
+                     CASE WHEN rk < CAST(floor(n * 30.0 / 40.0) AS BIGINT)
+                          THEN 'train' ELSE 'study' END AS collection
+              FROM r
+            ),
+            idx AS (
+              SELECT scene_id, collection,
+                     row_number() OVER (PARTITION BY collection ORDER BY scene_id) - 1 AS i,
+                     count(*) OVER (PARTITION BY collection) AS n
+              FROM spl
+            ),
+            sz AS (SELECT collection, max(n) AS n FROM idx GROUP BY collection),
+            tr AS (
+              SELECT CAST(range AS BIGINT) AS triplet_id,
+                     CASE WHEN range < 30 THEN 'train' ELSE 'study' END AS collection
+              FROM range(40)
+            ),
+            h AS (
+              SELECT t.triplet_id, t.collection, sz.n,
+                     CAST(('0x' || substr(md5('42|anchor|' || CAST(t.triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                       / 4503599627370496.0 AS ua,
+                     CAST(('0x' || substr(md5('42|distant|' || CAST(t.triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                       / 4503599627370496.0 AS ud
+              FROM tr t JOIN sz ON t.collection = sz.collection
+            ),
+            hh AS (
+              SELECT triplet_id, collection, ai,
+                     CASE WHEN d0 >= ai THEN d0 + 1 ELSE d0 END AS di
+              FROM (SELECT triplet_id, collection,
+                           CAST(floor(ua * n) AS INT) AS ai,
+                           CAST(floor(ud * (n - 1)) AS INT) AS d0
+                    FROM h)
+            ),
+            pairs AS (
+              SELECT hh.triplet_id, hh.collection,
+                     a.scene_id AS anchor_scene, d.scene_id AS distant_scene
+              FROM hh
+              JOIN idx a ON a.collection = hh.collection AND a.i = hh.ai
+              JOIN idx d ON d.collection = hh.collection AND d.i = hh.di
+            ),
+            anc AS (
+              SELECT triplet_id,
+                     1024.0 + (CAST(('0x' || substr(md5('42|anchor|x|' || CAST(triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                               / 4503599627370496.0) * 17952.0 AS x_c,
+                     1024.0 + (CAST(('0x' || substr(md5('42|anchor|y|' || CAST(triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                               / 4503599627370496.0) * 17952.0 AS y_c
+              FROM tr
+            ),
+            dis AS (
+              SELECT triplet_id,
+                     1024.0 + (CAST(('0x' || substr(md5('42|distant|x|' || CAST(triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                               / 4503599627370496.0) * 17952.0 AS x_c,
+                     1024.0 + (CAST(('0x' || substr(md5('42|distant|y|' || CAST(triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                               / 4503599627370496.0) * 17952.0 AS y_c
+              FROM tr
+            ),
+            nb AS (
+              SELECT triplet_id, x_c, y_c,
+                     list_filter(
+                       list_transform(range(0, 16), k -> {
+                         'x': x_c + 1536.0 * cos(6.283185307179586 *
+                                (CAST(('0x' || substr(md5('42|neighbor|theta|' || CAST(k AS VARCHAR) || '|' || CAST(triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                                 / 4503599627370496.0)),
+                         'y': y_c + 1536.0 * sin(6.283185307179586 *
+                                (CAST(('0x' || substr(md5('42|neighbor|theta|' || CAST(k AS VARCHAR) || '|' || CAST(triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                                 / 4503599627370496.0))
+                       }),
+                       s -> s.x >= 1024.0 AND s.x <= 18976.0
+                            AND s.y >= 1024.0 AND s.y <= 18976.0
+                     ) AS valid
+              FROM anc
+            ),
+            locs AS (
+              SELECT triplet_id, 'anchor' AS tile_type, x_c, y_c FROM anc
+              UNION ALL
+              SELECT triplet_id, 'neighbor' AS tile_type,
+                     CASE WHEN len(valid) > 0 THEN valid[1].x ELSE x_c END AS x_c,
+                     CASE WHEN len(valid) > 0 THEN valid[1].y ELSE y_c END AS y_c
+              FROM nb
+              UNION ALL
+              SELECT triplet_id, 'distant' AS tile_type, x_c, y_c FROM dis
+            )
+            SELECT l.triplet_id, p.collection, l.tile_type,
+                   CASE WHEN l.tile_type IN ('anchor', 'neighbor')
+                        THEN p.anchor_scene ELSE p.distant_scene END AS scene_id,
+                   round(l.x_c, 6) AS x_c, round(l.y_c, 6) AS y_c,
+                   CAST(1536.0 AS DOUBLE) AS tile_size
+            FROM locs l JOIN pairs p USING (triplet_id)
         """,
         "j6_emb_aux_join": """
             WITH aux AS (

@@ -96,7 +96,11 @@ def trajectory_tile_locations(
         F.col("time_idx").cast("long").alias("time_idx"),
         F.col(lat_col).alias("central_latitude"),
         F.col(lon_col).alias("central_longitude"),
-    )
+    ).persist()
+    # persist: the as-of join's plan-time gap statistics run 2 jobs over
+    # its right side; without this each re-executes the rank window. The
+    # relation is one row per distinct trajectory time — bounded by the
+    # flight track, not the scene table.
     snapped = asof.asof_join(
         scenes, ranked, scene_time, traj_time, right_prefix="traj_"
     )

@@ -86,6 +86,182 @@ class SceneSpec:
             return cls.from_dict(yaml.safe_load(fh))
 
 
+@dataclass
+class DatasetSpec:
+    """The FULL meta.yaml-equivalent dataset spec: §3.1 scenes plus the
+    §3.2/§3.3 sampling + tile lifecycle the reference drives from one file.
+
+    Reference keys mirrored (convml_data/__init__.py:100-147):
+    ``sampling.resolution`` (m/px, required for tile sampling),
+    ``sampling.triplets.N_triplets`` (int → ``{"train": N}``),
+    ``sampling.triplets.tile_N`` (default 256), and the domain extent the
+    tiles are placed in. ``tiles_kind`` dispatches exactly like
+    ``GenerateTiles`` (pipeline/tiles.py:440-496): ``triplets`` |
+    ``trajectories`` | ``rect-slidingwindow``.
+    """
+
+    scene: SceneSpec
+    resolution: float
+    tiles_kind: str = "triplets"
+    n_triplets: dict[str, int] = field(default_factory=lambda: {"train": 10})
+    tile_N: int = 256
+    neighbor_distance_scaling: float = 1.0
+    seed: int = 42
+    x_range: tuple[float, float] = (0.0, 0.0)
+    y_range: tuple[float, float] = (0.0, 0.0)
+
+    @property
+    def tile_size(self) -> float:
+        """Tile edge in domain units: resolution · tile_N (reference
+        trajectory_tiles.py:40-43 / triplets sampling)."""
+        return float(self.resolution) * int(self.tile_N)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "DatasetSpec":
+        scene = SceneSpec.from_dict(d)
+        sampling = d.get("sampling", {}) or {}
+        if "resolution" not in sampling:
+            raise ValueError(
+                "tile sampling requires `resolution` (m/px) under `sampling` "
+                "(reference convml_data/__init__.py:103-107)"
+            )
+        trip = sampling.get("triplets") or {}
+        n = trip.get("N_triplets", 10)
+        if isinstance(n, int):
+            n = {"train": n}  # reference default collection
+        domain = d.get("domain", {}) or {}
+        lz = float(domain.get("l_zonal", 0.0))
+        lm = float(domain.get("l_meridional", 0.0))
+        return cls(
+            scene=scene,
+            resolution=float(sampling["resolution"]),
+            tiles_kind=d.get("tiles_kind", "triplets"),
+            n_triplets={k: int(v) for k, v in n.items()},
+            tile_N=int(trip.get("tile_N", sampling.get("trajectories", {}).get("tile_N", 256))),
+            neighbor_distance_scaling=float(trip.get("neighbor_distance_scaling", 1.0)),
+            seed=int(d.get("seed", 42)),
+            x_range=(0.0, lz),
+            y_range=(0.0, lm),
+        )
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "DatasetSpec":
+        import yaml
+
+        with open(path) as fh:
+            return cls.from_dict(yaml.safe_load(fh))
+
+
+def build_triplet_dataset(
+    spark: SparkSession,
+    spec: DatasetSpec,
+    trajectory: DataFrame | None = None,
+    aux: dict[str, DataFrame] | None = None,
+) -> dict[str, DataFrame]:
+    """Compile the whole meta.yaml lifecycle into lazy DataFrame stages —
+    the program ``tests/test_end_to_end.py`` used to wire by hand.
+
+    Returns ``{"scenes", "splits", "triplets", "pairs", "locations",
+    "tiles"}`` (+ ``"aux:<name>"`` per aux product). ``tiles`` is the
+    per-scene tile table (the ``GenerateTiles``/``tiles_per_scene``
+    analog): for ``triplets``, anchor+neighbor tiles land on the
+    anchor scene and distant tiles on the distant scene
+    (sampling/triplets.py pairing); for ``trajectories``, one tile per
+    scene at the snapped trajectory point; for ``rect-slidingwindow``, the
+    W5 origin grid crossed with every scene.
+
+    Scale: every stage is the already-audited operator (global-rank split,
+    broadcast pair lookup, expression-seeded placement, bucketed as-of) —
+    composing them adds joins on (collection, index) and scene_id only,
+    all broadcastable when the scene table is small relative to tiles.
+    """
+    from .operators import sampling as smp
+    from .operators import tiler
+    from .operators.asof import match_aux_to_scenes
+
+    scenes = build_scene_table(spark, spec.scene)
+    out: dict[str, DataFrame] = {"scenes": scenes}
+
+    if spec.tiles_kind == "trajectories":
+        if trajectory is None:
+            raise ValueError("tiles_kind='trajectories' needs a trajectory DataFrame")
+        out["tiles"] = tiler.trajectory_tile_locations(
+            scenes.select("scene_id", "t"),
+            trajectory,
+            resolution=spec.resolution,
+            tile_N=spec.tile_N,
+            scene_time="t",
+            traj_time="t_traj",
+        )
+    elif spec.tiles_kind == "rect-slidingwindow":
+        nx = int((spec.x_range[1] - spec.x_range[0]) / spec.resolution)
+        ny = int((spec.y_range[1] - spec.y_range[0]) / spec.resolution)
+        grid = tiler.sliding_tiles(spark, nx, ny, spec.tile_N, spec.tile_N)
+        out["tiles"] = scenes.select("scene_id").crossJoin(F.broadcast(grid))
+    elif spec.tiles_kind == "triplets":
+        splits = smp.proportional_split(
+            scenes.select("scene_id"), "scene_id", spec.n_triplets, seed=spec.seed
+        )
+        out["splits"] = splits
+        # triplet ids allocate contiguously per collection, dict order —
+        # same shape the reference builds from N_triplets counts
+        total = sum(spec.n_triplets.values())
+        assign = None
+        acc = 0
+        items = list(spec.n_triplets.items())
+        for name, c in items[:-1]:
+            acc += c
+            cond = F.col("id") < F.lit(acc)
+            assign = (
+                F.when(cond, F.lit(name))
+                if assign is None
+                else assign.when(cond, F.lit(name))
+            )
+        last = items[-1][0]
+        assign = F.lit(last) if assign is None else assign.otherwise(F.lit(last))
+        triplets = spark.range(total).select(
+            F.col("id").alias("triplet_id"), assign.alias("collection")
+        )
+        out["triplets"] = triplets
+        pairs = smp.pick_scene_pairs(triplets, splits, seed=spec.seed)
+        out["pairs"] = pairs
+        locs = smp.triplet_tile_locations(
+            triplets.select("triplet_id"),
+            x_range=spec.x_range,
+            y_range=spec.y_range,
+            tile_size=spec.tile_size,
+            neighbor_distance_scaling=spec.neighbor_distance_scaling,
+            seed=spec.seed,
+        )
+        out["locations"] = locs
+        # tiles_per_scene: anchor/neighbor sample the anchor scene,
+        # distant samples the distant scene (sampling/triplets.py)
+        scene_for = F.when(
+            F.col("tile_type").isin("anchor", "neighbor"), F.col("anchor_scene")
+        ).otherwise(F.col("distant_scene"))
+        out["tiles"] = (
+            locs.join(F.broadcast(pairs), "triplet_id")
+            .select(
+                "triplet_id",
+                "collection",
+                "tile_type",
+                scene_for.alias("scene_id"),
+                "x_c",
+                "y_c",
+                F.lit(spec.tile_size).alias("tile_size"),
+            )
+        )
+    else:
+        raise NotImplementedError(spec.tiles_kind)
+
+    for name, adf in (aux or {}).items():
+        out[f"aux:{name}"] = match_aux_to_scenes(
+            scenes.select("scene_id", F.col("t")), adf,
+            strategy="all_scenes_within_dt_aux",
+        )
+    return out
+
+
 def build_scene_table(spark: SparkSession, spec: SceneSpec) -> DataFrame:
     """§3.1 compiled: catalog scans ⟕ J1 ⟕ F1–F3 ⟕ scene ids, one lazy plan."""
     per_input = []

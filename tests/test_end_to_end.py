@@ -93,3 +93,72 @@ def test_triplet_pipeline_end_to_end(spark, tmp_path):
     assert pipeline.materialize(per_tile, out) is True
     assert pipeline.materialize(per_tile, out) is False
     assert spark.read.parquet(out).count() == 36
+
+
+def test_dataset_spec_compiles_full_lifecycle(spark):
+    """DatasetSpec drives the whole §3.2/§3.3 lifecycle from one dict —
+    the spec-driven analog of the manual composition above, dispatching on
+    tiles_kind exactly like the reference's GenerateTiles."""
+    base = {
+        "source": "e2e",
+        "inputs": ["vis", "ir"],
+        "t_start": "2024-03-01T00:00:00",
+        "t_end": "2024-03-02T00:00:00",
+        "step": "1 hour",
+        "sampling": {
+            "resolution": 96.0,
+            "triplets": {"N_triplets": {"train": 9, "study": 3}, "tile_N": 16},
+        },
+        "domain": {"l_zonal": 20000.0, "l_meridional": 20000.0},
+    }
+    spec = pipeline.DatasetSpec.from_dict(base)
+    assert spec.tile_size == 1536.0
+    stages = pipeline.build_triplet_dataset(spark, spec)
+    assert stages["scenes"].count() == 24
+    tiles = stages["tiles"]
+    rows = tiles.collect()
+    assert len(rows) == 36  # 12 triplets x (anchor, neighbor, distant)
+    # anchor+neighbor share the anchor scene; distant differs from it
+    by_trip = {}
+    for r in rows:
+        by_trip.setdefault(r["triplet_id"], {})[r["tile_type"]] = r["scene_id"]
+    for d in by_trip.values():
+        assert d["anchor"] == d["neighbor"]
+        assert d["anchor"] != d["distant"]
+    # containment: margin-shrunk placement bounds (margin = 2/3 tile)
+    m = 1536.0 * 2 / 3
+    assert all(m <= r["x_c"] <= 20000.0 - m and m <= r["y_c"] <= 20000.0 - m for r in rows)
+
+    # rect-slidingwindow kind: W5 grid per scene
+    spec_sw = pipeline.DatasetSpec.from_dict({**base, "tiles_kind": "rect-slidingwindow"})
+    sw = pipeline.build_triplet_dataset(spark, spec_sw)["tiles"]
+    nx = int(20000.0 / 96.0)  # 208 px -> 13 origins of span 16 per axis
+    n_orig = ((nx - 16) // 16 + 1) ** 2
+    assert sw.count() == 24 * n_orig
+
+    # trajectories kind: one tile per scene at the snapped traj point
+    from datetime import datetime, timedelta
+
+    traj = spark.createDataFrame(
+        [
+            (datetime(2024, 3, 1) + timedelta(hours=3 * i), 10.0 + i, 20.0 - i)
+            for i in range(9)
+        ],
+        "t_traj timestamp, lat double, lon double",
+    )
+    spec_tr = pipeline.DatasetSpec.from_dict({**base, "tiles_kind": "trajectories"})
+    tr = pipeline.build_triplet_dataset(spark, spec_tr, trajectory=traj)["tiles"]
+    trows = tr.collect()
+    assert len(trows) == 24  # every scene gets exactly one tile
+    assert all(r["size"] == 1536.0 for r in trows)
+    # scene at 07:00 snaps to traj time 06:00 (idx 2, lat 12)
+    r7 = next(r for r in trows if "202403010700" in r["scene_id"])
+    assert r7["time_idx"] == 2 and r7["central_latitude"] == 12.0
+
+    # aux products: every scene matched within tolerance of the aux axis
+    aux = spark.createDataFrame(
+        [(datetime(2024, 3, 1) + timedelta(hours=i), float(i)) for i in range(24)],
+        "t_aux timestamp, aux_v double",
+    )
+    st = pipeline.build_triplet_dataset(spark, spec, aux={"era5": aux})
+    assert st["aux:era5"].count() == 24

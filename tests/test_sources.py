@@ -87,3 +87,54 @@ def test_read_text_lines_and_whole(spark, tmp_path):
     assert sources.read_text(spark, path).count() == 2
     whole = sources.read_text(spark, path, whole_file=True).collect()
     assert len(whole) == 1 and whole[0].value == "line one\nline two\n"
+
+
+def test_dbtarget_yaml_roundtrip_reference_format(spark, tmp_path):
+    """DBTarget compat (reference utils/luigi.py:91-117): a keyed-dict
+    relation round-trips through the {db_name}.yml layout, and the file is
+    readable by plain yaml.load exactly as the reference would."""
+    import yaml
+
+    from convml_data_spark.sources import dbtarget
+
+    df = spark.createDataFrame(
+        [("goes16__202003011300", "vis_a.nc", "ir_a.nc"),
+         ("goes16__202003011400", "vis_b.nc", "ir_b.nc")],
+        "scene_id string, vis string, ir string",
+    )
+    p = dbtarget.df_to_db(df, str(tmp_path), "scene_ids", key_col="scene_id")
+    assert p.endswith("scene_ids.yml")
+    assert dbtarget.exists_db(str(tmp_path), "scene_ids")
+    # reference-side read: plain yaml load gives the keyed-dict shape
+    with open(p) as fh:
+        obj = yaml.safe_load(fh)
+    assert obj["goes16__202003011300"] == {"vis": "vis_a.nc", "ir": "ir_a.nc"}
+    back = dbtarget.db_to_df(spark, str(tmp_path), "scene_ids", key_col="scene_id")
+    assert sorted(tuple(r) for r in back.select("scene_id", "vis", "ir").collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    # json flavor too
+    dbtarget.write_db(str(tmp_path), "meta", {"n": 2}, db_type="json")
+    assert dbtarget.read_db(str(tmp_path), "meta", db_type="json") == {"n": 2}
+
+
+def test_cf_metadata_survives_parquet_roundtrip(spark, tmp_path):
+    """CF attrs (units/long_name) attached at the user-function layer must
+    survive a parquet sink + re-read — the reference ASSERTS units on its
+    ERA5 scalars (sources/era5/scalars.py:61-63)."""
+    from convml_data_spark.functions.userfuncs import UserFunctionRegistry
+
+    reg = UserFunctionRegistry()
+
+    @reg.register("lwp_ratio", inputs=["a", "b"], units="1", long_name="liquid water path ratio")
+    def _lwp(a, b):
+        return a / (a + b)
+
+    df = spark.createDataFrame([(1.0, 3.0), (2.0, 2.0)], "a double, b double")
+    out = reg.apply(df, "lwp_ratio")
+    meta = out.schema["lwp_ratio"].metadata
+    assert meta == {"units": "1", "long_name": "liquid water path ratio"}
+    path = str(tmp_path / "cf")
+    assert pipeline.materialize(out, path) is True
+    back = spark.read.parquet(path)
+    assert back.schema["lwp_ratio"].metadata == meta
