@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from convml_data_spark import operators as ops
-from convml_data_spark import tables
+from convml_data_spark import session, tables
 from convml_data_spark.functions import text as T
 from convml_data_spark.functions.timeutils import ts_lit
 from convml_data_spark.operators import dedup, similarity, windows
@@ -34,6 +34,10 @@ def _prep(spark: SparkSession) -> None:
     # every timestamp function below assumes UTC; the driver may hand us a
     # session with a different default
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # explode-heavy operators (dedup/corpus/text) are pathological under
+    # InferFiltersFromGenerate + pushdown: the whole shingling expression
+    # re-evaluates serially in the scan stage (session.py, 26x at sf0.1)
+    session.exclude_generate_filter_inference(spark)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1017,12 +1021,20 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (sample-fit KMeans inverted lists, 3/8 lists probed) approximate
     top-k, certified by a macro recall@10 >= 0.4 bound vs the exact scan
-    (measured 0.60-0.74 at sf0.001/0.01 with fit_fraction=0.25)."""
+    (measured 0.60-0.74 at sf0.001/0.01 with fit_fraction=0.25).
+
+    The quantizer is fit ONCE and its centroids reused across all 5 probe
+    vectors — exactly how a real IVF index is used (build once, probe many);
+    re-fitting per query would run 5 identical KMeans jobs for the same
+    deterministic (seeded) centroids."""
+    emb = _t(spark, sf_dir, "embeddings")
+    _, centroids = similarity.ivf_index(emb, n_lists=8, fit_fraction=0.25)
     return _recall_certification(
         spark,
         sf_dir,
         lambda emb, qv: similarity.ivf_topk(
-            emb, qv, k=10, n_lists=8, n_probes=3, fit_fraction=0.25
+            emb, qv, k=10, n_lists=8, n_probes=3, fit_fraction=0.25,
+            centroids=centroids,
         ),
     )
 

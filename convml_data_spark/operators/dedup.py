@@ -49,6 +49,12 @@ def _spread(docs: DataFrame, id_col: str) -> DataFrame:
     decouples CPU parallelism from file layout — the difference between one
     core and the whole cluster shingling at 100 TB.
     """
+    from ..session import exclude_generate_filter_inference
+
+    # every _spread caller explodes an expression-built array next; without
+    # this, InferFiltersFromGenerate + pushdown re-evaluates the whole
+    # shingling expression serially in the scan stage (see session.py)
+    exclude_generate_filter_inference(docs.sparkSession)
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     return docs.repartition(parallelism, id_col)
 
@@ -217,17 +223,26 @@ def minhash_signatures(
     return sigs.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
-def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16) -> DataFrame:
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 16, num_hashes: int | None = None
+) -> DataFrame:
     """Band signatures and bucket-join: (id_a, id_b) candidate pairs.
 
     Pick bands so the S-curve threshold ``(1/bands)^(bands/num_hashes)``
     sits WELL BELOW the dedup threshold: with 32 hashes, 16 bands (r=2)
     → ~0.25, so j≥0.5 pairs are caught w.p. ≥ 1-(1-0.25)^16 ≈ 0.99;
-    8 bands (r=4) → ~0.59, which silently drops pairs near j=0.5."""
+    8 bands (r=4) → ~0.59, which silently drops pairs near j=0.5.
+
+    Pass ``num_hashes`` when known (every composed pipeline knows it): the
+    sampling fallback costs a full extra job — ``limit(1)`` cannot
+    short-circuit through the upstream repartition + groupBy, so it
+    recomputes the entire signature pipeline once just to read an array
+    length."""
     # band b covers sig[b*r : (b+1)*r]
-    sample = sigs.select(F.size("sig").alias("n")).limit(1).collect()
-    n = sample[0]["n"] if sample else 0
-    rows_per_band = max(n // bands, 1)
+    if num_hashes is None:
+        sample = sigs.select(F.size("sig").alias("n")).limit(1).collect()
+        num_hashes = sample[0]["n"] if sample else 0
+    rows_per_band = max(num_hashes // bands, 1)
     banded = sigs.select(
         "id",
         F.explode(
@@ -267,7 +282,7 @@ def minhash_dedup(
     this is the 100 TB path.
     """
     sigs = minhash_signatures(docs, num_hashes=num_hashes, ngram=ngram, text_col=text_col, id_col=id_col)
-    cands = minhash_lsh_candidates(sigs, bands=bands)
+    cands = minhash_lsh_candidates(sigs, bands=bands, num_hashes=num_hashes)
     sh = _shingles(docs, text_col, id_col, ngram, [])
     pairs = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
