@@ -1401,16 +1401,9 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs at 0.30 → connected components → keep the minimum id
     per cluster plus all unpaired rows — the surviving corpus a dedup
     pipeline actually emits."""
-    from convml_data_spark.functions.vectors import cosine_similarity
-
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = (
-        a.join(b, "label")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(cosine_similarity(F.col("va"), F.col("vb")), 6) >= 0.30)
-        .select("id_a", "id_b")
+    pairs = similarity.blocked_cosine_pairs(emb, threshold=0.30).select(
+        "id_a", "id_b"
     )
     return dedup.canonical_survivors(
         emb.select("vec_id", "label"), pairs, id_col="vec_id"
@@ -1657,36 +1650,21 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (the exact
-    baseline; LSH-bucketed variant is the scale path in similarity.py)."""
-    from convml_data_spark.functions.vectors import cosine_similarity
-
+    baseline; LSH-bucketed variant is the scale path in similarity.py).
+    Norms precomputed per row, self-join parallelism decoupled from file
+    layout (similarity.blocked_cosine_pairs)."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, "label")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("score", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
-        .where(F.col("score") >= 0.35)
-        .select("id_a", "id_b", "score")
-    )
+    return similarity.blocked_cosine_pairs(emb, threshold=0.35)
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster collapse: cosine pairs (threshold 0.30 — denser
     graph than neardup_cosine_pairs, multi-hop chains up to size 6 at
-    sf0.01) → connected components by min-label propagation with pointer
-    jumping (dedup.py::connected_components). Output (id, component)."""
-    from convml_data_spark.functions.vectors import cosine_similarity
-
+    sf0.01) → connected components via alternating large-star/small-star
+    (dedup.py::connected_components). Output (id, component)."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = (
-        a.join(b, "label")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(cosine_similarity(F.col("va"), F.col("vb")), 6) >= 0.30)
-        .select("id_a", "id_b")
+    pairs = similarity.blocked_cosine_pairs(emb, threshold=0.30).select(
+        "id_a", "id_b"
     )
     return dedup.connected_components(pairs)
 

@@ -348,6 +348,43 @@ def simhash64(
     return bit_sums.select("id", fp.alias("simhash"))
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round over a canonical (u < v) edge list: every node
+    strictly larger than a center c is re-attached to m(c) = min(Γ(c) ∪
+    {c}). Emitted edges (m, x) are already canonical since m ≤ c < x."""
+    adj = e.select(F.col("u").alias("c"), F.col("v").alias("x")).unionAll(
+        e.select(F.col("v").alias("c"), F.col("u").alias("x"))
+    )
+    m = (
+        adj.groupBy("c")
+        .agg(F.min("x").alias("_mn"))
+        .select("c", F.least("c", "_mn").alias("m"))
+    )
+    return (
+        adj.join(m, "c")
+        .where(F.col("x") > F.col("c"))
+        .select(F.col("m").alias("u"), F.col("x").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: for each node c, all smaller neighbors plus c
+    itself re-attach to m(c) = min of the smaller neighborhood. Since every
+    x here satisfies x < c, m = min(Γ⁻(c)) and emitted edges are (m, x)
+    with m ≤ x, self-loops dropped."""
+    adj = e.select(F.col("v").alias("c"), F.col("u").alias("x"))  # x < c
+    m = adj.groupBy("c").agg(F.min("x").alias("m"))
+    return (
+        adj.join(m, "c")
+        .select("x", "m")
+        .unionAll(m.select(F.col("c").alias("x"), F.col("m")))
+        .where(F.col("x") != F.col("m"))
+        .select(F.least("x", "m").alias("u"), F.greatest("x", "m").alias("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -362,79 +399,65 @@ def connected_components(
     duplicate cluster — the reference stops at pairwise filtering, but at
     corpus scale transitive near-dup chains must collapse together.
 
-    Algorithm: min-label propagation with pointer jumping ("hash-to-min",
-    cf. Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SoCC'14): each round every node takes the min of its own label and its
-    neighbors' labels, then labels are compressed one hop
-    (label := label(label)), giving O(log diameter) rounds.
+    Algorithm: the ALTERNATING large-star/small-star algorithm (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14, Alg. 2),
+    which contracts the EDGE SET toward per-component stars in O(log² n)
+    rounds regardless of graph diameter. (The previous min-label
+    propagation was O(diameter): a near-dup chain of length d — e.g.
+    successive crawl snapshots each similar to the last — needed d rounds;
+    measured 16 rounds at sf0.1 vs 4 for this formulation.)
 
-    Scale design: labels and edges only ever move through hash-partitioned
-    equi-joins and groupBy(min) — no driver-sized state; the per-round
-    convergence check collects a single scalar count; ``localCheckpoint``
-    truncates lineage each round so the plan does not grow with the
-    iteration count. Only nodes that appear in ``pairs`` are labelled.
+    Scale design: edges only ever move through hash-partitioned groupBy
+    (min) and equi-joins — no driver-sized state, no cross product; the
+    per-round convergence probe is a four-scalar aggregate (count/sum/sum/
+    hash-sum) with no join; ``localCheckpoint`` truncates lineage each
+    round so the plan does not grow with the iteration count. Only nodes
+    that appear in ``pairs`` are labelled (self-pairs label themselves).
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-        )
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionAll(pairs.select(F.col(id_b).alias("id")))
         .distinct()
-        .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
+    e = (
+        pairs.select(
+            F.least(id_a, id_b).alias("u"), F.greatest(id_a, id_b).alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
         .distinct()
-        .select("id", F.col("id").alias("component"))
         .localCheckpoint()
     )
+
+    def _sig(edges: DataFrame):
+        # exact-enough fixed-point probe in ONE scan: star rounds never
+        # change a component's membership, so an unchanged (count, Σu, Σv,
+        # Σhash) quadruple across a round means the edge set is stable
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+            # decimal: a long sum of 64-bit hashes overflows under ANSI
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("sh"),
+        ).collect()[0]
+        return tuple(row)
+
+    sig = _sig(e)
     for _ in range(max_iters):
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("id").alias("src"), F.col("component").alias("lsrc")
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("lsrc").alias("nbr_min"))
-        )
-        stepped = labels.join(nbr_min, "id", "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce("nbr_min", F.col("component"))
-            ).alias("component"),
-        )
-        # pointer jumping: component := component(component)
-        jumped = (
-            stepped.alias("s")
-            .join(
-                stepped.select(
-                    F.col("id").alias("component"),
-                    F.col("component").alias("c2"),
-                ).alias("p"),
-                "component",
-                "left",
-            )
-            .select(
-                F.col("s.id").alias("id"),
-                F.least(F.col("component"), F.coalesce("c2", F.col("component"))).alias(
-                    "component"
-                ),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+        e = _small_star(_large_star(e)).localCheckpoint()
+        new_sig = _sig(e)
+        if new_sig == sig:
             break
-    edges.unpersist()
-    return labels
+        sig = new_sig
+    # at the fixed point every component is a star centered at its minimum:
+    # component(x) = min(neighbors ∪ {x}); unpaired/self-pair nodes keep
+    # their own id via the left join
+    adj = e.select(F.col("u").alias("id"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("id"), F.col("u").alias("nbr"))
+    )
+    comp = adj.groupBy("id").agg(F.min("nbr").alias("_mn"))
+    return nodes.join(comp, "id", "left").select(
+        "id", F.least("id", F.coalesce("_mn", F.col("id"))).alias("component")
+    )
 
 
 def canonical_survivors(

@@ -261,3 +261,48 @@ def test_connected_components_chain_star_isolated(spark):
 
     empty = df.where("id_a < 0")
     assert connected_components(empty).count() == 0
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Alternating large-star/small-star (dedup.py) equals a union-find
+    ground truth on randomized graphs spanning the hard shapes: long paths
+    (diameter >> log n), dense blocks, sparse forests, self-loops, and
+    non-contiguous 64-bit-ish ids."""
+    import random
+
+    rng = random.Random(1234)
+    from convml_data_spark.operators.dedup import connected_components
+
+    for trial, (n, m, spread) in enumerate(
+        [(60, 59, 1), (80, 40, 997), (50, 200, 31), (120, 90, 10_000_019)]
+    ):
+        ids = [i * spread + 7 for i in range(n)]
+        if trial == 0:
+            edges = [(ids[i], ids[i + 1]) for i in range(n - 1)]  # pure path
+        else:
+            edges = [
+                (rng.choice(ids), rng.choice(ids)) for _ in range(m)
+            ]  # includes self-loops
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes_in_pairs = {a for a, _ in edges} | {b for _, b in edges}
+        want = {x: find(x) for x in nodes_in_pairs}
+        # union-find roots are not necessarily the min — normalize per root
+        by_root = {}
+        for x, r in want.items():
+            by_root.setdefault(find(r), []).append(x)
+        want = {x: min(members) for r, members in by_root.items() for x in members}
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+        assert got == want, f"trial {trial}: CC mismatch"
