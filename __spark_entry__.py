@@ -972,30 +972,23 @@ def q_x2_dotted_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", F.round("med", 6).alias("med"))
 
 
-def _recall_certification(spark, sf_dir, approx_fn, n_queries=5, k=10, min_recall=0.4):
+def _recall_certification(spark, sf_dir, approx_batch_fn, n_queries=5, k=10, min_recall=0.4):
     """Macro recall@k of an approximate ANN method vs the exact scan,
     certified as a boolean bound: hits across ``n_queries`` probe vectors
-    must reach ``min_recall``·(n_queries·k). The intersection/count runs
-    Spark-side (one union + join); only the tiny query vectors are
-    collected (plan-time literals, like any query embedding)."""
-    from functools import reduce
-
+    must reach ``min_recall``·(n_queries·k). Both sides run as BATCH
+    queries (similarity.cosine_topk_batch / *_topk_batch): the whole
+    probe set is served by one table scan per side instead of one
+    TakeOrdered job per probe. Only the tiny query vectors are collected
+    (plan-time literals, like any query embedding)."""
     emb = _t(spark, sf_dir, "embeddings")
     qrows = (
         emb.where(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect()
     )
-    exacts, approxes = [], []
-    for r in qrows:
-        qv = [float(v) for v in r["embedding"]]
-        qid = F.lit(int(r["vec_id"])).alias("qid")
-        exacts.append(
-            similarity.cosine_topk(emb, qv, k=k).select(qid, F.col("vec_id").alias("id"))
-        )
-        approxes.append(
-            approx_fn(emb, qv).select(qid, F.col("vec_id").alias("id"))
-        )
-    exall = reduce(lambda a, b: a.unionByName(b), exacts)
-    apall = reduce(lambda a, b: a.unionByName(b), approxes)
+    queries = [(int(r["vec_id"]), [float(v) for v in r["embedding"]]) for r in qrows]
+    exall = similarity.cosine_topk_batch(emb, queries, k=k).select(
+        "qid", F.col("vec_id").alias("id")
+    )
+    apall = approx_batch_fn(emb, queries).select("qid", F.col("vec_id").alias("id"))
     hits = exall.join(apall, ["qid", "id"]).agg(F.count("*").alias("hits"))
     need = int(min_recall * n_queries * k)
     return hits.select(
@@ -1012,8 +1005,8 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_certification(
         spark,
         sf_dir,
-        lambda emb, qv: similarity.lsh_bucketed_topk(
-            emb, qv, k=10, n_planes=6, multiprobe_hamming=2
+        lambda emb, queries: similarity.lsh_bucketed_topk_batch(
+            emb, queries, k=10, n_planes=6, multiprobe_hamming=2
         ),
     )
 
@@ -1027,14 +1020,11 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors — exactly how a real IVF index is used (build once, probe many);
     re-fitting per query would run 5 identical KMeans jobs for the same
     deterministic (seeded) centroids."""
-    emb = _t(spark, sf_dir, "embeddings")
-    _, centroids = similarity.ivf_index(emb, n_lists=8, fit_fraction=0.25)
     return _recall_certification(
         spark,
         sf_dir,
-        lambda emb, qv: similarity.ivf_topk(
-            emb, qv, k=10, n_lists=8, n_probes=3, fit_fraction=0.25,
-            centroids=centroids,
+        lambda emb, queries: similarity.ivf_topk_batch(
+            emb, queries, k=10, n_lists=8, n_probes=3, fit_fraction=0.25
         ),
     )
 

@@ -52,8 +52,13 @@ def ngram_overlap(
     eg = grams(eval_docs, "eval_id")
     if broadcast_eval:
         eg = F.broadcast(eg)
+    # decouple the train-side n-gram explode from the file layout: a
+    # single-file corpus would otherwise tokenize in ONE scan task
+    # (see dedup._spread — same trap)
+    from .dedup import _spread
+
     return (
-        grams(train, "doc_id")
+        grams(_spread(train, id_col), "doc_id")
         .join(eg, "ng")
         .groupBy("doc_id")
         .agg(

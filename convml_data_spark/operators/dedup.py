@@ -148,8 +148,18 @@ def jaccard_dedup_prefix(
     scan, so this IS oracle-checkable.
     """
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
-    sh = _shingles(docs, text_col, id_col, ngram, [])
+    # the shingle relation feeds the plan 4× (inverted index, size lookup,
+    # and both verify-join sides) and the prefix relation 2× (candidate
+    # self-join) — persist both so tokenization + the df-count/window
+    # pipeline run once, not per reference. MEMORY_AND_DISK spills at
+    # corpus scale; lifecycle follows the engine convention (tiler.py:99):
+    # the returned DataFrame pins the persisted relations, callers drop
+    # them with spark.catalog.clearCache() when the result is consumed.
+    sh = _shingles(docs, text_col, id_col, ngram, []).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     ex = sh.select("id", F.explode("sh").alias("shingle"))
     df_counts = ex.groupBy("shingle").agg(F.count("*").alias("_df"))
     w = Window.partitionBy("id").orderBy("_df", "shingle")
@@ -164,6 +174,7 @@ def jaccard_dedup_prefix(
         # any candidate (big win when most shingles are unique)
         .where(F.col("_df") >= 2)
         .select("id", "shingle")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cands = (
         pre.select(F.col("id").alias("id_a"), "shingle")
@@ -203,11 +214,19 @@ def minhash_signatures(
     Signature values are min over shingles of affine hashes of the 60-bit
     shingle hash — fully deterministic, partitioning-independent.
     """
+    sh = _shingles(docs, text_col, id_col, ngram, [])
+    return _minhash_signatures_from_shingles(sh, num_hashes=num_hashes, seed=seed)
+
+
+def _minhash_signatures_from_shingles(
+    sh: DataFrame, num_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """Signatures from a prebuilt ``(id, sh ARRAY<STRING>)`` relation —
+    lets pipelines that also need the shingle sets (candidate
+    verification) tokenize ONCE instead of per consumer."""
     params = _hash_params(num_hashes, seed)
-    sh = _shingles(docs, text_col, id_col, ngram, []).select(
-        "id", F.explode("sh").alias("shingle")
-    )
-    h = sh.withColumn("x", _shingle_hash64(F.col("shingle")))
+    ex = sh.select("id", F.explode("sh").alias("shingle"))
+    h = ex.withColumn("x", _shingle_hash64(F.col("shingle")))
     # (a*x + b) mod p in double would lose precision; use pmod on
     # decimal-free 64-bit arithmetic: Spark long overflow is a risk for
     # a*x, so compute via (a mod p * x mod p) with 128-bit decimal.
@@ -281,9 +300,16 @@ def minhash_dedup(
     without any blocking assumption — the LSH buckets ARE the blocks, so
     this is the 100 TB path.
     """
-    sigs = minhash_signatures(docs, num_hashes=num_hashes, ngram=ngram, text_col=text_col, id_col=id_col)
+    from pyspark.storagelevel import StorageLevel
+
+    # one persisted shingle relation feeds BOTH the signature build and the
+    # two verification join sides — tokenization runs once, not 3×
+    # (lifecycle convention as in jaccard_dedup_prefix / tiler.py:99)
+    sh = _shingles(docs, text_col, id_col, ngram, []).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = _minhash_signatures_from_shingles(sh, num_hashes=num_hashes)
     cands = minhash_lsh_candidates(sigs, bands=bands, num_hashes=num_hashes)
-    sh = _shingles(docs, text_col, id_col, ngram, [])
     pairs = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -414,19 +440,23 @@ def connected_components(
     round so the plan does not grow with the iteration count. Only nodes
     that appear in ``pairs`` are labelled (self-pairs label themselves).
     """
-    nodes = (
-        pairs.select(F.col(id_a).alias("id"))
-        .unionAll(pairs.select(F.col(id_b).alias("id")))
-        .distinct()
-    )
-    e = (
+    # materialize the normalized pair list ONCE: both the edge set and the
+    # node set derive from it, and `pairs` is typically an expensive
+    # candidate-generation plan (cosine scoring, LSH verify) that must not
+    # re-execute for the final node labelling
+    p0 = (
         pairs.select(
             F.least(id_a, id_b).alias("u"), F.greatest(id_a, id_b).alias("v")
         )
-        .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
+    nodes = (
+        p0.select(F.col("u").alias("id"))
+        .unionAll(p0.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    e = p0.where(F.col("u") != F.col("v"))
 
     def _sig(edges: DataFrame):
         # exact-enough fixed-point probe in ONE scan: star rounds never

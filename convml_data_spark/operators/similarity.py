@@ -100,6 +100,72 @@ def cosine_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def _topk_per_query(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Salted two-phase top-k per qid over (qid, id, score) rows.
+
+    Phase 1 ranks within (qid, salt) — salt is a DETERMINISTIC hash of the
+    id (never ``spark_partition_id``: AQE/repartition must not change
+    results) — so each of the P salt groups prunes to k rows in parallel;
+    phase 2 ranks the surviving ≤ P·k rows per qid. No single-partition
+    window ever sees more than ~n/P rows, which is what makes a batch of
+    queries against a 100 TB table feasible in ONE scan instead of one
+    TakeOrdered job per query. Ordering matches :func:`cosine_topk`
+    (score desc, id asc) exactly.
+    """
+    from pyspark.sql import Window
+
+    P = max(scored.sparkSession.sparkContext.defaultParallelism, 2)
+    w1 = Window.partitionBy("qid", "_salt").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(P)))
+        .withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= k)
+        .withColumn("_r", F.row_number().over(w2))
+        .where(F.col("_r") <= k)
+        .select("qid", id_col, "score")
+    )
+
+
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k for a BATCH of query vectors in one table scan.
+
+    Serving many ANN queries as separate jobs re-reads the table per
+    query; here every row is scored against the whole (plan-time literal)
+    query batch via one explode, then :func:`_topk_per_query` ranks.
+    Returns (qid, id, score) with scores identical to :func:`cosine_topk`.
+    """
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(int(qid)).alias("qid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("qv"),
+            )
+            for qid, vec in queries
+        ]
+    )
+    scored = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .select(F.col(id_col), F.col(vec_col), F.explode(qarr).alias("_q"))
+        .select(
+            F.col("_q.qid").alias("qid"),
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), F.col("_q.qv")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    return _topk_per_query(scored, k, id_col)
+
+
 def hyperplane_signatures(
     embeddings: DataFrame,
     n_planes: int = 16,
@@ -125,6 +191,69 @@ def hyperplane_signatures(
     return embeddings.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
 
 
+_FIT_SAMPLE_CAP = 65536  # hard bound on driver-side fit state (FAISS-style)
+
+
+def _sample_fit_centroids(
+    embeddings: DataFrame,
+    n_lists: int,
+    seed: int,
+    vec_col: str,
+    fit_fraction: float,
+    max_iters: int = 20,
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means on a bounded collected sample.
+
+    The sample is ``fit_fraction`` of the table capped at
+    ``_FIT_SAMPLE_CAP`` rows (one limit-job; at 100 TB the fraction is
+    tiny and the cap is what binds). Init is k-means++-style but
+    deterministic: seeded RNG over the sample. Ties/empty clusters are
+    re-seeded from the farthest points, so k centroids always come back.
+    """
+    import random
+
+    import numpy as np
+
+    sample_df = embeddings.select(F.col(vec_col).alias("v"))
+    if fit_fraction < 1.0:
+        sample_df = sample_df.sample(fit_fraction, seed=seed)
+    rows = sample_df.limit(_FIT_SAMPLE_CAP).collect()
+    pts = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    if len(pts) == 0:
+        raise ValueError("cannot fit IVF centroids on an empty table")
+    k = min(n_lists, len(pts))
+    rng = random.Random(seed)
+    # k-means++ seeding (deterministic)
+    centers = [pts[rng.randrange(len(pts))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [((pts - c) ** 2).sum(axis=1) for c in centers], axis=0
+        )
+        total = float(d2.sum())
+        if total <= 0.0:
+            centers.append(pts[rng.randrange(len(pts))])
+            continue
+        r = rng.random() * total
+        idx = int(np.searchsorted(np.cumsum(d2), r))
+        centers.append(pts[min(idx, len(pts) - 1)])
+    C = np.asarray(centers)
+    for _ in range(max_iters):
+        d2 = ((pts[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        newC = C.copy()
+        for j in range(k):
+            members = pts[assign == j]
+            if len(members):
+                newC[j] = members.mean(axis=0)
+            else:  # re-seed empty cluster at the farthest point
+                newC[j] = pts[d2.min(axis=1).argmax()]
+        if np.allclose(newC, C, rtol=0, atol=1e-12):
+            C = newC
+            break
+        C = newC
+    return [list(map(float, c)) for c in C]
+
+
 def ivf_index(
     embeddings: DataFrame,
     n_lists: int = 16,
@@ -134,31 +263,27 @@ def ivf_index(
     fit_fraction: float = 0.25,
     centroids: list[list[float]] | None = None,
 ):
-    """IVF coarse quantizer: Spark ML KMeans centroids + per-row list
+    """IVF coarse quantizer: sample-fit Lloyd centroids + per-row list
     assignment. Returns (assigned DataFrame with ``list_id``, centroids
     list).
 
     The quantizer NEVER fits on the full table: it trains on a
     ``fit_fraction`` sample (coarse centroids only need a sketch of the
     distribution — FAISS trains IVF on ~256·n_lists points), or skips the
-    fit entirely when prebuilt ``centroids`` are passed. Assignment of all
-    rows is a single broadcast-centroid map pass. At 100 TB ``fit_fraction``
-    shrinks toward 0 and ``list_id`` becomes the table's partition key (see
+    fit entirely when prebuilt ``centroids`` are passed. The sample is
+    COLLECTED and Lloyd-iterated driver-side with numpy (bounded driver
+    state — cap the sample, not the table; FAISS does exactly this on one
+    node): a distributed KMeans spends ~20 scheduler round-trips per fit
+    to cluster a few thousand points. Assignment of all rows is a single
+    broadcast-centroid map pass. At 100 TB ``fit_fraction`` shrinks toward
+    0 and ``list_id`` becomes the table's partition key (see
     :func:`ivf_write_index`), so probes are partition-pruned scans.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feats = embeddings.withColumn(
-        "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
-    )
     if centroids is None:
-        fit_df = feats if fit_fraction >= 1.0 else feats.sample(fit_fraction, seed=seed)
-        km = KMeans(
-            k=n_lists, seed=seed, featuresCol="_features", predictionCol="list_id"
+        centroids = _sample_fit_centroids(
+            embeddings, n_lists=n_lists, seed=seed, vec_col=vec_col,
+            fit_fraction=fit_fraction,
         )
-        model = km.fit(fit_df)
-        centroids = [list(map(float, c)) for c in model.clusterCenters()]
     # assignment = argmin over broadcast centroid literals, pure Column math
     # (JVM-side, no model UDF): min-struct over (dist2, list id)
     dists = [
@@ -309,11 +434,29 @@ def lsh_bucketed_topk(
     ``multiprobe_hamming`` bit flips of the query's bucket (multi-probe
     keeps recall up without more tables). At 100 TB the bucket column is a
     partition/cluster key so the probe is a partition-pruned scan."""
+    dim = len(query_vector)
+    planes = _hyperplanes(n_planes, dim, seed)
+    probes = _probe_buckets(query_vector, planes, multiprobe_hamming)
+    sigs = hyperplane_signatures(
+        embeddings, n_planes=n_planes, dim=dim, seed=seed, vec_col=vec_col, id_col=id_col
+    )
+    candidates = sigs.where(F.col("bucket").isin(list(probes)))
+    return cosine_topk(candidates, query_vector, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    """Seed-fixed Gaussian hyperplanes — MUST match
+    :func:`hyperplane_signatures`'s plane matrix bit-for-bit."""
     import random
 
     rng = random.Random(seed)
-    dim = len(query_vector)
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _probe_buckets(
+    query_vector: list[float], planes: list[list[float]], multiprobe_hamming: int
+) -> set[int]:
+    n_planes = len(planes)
     qsig = 0
     for i, plane in enumerate(planes):
         if sum(a * b for a, b in zip(query_vector, plane)) > 0:
@@ -327,8 +470,97 @@ def lsh_bucketed_topk(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         )
+    return probes
+
+
+def _batch_probe_topk(
+    candidates: DataFrame,
+    probe_df: DataFrame,
+    probe_key: str,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared batch-probe tail: broadcast-join the tiny (qid, probe-key,
+    qv) relation onto the candidate rows, score JVM-side, rank per qid."""
+    scored = (
+        candidates.join(F.broadcast(probe_df), probe_key)
+        .select(
+            "qid",
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), F.col("_qv")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    return _topk_per_query(scored, k, id_col)
+
+
+def lsh_bucketed_topk_batch(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Batch LSH top-k: signatures are computed ONCE for the whole query
+    batch; each query contributes its multiprobe bucket set to one tiny
+    broadcast (qid, bucket, qv) relation, so the entire batch is a single
+    scan + broadcast hash join + per-qid rank instead of one job per
+    query. Per-query results are identical to :func:`lsh_bucketed_topk`.
+    Returns (qid, id-col, score)."""
+    spark = embeddings.sparkSession
+    dim = len(queries[0][1])
+    planes = _hyperplanes(n_planes, dim, seed)
+    rows = [
+        (int(qid), int(bucket), [float(x) for x in qv])
+        for qid, qv in queries
+        for bucket in sorted(_probe_buckets(qv, planes, multiprobe_hamming))
+    ]
+    probe_df = spark.createDataFrame(
+        rows, "qid int, bucket int, _qv array<double>"
+    )
     sigs = hyperplane_signatures(
         embeddings, n_planes=n_planes, dim=dim, seed=seed, vec_col=vec_col, id_col=id_col
     )
-    candidates = sigs.where(F.col("bucket").isin(list(probes)))
-    return cosine_topk(candidates, query_vector, k=k, vec_col=vec_col, id_col=id_col)
+    return _batch_probe_topk(sigs, probe_df, "bucket", k, vec_col, id_col)
+
+
+def ivf_topk_batch(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probes: int = 3,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    fit_fraction: float = 0.25,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Batch IVF top-k: one list assignment pass serves the whole query
+    batch — each query probes its ``n_probes`` nearest lists through one
+    broadcast (qid, list_id, qv) relation. Per-query results are identical
+    to :func:`ivf_topk`. Returns (qid, id-col, score)."""
+    spark = embeddings.sparkSession
+    assigned, centroids = ivf_index(
+        embeddings,
+        n_lists=n_lists,
+        seed=seed,
+        vec_col=vec_col,
+        id_col=id_col,
+        fit_fraction=fit_fraction,
+        centroids=centroids,
+    )
+    rows = [
+        (int(qid), int(lid), [float(x) for x in qv])
+        for qid, qv in queries
+        for lid in nearest_lists(centroids, qv, n_probes)
+    ]
+    probe_df = spark.createDataFrame(
+        rows, "qid int, list_id int, _qv array<double>"
+    )
+    return _batch_probe_topk(assigned, probe_df, "list_id", k, vec_col, id_col)

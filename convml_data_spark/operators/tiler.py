@@ -89,7 +89,11 @@ def trajectory_tile_locations(
     traj = trajectory.select(traj_time, lat_col, lon_col).dropDuplicates()
     traj = traj.withColumn(
         "_tus", epoch_micros(traj_time, dict(traj.dtypes)[traj_time])
-    )
+    ).persist()
+    # persist the deduped trajectory BEFORE ranking: global_ranks runs two
+    # plan-time jobs (cut-point sketch + bucket counts) and the rank window
+    # is a third consumer — without this each re-executes the upstream
+    # distinct. Bounded by the flight track (distinct times), not scenes.
     ranked, _n = global_ranks(traj, "_tus", rank_col="time_idx")
     ranked = ranked.select(
         traj_time,
