@@ -1590,6 +1590,49 @@ def q_emb_transform_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (corpus.py::pack_token_chunks):
+    deterministic md5 corpus shuffle, concatenate, cut every 4096 tokens;
+    each doc reports the chunk id + offset its first token lands on. The
+    global running token count is the bucket-decomposed global_cumsum —
+    the DuckDB replay is the same window SUM, so the decomposition is
+    certified value-for-value."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.pack_token_chunks(docs, budget=4096, seed=42)
+
+
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain/source document cap (corpus.py::cap_per_group): at most
+    20 docs per source survive, chosen by deterministic md5 ranking —
+    the web-corpus per-domain cap, two-phase-ranked so a skewed domain
+    never hits a single-task window."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return corpus.cap_per_group(docs, "source", n_max=20, seed=7)
+
+
+def q_emb_transform_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-transform registry clustering path (transforms.py:17-139;
+    the reference dispatches hdbscan there — this container has no hdbscan,
+    so the registry's clustering transform is Spark ML KMeans with the same
+    fit/apply + label-column shape). Certified structurally: every row gets
+    a label in [0, k) (exact centroid membership is solver/partitioning-
+    defined, so raw labels aren't cross-engine comparable)."""
+    from convml_data_spark.operators import inference
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out, _model = inference.apply_transform(emb, "kmeans", transform_extra_args="k=8")
+    return out.agg(
+        F.count("*").alias("n_rows"),
+        (F.count_if((F.col("emb") >= 0) & (F.col("emb") < 8)) == F.count("*")).alias(
+            "labels_in_range"
+        ),
+    )
+
+
 def q_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.13: file-stream scene discovery → watermarked 1-day windowed
     counts, drained with Trigger.AvailableNow (batch-equivalent result, so
@@ -1808,6 +1851,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 ---
         "traj_tiles": q_traj_tiles,
         "spec_triplet_pipeline": q_spec_triplet_pipeline,
+        "emb_transform_kmeans": q_emb_transform_kmeans,
+        "pack_chunks": q_pack_chunks,
+        "cap_per_source": q_cap_per_source,
         # --- last certified r1/r2 (pre-NTZ testdata) ---
         "r2_scene_pairs": q_r2_scene_pairs,
         "w2_argmin_per_group": q_w2_argmin_per_group,
@@ -1857,9 +1903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "pii_scrub": q_pii_scrub,
         "sample_quality_weighted": q_sample_quality_weighted,
+        # ---------------- position 51+: r3-certified keys displaced by the
+        # three new keys, then the r4-certified 50 (rotate back r6).
         "emb_transform_scaler": q_emb_transform_scaler,
-        # ---------------- position 51+: r3-certified manifests displaced
-        # by the two new keys, then the r4-certified 50 (rotate back r6).
         # Keys whose operator code changed THIS round (asof refactor: j2/
         # j3/f4/a3; w6 null guard; stream_seen_filter single-batch pin;
         # a7 signature) are re-proven today by the in-repo oracle-parity
@@ -3473,6 +3519,40 @@ def oracle_sql() -> dict[str, str]:
         # recall@10 of the approximate method vs the exact scan and asserts
         # the bound IN the result; the oracle pins the asserted outcome, so
         # a recall regression below the bound flips the row red.
+        "emb_transform_kmeans": (
+            "SELECT count(*) AS n_rows, true AS labels_in_range FROM embeddings"
+        ),
+        "pack_chunks": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                            x -> x != '')) AS BIGINT) AS n_tokens,
+                       CAST('0x' || substr(md5('42_' || CAST(doc_id AS VARCHAR)), 1, 15)
+                            AS BIGINT) AS shuf
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY shuf, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS before
+                FROM base
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(before // 4096 AS BIGINT) AS chunk_id,
+                   CAST(before % 4096 AS BIGINT) AS chunk_offset
+            FROM c
+        """,
+        "cap_per_source": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('7_' || CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS r
+                FROM documents
+            ) WHERE r <= 20
+        """,
         "similarity_lsh_topk": "SELECT CAST(5 AS BIGINT) AS n_queries, true AS recall_ok",
         "similarity_ivf_topk": "SELECT CAST(5 AS BIGINT) AS n_queries, true AS recall_ok",
     }

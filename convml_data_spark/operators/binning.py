@@ -146,6 +146,58 @@ def ecdf(df: DataFrame, value_col: str, partition_by: list[str] | None = None) -
     return df.withColumn("ecdf", F.cume_dist().over(w))
 
 
+def global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    tiebreak: list[str] | None = None,
+    out_col: str = "_cumsum",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Exact global running sum of ``value_col`` in ``(order_col,
+    *tiebreak)`` order without a single-task global window.
+
+    Same decomposition as :func:`global_ranks`: sketch-derived literal cut
+    points bucket the rows (data expression, never
+    ``spark_partition_id``), per-bucket window cumsums run in parallel,
+    and one tiny aggregate gives each bucket's global offset (P scalars on
+    the driver). ``inclusive=False`` returns the sum of all STRICTLY
+    preceding rows (the "offset before me" form sequence packing needs).
+    """
+    from pyspark.sql import Window
+
+    tiebreak = list(tiebreak or [])
+    p = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    cuts = df.stat.approxQuantile(order_col, [i / p for i in range(1, p)], 0.01)
+    cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
+    parts = df.withColumn(
+        "_b", F.size(F.filter(cuts_arr, lambda c: c <= F.col(order_col)))
+    )
+    sums = {
+        r["_b"]: r["s"]
+        for r in parts.groupBy("_b")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(sums):
+        offsets[b] = acc
+        acc += sums[b] or 0
+    if not offsets:
+        return parts.withColumn(out_col, F.lit(0).cast("long")).drop("_b").limit(0)
+    off_expr = F.element_at(
+        F.create_map(*[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]),
+        F.col("_b"),
+    )
+    w = Window.partitionBy("_b").orderBy(order_col, *tiebreak)
+    local = F.sum(F.col(value_col).cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if not inclusive:
+        local = local - F.col(value_col).cast("long")
+    return parts.withColumn(out_col, (local + off_expr).cast("long")).drop("_b")
+
+
 def global_ranks(
     df: DataFrame,
     value_col: str,

@@ -358,3 +358,100 @@ def duplicate_span_dedup(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def pack_token_chunks(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """GPT-style sequence packing: deterministically shuffle the corpus,
+    concatenate, and cut every ``budget`` tokens.
+
+    Each document gets the chunk id and intra-chunk offset its FIRST token
+    lands on (documents may straddle chunk boundaries — exactly how LLM
+    pretraining packs a corpus into fixed-length training sequences).
+    Returns (id, n_tokens, chunk_id, chunk_offset).
+
+    Scale design: the deterministic shuffle key is an md5 of the id
+    (replayable anywhere, partitioning-independent) and the global running
+    token count is :func:`binning.global_cumsum` — bucket-decomposed, so
+    no single-task window ever sees the corpus. One sketch pass + one tiny
+    aggregate + one partitioned window: 100 TB packs in 3 bounded jobs.
+    """
+    from .binning import global_cumsum
+    from .dedup import _spread
+
+    n_tok = (
+        F.col(token_count_col)
+        if token_count_col
+        else F.size(T.tokens(F.lower(F.col(text_col))))
+    )
+    base = _spread(docs, id_col).select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        # numeric shuffle key: top 60 bits of md5(seed ⊕ id) — uniform,
+        # sortable, and exactly replayable in DuckDB
+        F.conv(
+            F.substring(F.md5(F.concat_ws("_", F.lit(seed), F.col(id_col))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("_shuf"),
+    )
+    packed = global_cumsum(
+        base,
+        "n_tokens",
+        "_shuf",
+        tiebreak=[id_col],
+        out_col="_before",
+        inclusive=False,
+    )
+    return packed.select(
+        F.col(id_col),
+        "n_tokens",
+        # integer division: exact at any corpus size (a double quotient
+        # is only trunc-safe below 2^53)
+        F.expr(f"_before div {int(budget)}").alias("chunk_id"),
+        F.pmod(F.col("_before"), F.lit(int(budget))).cast("long").alias("chunk_offset"),
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n_max: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group document cap (the web-corpus per-domain cap): keep at most
+    ``n_max`` rows per group, chosen by a deterministic md5 ranking so the
+    survivors are a uniform sample that replays identically anywhere.
+
+    Scale design: ranking only matters up to ``n_max``, so a skewed group
+    (one domain with billions of pages) never hits a single-task window —
+    phase 1 ranks within (group, salt) — salt is a hash of the id, NEVER
+    ``spark_partition_id`` — keeping ≤ n_max per salt cell; phase 2 ranks
+    the surviving ≤ P·n_max rows per group exactly. Same two-phase shape
+    as similarity._topk_per_query.
+    """
+    from pyspark.sql import Window
+
+    P = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    rk = F.md5(F.concat_ws("_", F.lit(seed), F.col(id_col)))
+    salted = df.withColumn("_rk", rk).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(P))
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy("_rk", id_col)
+    w2 = Window.partitionBy(group_col).orderBy("_rk", id_col)
+    return (
+        salted.withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= n_max)
+        .withColumn("_r", F.row_number().over(w2))
+        .where(F.col("_r") <= n_max)
+        .drop("_rk", "_salt", "_r")
+    )

@@ -216,7 +216,10 @@ def _sample_fit_centroids(
 
     sample_df = embeddings.select(F.col(vec_col).alias("v"))
     if fit_fraction < 1.0:
-        sample_df = sample_df.sample(fit_fraction, seed=seed)
+        # BOTH kwargs: `.sample(f, seed=s)` binds f to withReplacement and
+        # silently drops the seed (nondeterministic fit — caught by the
+        # batch≡single property test)
+        sample_df = sample_df.sample(fraction=fit_fraction, seed=seed)
     rows = sample_df.limit(_FIT_SAMPLE_CAP).collect()
     pts = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
     if len(pts) == 0:

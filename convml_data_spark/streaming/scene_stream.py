@@ -25,6 +25,35 @@ from pyspark.sql import functions as F
 _sink_counter = itertools.count()
 
 
+class _clamped_stream_partitions:
+    """Clamp ``spark.sql.shuffle.partitions`` to the session's actual slot
+    count for the duration of a synchronous AvailableNow drain.
+
+    Streaming stateful operators create one state store + task per shuffle
+    partition EVERY micro-batch, and AQE never coalesces them — a session
+    left at the 200 default runs 200 state tasks over a 32-slot harness
+    (the driver hands us exactly such a session). The clamp only ever
+    LOWERS the setting (a cluster whose parallelism exceeds the conf is
+    untouched — state sizing there is the user's call), and the previous
+    value is restored after the drain, so the conf never leaks into the
+    caller's later batch queries.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+
+    def __enter__(self):
+        self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
+        slots = self._spark.sparkContext.defaultParallelism
+        if self._prev != "auto" and int(self._prev) > slots:
+            self._spark.conf.set("spark.sql.shuffle.partitions", str(slots))
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
+        return False
+
+
 def stream_table(
     spark: SparkSession, sf_dir: str, name: str, single_batch: bool = False
 ) -> tuple[DataFrame, DataFrame]:
@@ -136,8 +165,9 @@ def run_available_now(
     )
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.start()
-    q.awaitTermination()
+    with _clamped_stream_partitions(spark):
+        q = writer.start()
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -159,14 +189,15 @@ def drain_available_now(
     def sink(batch_df, _batch_id):
         collected.extend(batch_df.collect())
 
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .foreachBatch(sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _clamped_stream_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return collected
 
 
@@ -196,14 +227,15 @@ def drain_to_parquet(
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out_path)
 
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .foreachBatch(sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _clamped_stream_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def stream_sessionize(

@@ -123,6 +123,58 @@ def test_lsh_neardup_pairs_finds_planted_dups(spark):
     assert all(p in planted for p in pairs)  # no false positives at 0.99
 
 
+def test_batch_topk_matches_single_query_paths(spark):
+    """The batch ANN entry points (one scan for a whole query batch) must
+    return EXACTLY the per-query single paths' rows, per qid — same ids,
+    same rounded scores, same tie-breaks."""
+    from convml_data_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(v) for v in rng.standard_normal(8)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = [(qid, rows[qid][1]) for qid in (0, 3, 7)]
+
+    def by_qid(batch_df):
+        out = {}
+        for r in batch_df.collect():
+            out.setdefault(r["qid"], []).append((r["vec_id"], r["score"]))
+        return {k: sorted(v, key=lambda t: (-t[1], t[0])) for k, v in out.items()}
+
+    got = by_qid(similarity.cosine_topk_batch(df, queries, k=5))
+    for qid, qv in queries:
+        want = [
+            (r["vec_id"], r["score"])
+            for r in similarity.cosine_topk(df, qv, k=5).collect()
+        ]
+        assert got[qid] == want
+
+    got = by_qid(
+        similarity.lsh_bucketed_topk_batch(
+            df, queries, k=5, n_planes=6, multiprobe_hamming=1
+        )
+    )
+    for qid, qv in queries:
+        want = [
+            (r["vec_id"], r["score"])
+            for r in similarity.lsh_bucketed_topk(
+                df, qv, k=5, n_planes=6, multiprobe_hamming=1
+            ).collect()
+        ]
+        assert got.get(qid, []) == want
+
+    got = by_qid(similarity.ivf_topk_batch(df, queries, k=5, n_lists=4, n_probes=2))
+    for qid, qv in queries:
+        want = [
+            (r["vec_id"], r["score"])
+            for r in similarity.ivf_topk(
+                df, qv, k=5, n_lists=4, n_probes=2
+            ).collect()
+        ]
+        assert got.get(qid, []) == want
+
+
 def test_multimodal_fake_decode_matches_replay(spark):
     docs = spark.range(10).select(F.col("id").alias("doc_id"))
     feats = {

@@ -202,3 +202,52 @@ def test_keyless_ecdf_delegates_to_global(spark):
 
     for r in rows:
         assert abs(r["ecdf"] - bisect.bisect_right(vals, r["v"]) / n) < 1e-12
+
+
+def test_global_cumsum_matches_serial_and_partitioning_independent(spark):
+    """global_cumsum's bucket decomposition must equal a serial cumsum in
+    the same (order, tiebreak) order, for any input partitioning."""
+    import random
+
+    from convml_data_spark.operators.binning import global_cumsum
+
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(1, 50), rng.uniform(-100, 100)) for i in range(500)]
+    want = {}
+    acc = 0
+    for i, v, o in sorted(rows, key=lambda r: (r[2], r[0])):
+        want[i] = acc  # exclusive form
+        acc += v
+    for nparts in (1, 7):
+        df = spark.createDataFrame(rows, "id long, v long, o double").repartition(nparts)
+        got = {
+            r["id"]: r["_cumsum"]
+            for r in global_cumsum(
+                df, "v", "o", tiebreak=["id"], inclusive=False
+            ).collect()
+        }
+        assert got == want
+
+
+def test_cap_per_group_bounds_and_determinism(spark):
+    """cap_per_group keeps at most n_max per group, the SAME rows for any
+    partitioning, and all rows of groups under the cap."""
+    from convml_data_spark.operators.corpus import cap_per_group
+
+    rows = [(i, f"g{i % 3}" if i < 90 else "gbig") for i in range(200)]
+    picked = None
+    for nparts in (1, 13):
+        df = spark.createDataFrame(rows, "doc_id long, source string").repartition(nparts)
+        out = cap_per_group(df, "source", n_max=25).collect()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r["source"], set()).add(r["doc_id"])
+        assert all(len(v) <= 25 for v in by_g.values())
+        # groups under the cap keep everything (g0/g1/g2 have 30 rows — over
+        # the cap; gbig has 110 — capped at 25)
+        assert len(by_g["gbig"]) == 25
+        key = tuple(sorted((g, tuple(sorted(v))) for g, v in by_g.items()))
+        if picked is None:
+            picked = key
+        else:
+            assert key == picked
