@@ -1590,6 +1590,30 @@ def q_emb_transform_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram cross-entropy LM-quality score per document (corpus.py::
+    unigram_logprob_score, the CCNet-style filtering proxy): one corpus
+    frequency agg + hash join + per-doc reduction with DECIMAL(38,12)
+    log-term sums (order-independent under AQE, replayable in DuckDB)."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.unigram_logprob_score(docs)
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified R1 (sampling.py::stratified_split): every source splits
+    3:1 train/val EXACTLY (floor thresholds), ranks computed per
+    (group, fixed-uniform-bucket) with broadcast offsets — no per-group
+    single-task window, no sketch job (the rank key is md5-uniform)."""
+    from convml_data_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.stratified_split(
+        docs, "source", {"train": 3, "val": 1}, id_col="doc_id", seed=42
+    ).select("doc_id", "source", "collection")
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (corpus.py::pack_token_chunks):
     deterministic md5 corpus shuffle, concatenate, cut every 4096 tokens;
@@ -1854,6 +1878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_transform_kmeans": q_emb_transform_kmeans,
         "pack_chunks": q_pack_chunks,
         "cap_per_source": q_cap_per_source,
+        "stratified_split": q_stratified_split,
+        "unigram_xent": q_unigram_xent,
         # --- last certified r1/r2 (pre-NTZ testdata) ---
         "r2_scene_pairs": q_r2_scene_pairs,
         "w2_argmin_per_group": q_w2_argmin_per_group,
@@ -3542,6 +3568,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(before // 4096 AS BIGINT) AS chunk_id,
                    CAST(before % 4096 AS BIGINT) AS chunk_offset
             FROM c
+        """,
+        "unigram_xent": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          x -> x != '')) AS token
+                FROM documents
+            ), tc AS (
+                SELECT token, count(*) AS c FROM tok GROUP BY token
+            ), n AS (
+                SELECT sum(c) AS N FROM tc
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   round(ln((SELECT N FROM n))
+                         - CAST(sum(CAST(ln(c) AS DECIMAL(38,12))) AS DOUBLE)
+                           / count(*), 6) AS xent_nats
+            FROM tok JOIN tc USING (token)
+            GROUP BY doc_id
+        """,
+        "stratified_split": """
+            SELECT doc_id, source,
+                   CASE WHEN r < floor(n_g * 0.75) THEN 'train' ELSE 'val' END
+                       AS collection
+            FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY u, doc_id
+                       ) - 1 AS r,
+                       count(*) OVER (PARTITION BY source) AS n_g
+                FROM (
+                    SELECT doc_id, source,
+                           CAST('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 13)
+                                AS BIGINT) / 4503599627370496.0 AS u
+                    FROM documents
+                )
+            )
         """,
         "cap_per_source": """
             SELECT doc_id, source FROM (

@@ -153,6 +153,7 @@ def global_cumsum(
     tiebreak: list[str] | None = None,
     out_col: str = "_cumsum",
     inclusive: bool = True,
+    cuts: list[float] | None = None,
 ) -> DataFrame:
     """Exact global running sum of ``value_col`` in ``(order_col,
     *tiebreak)`` order without a single-task global window.
@@ -163,12 +164,17 @@ def global_cumsum(
     and one tiny aggregate gives each bucket's global offset (P scalars on
     the driver). ``inclusive=False`` returns the sum of all STRICTLY
     preceding rows (the "offset before me" form sequence packing needs).
+    Pass explicit ``cuts`` when the order key's distribution is KNOWN
+    (e.g. an md5-uniform shuffle key — fixed equidistant cuts balance
+    perfectly) to skip the sketch job; cuts only balance buckets, never
+    affect values.
     """
     from pyspark.sql import Window
 
     tiebreak = list(tiebreak or [])
     p = max(df.sparkSession.sparkContext.defaultParallelism, 2)
-    cuts = df.stat.approxQuantile(order_col, [i / p for i in range(1, p)], 0.01)
+    if cuts is None:
+        cuts = df.stat.approxQuantile(order_col, [i / p for i in range(1, p)], 0.01)
     cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
     parts = df.withColumn(
         "_b", F.size(F.filter(cuts_arr, lambda c: c <= F.col(order_col)))
@@ -203,6 +209,7 @@ def global_ranks(
     value_col: str,
     tiebreak: list[str] | None = None,
     rank_col: str = "_rank",
+    cuts: list[float] | None = None,
 ) -> tuple[DataFrame, int]:
     """Exact 0-based global ranks by ``(value_col, *tiebreak)`` without a
     single-task global sort. Returns ``(df + rank_col, total_count)``.
@@ -220,8 +227,10 @@ def global_ranks(
     tiebreak = list(tiebreak or [])
     p = max(df.sparkSession.sparkContext.defaultParallelism, 2)
     # cuts only balance bucket sizes — 1% relative error is plenty and keeps
-    # the GK sketch cheap
-    cuts = df.stat.approxQuantile(value_col, [i / p for i in range(1, p)], 0.01)
+    # the GK sketch cheap; callers with a KNOWN-uniform key (md5 shuffle
+    # keys) pass fixed cuts and skip this job entirely
+    if cuts is None:
+        cuts = df.stat.approxQuantile(value_col, [i / p for i in range(1, p)], 0.01)
     cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
     parts = df.withColumn(
         "_b", F.size(F.filter(cuts_arr, lambda c: c <= F.col(value_col)))

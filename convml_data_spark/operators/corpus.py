@@ -403,6 +403,9 @@ def pack_token_chunks(
         .cast("long")
         .alias("_shuf"),
     )
+    # _shuf is md5-uniform over [0, 2^60) — fixed equidistant cuts skip
+    # the sketch job (cuts only balance buckets, never affect values)
+    p = max(docs.sparkSession.sparkContext.defaultParallelism, 2)
     packed = global_cumsum(
         base,
         "n_tokens",
@@ -410,6 +413,7 @@ def pack_token_chunks(
         tiebreak=[id_col],
         out_col="_before",
         inclusive=False,
+        cuts=[i * float(1 << 60) / p for i in range(1, p)],
     )
     return packed.select(
         F.col(id_col),
@@ -454,4 +458,50 @@ def cap_per_group(
         .withColumn("_r", F.row_number().over(w2))
         .where(F.col("_r") <= n_max)
         .drop("_rk", "_salt", "_r")
+    )
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram cross-entropy per document under the corpus's own unigram
+    LM — the CCNet-style "LM quality" filtering proxy (docs of common
+    language score low, gibberish/rare-token soup scores high).
+
+    ``xent_nats = ln N − (Σ_t ln c_t) / n_doc`` over the document's token
+    instances, where ``c_t`` is the corpus frequency and ``N`` the corpus
+    token count.
+
+    Scale design: one corpus-wide hash aggregation (map-side combined)
+    builds the frequency table, the per-doc pass is a hash join on token +
+    one aggregation; the corpus total rides a broadcast 1-row join (the
+    tfidf pattern). Float discipline as in :func:`source_token_entropy`:
+    each ``ln c`` is cast to DECIMAL(38,12) BEFORE summing, so the
+    reduction is exact and order-independent under AQE.
+    """
+    from .dedup import _spread
+
+    tok = _spread(docs, id_col).select(
+        F.col(id_col), F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    tc = tok.groupBy("token").agg(F.count("*").alias("c"))
+    n_total = tc.agg(F.sum("c").alias("_N"))
+    per = (
+        tok.join(tc, "token")
+        .join(F.broadcast(n_total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.log("c").cast("decimal(38,12)")).alias("_s"),
+            F.max("_N").alias("_N"),
+        )
+    )
+    return per.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(
+            F.log(F.col("_N")) - F.col("_s").cast("double") / F.col("n_tokens"), 6
+        ).alias("xent_nats"),
     )

@@ -69,7 +69,12 @@ def proportional_split(
     total = float(sum(counts.values()))
     u = hash_uniform(seed, F.col(id_col))
     keyed = df.withColumn("_u", u)
-    ranked, n = global_ranks(keyed, "_u", tiebreak=[id_col])
+    # _u is md5-uniform in [0,1) by construction — fixed equidistant cuts
+    # balance the rank buckets perfectly, no sketch job needed
+    p = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    ranked, n = global_ranks(
+        keyed, "_u", tiebreak=[id_col], cuts=[i / p for i in range(1, p)]
+    )
     assign = None
     acc = 0.0
     items = list(counts.items())
@@ -242,4 +247,70 @@ def triplet_tile_locations(
         tag(anchors, "anchor")
         .unionByName(tag(neighbors, "neighbor"))
         .unionByName(tag(distants, "distant"))
+    )
+
+
+def stratified_split(
+    df: DataFrame,
+    group_col: str,
+    counts: dict[str, int],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    collection_col: str = "collection",
+) -> DataFrame:
+    """Stratified R1: EXACT proportional allocation within every group
+    (source / language / domain) — each group independently splits with
+    :func:`proportional_split` semantics (rank by md5 uniform, threshold
+    at ``floor(n_g · cum_frac)``).
+
+    Scale design: a per-group ``row_number`` window would funnel a whole
+    group through one task (stratification keys are coarse — a source at
+    100 TB is terabytes). Instead the md5-uniform rank key gets FIXED
+    equidistant bucket cuts (uniform by construction, no sketch), ranks
+    are computed per (group, bucket) in parallel, and each bucket's
+    offset + the group total arrive via a broadcast (group, bucket)
+    count relation — one tiny aggregate, bounded by |groups|·P, never
+    driver-collected row data. Total: 1 count-aggregate job + 1 data
+    pass. Assignment thresholds replay exactly in SQL (same double
+    multiply + floor both engines).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    p = max(spark.sparkContext.defaultParallelism, 2)
+    total = float(sum(counts.values()))
+    u = hash_uniform(seed, F.col(id_col))
+    keyed = df.withColumn("_u", u).withColumn(
+        "_b", F.least(F.floor(F.col("_u") * p), F.lit(p - 1)).cast("int")
+    )
+    cells = keyed.groupBy(group_col, "_b").agg(F.count("*").alias("_c")).collect()
+    by_group: dict = {}
+    for r in cells:
+        by_group.setdefault(r[group_col], {})[r["_b"]] = r["_c"]
+    rel = []
+    for g, bs in by_group.items():
+        n_g, acc = sum(bs.values()), 0
+        for b in sorted(bs):
+            rel.append((g, b, acc, n_g))
+            acc += bs[b]
+    off = spark.createDataFrame(
+        rel, f"{group_col} string, _b int, _off long, _n_g long"
+    )
+    w = Window.partitionBy(group_col, "_b").orderBy("_u", id_col)
+    ranked = keyed.join(F.broadcast(off), [group_col, "_b"]).withColumn(
+        "_rank", F.row_number().over(w) - 1 + F.col("_off")
+    )
+    assign = None
+    acc = 0.0
+    items = list(counts.items())
+    for name, c in items[:-1]:
+        acc += c
+        cond = F.col("_rank") < F.floor(F.col("_n_g") * F.lit(acc / total))
+        assign = (
+            F.when(cond, F.lit(name)) if assign is None else assign.when(cond, F.lit(name))
+        )
+    last = items[-1][0]
+    assign = F.lit(last) if assign is None else assign.otherwise(F.lit(last))
+    return ranked.withColumn(collection_col, assign).drop(
+        "_u", "_b", "_off", "_n_g", "_rank"
     )

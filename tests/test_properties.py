@@ -251,3 +251,31 @@ def test_cap_per_group_bounds_and_determinism(spark):
             picked = key
         else:
             assert key == picked
+
+
+def test_stratified_split_exact_allocation_and_partitioning_independent(spark):
+    """Every group splits at exactly floor(n_g · cum_frac); the assignment
+    is identical for any input partitioning."""
+    from collections import Counter
+
+    from convml_data_spark.operators.sampling import stratified_split
+
+    rows = [(i, f"g{i % 4}") for i in range(203)]  # uneven: 51/51/51/50
+    baseline = None
+    for nparts in (1, 9):
+        df = spark.createDataFrame(rows, "doc_id long, source string").repartition(nparts)
+        out = stratified_split(df, "source", {"a": 2, "b": 1, "c": 1}, seed=5)
+        got = sorted((r["doc_id"], r["collection"]) for r in out.collect())
+        if baseline is None:
+            baseline = got
+        else:
+            assert got == baseline
+    per = Counter()
+    for (i, g), (_, c) in zip(sorted(rows), baseline):
+        per[(g, c)] += 1
+    for g, n_g in (("g0", 51), ("g1", 51), ("g2", 51), ("g3", 50)):
+        t_a = int(n_g * 0.5)
+        t_b = int(n_g * 0.75) - t_a
+        assert per[(g, "a")] == t_a
+        assert per[(g, "b")] == t_b
+        assert per[(g, "c")] == n_g - t_a - t_b
