@@ -138,3 +138,48 @@ def test_cf_metadata_survives_parquet_roundtrip(spark, tmp_path):
     assert pipeline.materialize(out, path) is True
     back = spark.read.parquet(path)
     assert back.schema["lwp_ratio"].metadata == meta
+
+
+def test_fetch_executor_local_backend(spark, tmp_path):
+    """execute_fetch_manifest with the local-mirror backend: fetches every
+    manifest row, re-runs skip existing files (the reference's
+    file-existence incrementality), missing sources report error rows
+    after bounded retries without failing the job."""
+    from convml_data_spark.sources import fetch_exec
+
+    src = tmp_path / "mirror"
+    src.mkdir()
+    for i in range(4):
+        (src / f"f{i}.nc").write_bytes(b"x" * (10 + i))
+    rows = [(f"f{i}.nc", str(src / f"f{i}.nc")) for i in range(4)]
+    rows.append(("missing.nc", str(src / "nope.nc")))
+    manifest = spark.createDataFrame(rows, "filename string, remote_path string")
+    dest = tmp_path / "dest"
+
+    led = fetch_exec.execute_fetch_manifest(
+        manifest, str(dest), fetcher=fetch_exec.local_file_fetcher,
+        max_attempts=2, backoff_s=0.0,
+    ).collect()
+    by = {r["filename"]: r for r in led}
+    assert sum(r["status"] == "fetched" for r in led) == 4
+    assert by["missing.nc"]["status"] == "error"
+    assert by["missing.nc"]["attempts"] == 2
+    for i in range(4):
+        assert (dest / f"f{i}.nc").read_bytes() == b"x" * (10 + i)
+        assert by[f"f{i}.nc"]["n_bytes"] == 10 + i
+
+    # idempotent re-run: everything that landed is skipped, not re-copied
+    led2 = fetch_exec.execute_fetch_manifest(
+        manifest, str(dest), fetcher=fetch_exec.local_file_fetcher,
+        max_attempts=1, backoff_s=0.0,
+    ).collect()
+    assert sum(r["status"] == "skipped" for r in led2) == 4
+
+    # the gated default fetcher is a loud misconfiguration, not a retry
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no network transport"):
+        fetch_exec.execute_fetch_manifest(
+            spark.createDataFrame([("a", "b")], "filename string, remote_path string"),
+            str(dest / "x"),
+        ).collect()
