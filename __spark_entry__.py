@@ -1590,6 +1590,27 @@ def q_emb_transform_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column plumbing (multimodal.py::audio_features): fake-PCM
+    binary payloads decoded in Arrow batches, numpy-vectorized per-clip
+    features. The md5 payload scheme replays in DuckDB, so this is a FULL
+    value oracle, not rows-only."""
+    from convml_data_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    with_audio = multimodal.attach_fake_audio(docs, n_samples=256, sample_rate=8000)
+    out = multimodal.audio_features(with_audio)
+    return out.select(
+        "doc_id",
+        "n_samples",
+        "sample_rate",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms", 6).alias("rms"),
+        "n_zero_cross",
+    )
+
+
 def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram cross-entropy LM-quality score per document (corpus.py::
     unigram_logprob_score, the CCNet-style filtering proxy): one corpus
@@ -1880,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         "stratified_split": q_stratified_split,
         "unigram_xent": q_unigram_xent,
+        "multimodal_audio": q_multimodal_audio,
         # --- last certified r1/r2 (pre-NTZ testdata) ---
         "r2_scene_pairs": q_r2_scene_pairs,
         "w2_argmin_per_group": q_w2_argmin_per_group,
@@ -3568,6 +3590,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(before // 4096 AS BIGINT) AS chunk_id,
                    CAST(before % 4096 AS BIGINT) AS chunk_offset
             FROM c
+        """,
+        "multimodal_audio": """
+            WITH b AS (
+              SELECT doc_id, flatten(list_transform(range(0, 16), blk ->
+                       list_transform(range(0, 16), j ->
+                         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|a|' || CAST(blk AS VARCHAR)), 2 * j + 1, 2)) AS BIGINT) AS DOUBLE)))) AS s
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(256 AS INT) AS n_samples,
+                   CAST(8000 AS INT) AS sample_rate,
+                   round(256 / 8000.0, 6) AS duration_s,
+                   round(list_sum(list_transform(s, x -> x - 128.0)) / 256.0, 6)
+                       AS mean_amp,
+                   round(sqrt(list_sum(list_transform(s,
+                         x -> (x - 128.0) * (x - 128.0))) / 256.0), 6) AS rms,
+                   CAST(len(list_filter(range(2, 257),
+                         i -> (s[i-1] - 128.0) * (s[i] - 128.0) < 0)) AS BIGINT)
+                       AS n_zero_cross
+            FROM b
         """,
         "unigram_xent": """
             WITH tok AS (

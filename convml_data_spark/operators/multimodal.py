@@ -314,3 +314,142 @@ def sample_frames(
             )
 
     return df.select(id_col, video_col, meta_col).mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------- audio
+
+FAKE_AUDIO_FORMAT = "fake-pcm-u8"
+
+
+def attach_fake_audio(
+    df: DataFrame, id_col: str = "doc_id", n_samples: int = 256, sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic stand-in audio ingestion: unsigned-8-bit PCM whose
+    bytes are the md5 stream of ``(id, 'a', block)`` — regenerated
+    identically by any engine/worker (same scheme as
+    :func:`attach_fake_payload`, distinct stream tag)."""
+    reps = (n_samples + 15) // 16
+    blocks = F.concat(
+        *[
+            F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit("a"), F.lit(str(i))))
+            for i in range(reps)
+        ]
+    )
+    payload = F.unhex(F.substring(blocks, 1, n_samples * 2))
+    meta = F.struct(
+        F.lit(n_samples).alias("n_samples"),
+        F.lit(sample_rate).alias("sample_rate"),
+        F.lit(FAKE_AUDIO_FORMAT).alias("format"),
+    )
+    return df.withColumn("audio_payload", payload).withColumn("audio_meta", meta)
+
+
+def _decode_audio_groups(pdf, payload_col: str, meta_col: str):
+    """Vectorized audio batch decode: yield (row_positions, n, sr, pcm)
+    per meta group with ``pcm`` a stacked (B, n) uint8 matrix — the audio
+    face of :func:`_decode_groups` (real codecs raise at group level)."""
+    import pandas as pd
+
+    if len(pdf) == 0:
+        return
+    metas = pd.DataFrame(list(pdf[meta_col]))
+    for key, sub in metas.groupby(["n_samples", "sample_rate", "format"], sort=False):
+        n, sr, fmt = int(key[0]), int(key[1]), key[2]
+        if fmt != FAKE_AUDIO_FORMAT:
+            raise NotImplementedError(
+                f"decoding {fmt!r} needs soundfile/ffmpeg (not in this container)"
+            )
+        pos = sub.index.to_numpy()
+        payloads = pdf[payload_col].iloc[pos]
+        if not (payloads.str.len() == n).all():
+            raise ValueError(f"fake audio payload length != {n}")
+        pcm = np.frombuffer(b"".join(payloads), dtype=np.uint8).reshape(len(pos), n)
+        yield pos, n, sr, pcm
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "audio_payload",
+    meta_col: str = "audio_meta",
+) -> DataFrame:
+    """Per-clip audio features over the centered signal ``c = pcm − 128``:
+    duration, mean amplitude, RMS, zero-crossing count. Arrow-batched
+    ``mapInPandas``, numpy-vectorized across the whole batch — no per-row
+    Python loop (the production shape for any real decoder too)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, n_samples int, sample_rate int, duration_s double, "
+        "mean_amp double, rms double, n_zero_cross long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for pos, n, sr, pcm in _decode_audio_groups(pdf, payload_col, meta_col):
+                c = pcm.astype(np.float64) - 128.0
+                mean_amp = c.mean(axis=1)
+                rms = np.sqrt((c * c).mean(axis=1))
+                zc = ((c[:, :-1] * c[:, 1:]) < 0).sum(axis=1)
+                # raw doubles — callers round with F.round (HALF_UP, the
+                # SQL convention); np.round here would be banker's and
+                # diverge from any SQL replay on exact .5 ulps
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].iloc[pos].to_numpy(),
+                        "n_samples": n,
+                        "sample_rate": sr,
+                        "duration_s": n / sr,
+                        "mean_amp": mean_amp,
+                        "rms": rms,
+                        "n_zero_cross": zc.astype(np.int64),
+                    }
+                )
+
+    return df.mapInPandas(run, schema)
+
+
+def audio_resample(
+    df: DataFrame,
+    target_rate: int,
+    id_col: str = "doc_id",
+    payload_col: str = "audio_payload",
+    meta_col: str = "audio_meta",
+) -> DataFrame:
+    """Nearest-sample resampling plumbing: output sample ``i`` is input
+    sample ``floor(i · sr / target)`` (the nearest-neighbor analog of
+    :func:`resize_nearest`; swap in a polyphase filter for production
+    audio). Emits the resampled payload with updated meta."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    schema = f"{id_col} long, audio_payload binary, n_samples int, sample_rate int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for pos, n, sr, pcm in _decode_audio_groups(pdf, payload_col, meta_col):
+                m = max(int(round(n * target_rate / sr)), 1)
+                idx = np.minimum((np.arange(m) * sr) // target_rate, n - 1).astype(int)
+                out = pcm[:, idx]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].iloc[pos].to_numpy(),
+                        "audio_payload": [row.tobytes() for row in out],
+                        "n_samples": m,
+                        "sample_rate": target_rate,
+                    }
+                )
+
+    return df.mapInPandas(run, schema)
+
+
+def expected_fake_audio(doc_id: int, n_samples: int = 256) -> np.ndarray:
+    """Reference replay of :func:`attach_fake_audio` for tests."""
+    reps = (n_samples + 15) // 16
+    raw = b"".join(
+        hashlib.md5(f"{doc_id}|a|{i}".encode()).digest() for i in range(reps)
+    )
+    return np.frombuffer(raw[:n_samples], dtype=np.uint8)

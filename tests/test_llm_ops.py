@@ -358,3 +358,31 @@ def test_connected_components_random_graphs_match_union_find(spark):
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {r["id"]: r["component"] for r in connected_components(df).collect()}
         assert got == want, f"trial {trial}: CC mismatch"
+
+
+def test_audio_fake_decode_features_and_resample(spark):
+    """Audio plumbing: payload bytes replay exactly (md5 stream), features
+    match a numpy reference, nearest-sample resample picks exactly the
+    floor(i·sr/target) samples."""
+    docs = spark.range(6).select(F.col("id").alias("doc_id"))
+    wa = multimodal.attach_fake_audio(docs, n_samples=64, sample_rate=8000)
+    payloads = {r["doc_id"]: bytes(r["audio_payload"]) for r in wa.collect()}
+    for i in range(6):
+        want = multimodal.expected_fake_audio(i, n_samples=64)
+        assert payloads[i] == want.tobytes()
+
+    feats = {r["doc_id"]: r for r in multimodal.audio_features(wa).collect()}
+    for i in range(6):
+        c = multimodal.expected_fake_audio(i, 64).astype(np.float64) - 128.0
+        r = feats[i]
+        assert r["n_samples"] == 64 and r["sample_rate"] == 8000
+        assert abs(r["mean_amp"] - c.mean()) < 1e-12
+        assert abs(r["rms"] - np.sqrt((c * c).mean())) < 1e-12
+        assert r["n_zero_cross"] == int(((c[:-1] * c[1:]) < 0).sum())
+
+    res = {r["doc_id"]: r for r in multimodal.audio_resample(wa, 4000).collect()}
+    for i in range(6):
+        src = multimodal.expected_fake_audio(i, 64)
+        idx = np.minimum((np.arange(32) * 8000) // 4000, 63).astype(int)
+        assert bytes(res[i]["audio_payload"]) == src[idx].tobytes()
+        assert res[i]["n_samples"] == 32 and res[i]["sample_rate"] == 4000

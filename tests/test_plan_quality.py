@@ -190,3 +190,29 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_li")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_every_registered_query_plan_is_scale_clean(spark):
+    """GLOBAL gate over every queries() entry: no CartesianProduct node
+    and no keyless window (empty partition spec = the whole relation
+    through ONE task) anywhere in any registered query's physical plan.
+
+    Allowlist: windows over provably BOUNDED summary relations —
+    vocab_build/encode rank over the count-class HISTOGRAM (distinct
+    frequency values; Zipf collapses it to thousands of rows at any
+    corpus size, see corpus.build_vocab docstring).
+    """
+    import re
+
+    keyless_ok = {"vocab_build", "vocab_encode"}
+    spec = re.compile(r"windowspecdefinition\(([^)]*?)specifiedwindowframe")
+    for name in QUERIES:
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
+        if name in keyless_ok:
+            continue
+        for m in spec.finditer(p):
+            first = m.group(1).split(",")[0]
+            assert " ASC" not in first and " DESC" not in first, (
+                f"{name}: keyless window over {first.strip()!r}"
+            )
