@@ -166,6 +166,7 @@ def asof_join(
     keep_unmatched: bool = False,
     dt_col: str | None = None,
     right_id_col: str | None = None,
+    gap_stats: tuple[int, int, int, int] | None = None,
 ) -> DataFrame:
     """Nearest-time join: each left row gains the nearest right row's columns
     (prefixed), kept only when ``|Δt| <= tolerance`` (ties → earlier right).
@@ -179,6 +180,14 @@ def asof_join(
     right payload equi-joins back on the id afterwards. For wide right rows
     (embedding vectors, tile arrays) this keeps the replicated/shuffled
     window input to ~16 bytes/row — the 100 TB knob. Semantics identical.
+
+    ``gap_stats`` (µs ints ``(min, max, max_gap, p99_gap)`` of the right's
+    time axis): callers that already ranked/scanned the right side can
+    hand the no-tolerance path its plan-time scalars and skip the two
+    ``_right_gap_stats`` jobs (tiler.trajectory_tile_locations computes
+    them inside its rank pass). Stats only pick bucket radii — a stale
+    ``p99`` merely shifts where the pass ladder starts — but ``max_gap``
+    MUST be ≥ the true max gap for exactness.
     """
     if right_id_col is not None:
         keys = list(partition_by or [])
@@ -194,6 +203,7 @@ def asof_join(
             keep_unmatched=keep_unmatched,
             dt_col=dt_col,
             right_id_col=None,
+            gap_stats=gap_stats,
         )
         # matched already carries the prefixed right_on; the payload join
         # contributes the id + remaining columns only
@@ -328,7 +338,7 @@ def asof_join(
         # provably the GLOBAL nearest (that nearest is within R, hence in
         # the left's bucket), so accepted matches are exact and only
         # hole-straddling lefts continue to the next 4× radius.
-        stats = _right_gap_stats(right, right_on)
+        stats = gap_stats if gap_stats is not None else _right_gap_stats(right, right_on)
         if stats is None:
             # right side empty of usable times: nothing can ever match —
             # skip the window entirely rather than degenerate to one task

@@ -146,6 +146,76 @@ def ecdf(df: DataFrame, value_col: str, partition_by: list[str] | None = None) -
     return df.withColumn("ecdf", F.cume_dist().over(w))
 
 
+def global_ranks_with_gap_stats(
+    df: DataFrame,
+    value_col: str,
+    tiebreak: list[str] | None = None,
+    rank_col: str = "_rank",
+) -> tuple[DataFrame, int, tuple[int, int, int, int] | None]:
+    """:func:`global_ranks` that ALSO returns the value axis's gap stats
+    ``(min, max, max_gap, p99_gap)`` from the SAME plan-time pass.
+
+    For time axes feeding :func:`operators.asof.asof_join`'s no-tolerance
+    path: the rank decomposition already buckets + per-bucket-sorts the
+    values, so consecutive-gap statistics fall out of one combined
+    aggregate instead of asof's two extra ``_right_gap_stats`` jobs.
+    Boundary gaps between buckets are reconstructed driver-side from the
+    P bucket (min, max) scalars; the p99 start radius is approximated as
+    the max of per-bucket p99 sketches (any value ≤ max_gap only shifts
+    where asof's pass ladder starts — exactness rides on max_gap alone,
+    which IS exact here). Stats are None when the input is empty.
+    """
+    from pyspark.sql import Window
+
+    tiebreak = list(tiebreak or [])
+    p = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    cuts = df.stat.approxQuantile(value_col, [i / p for i in range(1, p)], 0.01)
+    cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
+    parts = df.withColumn(
+        "_b", F.size(F.filter(cuts_arr, lambda c: c <= F.col(value_col)))
+    )
+    w_in = Window.partitionBy("_b").orderBy(value_col, *tiebreak)
+    local = parts.withColumn(
+        "_g", F.col(value_col) - F.lag(value_col).over(w_in)
+    )
+    summary = (
+        local.groupBy("_b")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(value_col).alias("mn"),
+            F.max(value_col).alias("mx"),
+            F.max("_g").alias("maxg"),
+            F.percentile_approx("_g", 0.99, 1000).alias("p99"),
+        )
+        .collect()
+    )
+    rows = sorted(summary, key=lambda r: r["_b"])
+    n = sum(r["cnt"] for r in rows)
+    if n == 0:
+        empty = parts.withColumn(rank_col, F.lit(0)).drop("_b").limit(0)
+        return empty, 0, None
+    offsets, acc = {}, 0
+    for r in rows:
+        offsets[r["_b"]] = acc
+        acc += r["cnt"]
+    off_expr = F.element_at(
+        F.create_map(*[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]),
+        F.col("_b"),
+    )
+    ranked = parts.withColumn(
+        rank_col, F.row_number().over(w_in) - 1 + off_expr
+    ).drop("_b")
+    boundary = [
+        int(rows[i]["mn"]) - int(rows[i - 1]["mx"]) for i in range(1, len(rows))
+    ]
+    in_bucket = [int(r["maxg"]) for r in rows if r["maxg"] is not None]
+    gap = max([*in_bucket, *boundary, 0])
+    p99s = [int(r["p99"]) for r in rows if r["p99"] is not None]
+    p99 = min(max(p99s) if p99s else gap, gap) if gap else 0
+    stats = (int(rows[0]["mn"]), int(rows[-1]["mx"]), int(gap), int(p99))
+    return ranked, n, stats
+
+
 def global_cumsum(
     df: DataFrame,
     value_col: str,

@@ -84,29 +84,31 @@ def trajectory_tile_locations(
     """
     from convml_data_spark.functions.timeutils import epoch_micros
     from convml_data_spark.operators import asof
-    from convml_data_spark.operators.binning import global_ranks
+    from convml_data_spark.operators.binning import global_ranks_with_gap_stats
 
     traj = trajectory.select(traj_time, lat_col, lon_col).dropDuplicates()
     traj = traj.withColumn(
         "_tus", epoch_micros(traj_time, dict(traj.dtypes)[traj_time])
     ).persist()
-    # persist the deduped trajectory BEFORE ranking: global_ranks runs two
-    # plan-time jobs (cut-point sketch + bucket counts) and the rank window
-    # is a third consumer — without this each re-executes the upstream
-    # distinct. Bounded by the flight track (distinct times), not scenes.
-    ranked, _n = global_ranks(traj, "_tus", rank_col="time_idx")
+    # persist the deduped trajectory BEFORE ranking: the combined pass
+    # below runs two plan-time jobs (cut-point sketch + summary) and the
+    # rank window is a third consumer — without this each re-executes the
+    # upstream distinct. Bounded by the flight track, not the scene table.
+    # The combined pass ALSO yields the time axis's gap stats, so the
+    # as-of join below runs ZERO extra plan-time jobs (it used to spend
+    # two more inferring its bucket radius from the same relation).
+    ranked, _n, stats = global_ranks_with_gap_stats(
+        traj, "_tus", rank_col="time_idx"
+    )
     ranked = ranked.select(
         traj_time,
         F.col("time_idx").cast("long").alias("time_idx"),
         F.col(lat_col).alias("central_latitude"),
         F.col(lon_col).alias("central_longitude"),
-    ).persist()
-    # persist: the as-of join's plan-time gap statistics run 2 jobs over
-    # its right side; without this each re-executes the rank window. The
-    # relation is one row per distinct trajectory time — bounded by the
-    # flight track, not the scene table.
+    )
     snapped = asof.asof_join(
-        scenes, ranked, scene_time, traj_time, right_prefix="traj_"
+        scenes, ranked, scene_time, traj_time, right_prefix="traj_",
+        gap_stats=stats,
     )
     out_scene = [F.col(c) for c in scenes.columns]
     return snapped.select(

@@ -279,3 +279,31 @@ def test_stratified_split_exact_allocation_and_partitioning_independent(spark):
         assert per[(g, "a")] == t_a
         assert per[(g, "b")] == t_b
         assert per[(g, "c")] == n_g - t_a - t_b
+
+
+def test_global_ranks_with_gap_stats_matches_bruteforce(spark):
+    """The combined rank+gap-stats pass returns exactly global_ranks'
+    ranks, and (min, max, max_gap) are exact vs a serial replay; the p99
+    start radius is bounded by max_gap (exactness never rides on it)."""
+    import random
+
+    from convml_data_spark.operators.binning import global_ranks_with_gap_stats
+
+    rng = random.Random(7)
+    # clustered values with one big hole — the gap-stat shape that matters
+    vals = sorted(
+        {rng.randrange(0, 10_000) for _ in range(300)}
+        | {rng.randrange(5_000_000, 5_010_000) for _ in range(200)}
+    )
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, t long").repartition(5)
+    ranked, n, stats = global_ranks_with_gap_stats(df, "t", tiebreak=["id"])
+    assert n == len(vals)
+    got = {r["id"]: r["_rank"] for r in ranked.collect()}
+    for rank, (i, v) in enumerate(rows):
+        assert got[i] == rank
+    mn, mx, gap, p99 = stats
+    gaps = [b - a for a, b in zip(vals, vals[1:])]
+    assert (mn, mx) == (vals[0], vals[-1])
+    assert gap == max(gaps)
+    assert 0 <= p99 <= gap
