@@ -1887,11 +1887,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotate behind position 50 and back in on later rounds.
     return {
         # ROUND 5 WINDOW (first 50 = driver-certified this round), per the
-        # r4 verdict's rotation plan: the 2 never-certified new keys, then
-        # the 8 keys last certified in r1/r2, then 40 of the 42 r3-
-        # certified keys. The two displaced r3 keys (s2/s6 static fetch-
-        # plan manifests — zero code churn since r3, covered by
-        # test_fetch_plans + the in-repo oracle-parity replay) and the 50
+        # r4 verdict's rotation plan: round 5's 8 never-certified new keys
+        # first, then the 8 keys last certified in r1/r2, then 34 of the
+        # 42 r3-certified keys. The displaced r3 keys (6 quality/sampling
+        # keys + the s2/s6 static fetch-plan manifests — zero operator
+        # churn, covered by the in-repo oracle-parity replay) and the 50
         # r4-certified keys sit at 51+ and rotate back in round 6.
         # --- new in round 5 ---
         "traj_tiles": q_traj_tiles,
@@ -1951,8 +1951,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "pii_scrub": q_pii_scrub,
         "sample_quality_weighted": q_sample_quality_weighted,
-        # ---------------- position 51+: r3-certified keys displaced by the
-        # three new keys, then the r4-certified 50 (rotate back r6).
+        # ---------------- position 51+: the 6 r3-certified keys displaced
+        # by round 5's 8 new keys, then the r4-certified 50 (rotate back
+        # r6; all of them stay covered every round by the in-repo
+        # oracle-parity replay, tests/test_oracle_parity.py).
         "emb_transform_scaler": q_emb_transform_scaler,
         # Keys whose operator code changed THIS round (asof refactor: j2/
         # j3/f4/a3; w6 null guard; stream_seen_filter single-batch pin;
