@@ -1590,6 +1590,31 @@ def q_emb_transform_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.py::pq_train/pq_encode/
+    pq_rerank_topk_batch — Jégou et al. 2011, the FAISS memory-compression
+    path): vectors become m=8 4-bit codes, the compressed scan shortlists
+    100 candidates per query, exact L2 reranks the shortlist. Certified by
+    macro recall@10 >= 0.4 vs the exact L2 scan over 5 probe vectors
+    (measured 0.64-0.80 at sf0.001-0.1; the synthetic embeddings are
+    near-random — PQ's hardest case)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.where(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    queries = [(int(r["vec_id"]), [float(v) for v in r["embedding"]]) for r in qrows]
+    exact = similarity.l2_topk_batch(emb, queries, k=10).select(
+        "qid", F.col("vec_id").alias("id")
+    )
+    approx = similarity.pq_rerank_topk_batch(
+        emb, queries, k=10, shortlist=100, m=8, n_codes=16
+    ).select("qid", F.col("vec_id").alias("id"))
+    hits = exact.join(approx, ["qid", "id"]).agg(F.count("*").alias("hits"))
+    need = int(0.4 * 5 * 10)
+    return hits.select(
+        F.lit(5).cast("bigint").alias("n_queries"),
+        (F.col("hits") >= F.lit(need)).alias("recall_ok"),
+    )
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-column plumbing (multimodal.py::audio_features): fake-PCM
     binary payloads decoded in Arrow batches, numpy-vectorized per-clip
@@ -1902,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": q_stratified_split,
         "unigram_xent": q_unigram_xent,
         "multimodal_audio": q_multimodal_audio,
+        "similarity_pq_topk": q_similarity_pq_topk,
         # --- last certified r1/r2 (pre-NTZ testdata) ---
         "r2_scene_pairs": q_r2_scene_pairs,
         "w2_argmin_per_group": q_w2_argmin_per_group,
@@ -3660,6 +3686,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE r <= 20
         """,
+        "similarity_pq_topk": "SELECT CAST(5 AS BIGINT) AS n_queries, true AS recall_ok",
         "similarity_lsh_topk": "SELECT CAST(5 AS BIGINT) AS n_queries, true AS recall_ok",
         "similarity_ivf_topk": "SELECT CAST(5 AS BIGINT) AS n_queries, true AS recall_ok",
     }

@@ -210,8 +210,6 @@ def _sample_fit_centroids(
     deterministic: seeded RNG over the sample. Ties/empty clusters are
     re-seeded from the farthest points, so k centroids always come back.
     """
-    import random
-
     import numpy as np
 
     sample_df = embeddings.select(F.col(vec_col).alias("v"))
@@ -224,37 +222,9 @@ def _sample_fit_centroids(
     pts = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
     if len(pts) == 0:
         raise ValueError("cannot fit IVF centroids on an empty table")
-    k = min(n_lists, len(pts))
-    rng = random.Random(seed)
-    # k-means++ seeding (deterministic)
-    centers = [pts[rng.randrange(len(pts))]]
-    for _ in range(1, k):
-        d2 = np.min(
-            [((pts - c) ** 2).sum(axis=1) for c in centers], axis=0
-        )
-        total = float(d2.sum())
-        if total <= 0.0:
-            centers.append(pts[rng.randrange(len(pts))])
-            continue
-        r = rng.random() * total
-        idx = int(np.searchsorted(np.cumsum(d2), r))
-        centers.append(pts[min(idx, len(pts) - 1)])
-    C = np.asarray(centers)
-    for _ in range(max_iters):
-        d2 = ((pts[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        newC = C.copy()
-        for j in range(k):
-            members = pts[assign == j]
-            if len(members):
-                newC[j] = members.mean(axis=0)
-            else:  # re-seed empty cluster at the farthest point
-                newC[j] = pts[d2.min(axis=1).argmax()]
-        if np.allclose(newC, C, rtol=0, atol=1e-12):
-            C = newC
-            break
-        C = newC
-    return [list(map(float, c)) for c in C]
+    # same RNG call sequence as the previous inline implementation, so
+    # seeded centroids (and every certified IVF result) are unchanged
+    return _fit_lloyd(pts, k=min(n_lists, len(pts)), seed=seed, max_iters=max_iters)
 
 
 def ivf_index(
@@ -567,3 +537,285 @@ def ivf_topk_batch(
         rows, "qid int, list_id int, _qv array<double>"
     )
     return _batch_probe_topk(assigned, probe_df, "list_id", k, vec_col, id_col)
+
+
+# ------------------------------------------------------------ product quant
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    fit_fraction: float = 0.25,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: the vector splits into ``m``
+    sub-blocks, each with its own ``k``-centroid codebook (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011 — the
+    FAISS memory-compression path: a 64-dim float vector becomes m=8
+    bytes, so a 100 TB embedding table scans from ~3 TB of codes).
+
+    One bounded sample collect (same cap discipline as the IVF fit); the
+    m codebooks Lloyd-fit driver-side on column slices of that single
+    sample. Returns ``codebooks[m][k][dim/m]``.
+    """
+    import numpy as np
+
+    sample_df = embeddings.select(F.col(vec_col).alias("v"))
+    if fit_fraction < 1.0:
+        sample_df = sample_df.sample(fraction=fit_fraction, seed=seed)
+    rows = sample_df.limit(_FIT_SAMPLE_CAP).collect()
+    pts = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    if len(pts) == 0:
+        raise ValueError("cannot fit PQ codebooks on an empty table")
+    dim = pts.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    books = []
+    for j in range(m):
+        block = pts[:, j * d : (j + 1) * d]
+        books.append(
+            _fit_lloyd(block, k=min(k, len(block)), seed=seed + j)
+        )
+    return books
+
+
+def _fit_lloyd(pts, k: int, seed: int, max_iters: int = 20):
+    """Deterministic k-means++ + Lloyd on an in-memory numpy block (the
+    shared core of the IVF and PQ fits)."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(seed)
+    centers = [pts[rng.randrange(len(pts))]]
+    for _ in range(1, k):
+        d2 = np.min([((pts - c) ** 2).sum(axis=1) for c in centers], axis=0)
+        total = float(d2.sum())
+        if total <= 0.0:
+            centers.append(pts[rng.randrange(len(pts))])
+            continue
+        r = rng.random() * total
+        idx = int(np.searchsorted(np.cumsum(d2), r))
+        centers.append(pts[min(idx, len(pts) - 1)])
+    C = np.asarray(centers)
+    for _ in range(max_iters):
+        d2 = ((pts[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        newC = C.copy()
+        for j in range(len(C)):
+            members = pts[assign == j]
+            if len(members):
+                newC[j] = members.mean(axis=0)
+            else:
+                newC[j] = pts[d2.min(axis=1).argmax()]
+        if np.allclose(newC, C, rtol=0, atol=1e-12):
+            C = newC
+            break
+        C = newC
+    return [list(map(float, c)) for c in C]
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector to its PQ codes: ``(id, codes ARRAY<INT>[m])``.
+
+    Pure Column math over broadcast codebook literals — per sub-block the
+    code is a min-struct argmin over the k centroid distances, exactly
+    the IVF assignment pattern. No UDF, no Python in the scan.
+    """
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    codes = []
+    for j, book in enumerate(codebooks):
+        block = F.slice(F.col(vec_col), j * d + 1, d)
+        dists = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        block,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d2"),
+                F.lit(ci).alias("c"),
+            )
+            for ci, c in enumerate(book)
+        ]
+        codes.append(F.array_min(F.array(*dists))["c"])
+    return embeddings.select(
+        F.col(id_col), F.array(*codes).cast("array<int>").alias("codes")
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vector: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by asymmetric PQ distance: the query precomputes
+    one m×k lookup table of block distances (plan-time literals), and each
+    row's score is m ``element_at`` lookups summed — the memory-bound PQ
+    scan that never touches the original vectors. Returns (id, approx_d2)
+    ascending (smaller = nearer), deterministic tie-break on id."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    total = None
+    for j, book in enumerate(codebooks):
+        qb = query_vector[j * d : (j + 1) * d]
+        lut = [
+            sum((float(a) - float(b)) ** 2 for a, b in zip(qb, c)) for c in book
+        ]
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut]),
+            F.col("codes")[j] + 1,
+        )
+        total = term if total is None else total + term
+    scored = codes_df.select(
+        F.col(id_col), F.round(total, 6).alias("approx_d2")
+    )
+    return scored.orderBy(F.col("approx_d2").asc(), F.col(id_col)).limit(k)
+
+
+def l2_topk_batch(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact L2-nearest top-k for a query batch in one scan (the ground
+    truth PQ approximates). Returns (qid, id, score) with score =
+    −round(d², 6) so the shared descending rank helper orders nearest
+    first."""
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(int(qid)).alias("qid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("qv"),
+            )
+            for qid, vec in queries
+        ]
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("_q.qv"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .select(F.col(id_col), F.col(vec_col), F.explode(qarr).alias("_q"))
+        .select(
+            F.col("_q.qid").alias("qid"),
+            F.col(id_col),
+            (-F.round(d2, 6)).alias("score"),
+        )
+    )
+    return _topk_per_query(scored, k, id_col)
+
+
+def pq_topk_batch(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch PQ scan: every query's m×k asymmetric-distance lookup table
+    rides one tiny broadcast relation (qid, flattened lut); each code row
+    scores every query with m ``element_at`` lookups — one pass over the
+    codes for the whole batch, never touching original vectors. Returns
+    (qid, id, score = −round(approx_d², 6)) nearest-first under the
+    shared descending rank helper."""
+    spark = codes_df.sparkSession
+    m = len(codebooks)
+    kk = len(codebooks[0])
+    d = len(codebooks[0][0])
+    rows = []
+    for qid, qv in queries:
+        lut: list[float] = []
+        for j, book in enumerate(codebooks):
+            qb = qv[j * d : (j + 1) * d]
+            lut.extend(
+                sum((float(a) - float(b)) ** 2 for a, b in zip(qb, c)) for c in book
+            )
+        rows.append((int(qid), lut))
+    probe = spark.createDataFrame(rows, "qid int, _lut array<double>")
+    total = None
+    for j in range(m):
+        term = F.element_at(F.col("_lut"), F.lit(j * kk) + F.col("codes")[j] + 1)
+        total = term if total is None else total + term
+    scored = codes_df.join(F.broadcast(probe)).select(
+        "qid", F.col(id_col), (-F.round(total, 6)).alias("score")
+    )
+    return _topk_per_query(scored, k, id_col)
+
+
+def pq_rerank_topk_batch(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    shortlist: int = 100,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    fit_fraction: float = 0.25,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """The production PQ serving pipeline: train (or reuse) codebooks,
+    scan the COMPRESSED codes for a ``shortlist`` of candidates per query
+    (m bytes/vector — the scan that fits 100 TB of embeddings in ~3 TB of
+    memory), then rerank only the shortlist with exact L2 on the original
+    vectors (an equi-join touching ``shortlist·|queries|`` rows, not the
+    table). Returns (qid, id, score = −round(d², 6)), nearest first.
+
+    Pass ``codebooks`` + ``codes_df`` (from :func:`pq_train` /
+    :func:`pq_encode`, materialized once) to skip the train+encode for
+    repeated batches — the build-once/probe-many shape of
+    :func:`ivf_write_index`.
+    """
+    spark = embeddings.sparkSession
+    if codebooks is None:
+        codebooks = pq_train(
+            embeddings, m=m, k=n_codes, seed=seed, vec_col=vec_col,
+            fit_fraction=fit_fraction,
+        )
+    if codes_df is None:
+        codes_df = pq_encode(embeddings, codebooks, vec_col=vec_col, id_col=id_col)
+    cand = pq_topk_batch(codes_df, codebooks, queries, k=shortlist, id_col=id_col)
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "qid int, _qv array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("_qv"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rer = (
+        cand.select("qid", id_col)
+        .join(embeddings.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), "qid")
+        .select("qid", F.col(id_col), (-F.round(d2, 6)).alias("score"))
+    )
+    return _topk_per_query(rer, k, id_col)

@@ -386,3 +386,32 @@ def test_audio_fake_decode_features_and_resample(spark):
         idx = np.minimum((np.arange(32) * 8000) // 4000, 63).astype(int)
         assert bytes(res[i]["audio_payload"]) == src[idx].tobytes()
         assert res[i]["n_samples"] == 32 and res[i]["sample_rate"] == 4000
+
+
+def test_pq_rerank_recovers_exact_on_clustered_data(spark):
+    """PQ shortlist + exact rerank recovers the exact L2 top-k when the
+    data clusters (codebooks capture the cluster structure), and the
+    pipeline is deterministic across calls."""
+    from convml_data_spark.operators import similarity
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((4, 16)) * 10
+    rows = [
+        (i, [float(v) for v in centers[i % 4] + rng.standard_normal(16) * 0.1])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = [(0, rows[0][1]), (1, rows[1][1])]
+    exact = similarity.l2_topk_batch(df, queries, k=5)
+    got1 = similarity.pq_rerank_topk_batch(
+        df, queries, k=5, shortlist=40, m=4, n_codes=8
+    )
+    got2 = similarity.pq_rerank_topk_batch(
+        df, queries, k=5, shortlist=40, m=4, n_codes=8
+    )
+    ex = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    g1 = sorted((r["qid"], r["vec_id"], r["score"]) for r in got1.collect())
+    g2 = sorted((r["qid"], r["vec_id"], r["score"]) for r in got2.collect())
+    assert g1 == g2  # deterministic fit + encode + rank
+    hits = len(ex & {(q, i) for q, i, _ in g1})
+    assert hits >= 8  # >= 80% of the 10 exact slots
