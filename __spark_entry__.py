@@ -1912,9 +1912,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotate behind position 50 and back in on later rounds.
     return {
         # ROUND 5 WINDOW (first 50 = driver-certified this round), per the
-        # r4 verdict's rotation plan: round 5's 8 never-certified new keys
-        # first, then the 8 keys last certified in r1/r2, then 34 of the
-        # 42 r3-certified keys. The displaced r3 keys (6 quality/sampling
+        # r4 verdict's rotation plan: round 5's 9 never-certified new keys
+        # first, then the 8 keys last certified in r1/r2, then 33 of the
+        # 42 r3-certified keys. The displaced r3 keys (7 quality/sampling
         # keys + the s2/s6 static fetch-plan manifests — zero operator
         # churn, covered by the in-repo oracle-parity replay) and the 50
         # r4-certified keys sit at 51+ and rotate back in round 6.
@@ -1977,8 +1977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "pii_scrub": q_pii_scrub,
         "sample_quality_weighted": q_sample_quality_weighted,
-        # ---------------- position 51+: the 6 r3-certified keys displaced
-        # by round 5's 8 new keys, then the r4-certified 50 (rotate back
+        # ---------------- position 51+: the 7 r3-certified keys displaced
+        # by round 5's 9 new keys, then the r4-certified 50 (rotate back
         # r6; all of them stay covered every round by the in-repo
         # oracle-parity replay, tests/test_oracle_parity.py).
         "emb_transform_scaler": q_emb_transform_scaler,
