@@ -280,24 +280,29 @@ def stratified_split(
     p = max(spark.sparkContext.defaultParallelism, 2)
     total = float(sum(counts.values()))
     u = hash_uniform(seed, F.col(id_col))
-    keyed = df.withColumn("_u", u).withColumn(
-        "_b", F.least(F.floor(F.col("_u") * p), F.lit(p - 1)).cast("int")
+    # _gk: null-safe string image of the group for the offsets join — a
+    # plain equi-join on a nullable group column would silently DROP
+    # null-group rows (null never equals null), while the window/oracle
+    # semantics keep them as their own stratum
+    gk = F.coalesce(F.concat(F.lit("v"), F.col(group_col).cast("string")), F.lit("\x00"))
+    keyed = (
+        df.withColumn("_u", u)
+        .withColumn("_b", F.least(F.floor(F.col("_u") * p), F.lit(p - 1)).cast("int"))
+        .withColumn("_gk", gk)
     )
-    cells = keyed.groupBy(group_col, "_b").agg(F.count("*").alias("_c")).collect()
+    cells = keyed.groupBy("_gk", "_b").agg(F.count("*").alias("_c")).collect()
     by_group: dict = {}
     for r in cells:
-        by_group.setdefault(r[group_col], {})[r["_b"]] = r["_c"]
+        by_group.setdefault(r["_gk"], {})[r["_b"]] = r["_c"]
     rel = []
     for g, bs in by_group.items():
         n_g, acc = sum(bs.values()), 0
         for b in sorted(bs):
             rel.append((g, b, acc, n_g))
             acc += bs[b]
-    off = spark.createDataFrame(
-        rel, f"{group_col} string, _b int, _off long, _n_g long"
-    )
-    w = Window.partitionBy(group_col, "_b").orderBy("_u", id_col)
-    ranked = keyed.join(F.broadcast(off), [group_col, "_b"]).withColumn(
+    off = spark.createDataFrame(rel, "_gk string, _b int, _off long, _n_g long")
+    w = Window.partitionBy("_gk", "_b").orderBy("_u", id_col)
+    ranked = keyed.join(F.broadcast(off), ["_gk", "_b"]).withColumn(
         "_rank", F.row_number().over(w) - 1 + F.col("_off")
     )
     assign = None
@@ -312,5 +317,5 @@ def stratified_split(
     last = items[-1][0]
     assign = F.lit(last) if assign is None else assign.otherwise(F.lit(last))
     return ranked.withColumn(collection_col, assign).drop(
-        "_u", "_b", "_off", "_n_g", "_rank"
+        "_u", "_b", "_gk", "_off", "_n_g", "_rank"
     )

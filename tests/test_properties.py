@@ -307,3 +307,17 @@ def test_global_ranks_with_gap_stats_matches_bruteforce(spark):
     assert (mn, mx) == (vals[0], vals[-1])
     assert gap == max(gaps)
     assert 0 <= p99 <= gap
+
+
+def test_stratified_split_keeps_null_group_rows(spark):
+    """A NULL group is its own stratum (window semantics), not silently
+    dropped by the offsets equi-join."""
+    from convml_data_spark.operators.sampling import stratified_split
+
+    rows = [(i, "g0" if i % 2 else None) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_split(df, "source", {"a": 1, "b": 1}, seed=2).collect()
+    assert len(out) == 40
+    nulls = [r for r in out if r["source"] is None]
+    assert len(nulls) == 20
+    assert sum(r["collection"] == "a" for r in nulls) == 10  # floor(20·0.5)
