@@ -1590,6 +1590,19 @@ def q_emb_transform_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planning (corpus.py::mixture_rates): per-source
+    sampling rates hitting a 50k-token budget at 60/20/20 target weights
+    over three sources (everything else weight 0) — one map-side-combined
+    aggregation, weights as plan literals."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.mixture_rates(
+        docs, {"src0": 3.0, "src1": 1.0, "src2": 1.0}, token_budget=50_000
+    )
+
+
 def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (similarity.py::pq_train/pq_encode/
     pq_rerank_topk_batch — Jégou et al. 2011, the FAISS memory-compression
@@ -1912,12 +1925,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotate behind position 50 and back in on later rounds.
     return {
         # ROUND 5 WINDOW (first 50 = driver-certified this round), per the
-        # r4 verdict's rotation plan: round 5's 9 never-certified new keys
-        # first, then the 8 keys last certified in r1/r2, then 33 of the
-        # 42 r3-certified keys. The displaced r3 keys (7 quality/sampling
-        # keys + the s2/s6 static fetch-plan manifests — zero operator
-        # churn, covered by the in-repo oracle-parity replay) and the 50
-        # r4-certified keys sit at 51+ and rotate back in round 6.
+        # r4 verdict's rotation plan: round 5's never-certified new keys
+        # first, then the 8 keys last certified in r1/r2, then as many of
+        # the 42 r3-certified keys as fit. Displaced r3 keys (quality/
+        # sampling keys + the s2/s6 static fetch-plan manifests — zero
+        # operator churn, covered by the in-repo oracle-parity replay) and
+        # the 50 r4-certified keys sit at 51+ and rotate back in round 6.
         # --- new in round 5 ---
         "traj_tiles": q_traj_tiles,
         "spec_triplet_pipeline": q_spec_triplet_pipeline,
@@ -1928,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_xent": q_unigram_xent,
         "multimodal_audio": q_multimodal_audio,
         "similarity_pq_topk": q_similarity_pq_topk,
+        "mixture_rates": q_mixture_rates,
         # --- last certified r1/r2 (pre-NTZ testdata) ---
         "r2_scene_pairs": q_r2_scene_pairs,
         "w2_argmin_per_group": q_w2_argmin_per_group,
@@ -1977,8 +1991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "pii_scrub": q_pii_scrub,
         "sample_quality_weighted": q_sample_quality_weighted,
-        # ---------------- position 51+: the 7 r3-certified keys displaced
-        # by round 5's 9 new keys, then the r4-certified 50 (rotate back
+        # ---------------- position 51+: the r3-certified keys displaced
+        # by round 5's new keys, then the r4-certified 50 (rotate back
         # r6; all of them stay covered every round by the in-repo
         # oracle-parity replay, tests/test_oracle_parity.py).
         "emb_transform_scaler": q_emb_transform_scaler,
@@ -3687,6 +3701,27 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE r <= 20
         """,
         "similarity_pq_topk": "SELECT CAST(5 AS BIGINT) AS n_queries, true AS recall_ok",
+        "mixture_rates": """
+            WITH per AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                                x -> x != ''))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            ), scored AS (
+                SELECT *,
+                       CASE source WHEN 'src0' THEN 0.6
+                                   WHEN 'src1' THEN 0.2
+                                   WHEN 'src2' THEN 0.2
+                                   ELSE 0.0 END AS tf
+                FROM per
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(tf, 6) AS target_frac,
+                   round(least(1.0, 50000.0 * tf / n_tokens), 6) AS rate,
+                   round(least(1.0, 50000.0 * tf / n_tokens) * n_tokens, 6)
+                       AS expected_tokens
+            FROM scored
+        """,
         "similarity_lsh_topk": "SELECT CAST(5 AS BIGINT) AS n_queries, true AS recall_ok",
         "similarity_ivf_topk": "SELECT CAST(5 AS BIGINT) AS n_queries, true AS recall_ok",
     }

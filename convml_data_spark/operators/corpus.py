@@ -505,3 +505,67 @@ def unigram_logprob_score(
             F.log(F.col("_N")) - F.col("_s").cast("double") / F.col("n_tokens"), 6
         ).alias("xent_nats"),
     )
+
+
+def mixture_rates(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-mixture planning: per-source deterministic sampling rates that
+    hit a ``token_budget`` at the requested mixture ``weights`` (the
+    reweighting step a pretraining pipeline runs before sampling — cf.
+    The Pile / Gopher mixture tables).
+
+    For each source s with available tokens ``T_s`` and normalized target
+    weight ``w_s``: ``rate_s = min(1, budget·w_s / T_s)`` — capped at 1
+    because a source cannot yield more tokens than it has (the shortfall
+    is reported, not silently re-spread, so the operator is a pure
+    function of its inputs). Returns
+    ``(source, n_docs, n_tokens, target_frac, rate, expected_tokens)``.
+
+    One map-side-combined aggregation; weights/budget are plan literals.
+    Feed ``rate`` into :func:`quality_weighted_sample`-style md5-uniform
+    filters (``sample_mixture``) for the actual draw.
+    """
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("mixture weights must sum > 0")
+    frac = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v) / wsum))]
+    )
+    per = docs.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(T.tokens(F.lower(F.col(text_col))))).alias("n_tokens"),
+    )
+    tf = F.coalesce(F.element_at(frac, F.col(group_col)), F.lit(0.0))
+    rate = F.least(
+        F.lit(1.0), F.lit(float(token_budget)) * tf / F.col("n_tokens")
+    )
+    return per.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round(tf, 6).alias("target_frac"),
+        F.round(rate, 6).alias("rate"),
+        F.round(rate * F.col("n_tokens"), 6).alias("expected_tokens"),
+    )
+
+
+def sample_mixture(
+    docs: DataFrame,
+    rates: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Draw the mixture: keep each doc with its source's planned ``rate``
+    via the replayable md5 uniform. The rates relation is tiny (one row
+    per source) — broadcast join, then a pure per-row expression filter;
+    deterministic across retries, partitionings, and engines."""
+    u = hash_uniform(seed, F.col(id_col))
+    return docs.join(
+        F.broadcast(rates.select(group_col, "rate")), group_col
+    ).where(u < F.col("rate"))

@@ -321,3 +321,33 @@ def test_stratified_split_keeps_null_group_rows(spark):
     nulls = [r for r in out if r["source"] is None]
     assert len(nulls) == 20
     assert sum(r["collection"] == "a" for r in nulls) == 10  # floor(20·0.5)
+
+
+def test_mixture_sampling_tracks_planned_rates(spark):
+    """sample_mixture draws each source at its planned rate: realized
+    token counts land within 25% of expected for sampled sources, zero
+    for weight-0 sources, and the draw is partitioning-independent."""
+    from convml_data_spark.operators.corpus import mixture_rates, sample_mixture
+    from convml_data_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rates = mixture_rates(docs, {"src0": 1.0, "src1": 1.0}, token_budget=5000)
+    picked = sample_mixture(docs, rates, seed=3)
+    got = {
+        r["source"]: r["n"]
+        for r in picked.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(got) <= {"src0", "src1"}  # weight-0 sources rate 0 -> dropped
+    want = {
+        r["source"]: r["rate"] * r["n_docs"]
+        for r in rates.collect()
+        if r["rate"] > 0
+    }
+    for s, exp in want.items():
+        assert abs(got.get(s, 0) - exp) <= max(3, 0.25 * exp), (s, got.get(s), exp)
+    again = {
+        r["source"]: r["n"]
+        for r in sample_mixture(docs.repartition(7), rates, seed=3)
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert again == got
