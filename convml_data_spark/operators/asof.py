@@ -389,6 +389,15 @@ def asof_join(
                             F.lit(False),
                         )
                         parts.append(m.where(ok))
+                        # persist: the next pass AND its bucket semi-join
+                        # both consume `remaining`; without the pin the
+                        # whole earlier-pass chain re-executes per
+                        # consumer. Lifecycle follows the engine
+                        # convention (tiler.py:99 / jaccard_dedup_prefix):
+                        # pinned relations are released by the caller's
+                        # spark.catalog.clearCache() once the result is
+                        # consumed — only hole-straddling lefts ever land
+                        # here, so the cached remainder is small.
                         remaining = (
                             m.where(~ok).drop("_chosen", "_dt_us", "_bucket").persist()
                         )

@@ -127,7 +127,14 @@ def ecdf_global(df: DataFrame, value_col: str) -> DataFrame:
     cume = ranked.groupBy(value_col).agg(
         ((F.max("_rank") + 1) / F.lit(float(n))).alias("ecdf")
     )
-    return df.join(cume, on=value_col)
+    # null-safe join: NULL values are their own ≤-group (ranked first,
+    # exactly cume_dist's NULLS FIRST semantics — max(rank)+1 over the
+    # null group is the null count); a plain equi-join would silently
+    # DROP those rows while the keyed cume_dist path keeps them
+    right = cume.withColumnRenamed(value_col, "_v")
+    return df.join(
+        right, F.col(value_col).eqNullSafe(F.col("_v"))
+    ).drop("_v")
 
 
 def ecdf(df: DataFrame, value_col: str, partition_by: list[str] | None = None) -> DataFrame:
@@ -249,11 +256,12 @@ def global_cumsum(
     parts = df.withColumn(
         "_b", F.size(F.filter(cuts_arr, lambda c: c <= F.col(order_col)))
     )
+    # NULL values count as 0 everywhere (sum() would skip them but the
+    # exclusive form's `local − value` would go NULL and poison the row)
+    val = F.coalesce(F.col(value_col).cast("long"), F.lit(0).cast("long"))
     sums = {
         r["_b"]: r["s"]
-        for r in parts.groupBy("_b")
-        .agg(F.sum(F.col(value_col).cast("long")).alias("s"))
-        .collect()
+        for r in parts.groupBy("_b").agg(F.sum(val).alias("s")).collect()
     }
     offsets, acc = {}, 0
     for b in sorted(sums):
@@ -266,11 +274,11 @@ def global_cumsum(
         F.col("_b"),
     )
     w = Window.partitionBy("_b").orderBy(order_col, *tiebreak)
-    local = F.sum(F.col(value_col).cast("long")).over(
+    local = F.sum(val).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     if not inclusive:
-        local = local - F.col(value_col).cast("long")
+        local = local - val
     return parts.withColumn(out_col, (local + off_expr).cast("long")).drop("_b")
 
 

@@ -390,9 +390,14 @@ def pack_token_chunks(
         if token_count_col
         else F.size(T.tokens(F.lower(F.col(text_col))))
     )
+    # NULL text ⇒ NULL token count; pack it as 0 tokens (the doc occupies
+    # no budget) — the window-SUM oracle skips NULLs, so an uncoalesced
+    # NULL here would poison the exclusive cumsum (number − NULL = NULL)
+    # and every downstream chunk id
+    n_tok = F.coalesce(n_tok.cast("long"), F.lit(0).cast("long"))
     base = _spread(docs, id_col).select(
         F.col(id_col),
-        n_tok.cast("long").alias("n_tokens"),
+        n_tok.alias("n_tokens"),
         # numeric shuffle key: top 60 bits of md5(seed ⊕ id) — uniform,
         # sortable, and exactly replayable in DuckDB
         F.conv(
@@ -541,9 +546,13 @@ def mixture_rates(
         F.sum(F.size(T.tokens(F.lower(F.col(text_col))))).alias("n_tokens"),
     )
     tf = F.coalesce(F.element_at(frac, F.col(group_col)), F.lit(0.0))
-    rate = F.least(
-        F.lit(1.0), F.lit(float(token_budget)) * tf / F.col("n_tokens")
-    )
+    # zero-token guard: budget·tf/0 is NULL (or a DIVIDE_BY_ZERO under
+    # ANSI), and least() SKIPS nulls — an empty source would silently get
+    # rate 1.0 instead of contributing nothing
+    rate = F.when(
+        F.col("n_tokens") > 0,
+        F.least(F.lit(1.0), F.lit(float(token_budget)) * tf / F.col("n_tokens")),
+    ).otherwise(F.lit(0.0))
     return per.select(
         group_col,
         "n_docs",

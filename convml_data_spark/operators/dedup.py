@@ -462,11 +462,15 @@ def connected_components(
         # exact-enough fixed-point probe in ONE scan: star rounds never
         # change a component's membership, so an unchanged (count, Σu, Σv,
         # Σhash) quadruple across a round means the edge set is stable
+        # every term hash-based: numeric casts of the ids would raise
+        # CAST_INVALID_INPUT under ANSI for string ids (URLs, content
+        # hashes — the normal id shape for text dedup) and silently go
+        # NULL otherwise. Decimal sums: long sums of 64-bit hashes
+        # overflow under ANSI.
         row = edges.agg(
             F.count("*").alias("n"),
-            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
-            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
-            # decimal: a long sum of 64-bit hashes overflows under ANSI
+            F.sum(F.xxhash64("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.xxhash64("v").cast("decimal(38,0)")).alias("sv"),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("sh"),
         ).collect()[0]
         return tuple(row)

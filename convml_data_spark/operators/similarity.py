@@ -194,6 +194,39 @@ def hyperplane_signatures(
 _FIT_SAMPLE_CAP = 65536  # hard bound on driver-side fit state (FAISS-style)
 
 
+def _collect_fit_sample(
+    embeddings: DataFrame,
+    vec_col: str,
+    id_col: str,
+    fit_fraction: float,
+    seed: int,
+):
+    """Bounded, FULLY deterministic fit sample as an (n, dim) float matrix.
+
+    Selection and ORDER are both md5-hash-of-id driven, so the same data
+    yields the same sample (hence the same Lloyd centroids / PQ codebooks)
+    regardless of file layout, partition count, or AQE — `df.sample` +
+    `limit` would seed per PHYSICAL partition and take whichever rows the
+    limit reaches first, violating the repo determinism rule. The
+    orderBy+limit pair plans as TakeOrdered over the filtered rows (heap
+    of ≤ cap rows per partition + driver merge, never a full sort). At
+    100 TB ``fit_fraction`` shrinks toward 0 and the cap is what binds.
+    """
+    import numpy as np
+
+    from .sampling import hash_uniform
+
+    keyed = embeddings.select(
+        hash_uniform(seed, F.col(id_col)).alias("_h"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("v"),
+    )
+    if fit_fraction < 1.0:
+        keyed = keyed.where(F.col("_h") < F.lit(float(fit_fraction)))
+    rows = keyed.orderBy("_h", "_id").limit(_FIT_SAMPLE_CAP).collect()
+    return np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+
+
 def _sample_fit_centroids(
     embeddings: DataFrame,
     n_lists: int,
@@ -201,29 +234,15 @@ def _sample_fit_centroids(
     vec_col: str,
     fit_fraction: float,
     max_iters: int = 20,
+    id_col: str = "vec_id",
 ) -> list[list[float]]:
-    """Deterministic Lloyd k-means on a bounded collected sample.
-
-    The sample is ``fit_fraction`` of the table capped at
-    ``_FIT_SAMPLE_CAP`` rows (one limit-job; at 100 TB the fraction is
-    tiny and the cap is what binds). Init is k-means++-style but
-    deterministic: seeded RNG over the sample. Ties/empty clusters are
-    re-seeded from the farthest points, so k centroids always come back.
-    """
-    import numpy as np
-
-    sample_df = embeddings.select(F.col(vec_col).alias("v"))
-    if fit_fraction < 1.0:
-        # BOTH kwargs: `.sample(f, seed=s)` binds f to withReplacement and
-        # silently drops the seed (nondeterministic fit — caught by the
-        # batch≡single property test)
-        sample_df = sample_df.sample(fraction=fit_fraction, seed=seed)
-    rows = sample_df.limit(_FIT_SAMPLE_CAP).collect()
-    pts = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    """Deterministic Lloyd k-means on a bounded collected sample
+    (:func:`_collect_fit_sample`). Init is k-means++-style with a seeded
+    RNG; empty clusters re-seed from the farthest points, so k centroids
+    always come back."""
+    pts = _collect_fit_sample(embeddings, vec_col, id_col, fit_fraction, seed)
     if len(pts) == 0:
         raise ValueError("cannot fit IVF centroids on an empty table")
-    # same RNG call sequence as the previous inline implementation, so
-    # seeded centroids (and every certified IVF result) are unchanged
     return _fit_lloyd(pts, k=min(n_lists, len(pts)), seed=seed, max_iters=max_iters)
 
 
@@ -255,7 +274,7 @@ def ivf_index(
     if centroids is None:
         centroids = _sample_fit_centroids(
             embeddings, n_lists=n_lists, seed=seed, vec_col=vec_col,
-            fit_fraction=fit_fraction,
+            fit_fraction=fit_fraction, id_col=id_col,
         )
     # assignment = argmin over broadcast centroid literals, pure Column math
     # (JVM-side, no model UDF): min-struct over (dist2, list id)
@@ -548,6 +567,7 @@ def pq_train(
     seed: int = 42,
     vec_col: str = "embedding",
     fit_fraction: float = 0.25,
+    id_col: str = "vec_id",
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks: the vector splits into ``m``
     sub-blocks, each with its own ``k``-centroid codebook (Jégou et al.,
@@ -555,17 +575,11 @@ def pq_train(
     FAISS memory-compression path: a 64-dim float vector becomes m=8
     bytes, so a 100 TB embedding table scans from ~3 TB of codes).
 
-    One bounded sample collect (same cap discipline as the IVF fit); the
-    m codebooks Lloyd-fit driver-side on column slices of that single
-    sample. Returns ``codebooks[m][k][dim/m]``.
+    One bounded deterministic sample collect (:func:`_collect_fit_sample`,
+    shared with the IVF fit); the m codebooks Lloyd-fit driver-side on
+    column slices of that single sample. Returns ``codebooks[m][k][dim/m]``.
     """
-    import numpy as np
-
-    sample_df = embeddings.select(F.col(vec_col).alias("v"))
-    if fit_fraction < 1.0:
-        sample_df = sample_df.sample(fraction=fit_fraction, seed=seed)
-    rows = sample_df.limit(_FIT_SAMPLE_CAP).collect()
-    pts = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    pts = _collect_fit_sample(embeddings, vec_col, id_col, fit_fraction, seed)
     if len(pts) == 0:
         raise ValueError("cannot fit PQ codebooks on an empty table")
     dim = pts.shape[1]
@@ -794,7 +808,7 @@ def pq_rerank_topk_batch(
     if codebooks is None:
         codebooks = pq_train(
             embeddings, m=m, k=n_codes, seed=seed, vec_col=vec_col,
-            fit_fraction=fit_fraction,
+            fit_fraction=fit_fraction, id_col=id_col,
         )
     if codes_df is None:
         codes_df = pq_encode(embeddings, codebooks, vec_col=vec_col, id_col=id_col)

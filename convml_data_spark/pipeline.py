@@ -137,7 +137,14 @@ class DatasetSpec:
             resolution=float(sampling["resolution"]),
             tiles_kind=d.get("tiles_kind", "triplets"),
             n_triplets={k: int(v) for k, v in n.items()},
-            tile_N=int(trip.get("tile_N", sampling.get("trajectories", {}).get("tile_N", 256))),
+            # `or {}` on BOTH nested keys: a present-but-empty YAML key
+            # (`trajectories:`) loads as None, and None.get would raise
+            tile_N=int(
+                trip.get(
+                    "tile_N",
+                    (sampling.get("trajectories") or {}).get("tile_N", 256),
+                )
+            ),
             neighbor_distance_scaling=float(trip.get("neighbor_distance_scaling", 1.0)),
             seed=int(d.get("seed", 42)),
             x_range=(0.0, lz),

@@ -73,9 +73,18 @@ def db_to_df(
     db_name: str,
     key_col: str = "scene_id",
     db_type: str = "yaml",
+    schema: str | None = None,
 ) -> DataFrame:
     """Read a reference-format keyed-dict database back as a DataFrame
-    (inverse of :func:`df_to_db`)."""
+    (inverse of :func:`df_to_db`).
+
+    An EMPTY database (a normal incremental-pipeline state — e.g. no
+    scenes discovered yet) round-trips to an empty DataFrame instead of
+    crashing schema inference; pass ``schema`` (DDL string) to control
+    the empty relation's columns (default: just the key column).
+    """
     obj = read_db(path, db_name, db_type) or {}
     rows = [{key_col: k, **(v or {})} for k, v in obj.items()]
-    return spark.createDataFrame(rows)
+    if not rows:
+        return spark.createDataFrame([], schema or f"{key_col} string")
+    return spark.createDataFrame(rows, schema=schema)

@@ -351,3 +351,84 @@ def test_mixture_sampling_tracks_planned_rates(spark):
         .groupBy("source").agg(F.count("*").alias("n")).collect()
     }
     assert again == got
+
+
+def test_ecdf_keyless_keeps_null_rows_like_cume_dist(spark):
+    """Keyless ecdf must keep NULL-value rows with cume_dist's NULLS
+    FIRST value (#nulls/N), matching the keyed path's semantics."""
+    from pyspark.sql import Window
+
+    from convml_data_spark.operators.binning import ecdf
+
+    rows = [(0, None), (1, None), (2, 5.0), (3, 1.0), (4, 5.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {r["id"]: r["ecdf"] for r in ecdf(df, "v").collect()}
+    w = Window.orderBy("v")
+    want = {
+        r["id"]: r["e"]
+        for r in df.withColumn("e", F.cume_dist().over(w)).collect()
+    }
+    assert out == want and len(out) == 5
+
+
+def test_pack_chunks_null_text_counts_zero_tokens(spark):
+    """A NULL-text doc packs as 0 tokens (occupies no budget) instead of
+    poisoning every downstream chunk id with NULL."""
+    from convml_data_spark.operators.corpus import pack_token_chunks
+
+    rows = [(0, "a b c"), (1, None), (2, "d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pack_token_chunks(df, budget=4).collect()}
+    assert len(out) == 3
+    assert out[1]["n_tokens"] == 0
+    assert all(out[i]["chunk_id"] is not None for i in range(3))
+    # 5 total tokens -> offsets stay within [0, 4)
+    assert all(0 <= out[i]["chunk_offset"] < 4 for i in range(3))
+
+
+def test_mixture_rates_zero_token_source_gets_zero_rate(spark):
+    from convml_data_spark.operators.corpus import mixture_rates
+
+    rows = [(0, "a b c", "full"), (1, "   ", "empty")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    rates = {r["source"]: r["rate"] for r in
+             mixture_rates(df, {"full": 1.0, "empty": 1.0}, token_budget=10).collect()}
+    assert rates["empty"] == 0.0
+    assert rates["full"] == 1.0
+
+
+def test_connected_components_string_ids(spark):
+    """CC works (and converges) on string ids — the normal id shape for
+    text dedup (URLs, content hashes)."""
+    from convml_data_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("doc_a", "doc_b"), ("doc_b", "doc_c"), ("doc_x", "doc_y")],
+        "id_a string, id_b string",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {
+        "doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a",
+        "doc_x": "doc_x", "doc_y": "doc_x",
+    }
+
+
+def test_fit_sample_is_partition_layout_independent(spark):
+    """IVF centroids and PQ codebooks are identical for 1-partition and
+    many-partition layouts of the same data (md5-driven sample, not
+    df.sample+limit)."""
+    import numpy as np
+
+    from convml_data_spark.operators import similarity
+
+    rng = np.random.default_rng(13)
+    rows = [(i, [float(v) for v in rng.standard_normal(8)]) for i in range(300)]
+    outs = []
+    for nparts in (1, 11):
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(nparts)
+        c = similarity._sample_fit_centroids(
+            df, n_lists=4, seed=7, vec_col="embedding", fit_fraction=0.5
+        )
+        b = similarity.pq_train(df, m=4, k=4, seed=7, fit_fraction=0.5)
+        outs.append((c, b))
+    assert outs[0] == outs[1]
