@@ -1590,6 +1590,16 @@ def q_emb_transform_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style long-document chunking (corpus.py::sliding_token_windows):
+    64-token windows every 48 tokens (16-token overlap), pure in-row
+    explode(sequence)+slice — no shuffle at all."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.sliding_token_windows(docs, size=64, stride=48)
+
+
 def q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture planning (corpus.py::mixture_rates): per-source
     sampling rates hitting a 50k-token budget at 60/20/20 target weights
@@ -1942,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "similarity_pq_topk": q_similarity_pq_topk,
         "mixture_rates": q_mixture_rates,
+        "token_windows": q_token_windows,
         # --- last certified r1/r2 (pre-NTZ testdata) ---
         "r2_scene_pairs": q_r2_scene_pairs,
         "w2_argmin_per_group": q_w2_argmin_per_group,
@@ -3701,6 +3712,27 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE r <= 20
         """,
         "similarity_pq_topk": "SELECT CAST(5 AS BIGINT) AS n_queries, true AS recall_ok",
+        "token_windows": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x != '') AS toks
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, toks, len(toks) AS n FROM base
+            ), wins AS (
+                SELECT doc_id, toks, n,
+                       unnest(range(0, greatest(n, 1), 48)) AS start
+                FROM sized
+            )
+            SELECT doc_id,
+                   CAST(start // 48 AS BIGINT) AS win_id,
+                   CAST(start AS BIGINT) AS start,
+                   CAST(least(start + 64, n) AS BIGINT) AS "end",
+                   array_to_string(toks[start + 1 : start + 64], ' ') AS win_text
+            FROM wins
+            WHERE start = 0 OR start - 48 + 64 < n
+        """,
         "mixture_rates": """
             WITH per AS (
                 SELECT source, count(*) AS n_docs,

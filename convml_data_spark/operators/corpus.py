@@ -578,3 +578,63 @@ def sample_mixture(
     return docs.join(
         F.broadcast(rates.select(group_col, "rate")), group_col
     ).where(u < F.col("rate"))
+
+
+def sliding_token_windows(
+    docs: DataFrame,
+    size: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking for long documents (the
+    embedding/RAG chunker: windows of ``size`` tokens every ``stride``
+    tokens, so consecutive windows overlap by ``size − stride``).
+
+    Emits ``(id, win_id, start, end, win_text)`` — one row per window,
+    where ``start``/``end`` are 0-based token offsets (``end`` exclusive,
+    clamped to the doc) and ``win_text`` re-joins the window's tokens.
+    Every doc emits at least one window (short docs emit themselves).
+
+    Pure in-row expression work: tokenize once, ``explode(sequence(...))``
+    over window starts, ``slice`` per window — no shuffle at all; the
+    explode fan-out is ≤ n_tokens/stride rows per doc.
+    """
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    from .dedup import _spread
+
+    toks = F.coalesce(
+        T.tokens(F.lower(F.col(text_col))), F.array().cast("array<string>")
+    )
+    # NULL text ⇒ empty token array (one empty window), not NULL plumbing
+    base = _spread(docs, id_col).select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    )
+    # last start = the largest multiple of stride strictly below n (so a
+    # doc with n <= size still gets exactly one window at 0)
+    last = F.greatest(
+        F.lit(0),
+        (F.floor((F.greatest(F.col("_n"), F.lit(1)) - 1) / F.lit(stride))
+         * F.lit(stride)).cast("int"),
+    )
+    # drop trailing windows fully covered by the previous one: keep start
+    # 0 and any start with start + size within-or-first-to-cross n
+    win = base.select(
+        F.col(id_col),
+        "_toks",
+        "_n",
+        F.explode(F.sequence(F.lit(0), last, F.lit(stride))).alias("start"),
+    ).where(
+        (F.col("start") == 0) | (F.col("start") - F.lit(stride) + F.lit(size) < F.col("_n"))
+    )
+    end = F.least(F.col("start") + F.lit(size), F.col("_n"))
+    return win.select(
+        F.col(id_col),
+        (F.col("start") / F.lit(stride)).cast("long").alias("win_id"),
+        F.col("start").cast("long").alias("start"),
+        end.cast("long").alias("end"),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("start") + 1, F.lit(size)), " "
+        ).alias("win_text"),
+    )
