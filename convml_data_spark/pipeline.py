@@ -57,11 +57,39 @@ class SceneSpec:
 
     @classmethod
     def from_dict(cls, d: dict) -> "SceneSpec":
+        # Accept BOTH dialects: this engine's flat keys AND the
+        # reference's actual meta.yaml shape (tests/example/meta.yaml):
+        # `time: {N_days, t_start, filters: {N_hours_from_zenith}}`,
+        # `product` instead of an explicit input list, and the solar
+        # filter longitude coming from `domain.central_longitude`.
+        time_d = d.get("time") or {}
+        t_start = d.get("t_start", time_d.get("t_start"))
+        if t_start is None:
+            raise ValueError("spec needs `t_start` (top-level or under `time`)")
+        t_start = _parse_t(t_start)
+        t_end = d.get("t_end", time_d.get("t_end"))
+        if t_end is None and "N_days" in time_d:
+            from datetime import timedelta
+
+            t_end = t_start + timedelta(days=float(time_d["N_days"]))
+        if t_end is None:
+            raise ValueError("spec needs `t_end` or `time.N_days`")
+        inputs = d.get("inputs")
+        if inputs is None:
+            inputs = [d["product"]] if "product" in d else ["scene"]
+        sz = d.get("solar_zenith")
+        filters = time_d.get("filters") or {}
+        if sz is None and "N_hours_from_zenith" in filters:
+            dom = d.get("domain") or {}
+            sz = {
+                "lon": float(dom.get("central_longitude", 0.0)),
+                "dt_hours": float(filters["N_hours_from_zenith"]),
+            }
         return cls(
             source=d["source"],
-            inputs=list(d["inputs"]),
-            t_start=_parse_t(d["t_start"]),
-            t_end=_parse_t(d["t_end"]),
+            inputs=list(inputs),
+            t_start=t_start,
+            t_end=_parse_t(t_end),
             step=d.get("step", "1 hour"),
             time_bucket=d.get("time_bucket"),
             path_formats=dict(d.get("path_formats", {})),
@@ -75,7 +103,7 @@ class SceneSpec:
             component_filters={
                 k: list(v) for k, v in d.get("component_filters", {}).items()
             },
-            solar_zenith=d.get("solar_zenith"),
+            solar_zenith=sz,
         )
 
     @classmethod
@@ -109,6 +137,7 @@ class DatasetSpec:
     seed: int = 42
     x_range: tuple[float, float] = (0.0, 0.0)
     y_range: tuple[float, float] = (0.0, 0.0)
+    aux_products: dict = field(default_factory=dict)
 
     @property
     def tile_size(self) -> float:
@@ -139,16 +168,30 @@ class DatasetSpec:
             n_triplets={k: int(v) for k, v in n.items()},
             # `or {}` on BOTH nested keys: a present-but-empty YAML key
             # (`trajectories:`) loads as None, and None.get would raise
+            # `or {}` on every nested key: a present-but-empty YAML key
+            # (`trajectories:`) loads as None, and None.get would raise;
+            # `rect-slidingwindow` is the reference's dashed spelling
+            # (tests/example/meta.yaml)
             tile_N=int(
                 trip.get(
                     "tile_N",
-                    (sampling.get("trajectories") or {}).get("tile_N", 256),
+                    (sampling.get("trajectories") or {}).get(
+                        "tile_N",
+                        (sampling.get("rect-slidingwindow") or {}).get("tile_N", 256),
+                    ),
                 )
             ),
-            neighbor_distance_scaling=float(trip.get("neighbor_distance_scaling", 1.0)),
+            # the reference example spells it `neigh_dist_scaling`
+            # (fraction of tile size the neighbor is offset)
+            neighbor_distance_scaling=float(
+                trip.get(
+                    "neighbor_distance_scaling", trip.get("neigh_dist_scaling", 1.0)
+                )
+            ),
             seed=int(d.get("seed", 42)),
             x_range=(0.0, lz),
             y_range=(0.0, lm),
+            aux_products=dict(d.get("aux_products") or {}),
         )
 
     @classmethod

@@ -162,3 +162,34 @@ def test_dataset_spec_compiles_full_lifecycle(spark):
     )
     st = pipeline.build_triplet_dataset(spark, spec, aux={"era5": aux})
     assert st["aux:era5"].count() == 24
+
+
+def test_dataset_spec_parses_reference_example_meta_yaml():
+    """The parser consumes the reference's OWN example spec verbatim
+    (reference tests/example/meta.yaml): time.N_days -> t_end,
+    product -> input list, time.filters.N_hours_from_zenith +
+    domain.central_longitude -> the solar-zenith filter, the dashed
+    `rect-slidingwindow` sampling key, `neigh_dist_scaling`, and the
+    aux-product table."""
+    import os
+
+    import pytest
+
+    from convml_data_spark.pipeline import DatasetSpec
+
+    path = "/root/reference/tests/example/meta.yaml"
+    if not os.path.exists(path):
+        pytest.skip("reference example not available")
+    spec = DatasetSpec.from_yaml(path)
+    assert spec.scene.source == "goes16"
+    assert spec.scene.inputs == ["truecolor_rgb"]
+    assert (spec.scene.t_end - spec.scene.t_start).days == 1
+    assert spec.scene.solar_zenith == {"lon": -57.5, "dt_hours": 0.2}
+    assert spec.resolution == 1000.0
+    assert spec.tile_N == 256
+    assert spec.n_triplets == {"train": 2}
+    assert spec.neighbor_distance_scaling == 0.1
+    assert spec.x_range == (0.0, 400000.0) and spec.y_range == (0.0, 400000.0)
+    assert "sea_surface_temperature" in spec.aux_products
+    assert spec.aux_products["zonal_wind"]["product"] == "u"
+    assert spec.tile_size == 256000.0
