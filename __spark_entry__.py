@@ -1592,8 +1592,8 @@ def q_emb_transform_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style long-document chunking (corpus.py::sliding_token_windows):
-    64-token windows every 48 tokens (16-token overlap), pure in-row
-    explode(sequence)+slice — no shuffle at all."""
+    64-token windows every 48 tokens (16-token overlap): one
+    layout-decoupling repartition, then in-row explode(sequence)+slice."""
     from convml_data_spark.operators import corpus
 
     docs = _t(spark, sf_dir, "documents")

@@ -596,9 +596,11 @@ def sliding_token_windows(
     clamped to the doc) and ``win_text`` re-joins the window's tokens.
     Every doc emits at least one window (short docs emit themselves).
 
-    Pure in-row expression work: tokenize once, ``explode(sequence(...))``
-    over window starts, ``slice`` per window — no shuffle at all; the
-    explode fan-out is ≤ n_tokens/stride rows per doc.
+    One layout-decoupling hash repartition (``dedup._spread`` — a
+    single-file corpus would otherwise chunk in one scan task), then pure
+    in-row expression work: tokenize once, ``explode(sequence(...))`` over
+    window starts, ``slice`` per window; the explode fan-out is
+    ≤ n_tokens/stride rows per doc and never shuffles again.
     """
     if size <= 0 or stride <= 0:
         raise ValueError("size and stride must be positive")
