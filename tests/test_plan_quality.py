@@ -216,3 +216,21 @@ def test_every_registered_query_plan_is_scale_clean(spark):
             assert " ASC" not in first and " DESC" not in first, (
                 f"{name}: keyless window over {first.strip()!r}"
             )
+
+
+def test_stratified_split_offsets_are_broadcast(spark):
+    """The per-(group, bucket) offset relation must ride a broadcast hash
+    join — a shuffle join here would re-shuffle the 100 TB side against a
+    |groups|·P-row table."""
+    p = plan_of(spark, "stratified_split")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pq_scan_joins_broadcast_the_probe_relation(spark):
+    """The PQ batch scan's (qid, lut) and rerank (qid, qv) relations are
+    tiny plan-time literals — both must broadcast, never shuffle the
+    codes/embeddings side."""
+    p = plan_of(spark, "similarity_pq_topk")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
