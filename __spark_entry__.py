@@ -1507,8 +1507,14 @@ def q_derived_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("d_theta__eis", 6).alias("eis"),
         F.round("bl_umag", 6).alias("bl_umag"),
         F.round("cl_umag", 6).alias("cl_umag"),
-        F.round("bl_qmean", 8).alias("bl_qmean"),
-        F.round("cl_qmean", 8).alias("cl_qmean"),
+        # explicit floor-based rounding, NOT round(): q's construction
+        # quantizes layer means onto exact half-points of the 1e-8 grid
+        # (the constant part of q ends in ...125), where Spark's exact
+        # BigDecimal HALF_UP and DuckDB's multiply-based round() split by
+        # half an ulp. floor(x*1e8+0.5)/1e8 is pure IEEE arithmetic both
+        # engines compute bit-identically (values are positive).
+        (F.floor(F.col("bl_qmean") * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).alias("bl_qmean"),
+        (F.floor(F.col("cl_qmean") * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).alias("cl_qmean"),
         F.round("tpw", 6).alias("tpw"),
     )
 
@@ -3012,10 +3018,14 @@ def oracle_sql() -> dict[str, str]:
                        - arg_max(theta, level) OVER wc AS lts,
                      arg_min(t, abs(p - 85000.0)) OVER wc AS t850,
                      arg_min(alt, abs(p - 70000.0)) OVER wc AS z700,
-                     avg(CASE WHEN level >= 35 THEN sqrt(u * u + v * v) END) OVER wc AS bl_umag,
-                     avg(CASE WHEN level >= 29 AND level < 35 THEN sqrt(u * u + v * v) END) OVER wc AS cl_umag,
-                     avg(CASE WHEN level >= 35 THEN q END) OVER wc AS bl_qmean,
-                     avg(CASE WHEN level >= 29 AND level < 35 THEN q END) OVER wc AS cl_qmean,
+                     CAST(sum(CAST(CASE WHEN level >= 35 THEN sqrt(u * u + v * v) END AS DECIMAL(38,18))) OVER wc AS DOUBLE)
+                       / count(CASE WHEN level >= 35 THEN sqrt(u * u + v * v) END) OVER wc AS bl_umag,
+                     CAST(sum(CAST(CASE WHEN level >= 29 AND level < 35 THEN sqrt(u * u + v * v) END AS DECIMAL(38,18))) OVER wc AS DOUBLE)
+                       / count(CASE WHEN level >= 29 AND level < 35 THEN sqrt(u * u + v * v) END) OVER wc AS cl_umag,
+                     CAST(sum(CAST(CASE WHEN level >= 35 THEN q END AS DECIMAL(38,18))) OVER wc AS DOUBLE)
+                       / count(CASE WHEN level >= 35 THEN q END) OVER wc AS bl_qmean,
+                     CAST(sum(CAST(CASE WHEN level >= 29 AND level < 35 THEN q END AS DECIMAL(38,18))) OVER wc AS DOUBLE)
+                       / count(CASE WHEN level >= 29 AND level < 35 THEN q END) OVER wc AS cl_qmean,
                      sum(q * dp) OVER wc / 9.8 AS tpw,
                      1.0 / (1.0 / (t - 55.0) - ln(rh) / 2840.0) + 55.0 AS t_lcl
               FROM d4b
@@ -3043,7 +3053,8 @@ def oracle_sql() -> dict[str, str]:
                    round(alt, 6) AS alt, round(lts, 6) AS lts,
                    round(z_lcl, 6) AS z_lcl, round(eis, 6) AS eis,
                    round(bl_umag, 6) AS bl_umag, round(cl_umag, 6) AS cl_umag,
-                   round(bl_qmean, 8) AS bl_qmean, round(cl_qmean, 8) AS cl_qmean,
+                   floor(bl_qmean * 1e8 + 0.5) / 1e8 AS bl_qmean,
+                   floor(cl_qmean * 1e8 + 0.5) / 1e8 AS cl_qmean,
                    round(tpw, 6) AS tpw
             FROM d8
         """,

@@ -275,7 +275,16 @@ def era5_like_registry(
     reg.add("d_theta__eis", _eis, ["alt_p", "theta", "d_theta__lts", "t", "z_lcl"])
 
     def _layer_mean(expr: Column, mask: Column) -> Column:
-        return F.avg(F.when(mask, expr)).over(w_col)
+        # decimal-truncated term sum, not avg(): an unordered window frame
+        # sums its ~40 doubles in partition-row order, which differs
+        # between engines (and between Spark runs under AQE) by ~1 ulp —
+        # enough to straddle bl_qmean's round(8) grid at float32-precision
+        # q values (40/100k rows flipped at sf0.1). DECIMAL(38,18) terms
+        # make the reduction exact and order-independent; the single final
+        # division is the same op in both engines (corpus_entropy pattern).
+        masked = F.when(mask, expr)
+        s = F.sum(masked.cast("decimal(38,18)")).over(w_col)
+        return s.cast("double") / F.count(masked).over(w_col)
 
     reg.add(
         "bl_umag", lambda u, v: _layer_mean(F.sqrt(u * u + v * v), in_bl), ["u", "v"]
