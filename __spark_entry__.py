@@ -3637,8 +3637,11 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunks": """
             WITH base AS (
                 SELECT doc_id,
-                       CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
-                                            x -> x != '')) AS BIGINT) AS n_tokens,
+                       -- mirror Spark's NULL-text coalesce-to-0 (corpus.py::
+                       -- pack_token_chunks) so a NULL-text doc packs as 0
+                       -- tokens in both engines
+                       COALESCE(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                            x -> x != '')) AS BIGINT), 0) AS n_tokens,
                        CAST('0x' || substr(md5('42_' || CAST(doc_id AS VARCHAR)), 1, 15)
                             AS BIGINT) AS shuf
                 FROM documents
@@ -3726,8 +3729,12 @@ def oracle_sql() -> dict[str, str]:
         "token_windows": """
             WITH base AS (
                 SELECT doc_id,
-                       list_filter(string_split_regex(lower(text), '\\s+'),
-                                   x -> x != '') AS toks
+                       -- mirror Spark's NULL-text -> empty-array coalesce
+                       -- (corpus.py::sliding_token_windows): without it
+                       -- DuckDB's NULL-skipping least/greatest would hand a
+                       -- NULL-text doc end=64 and NULL win_text vs Spark's 0/''
+                       COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x != ''), []) AS toks
                 FROM documents
             ), sized AS (
                 SELECT doc_id, toks, len(toks) AS n FROM base
@@ -3747,8 +3754,11 @@ def oracle_sql() -> dict[str, str]:
         "mixture_rates": """
             WITH per AS (
                 SELECT source, count(*) AS n_docs,
-                       CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'),
-                                                x -> x != ''))) AS BIGINT) AS n_tokens
+                       -- per-row COALESCE mirrors Spark's NULL-text handling
+                       -- (a doc with NULL text contributes 0 tokens, and an
+                       -- all-NULL source sums to 0, not NULL)
+                       CAST(sum(COALESCE(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                                x -> x != '')), 0)) AS BIGINT) AS n_tokens
                 FROM documents GROUP BY source
             ), scored AS (
                 SELECT *,
@@ -3760,9 +3770,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, n_docs, n_tokens,
                    round(tf, 6) AS target_frac,
-                   round(least(1.0, 50000.0 * tf / n_tokens), 6) AS rate,
-                   round(least(1.0, 50000.0 * tf / n_tokens) * n_tokens, 6)
-                       AS expected_tokens
+                   -- zero-token guard mirrors corpus.py::mixture_rates: DuckDB
+                   -- least() skips the NULL division so an empty source would
+                   -- otherwise get rate 1.0 where Spark returns 0.0
+                   CASE WHEN n_tokens > 0
+                        THEN round(least(1.0, 50000.0 * tf / n_tokens), 6)
+                        ELSE 0.0 END AS rate,
+                   CASE WHEN n_tokens > 0
+                        THEN round(least(1.0, 50000.0 * tf / n_tokens) * n_tokens, 6)
+                        ELSE 0.0 END AS expected_tokens
             FROM scored
         """,
         "similarity_lsh_topk": "SELECT CAST(5 AS BIGINT) AS n_queries, true AS recall_ok",

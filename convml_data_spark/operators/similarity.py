@@ -614,16 +614,29 @@ def _fit_lloyd(pts, k: int, seed: int, max_iters: int = 20):
         idx = int(np.searchsorted(np.cumsum(d2), r))
         centers.append(pts[min(idx, len(pts) - 1)])
     C = np.asarray(centers)
+    # chunk the pts axis: the (n, k, dim) broadcast temporary would peak at
+    # ~540 MB per iteration at the 65536-row fit cap (n_lists=16, dim=64);
+    # per-chunk it is bounded at chunk·k·dim floats with BIT-IDENTICAL
+    # results (same subtract-square-sum per element, no matmul reassociation)
+    chunk = 4096
     for _ in range(max_iters):
-        d2 = ((pts[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        assign = np.empty(len(pts), dtype=np.int64)
+        mind = np.empty(len(pts), dtype=np.float64)
+        for s in range(0, len(pts), chunk):
+            d2c = ((pts[s : s + chunk, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign[s : s + chunk] = d2c.argmin(axis=1)
+            mind[s : s + chunk] = d2c.min(axis=1)
         newC = C.copy()
+        # reseed EACH empty cluster from a DISTINCT farthest point (stable
+        # order): the old argmax-for-all gave simultaneously-empty clusters
+        # the identical centroid, silently shrinking the effective k
+        far_order = iter(np.argsort(-mind, kind="stable"))
         for j in range(len(C)):
             members = pts[assign == j]
             if len(members):
                 newC[j] = members.mean(axis=0)
             else:
-                newC[j] = pts[d2.min(axis=1).argmax()]
+                newC[j] = pts[next(far_order)]
         if np.allclose(newC, C, rtol=0, atol=1e-12):
             C = newC
             break

@@ -100,6 +100,13 @@ def execute_fetch_manifest(
                         raise  # misconfiguration, not a transient failure
                     except Exception as e:  # transient: retry with backoff
                         err = f"{type(e).__name__}: {e}"
+                        # the fetcher may have partially written the temp
+                        # file before raising — drop it so retried runs
+                        # don't accumulate .__part_* junk in dest_dir
+                        try:
+                            os.unlink(tmp)
+                        except OSError:
+                            pass
                         if attempt + 1 < max_attempts:
                             time.sleep(backoff_s * (2 ** attempt))
                 out.append(

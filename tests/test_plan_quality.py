@@ -202,17 +202,50 @@ def test_every_registered_query_plan_is_scale_clean(spark):
     frequency values; Zipf collapses it to thousands of rows at any
     corpus size, see corpus.build_vocab docstring).
     """
-    import re
-
     keyless_ok = {"vocab_build", "vocab_encode"}
-    spec = re.compile(r"windowspecdefinition\(([^)]*?)specifiedwindowframe")
+
+    def window_specs(plan: str):
+        """Paren-BALANCED extraction of every windowspecdefinition(...)
+        argument list — a [^)]*? regex cannot cross the ')' of a nested
+        function call inside the partition/order spec and would silently
+        skip exactly the windows it most needs to inspect."""
+        needle = "windowspecdefinition("
+        i = 0
+        while True:
+            j = plan.find(needle, i)
+            if j < 0:
+                return
+            start = j + len(needle)
+            depth, k = 1, start
+            while k < len(plan) and depth:
+                if plan[k] == "(":
+                    depth += 1
+                elif plan[k] == ")":
+                    depth -= 1
+                k += 1
+            yield plan[start : k - 1]
+            i = k
+
+    def first_top_level_arg(args: str) -> str:
+        depth = 0
+        for idx, ch in enumerate(args):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                return args[:idx]
+        return args
+
     for name in QUERIES:
         p = plan_of(spark, name)
         assert "CartesianProduct" not in p, name
         if name in keyless_ok:
             continue
-        for m in spec.finditer(p):
-            first = m.group(1).split(",")[0]
+        for args in window_specs(p):
+            if "specifiedwindowframe" not in args:
+                continue
+            first = first_top_level_arg(args)
             assert " ASC" not in first and " DESC" not in first, (
                 f"{name}: keyless window over {first.strip()!r}"
             )
