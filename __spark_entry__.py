@@ -709,6 +709,154 @@ def q_spec_triplet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tile_spec():
+    """Shared small DatasetSpec for the tile-DATA / analytics composition
+    keys: 24 hourly scenes, 16 triplets (12 train / 4 study), tile_N=4 at
+    24 m/px (tile_size 96, margin 64) in a 2000×2000 domain. The synthetic
+    source raster is 80×80 at 25 m spacing, so every tile target point's
+    nearest source index lands inside [0, 80)."""
+    from convml_data_spark import pipeline
+
+    return pipeline.DatasetSpec.from_dict(
+        {
+            "source": "td",
+            "inputs": ["vis"],
+            "t_start": "2024-01-01T00:00:00",
+            "t_end": "2024-01-02T00:00:00",
+            "step": "1 hour",
+            "sampling": {
+                "resolution": 24.0,
+                "triplets": {"N_triplets": {"train": 12, "study": 4}, "tile_N": 4},
+            },
+            "domain": {"l_zonal": 2000.0, "l_meridional": 2000.0},
+        }
+    )
+
+
+TILE_SRC_DX = 25.0
+TILE_SRC_NX = 80
+
+
+def q_spec_tile_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile DATA through the spec pipeline (pipeline.py::build_tile_data;
+    reference SceneTilesData.run, pipeline/tiles.py:232-297): the full
+    §3.1+§3.2 lifecycle extended with the tiles→pixels stage — G3 nearest
+    regrid of each scene's raster into every tile's local 4×4 frame
+    (closed-form nearest on the regular source, one dense-key equi-join)
+    — then the per-tile reduction + the reference's tile shape check
+    (tiles.py:258-265) as ``shape_ok``."""
+    from convml_data_spark import pipeline
+
+    _prep(spark)
+    d = pipeline.build_tile_data(
+        spark, _tile_spec(), src_dx=TILE_SRC_DX, src_nx=TILE_SRC_NX
+    )
+    return d["tile_data"].select(
+        "triplet_id",
+        "collection",
+        "tile_type",
+        "scene_id",
+        F.col("n_px").cast("bigint").alias("n_px"),
+        "shape_ok",
+        "sum_val",
+        "min_val",
+        "max_val",
+        "mean_val",
+    )
+
+
+def q_spec_regridded_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-driven per-scene regrid (pipeline.py::build_regridded_scenes;
+    reference GenerateRegriddedScenes, pipeline/regridding.py:37-137):
+    every scene's 24×24 source raster (7 m spacing) resampled onto the
+    spec domain's 20×20 grid at sampling.resolution=10 via the G1 nearest
+    argmin — all scenes in ONE shuffle keyed by (scene_id, ix, iy)."""
+    from convml_data_spark import pipeline
+
+    _prep(spark)
+    spec = pipeline.DatasetSpec.from_dict(
+        {
+            "source": "rg",
+            "inputs": ["vis"],
+            "t_start": "2024-01-01T00:00:00",
+            "t_end": "2024-01-02T00:00:00",
+            "step": "1 hour",
+            "sampling": {"resolution": 10.0},
+            "domain": {"l_zonal": 200.0, "l_meridional": 200.0},
+        }
+    )
+    out = pipeline.build_regridded_scenes(spark, spec, src_dx=7.0, src_nx=24)
+    return out.select("scene_id", "ix", "iy", "cell_x", "cell_y", "value")
+
+
+def q_spec_analytics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.3 analytics path composed as ONE program
+    (pipeline.py::build_analytics_pipeline; reference
+    AggregatedDatasetScenesAuxFieldWithEmbeddings,
+    embeddings/aux_fields/data.py:199-295): scenes → tiles → tile rasters
+    → X3 batch embeddings → A1 per-tile aux reduction → J6 join → X4 PCA
+    → A5 aux-binned embedding stats. Stats are value-exact vs DuckDB
+    (decimal sums, explicit IEEE rounding); the PCA stage is certified by
+    its orthonormal-loadings invariant (eigenvector signs are
+    solver-defined)."""
+    import numpy as np
+
+    from convml_data_spark import pipeline
+
+    _prep(spark)
+    stats, model = pipeline.build_analytics_pipeline(
+        spark, _tile_spec(), src_dx=TILE_SRC_DX, src_nx=TILE_SRC_NX
+    )
+    pc = model.pc.toArray()
+    gram = pc.T @ pc
+    pca_ok = bool(np.allclose(gram, np.eye(pc.shape[1]), atol=1e-8))
+    return stats.select(
+        "bin",
+        F.col("dim").cast("bigint").alias("dim"),
+        "n",
+        "mean_emb",
+        "sum_emb",
+        F.lit(pca_ok).alias("pca_ok"),
+    )
+
+
+def q_spec_rect_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed rect/sliding-window embedding path
+    (pipeline.py::build_rect_embeddings; reference
+    embeddings/rect/sampling.py:68-125): 12 scenes × a 4×4 sliding-tile
+    grid over a 16×16 pixel domain → per-tile image vectors → X3 batched
+    inference → J7 coordinate attach with the reference's y-axis flip."""
+    from convml_data_spark import pipeline
+
+    _prep(spark)
+    spec = pipeline.DatasetSpec.from_dict(
+        {
+            "source": "re",
+            "inputs": ["vis"],
+            "t_start": "2024-01-01T00:00:00",
+            "t_end": "2024-01-02T00:00:00",
+            "step": "2 hours",
+            "tiles_kind": "rect-slidingwindow",
+            "sampling": {
+                "resolution": 20.0,
+                "rect-slidingwindow": {"tile_N": 4},
+            },
+            "domain": {"l_zonal": 320.0, "l_meridional": 320.0},
+        }
+    )
+    out = pipeline.build_rect_embeddings(spark, spec, out_dim=4)
+    return out.select(
+        "scene_id",
+        F.col("tile_id").cast("bigint").alias("tile_id"),
+        F.col("i0").cast("bigint").alias("i0"),
+        F.col("j0").cast("bigint").alias("j0"),
+        "x",
+        "y",
+        F.col("dim").cast("bigint").alias("dim"),
+        "v",
+    )
+
+
 def q_j6_emb_aux_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: embeddings ⋈ per-group aux reductions on the group key
     (aux_fields/data.py:139-146) — the aux side is a tiny aggregate, so the
@@ -1947,6 +2095,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampling keys + the s2/s6 static fetch-plan manifests — zero
         # operator churn, covered by the in-repo oracle-parity replay) and
         # the 50 r4-certified keys sit at 51+ and rotate back in round 6.
+        # --- new in round 6 (never certified -> window head) ---
+        "spec_tile_data": q_spec_tile_data,
+        "spec_regridded_scenes": q_spec_regridded_scenes,
+        "spec_analytics_pipeline": q_spec_analytics_pipeline,
+        "spec_rect_embeddings": q_spec_rect_embeddings,
         # --- new in round 5 ---
         "traj_tiles": q_traj_tiles,
         "spec_triplet_pipeline": q_spec_triplet_pipeline,
@@ -2139,6 +2292,249 @@ def _neardup_lsh_oracle_sql() -> str:
             )
             SELECT id_a, id_b, score FROM scored WHERE score >= 0.35
         """
+
+
+def _td_spec_cte() -> str:
+    """Shared DuckDB replay of ``_tile_spec()``'s §3.1+§3.2 lifecycle at
+    FULL float precision (scene table → R1 split → R2 pairing → R3-R5
+    placement → per-scene tile table with unrounded x_c/y_c) — the body of
+    the certified spec_triplet_pipeline oracle with the small-spec
+    constants (16 triplets, tile_size 96, margin 64, span 1872, radius 96,
+    bounds [64, 1936]). Ends with CTEs ``sc`` (scene_id, t) and ``tiles``."""
+    return """
+            cal AS (
+              SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                            TIMESTAMP '2024-01-02',
+                                            INTERVAL 1 HOUR)) AS t
+            ),
+            sc AS (
+              SELECT 'td__' || strftime(t, '%Y%m%d%H%M') AS scene_id, t
+              FROM cal WHERE t < TIMESTAMP '2024-01-02'
+            ),
+            u AS (
+              SELECT scene_id,
+                     CAST(('0x' || substr(md5('42|' || scene_id), 1, 13)) AS BIGINT)
+                       / 4503599627370496.0 AS u
+              FROM sc
+            ),
+            r AS (
+              SELECT scene_id, row_number() OVER (ORDER BY u, scene_id) - 1 AS rk,
+                     count(*) OVER () AS n
+              FROM u
+            ),
+            spl AS (
+              SELECT scene_id,
+                     CASE WHEN rk < CAST(floor(n * 12.0 / 16.0) AS BIGINT)
+                          THEN 'train' ELSE 'study' END AS collection
+              FROM r
+            ),
+            idx AS (
+              SELECT scene_id, collection,
+                     row_number() OVER (PARTITION BY collection ORDER BY scene_id) - 1 AS i,
+                     count(*) OVER (PARTITION BY collection) AS n
+              FROM spl
+            ),
+            sz AS (SELECT collection, max(n) AS n FROM idx GROUP BY collection),
+            tr AS (
+              SELECT CAST(range AS BIGINT) AS triplet_id,
+                     CASE WHEN range < 12 THEN 'train' ELSE 'study' END AS collection
+              FROM range(16)
+            ),
+            h AS (
+              SELECT t.triplet_id, t.collection, sz.n,
+                     CAST(('0x' || substr(md5('42|anchor|' || CAST(t.triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                       / 4503599627370496.0 AS ua,
+                     CAST(('0x' || substr(md5('42|distant|' || CAST(t.triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                       / 4503599627370496.0 AS ud
+              FROM tr t JOIN sz ON t.collection = sz.collection
+            ),
+            hh AS (
+              SELECT triplet_id, collection, ai,
+                     CASE WHEN d0 >= ai THEN d0 + 1 ELSE d0 END AS di
+              FROM (SELECT triplet_id, collection,
+                           CAST(floor(ua * n) AS INT) AS ai,
+                           CAST(floor(ud * (n - 1)) AS INT) AS d0
+                    FROM h)
+            ),
+            pairs AS (
+              SELECT hh.triplet_id, hh.collection,
+                     a.scene_id AS anchor_scene, d.scene_id AS distant_scene
+              FROM hh
+              JOIN idx a ON a.collection = hh.collection AND a.i = hh.ai
+              JOIN idx d ON d.collection = hh.collection AND d.i = hh.di
+            ),
+            anc AS (
+              SELECT triplet_id,
+                     64.0 + (CAST(('0x' || substr(md5('42|anchor|x|' || CAST(triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                               / 4503599627370496.0) * 1872.0 AS x_c,
+                     64.0 + (CAST(('0x' || substr(md5('42|anchor|y|' || CAST(triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                               / 4503599627370496.0) * 1872.0 AS y_c
+              FROM tr
+            ),
+            dis AS (
+              SELECT triplet_id,
+                     64.0 + (CAST(('0x' || substr(md5('42|distant|x|' || CAST(triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                               / 4503599627370496.0) * 1872.0 AS x_c,
+                     64.0 + (CAST(('0x' || substr(md5('42|distant|y|' || CAST(triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                               / 4503599627370496.0) * 1872.0 AS y_c
+              FROM tr
+            ),
+            nb AS (
+              SELECT triplet_id, x_c, y_c,
+                     list_filter(
+                       list_transform(range(0, 16), k -> {
+                         'x': x_c + 96.0 * cos(6.283185307179586 *
+                                (CAST(('0x' || substr(md5('42|neighbor|theta|' || CAST(k AS VARCHAR) || '|' || CAST(triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                                 / 4503599627370496.0)),
+                         'y': y_c + 96.0 * sin(6.283185307179586 *
+                                (CAST(('0x' || substr(md5('42|neighbor|theta|' || CAST(k AS VARCHAR) || '|' || CAST(triplet_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                                 / 4503599627370496.0))
+                       }),
+                       s -> s.x >= 64.0 AND s.x <= 1936.0
+                            AND s.y >= 64.0 AND s.y <= 1936.0
+                     ) AS valid
+              FROM anc
+            ),
+            locs AS (
+              SELECT triplet_id, 'anchor' AS tile_type, x_c, y_c FROM anc
+              UNION ALL
+              SELECT triplet_id, 'neighbor' AS tile_type,
+                     CASE WHEN len(valid) > 0 THEN valid[1].x ELSE x_c END AS x_c,
+                     CASE WHEN len(valid) > 0 THEN valid[1].y ELSE y_c END AS y_c
+              FROM nb
+              UNION ALL
+              SELECT triplet_id, 'distant' AS tile_type, x_c, y_c FROM dis
+            ),
+            tiles AS (
+              SELECT l.triplet_id, p.collection, l.tile_type,
+                     CASE WHEN l.tile_type IN ('anchor', 'neighbor')
+                          THEN p.anchor_scene ELSE p.distant_scene END AS scene_id,
+                     l.x_c, l.y_c
+              FROM locs l JOIN pairs p USING (triplet_id)
+            ),
+            tpq AS (
+              SELECT t.*, tp.p, tq.q
+              FROM tiles t CROSS JOIN range(0, 4) tp(p) CROSS JOIN range(0, 4) tq(q)
+            ),
+            tsi AS (
+              SELECT triplet_id, collection, tile_type, scene_id, p, q,
+                     CAST(round((x_c - 48.0 + (p + 0.5) * 24.0) / 25.0) AS INT) AS si,
+                     CAST(round((y_c - 48.0 + (q + 0.5) * 24.0) / 25.0) AS INT) AS sj
+              FROM tpq
+            ),
+            tjn AS (
+              SELECT t.*, epoch_us(s.t) // 3600000000 AS eh
+              FROM tsi t JOIN sc s USING (scene_id)
+              WHERE t.si BETWEEN 0 AND 79 AND t.sj BETWEEN 0 AND 79
+            )
+    """
+
+
+def _tanh_dim_exprs(in_dim: int, out_dim: int, vec: str = "v", round_to: int = 6) -> list[str]:
+    """Per-output-dimension DuckDB replay of batch_embed's tanh(V·W): the
+    seeded weight checkpoint inlined as SQL literals (this DuckDB build has
+    no tanh(); (e^2x − 1)/(e^2x + 1) agrees with numpy inside round(6))."""
+    from convml_data_spark.operators.inference import linear_model_weights
+
+    w = linear_model_weights(in_dim, out_dim)
+    out = []
+    for j in range(out_dim):
+        wj = ", ".join(repr(float(x)) for x in w[:, j])
+        s = (
+            f"list_sum(list_transform(range(1, {in_dim + 1}), "
+            f"k -> {vec}[k] * ([{wj}])[k]))"
+        )
+        out.append(f"round((exp(2 * ({s})) - 1) / (exp(2 * ({s})) + 1), {round_to})")
+    return out
+
+
+def _spec_tile_data_oracle_sql() -> str:
+    return f"""
+        WITH {_td_spec_cte()},
+        tv AS (
+          SELECT triplet_id, collection, tile_type, scene_id,
+                 CAST((eh * 13 + si * 37 + sj * 17) % 101 AS DOUBLE) AS value
+          FROM tjn
+        )
+        SELECT triplet_id, collection, tile_type, scene_id,
+               count(*) AS n_px, count(*) = 16 AS shape_ok,
+               sum(value) AS sum_val, min(value) AS min_val, max(value) AS max_val,
+               round(sum(value) / count(*), 6) AS mean_val
+        FROM tv GROUP BY 1, 2, 3, 4
+    """
+
+
+def _spec_analytics_oracle_sql() -> str:
+    dims = _tanh_dim_exprs(16, 4)
+    arr = ",\n                   ".join(dims)
+    return f"""
+        WITH {_td_spec_cte()},
+        vec AS (
+          SELECT triplet_id, tile_type,
+                 list(CAST((eh * 13 + si * 37 + sj * 17) % 101 AS DOUBLE) / 101.0
+                      ORDER BY q, p) AS v,
+                 sum(CAST((eh * 19 + si * 23 + sj * 29) % 97 AS DOUBLE)) / 16.0 AS aux_mean
+          FROM tjn GROUP BY 1, 2
+        ),
+        emb AS (
+          SELECT CAST(floor(aux_mean / 8.0) AS BIGINT) AS bin,
+                 unnest(range(0, 4)) AS dim,
+                 unnest([{arr}]) AS ev
+          FROM vec
+        )
+        SELECT bin, dim, count(*) AS n,
+               floor((CAST(sum(CAST(ev AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+                     * 1000000 + 0.5) / 1000000 AS mean_emb,
+               CAST(sum(CAST(ev AS DECIMAL(18,6))) AS DOUBLE) AS sum_emb,
+               true AS pca_ok
+        FROM emb GROUP BY 1, 2
+    """
+
+
+def _spec_rect_oracle_sql() -> str:
+    dims = _tanh_dim_exprs(16, 4)
+    arr = ",\n                   ".join(dims)
+    return f"""
+        WITH cal AS (
+          SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                        TIMESTAMP '2024-01-02',
+                                        INTERVAL 2 HOUR)) AS t
+        ),
+        sc AS (
+          SELECT 're__' || strftime(t, '%Y%m%d%H%M') AS scene_id, t
+          FROM cal WHERE t < TIMESTAMP '2024-01-02'
+        ),
+        grid AS (
+          SELECT CAST((tj.j0 // 4) * 4 + (ti.i0 // 4) AS BIGINT) AS tile_id,
+                 ti.i0, tj.j0
+          FROM range(0, 13, 4) ti(i0) CROSS JOIN range(0, 13, 4) tj(j0)
+        ),
+        px AS (
+          SELECT scene_id, ti.i, tj.j,
+                 CAST((epoch_us(t) // 3600000000 * 13 + ti.i * 37 + tj.j * 17) % 101
+                      AS DOUBLE) AS value
+          FROM sc CROSS JOIN range(0, 16) ti(i) CROSS JOIN range(0, 16) tj(j)
+        ),
+        tp AS (
+          SELECT p.scene_id, g.tile_id, g.i0, g.j0, p.i, p.j, p.value
+          FROM px p JOIN grid g
+            ON p.i >= g.i0 AND p.i < g.i0 + 4 AND p.j >= g.j0 AND p.j < g.j0 + 4
+        ),
+        vec AS (
+          SELECT scene_id, tile_id, i0, j0,
+                 list(value / 101.0 ORDER BY j, i) AS v
+          FROM tp GROUP BY 1, 2, 3, 4
+        ),
+        emb AS (
+          SELECT scene_id, tile_id, i0, j0,
+                 unnest(range(0, 4)) AS dim,
+                 unnest([{arr}]) AS v
+          FROM vec
+        )
+        SELECT scene_id, tile_id, i0, j0,
+               i0 * 20.0 AS x, (16 - j0) * 20.0 AS y, dim, v
+        FROM emb
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2593,6 +2989,46 @@ def oracle_sql() -> dict[str, str]:
                    round(l.x_c, 6) AS x_c, round(l.y_c, 6) AS y_c,
                    CAST(1536.0 AS DOUBLE) AS tile_size
             FROM locs l JOIN pairs p USING (triplet_id)
+        """,
+        "spec_tile_data": _spec_tile_data_oracle_sql(),
+        "spec_analytics_pipeline": _spec_analytics_oracle_sql(),
+        "spec_rect_embeddings": _spec_rect_oracle_sql(),
+        "spec_regridded_scenes": """
+            WITH cal AS (
+              SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                            TIMESTAMP '2024-01-02',
+                                            INTERVAL 1 HOUR)) AS t
+            ),
+            sc AS (
+              SELECT 'rg__' || strftime(t, '%Y%m%d%H%M') AS scene_id, t
+              FROM cal WHERE t < TIMESTAMP '2024-01-02'
+            ),
+            px AS (
+              SELECT scene_id,
+                     ti.i * 7.0 AS x, tj.j * 7.0 AS y,
+                     CAST((epoch_us(t) // 3600000000 * 13 + ti.i * 37 + tj.j * 17) % 101
+                          AS DOUBLE) AS value
+              FROM sc CROSS JOIN range(0, 24) ti(i) CROSS JOIN range(0, 24) tj(j)
+            ),
+            cand AS (
+              SELECT *, CAST(round(x / 10.0) AS INT) AS ix,
+                        CAST(round(y / 10.0) AS INT) AS iy
+              FROM px
+            ),
+            d AS (
+              SELECT scene_id, ix, iy, x, y, value,
+                     (x - ix * 10.0) * (x - ix * 10.0)
+                     + (y - iy * 10.0) * (y - iy * 10.0) AS d2
+              FROM cand WHERE ix BETWEEN 0 AND 19 AND iy BETWEEN 0 AND 19
+            ),
+            rr AS (
+              SELECT *, row_number() OVER (
+                          PARTITION BY scene_id, ix, iy ORDER BY d2, x, y, value
+                        ) AS rn
+              FROM d
+            )
+            SELECT scene_id, ix, iy, ix * 10.0 AS cell_x, iy * 10.0 AS cell_y, value
+            FROM rr WHERE rn = 1
         """,
         "j6_emb_aux_join": """
             WITH aux AS (

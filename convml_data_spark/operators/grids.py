@@ -129,6 +129,7 @@ def nearest_regrid(
     x_col: str = "x",
     y_col: str = "y",
     value_col: str = "value",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """G1 (nearest_s2d analog): resample scattered points onto a regular
     target grid; each cell takes the value of the point nearest its center.
@@ -139,9 +140,16 @@ def nearest_regrid(
     partitioning-independent. Like the reference's nearest_s2d it assumes
     source density ≳ target resolution (each cell's nearest point rounds
     into it). One shuffle, keyed by dense (ix, iy).
+
+    ``group_cols`` regrids each group onto its OWN copy of the target grid
+    (the per-scene path of ``GenerateRegriddedScenes``, reference
+    pipeline/regridding.py:37-137): the shuffle key becomes
+    (group..., ix, iy) — still dense and unskewed, so a 100 TB multi-scene
+    pixel table regrids every scene in parallel in the same single shuffle.
     """
     from pyspark.sql import Window
 
+    group_cols = list(group_cols or [])
     ix = F.round((F.col(x_col) - F.lit(x0)) / F.lit(dx)).cast("int")
     iy = F.round((F.col(y_col) - F.lit(y0)) / F.lit(dy)).cast("int")
     cand = (
@@ -154,12 +162,12 @@ def nearest_regrid(
     # plain multiplies, not pow(x,2): IEEE multiply is bit-identical across
     # engines, pow need not be
     d2 = (F.col(x_col) - cx) * (F.col(x_col) - cx) + (F.col(y_col) - cy) * (F.col(y_col) - cy)
-    w = Window.partitionBy("ix", "iy").orderBy("_d2", x_col, y_col, value_col)
+    w = Window.partitionBy(*group_cols, "ix", "iy").orderBy("_d2", x_col, y_col, value_col)
     return (
         cand.withColumn("_d2", d2)
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .select("ix", "iy", cx.alias("cell_x"), cy.alias("cell_y"), F.col(value_col).alias("value"))
+        .select(*group_cols, "ix", "iy", cx.alias("cell_x"), cy.alias("cell_y"), F.col(value_col).alias("value"))
     )
 
 

@@ -52,7 +52,8 @@ def batch_embed(
     """
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(linear_model_weights(in_dim, out_dim, seed))
-    schema = f"{id_col} long, {out_col} array<double>"
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {out_col} array<double>"
 
     def infer(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -121,6 +121,67 @@ def trajectory_tile_locations(
     )
 
 
+def tile_regrid_nearest(
+    tiles: DataFrame,
+    pixels: DataFrame,
+    resolution: float,
+    tile_N: int,
+    src_x0: float,
+    src_dx: float,
+    src_y0: float,
+    src_dy: float,
+    scene_col: str = "scene_id",
+    i_col: str = "i",
+    j_col: str = "j",
+    value_col: str = "value",
+    xc_col: str = "x_c",
+    yc_col: str = "y_c",
+) -> DataFrame:
+    """G3: per-tile nearest-neighbour regrid of a REGULAR per-scene source
+    raster onto each tile's local tile_N×tile_N grid at ``resolution``.
+
+    Reference (pipeline/tiles.py:252-265): each non-rect tile runs
+    ``rc.resample(domain=tile_domain, da=da_src, dx=resolution,
+    method="nearest_s2d")`` — an xesmf nearest regrid of the scene raster
+    into the tile's own cartesian frame. Engine-defined tile frame: target
+    pixel (p, q) sits at ``x_c − tile_size/2 + (p + 0.5)·resolution``
+    (pixel-center convention), p, q ∈ [0, tile_N).
+
+    Spark design: because the SOURCE grid is regular, nearest is the
+    closed form ``si = round((x_t − src_x0)/src_dx)`` — no per-cell argmin
+    search. Each tile explodes into its tile_N² target points (a bounded,
+    constant fan-out — executor-side, no driver loop) and a single hash
+    EQUI-join on (scene, si, sj) gathers the source values: at 100 TB this
+    is one shuffle on dense integer keys, never a range join and never a
+    per-tile task. For scattered (non-regular) sources compose
+    :func:`tile_pixel_join` + the argmin in :func:`~.grids.nearest_regrid`
+    instead.
+
+    Output: tile columns + (p, q, si, sj, value); points whose nearest
+    source index falls outside the raster are absent (inner join) — the
+    per-tile shape check in ``pipeline.tile_data_summary`` turns that into
+    the reference's "Regridder returned a tile with incorrect shape" raise
+    (tiles.py:258-265).
+    """
+    half = float(resolution) * tile_N / 2.0
+    pq = (
+        tiles.withColumn("p", F.explode(F.expr(f"sequence(0, {tile_N - 1})")))
+        .withColumn("q", F.explode(F.expr(f"sequence(0, {tile_N - 1})")))
+    )
+    xt = F.col(xc_col) - F.lit(half) + (F.col("p") + F.lit(0.5)) * F.lit(resolution)
+    yt = F.col(yc_col) - F.lit(half) + (F.col("q") + F.lit(0.5)) * F.lit(resolution)
+    si = F.round((xt - F.lit(src_x0)) / F.lit(src_dx)).cast("int")
+    sj = F.round((yt - F.lit(src_y0)) / F.lit(src_dy)).cast("int")
+    pq = pq.withColumn("si", si).withColumn("sj", sj)
+    src = pixels.select(
+        F.col(scene_col),
+        F.col(i_col).alias("si"),
+        F.col(j_col).alias("sj"),
+        F.col(value_col).alias("value"),
+    )
+    return pq.join(src, [scene_col, "si", "sj"])
+
+
 def tile_pixel_join(pixels: DataFrame, tiles: DataFrame, x_col: str = "x", y_col: str = "y") -> DataFrame:
     """G2: pixels ⋈ tiles with ``i0 <= x < imax AND j0 <= y < jmax``.
 

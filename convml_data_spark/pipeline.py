@@ -312,6 +312,363 @@ def build_triplet_dataset(
     return out
 
 
+def synthetic_scene_raster(
+    scenes: DataFrame,
+    nx: int,
+    ny: int,
+    dx: float = 1.0,
+    dy: float = 1.0,
+    x0: float = 0.0,
+    y0: float = 0.0,
+    time_col: str = "t",
+    coeffs: tuple[int, int, int, int] = (13, 37, 17, 101),
+) -> DataFrame:
+    """Deterministic per-scene test raster: pixel (i, j) of the scene at
+    epoch-hour h carries ``value = (h·a + i·b + j·c) mod m`` (default
+    ``(h·13 + i·37 + j·17) mod 101``) — pure integer arithmetic, so any
+    engine (or the DuckDB oracle) regenerates it bit-identically. Stands
+    in for the reference's satellite scene file (``SceneSourceFiles``)
+    wherever the spec pipeline needs pixel DATA; different ``coeffs``
+    yield independent fields (e.g. an aux product) on the same grid.
+
+    Executor-side fan-out (explode × explode off the scene table — no
+    driver loop, no collect); columns
+    (scene_id, t, i, j, x, y, value:double).
+    """
+    a, b, c, m = (int(v) for v in coeffs)
+    h = F.floor(F.unix_micros(F.col(time_col)) / F.lit(3_600_000_000)).cast("long")
+    return (
+        scenes.select("scene_id", time_col, h.alias("_h"))
+        .withColumn("i", F.explode(F.expr(f"sequence(0, {nx - 1})")))
+        .withColumn("j", F.explode(F.expr(f"sequence(0, {ny - 1})")))
+        .select(
+            "scene_id",
+            time_col,
+            "i",
+            "j",
+            (F.lit(x0) + F.col("i") * F.lit(dx)).alias("x"),
+            (F.lit(y0) + F.col("j") * F.lit(dy)).alias("y"),
+            ((F.col("_h") * a + F.col("i") * b + F.col("j") * c) % m)
+            .cast("double")
+            .alias("value"),
+        )
+    )
+
+
+def build_regridded_scenes(
+    spark: SparkSession,
+    spec: DatasetSpec,
+    pixels: DataFrame | None = None,
+    src_dx: float | None = None,
+    src_nx: int | None = None,
+) -> DataFrame:
+    """``GenerateRegriddedScenes`` analog (reference
+    pipeline/regridding.py:37-137): every scene's source raster resampled
+    onto the spec domain's regular grid at ``sampling.resolution`` — the
+    per-scene G1 nearest regrid, driven by the meta.yaml spec.
+
+    ``pixels`` defaults to the synthetic scene raster (``src_nx`` points at
+    ``src_dx`` spacing); pass a real (scene_id, x, y, value) table to
+    regrid actual data. One shuffle keyed by the dense
+    (scene_id, ix, iy) — every scene regrids in parallel inside the same
+    exchange, the relational twin of the reference's per-scene Luigi task
+    fan-out.
+    """
+    from .operators.grids import nearest_regrid
+
+    nx = int(round((spec.x_range[1] - spec.x_range[0]) / spec.resolution))
+    ny = int(round((spec.y_range[1] - spec.y_range[0]) / spec.resolution))
+    scenes = build_scene_table(spark, spec.scene)
+    if pixels is None:
+        if src_dx is None or src_nx is None:
+            raise ValueError("synthetic raster needs src_dx and src_nx")
+        pixels = synthetic_scene_raster(
+            scenes, nx=src_nx, ny=src_nx, dx=src_dx, dy=src_dx,
+            x0=spec.x_range[0], y0=spec.y_range[0],
+        )
+    return nearest_regrid(
+        pixels,
+        x0=spec.x_range[0], dx=spec.resolution, nx=nx,
+        y0=spec.y_range[0], dy=spec.resolution, ny=ny,
+        group_cols=["scene_id"],
+    )
+
+
+def tile_data_summary(
+    tile_px: DataFrame, tile_N: int, key_cols: list[str]
+) -> DataFrame:
+    """Per-tile reduction over tile pixel rows + the reference's tile shape
+    check (pipeline/tiles.py:258-265: raise when the regridded tile isn't
+    tile_N×tile_N). Relational form: ``shape_ok = n_px == tile_N²`` per
+    tile — a downstream ``where(~shape_ok)`` is the raise; sums are exact
+    (integer-valued doubles), mean is n_px-divided at round(6).
+    """
+    n = F.count("*")
+    return tile_px.groupBy(*key_cols).agg(
+        n.alias("n_px"),
+        (n == F.lit(int(tile_N) * int(tile_N))).alias("shape_ok"),
+        F.sum("value").alias("sum_val"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+        F.round(F.sum("value") / n, 6).alias("mean_val"),
+    )
+
+
+def build_tile_data(
+    spark: SparkSession,
+    spec: DatasetSpec,
+    trajectory: DataFrame | None = None,
+    src_dx: float | None = None,
+    src_nx: int | None = None,
+    pixels: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """``GenerateTiles`` with DATA (reference ``SceneTilesData.run``,
+    pipeline/tiles.py:232-297): the §3.1+§3.2 lifecycle of
+    :func:`build_triplet_dataset` extended with the tiles→pixels stage —
+    per-tile rasters cut from each scene's source data.
+
+    * ``triplets`` / ``trajectories``: G3 nearest regrid of the scene
+      raster into each tile's local frame
+      (:func:`~.operators.tiler.tile_regrid_nearest` — closed-form
+      nearest on the regular source, one dense-key equi-join shuffle);
+    * ``rect-slidingwindow``: the G2 index slice
+      (``isel(x=slice(i0, imax), y=slice(j0, jmax))``) via
+      :func:`~.operators.tiler.tile_pixel_join` on pixel indices.
+
+    Returns the :func:`build_triplet_dataset` dict plus ``tile_pixels``
+    (per-tile pixel rows) and ``tile_data`` (per-tile reduction +
+    shape_ok). Everything stays ONE lazy plan; Catalyst prunes the raster
+    scan to the joined columns.
+    """
+    from .operators import tiler
+
+    out = build_triplet_dataset(spark, spec, trajectory=trajectory)
+    scenes = out["scenes"]
+    if spec.tiles_kind == "rect-slidingwindow" and src_dx is None:
+        # rect slices in INDEX space: the raster IS the domain pixel grid
+        src_dx = spec.resolution
+        src_nx = int(round((spec.x_range[1] - spec.x_range[0]) / spec.resolution))
+    if pixels is None:
+        if src_dx is None or src_nx is None:
+            raise ValueError("synthetic raster needs src_dx and src_nx")
+        pixels = synthetic_scene_raster(
+            scenes, nx=src_nx, ny=src_nx, dx=src_dx, dy=src_dx,
+            x0=spec.x_range[0], y0=spec.y_range[0],
+        )
+    tiles = out["tiles"]
+    if spec.tiles_kind == "rect-slidingwindow":
+        tile_px = tiler.tile_pixel_join(
+            pixels.select("scene_id", "i", "j", "value"),
+            tiles.select("tile_id", "i0", "imax", "j0", "jmax").distinct(),
+            x_col="i",
+            y_col="j",
+        )
+        key_cols = ["scene_id", "tile_id"]
+    else:
+        key_cols = (
+            ["triplet_id", "collection", "tile_type", "scene_id"]
+            if spec.tiles_kind == "triplets"
+            else ["scene_id"]
+        )
+        tile_px = tiler.tile_regrid_nearest(
+            tiles,
+            pixels,
+            resolution=spec.resolution,
+            tile_N=spec.tile_N,
+            src_x0=spec.x_range[0],
+            src_dx=src_dx,
+            src_y0=spec.y_range[0],
+            src_dy=src_dx,
+        )
+    out["tile_pixels"] = tile_px
+    # LEFT join the per-tile summary back onto the tile list: a tile whose
+    # every target point misses the source raster has NO pixel rows at all
+    # and would silently vanish from an inner aggregation — exactly the
+    # case the reference's shape raise exists to catch; here it surfaces
+    # as n_px=0 / shape_ok=false
+    summary = tile_data_summary(tile_px, spec.tile_N, key_cols)
+    keys_df = tiles.select(*key_cols).distinct()
+    out["tile_data"] = keys_df.join(summary, key_cols, "left").select(
+        *key_cols,
+        F.coalesce("n_px", F.lit(0)).alias("n_px"),
+        F.coalesce("shape_ok", F.lit(False)).alias("shape_ok"),
+        "sum_val",
+        "min_val",
+        "max_val",
+        "mean_val",
+    )
+    return out
+
+
+def tile_vectors(
+    tile_px: DataFrame,
+    key_cols: list[str],
+    p_col: str = "p",
+    q_col: str = "q",
+    norm: float = 101.0,
+) -> DataFrame:
+    """Row-major per-tile pixel vector (the flattened tile image a model
+    consumes): array_sort over (q, p, value) structs — deterministic
+    regardless of join/aggregation order — then project the values.
+    Values normalized to [0, 1) by ``norm`` (the raster modulus) so the
+    downstream tanh stays off its saturation plateau."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(q_col), F.col(p_col), F.col("value")))
+    )
+    return tile_px.groupBy(*key_cols).agg(
+        F.transform(ordered, lambda s: s["value"] / F.lit(float(norm))).alias("tile_vec")
+    )
+
+
+def build_rect_embeddings(
+    spark: SparkSession,
+    spec: DatasetSpec,
+    out_dim: int = 4,
+    src_dx: float | None = None,
+    src_nx: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """The composed rect/sliding-window embedding path (reference
+    embeddings/rect/sampling.py:68-125): sliding tiles → per-tile image
+    vector → X3 batch inference → J7 grid-coordinate attach with the
+    reference's y-axis flip (``y = y0 + (Ny − j0)·dy``).
+
+    One plan: G2 slice (broadcast tile grid) → per-tile vector groupBy →
+    Arrow-batched linear+tanh inference (weights broadcast once) → pure
+    expression coord attach. Output one row per (scene, tile, dim):
+    (scene_id, tile_id, i0, j0, x, y, dim, v) — long form keeps the
+    driver-portable scalar schema.
+    """
+    from .operators import grids
+    from .operators.inference import batch_embed
+
+    d = build_tile_data(spark, spec, src_dx=src_dx, src_nx=src_nx)
+    vecs = tile_vectors(
+        d["tile_pixels"].select(
+            "scene_id", "tile_id", F.col("i").alias("p"), F.col("j").alias("q"), "value"
+        ),
+        ["scene_id", "tile_id"],
+    )
+    in_dim = spec.tile_N * spec.tile_N
+    keyed = vecs.withColumn(
+        "_uid",
+        F.concat_ws("|", F.col("scene_id"), F.col("tile_id").cast("string")),
+    )
+    emb = batch_embed(
+        keyed, in_dim=in_dim, out_dim=out_dim, seed=seed,
+        vec_col="tile_vec", id_col="_uid",
+    )
+    tiles = d["tiles"].select("scene_id", "tile_id", "i0", "j0").distinct().withColumn(
+        "_uid",
+        F.concat_ws("|", F.col("scene_id"), F.col("tile_id").cast("string")),
+    )
+    ny = int(round((spec.y_range[1] - spec.y_range[0]) / spec.resolution))
+    placed = grids.attach_grid_coords(
+        tiles.join(emb, "_uid"),
+        x0=spec.x_range[0], dx=spec.resolution,
+        y0=spec.y_range[0], dy=spec.resolution, ny=ny,
+    )
+    return placed.select(
+        "scene_id",
+        "tile_id",
+        "i0",
+        "j0",
+        "x",
+        "y",
+        F.posexplode("emb_out").alias("dim", "_v"),
+    ).select(
+        "scene_id", "tile_id", "i0", "j0", "x", "y", "dim",
+        F.round("_v", 6).alias("v"),
+    )
+
+
+AUX_RASTER_COEFFS = (19, 23, 29, 97)  # independent field on the same grid
+
+
+def build_analytics_pipeline(
+    spark: SparkSession,
+    spec: DatasetSpec,
+    out_dim: int = 4,
+    pca_k: int = 2,
+    bin_width: float = 8.0,
+    src_dx: float | None = None,
+    src_nx: int | None = None,
+    seed: int = 42,
+):
+    """The §3.3 analytics path as ONE composed lazy program (reference
+    ``AggregatedDatasetScenesAuxFieldWithEmbeddings``,
+    embeddings/aux_fields/data.py:199-295): scenes → tiles → tile data →
+    X3 batch embeddings → A1 per-tile aux reduction → J6 embeddings⋈aux →
+    X4 PCA transform → A5 aux-binned embedding statistics.
+
+    Every stage is the already-certified operator; composing them adds
+    only equi-joins on the tile key. Returns ``(stats, model)`` where
+    ``stats`` has one row per (aux bin, embedding dim):
+    (bin, dim, n, mean_emb, sum_emb) — mean over round(6) embeddings via
+    an exact DECIMAL sum (order-independent), so the whole composition
+    down to PCA's input is value-replayable; the PCA stage itself is
+    certified by the fitted model's invariants (orthonormal loadings —
+    eigenvector signs are solver-defined, not cross-engine comparable).
+    """
+    from .operators.inference import batch_embed, pca_transform
+
+    d = build_tile_data(spark, spec, src_dx=src_dx, src_nx=src_nx)
+    key = ["triplet_id", "collection", "tile_type", "scene_id"]
+    uid = F.concat_ws(
+        "|", F.col("triplet_id").cast("string"), F.col("tile_type")
+    )
+    # per-tile image vector -> X3 inference
+    vecs = tile_vectors(d["tile_pixels"], key).withColumn("_uid", uid)
+    in_dim = spec.tile_N * spec.tile_N
+    emb = batch_embed(
+        vecs, in_dim=in_dim, out_dim=out_dim, seed=seed,
+        vec_col="tile_vec", id_col="_uid",
+    )
+    # A1: per-tile aux-field reduction (independent raster, same grid)
+    from .operators import tiler
+
+    aux_px = synthetic_scene_raster(
+        d["scenes"], nx=src_nx, ny=src_nx, dx=src_dx, dy=src_dx,
+        x0=spec.x_range[0], y0=spec.y_range[0], coeffs=AUX_RASTER_COEFFS,
+    )
+    aux_tile_px = tiler.tile_regrid_nearest(
+        d["tiles"], aux_px,
+        resolution=spec.resolution, tile_N=spec.tile_N,
+        src_x0=spec.x_range[0], src_dx=src_dx,
+        src_y0=spec.y_range[0], src_dy=src_dx,
+    )
+    n_px = spec.tile_N * spec.tile_N
+    # tile_N² is a power-of-two pixel count -> the mean of integer-valued
+    # doubles is DYADIC-exact (no rounding needed on either engine)
+    aux_mean = aux_tile_px.groupBy(*key).agg(
+        (F.sum("value") / F.lit(float(n_px))).alias("aux_mean")
+    ).withColumn("_uid", uid)
+    # J6: embeddings ⋈ per-tile aux reduction
+    joined = emb.join(aux_mean.select("_uid", "aux_mean"), "_uid")
+    # X4: PCA over the embedding matrix (fit inside the same program)
+    pca_in = joined.select("_uid", F.col("emb_out").alias("embedding"))
+    _pca_out, model = pca_transform(pca_in, k=pca_k, id_col="_uid", out_col="pca")
+    # A5: aux-binned per-dimension embedding statistics
+    exploded = joined.select(
+        F.floor(F.col("aux_mean") / F.lit(float(bin_width))).alias("bin"),
+        F.posexplode("emb_out").alias("dim", "_v"),
+    )
+    # DECIMAL sum of round(6) embeddings: exact and order-independent; the
+    # mean uses explicit floor-based IEEE rounding (floor(x·1e6+0.5)/1e6)
+    # because a quotient of a decimal sum can land half-an-ulp from the
+    # 1e-6 grid where Spark's BigDecimal round() and DuckDB's
+    # multiply-based round() split (the derived_dag lesson)
+    sum_dec = F.sum(F.round(F.col("_v"), 6).cast("decimal(18,6)")).cast("double")
+    stats = exploded.groupBy("bin", "dim").agg(
+        F.count("*").alias("n"),
+        (F.floor((sum_dec / F.count("*")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "mean_emb"
+        ),
+        sum_dec.alias("sum_emb"),
+    )
+    return stats, model
+
+
 def build_scene_table(spark: SparkSession, spec: SceneSpec) -> DataFrame:
     """§3.1 compiled: catalog scans ⟕ J1 ⟕ F1–F3 ⟕ scene ids, one lazy plan."""
     per_input = []

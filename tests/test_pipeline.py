@@ -142,3 +142,109 @@ def test_encode_png_stub_roundtrip(spark):
             assert data[15:] == px
         else:
             assert data[:8] == b"\x89PNG\r\n\x1a\n"  # real PIL path
+
+
+# ------------------------------------------------------- spec compositions
+
+
+TILE_SPEC = {
+    "source": "tst",
+    "inputs": ["vis"],
+    "t_start": "2024-01-01T00:00:00",
+    "t_end": "2024-01-01T06:00:00",
+    "step": "1 hour",
+    "sampling": {
+        "resolution": 24.0,
+        "triplets": {"N_triplets": {"train": 4}, "tile_N": 4},
+    },
+    "domain": {"l_zonal": 2000.0, "l_meridional": 2000.0},
+}
+
+
+def test_build_tile_data_shape_check(spark):
+    """Full coverage -> every tile is tile_N x tile_N (shape_ok); a raster
+    that stops short of the domain -> shape_ok False for clipped tiles
+    (the relational form of the reference's SceneTilesData shape raise,
+    pipeline/tiles.py:258-265)."""
+    spec = pipeline.DatasetSpec.from_dict(TILE_SPEC)
+    d = pipeline.build_tile_data(spark, spec, src_dx=25.0, src_nx=80)
+    rows = d["tile_data"].collect()
+    assert len(rows) == 12  # 4 triplets x 3 tile types
+    assert all(r["shape_ok"] and r["n_px"] == 16 for r in rows)
+    # clipped raster: only the first 40 columns of the 80 exist
+    short = pipeline.build_tile_data(spark, spec, src_dx=25.0, src_nx=40)
+    short_rows = short["tile_data"].collect()
+    assert any(not r["shape_ok"] for r in short_rows)
+    assert all(r["n_px"] == 16 or not r["shape_ok"] for r in short_rows)
+
+
+def test_tile_vectors_row_major_order(spark):
+    """The per-tile vector is sorted (q, p) row-major regardless of the
+    pixel rows' arrival order."""
+    px = spark.createDataFrame(
+        [(1, p, q, float(10 * q + p)) for q in range(2) for p in range(2)][::-1],
+        "k int, p int, q int, value double",
+    )
+    out = pipeline.tile_vectors(px, ["k"], norm=1.0).collect()
+    assert out[0]["tile_vec"] == [0.0, 1.0, 10.0, 11.0]
+
+
+def test_build_regridded_scenes_per_scene_groups(spark):
+    spec = pipeline.DatasetSpec.from_dict(
+        {
+            "source": "rgt",
+            "inputs": ["vis"],
+            "t_start": "2024-01-01T00:00:00",
+            "t_end": "2024-01-01T04:00:00",
+            "step": "1 hour",
+            "sampling": {"resolution": 10.0},
+            "domain": {"l_zonal": 100.0, "l_meridional": 100.0},
+        }
+    )
+    out = pipeline.build_regridded_scenes(spark, spec, src_dx=7.0, src_nx=12)
+    rows = out.collect()
+    scenes = {r["scene_id"] for r in rows}
+    assert len(scenes) == 4
+    # every scene regrids onto the same covered cell set (source extent
+    # 77 -> cells 0..8 on each axis), values differ per scene epoch-hour
+    per_scene = {}
+    for r in rows:
+        per_scene.setdefault(r["scene_id"], set()).add((r["ix"], r["iy"]))
+    cells = next(iter(per_scene.values()))
+    assert all(c == cells for c in per_scene.values())
+    assert cells == {(i, j) for i in range(9) for j in range(9)}
+
+
+def test_build_rect_tile_data_index_slices(spark):
+    spec = pipeline.DatasetSpec.from_dict(
+        {
+            "source": "rct",
+            "inputs": ["vis"],
+            "t_start": "2024-01-01T00:00:00",
+            "t_end": "2024-01-01T03:00:00",
+            "step": "1 hour",
+            "tiles_kind": "rect-slidingwindow",
+            "sampling": {"resolution": 20.0, "rect-slidingwindow": {"tile_N": 4}},
+            "domain": {"l_zonal": 320.0, "l_meridional": 320.0},
+        }
+    )
+    d = pipeline.build_tile_data(spark, spec)
+    rows = d["tile_data"].collect()
+    # 3 scenes x 16 tiles, every slice exactly 4x4
+    assert len(rows) == 48
+    assert all(r["n_px"] == 16 for r in rows)
+
+
+def test_build_analytics_pipeline_invariants(spark):
+    import numpy as np
+
+    spec = pipeline.DatasetSpec.from_dict(TILE_SPEC)
+    stats, model = pipeline.build_analytics_pipeline(
+        spark, spec, src_dx=25.0, src_nx=80
+    )
+    rows = stats.collect()
+    # every (bin, dim) group accounted for: n sums to n_tiles * out_dim
+    assert sum(r["n"] for r in rows) == 12 * 4
+    pc = model.pc.toArray()
+    assert np.allclose(pc.T @ pc, np.eye(pc.shape[1]), atol=1e-8)
+    assert all(abs(r["mean_emb"]) <= 1.0 + 1e-9 for r in rows)
