@@ -857,6 +857,72 @@ def q_spec_rect_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spec_aux_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aux products with DERIVED variables through the spec path
+    (pipeline.py::attach_aux_product; reference aux_sources.py:16-44 +
+    the DERIVED_VARIABLES dispatch): a declared era5-sourced aux product
+    naming the derived ``umag`` compiles its §2.11 DAG onto the aux
+    profile (8 three-hourly times × 40 levels), the scene table matches
+    each scene to its nearest aux time within dt/2 (all-scenes strategy),
+    and the full level profile rides back on one equi-join. Scene 23:00
+    is 2 h from the nearest aux time (> 1.5 h tolerance) and correctly
+    drops."""
+    from convml_data_spark import pipeline
+
+    _prep(spark)
+    spec = pipeline.DatasetSpec.from_dict(
+        {
+            "source": "ax",
+            "inputs": ["vis"],
+            "t_start": "2024-01-01T00:00:00",
+            "t_end": "2024-01-02T00:00:00",
+            "step": "1 hour",
+            "sampling": {
+                "resolution": 24.0,
+                "triplets": {"N_triplets": {"train": 2}, "tile_N": 4},
+            },
+            "domain": {"l_zonal": 2000.0, "l_meridional": 2000.0},
+            "aux_products": {
+                "wind": {
+                    "source": "era5",
+                    "product": "umag",
+                    "column_keys": ["t_aux"],
+                    "level_col": "level",
+                    "n_levels": 40,
+                    "scene_mapping_strategy": "all_scenes_within_dt_aux",
+                }
+            },
+        }
+    )
+    ah = F.floor(F.unix_micros(F.col("t_aux")) / F.lit(3_600_000_000)).cast("long")
+    profile = (
+        spark.range(8)
+        .select(
+            F.expr(
+                "timestampadd(HOUR, CAST(3 * id AS INT), TIMESTAMP '2024-01-01 00:00:00')"
+            ).alias("t_aux")
+        )
+        .withColumn("level", F.explode(F.expr("sequence(0, 39)")))
+        .select(
+            "t_aux",
+            "level",
+            ((ah * 7 + F.col("level") * 3) % 13 - 6).cast("double").alias("u"),
+            ((ah * 5 + F.col("level") * 2) % 11 - 5).cast("double").alias("v"),
+        )
+    )
+    out = pipeline.build_triplet_dataset(spark, spec, aux={"wind": profile})[
+        "aux:wind"
+    ]
+    return out.select(
+        "scene_id",
+        F.col("aux_t_aux").alias("t_aux"),
+        F.col("level").cast("bigint").alias("level"),
+        "u",
+        "v",
+        F.round("umag", 6).alias("umag"),
+    )
+
+
 def q_j6_emb_aux_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: embeddings ⋈ per-group aux reductions on the group key
     (aux_fields/data.py:139-146) — the aux side is a tiny aggregate, so the
@@ -1731,6 +1797,28 @@ def q_x4_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_transform_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 density clustering (operators/clustering.py::dbscan_labels; the
+    reference's hdbscan dispatch target, embeddings/transforms.py:30-40,
+    realized as exact relational DBSCAN): epsilon-grid candidate join →
+    neighbor counts → core points → cluster labels via alternating-star
+    connected components → deterministic border assignment. Fully
+    value-exact vs the DuckDB replay (grid join + recursive-CTE closure) —
+    a SEMANTIC oracle for the density transform, not just a structural
+    one."""
+    from convml_data_spark.operators import inference
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out, _model = inference.apply_transform(
+        emb, "dbscan", transform_extra_args="eps=0.04,min_samples=5"
+    )
+    return out.select(
+        "vec_id",
+        F.coalesce("emb", F.lit(-1)).alias("label"),
+        "is_core",
+    )
+
+
 def q_emb_transform_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-transform registry (transforms.py:17-139): dispatch
     ``standard_scaler`` by type string, fit + apply as a Spark ML
@@ -2096,6 +2184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # operator churn, covered by the in-repo oracle-parity replay) and
         # the 50 r4-certified keys sit at 51+ and rotate back in round 6.
         # --- new in round 6 (never certified -> window head) ---
+        "emb_transform_dbscan": q_emb_transform_dbscan,
+        "spec_aux_derived": q_spec_aux_derived,
         "spec_tile_data": q_spec_tile_data,
         "spec_regridded_scenes": q_spec_regridded_scenes,
         "spec_analytics_pipeline": q_spec_analytics_pipeline,
@@ -2446,6 +2536,61 @@ def _tanh_dim_exprs(in_dim: int, out_dim: int, vec: str = "v", round_to: int = 6
         )
         out.append(f"round((exp(2 * ({s})) - 1) / (exp(2 * ({s})) + 1), {round_to})")
     return out
+
+
+def _dbscan_oracle_sql(eps: float = 0.04, min_pts: int = 5) -> str:
+    """Full DuckDB replay of relational DBSCAN over (embedding[1],
+    embedding[2]): grid-neighborhood candidate join, core counts,
+    transitive closure over core-core edges (min-id labels), deterministic
+    min-core-neighbor border assignment. eps² is inlined as the exact
+    Python double (a bare 0.0016 would parse as DECIMAL and differ from
+    Spark's lit(eps*eps) in the last ulp)."""
+    e2 = repr(eps * eps)
+    ep = repr(eps)
+    return f"""
+        WITH RECURSIVE p AS (
+          SELECT vec_id AS id,
+                 CAST(embedding[1] AS DOUBLE) AS x,
+                 CAST(embedding[2] AS DOUBLE) AS y
+          FROM embeddings
+        ), c AS (
+          SELECT *, CAST(floor(x / {ep}) AS BIGINT) AS cx,
+                    CAST(floor(y / {ep}) AS BIGINT) AS cy
+          FROM p
+        ), e AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM c a JOIN c b
+            ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+           AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+           AND a.id != b.id
+           AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {e2}
+        ), nn AS (
+          SELECT id_a, count(*) AS n FROM e GROUP BY id_a
+        ), core AS (
+          SELECT p.id FROM p LEFT JOIN nn ON p.id = nn.id_a
+          WHERE COALESCE(nn.n, 0) + 1 >= {int(min_pts)}
+        ), ce AS (
+          SELECT e.id_a AS s, e.id_b AS d
+          FROM e JOIN core ca ON e.id_a = ca.id JOIN core cb ON e.id_b = cb.id
+        ), reach(id, r) AS (
+          SELECT id, id FROM core
+          UNION
+          SELECT reach.id, ce.d FROM reach JOIN ce ON reach.r = ce.s
+        ), comp AS (
+          SELECT id, min(r) AS label FROM reach GROUP BY id
+        ), border AS (
+          SELECT e.id_a AS id, arg_min(cl.label, e.id_b) AS label
+          FROM e JOIN comp cl ON e.id_b = cl.id
+          WHERE e.id_a NOT IN (SELECT id FROM core)
+          GROUP BY e.id_a
+        )
+        SELECT p.id AS vec_id,
+               COALESCE(cl.label, b.label, -1) AS label,
+               (cl.id IS NOT NULL) AS is_core
+        FROM p
+        LEFT JOIN comp cl ON p.id = cl.id
+        LEFT JOIN border b ON p.id = b.id
+    """
 
 
 def _spec_tile_data_oracle_sql() -> str:
@@ -2989,6 +3134,44 @@ def oracle_sql() -> dict[str, str]:
                    round(l.x_c, 6) AS x_c, round(l.y_c, 6) AS y_c,
                    CAST(1536.0 AS DOUBLE) AS tile_size
             FROM locs l JOIN pairs p USING (triplet_id)
+        """,
+        "emb_transform_dbscan": _dbscan_oracle_sql(),
+        "spec_aux_derived": """
+            WITH cal AS (
+              SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                            TIMESTAMP '2024-01-02',
+                                            INTERVAL 1 HOUR)) AS t
+            ),
+            sc AS (
+              SELECT 'ax__' || strftime(t, '%Y%m%d%H%M') AS scene_id, t
+              FROM cal WHERE t < TIMESTAMP '2024-01-02'
+            ),
+            at AS (
+              SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                            TIMESTAMP '2024-01-01 21:00:00',
+                                            INTERVAL 3 HOUR)) AS t_aux
+            ),
+            m AS (
+              SELECT scene_id, t_aux,
+                     row_number() OVER (
+                       PARTITION BY scene_id
+                       ORDER BY abs(epoch_us(t) - epoch_us(t_aux)), t_aux
+                     ) AS rn
+              FROM sc CROSS JOIN at
+              WHERE abs(epoch_us(t) - epoch_us(t_aux)) <= 5400000000
+            ),
+            prof AS (
+              SELECT t_aux, l.level,
+                     CAST((epoch_us(t_aux) // 3600000000 * 7 + l.level * 3) % 13 - 6
+                          AS DOUBLE) AS u,
+                     CAST((epoch_us(t_aux) // 3600000000 * 5 + l.level * 2) % 11 - 5
+                          AS DOUBLE) AS v
+              FROM at CROSS JOIN range(0, 40) l(level)
+            )
+            SELECT m.scene_id, m.t_aux, p.level, p.u, p.v,
+                   round(sqrt(p.u * p.u + p.v * p.v), 6) AS umag
+            FROM m JOIN prof p USING (t_aux)
+            WHERE m.rn = 1
         """,
         "spec_tile_data": _spec_tile_data_oracle_sql(),
         "spec_analytics_pipeline": _spec_analytics_oracle_sql(),

@@ -219,9 +219,12 @@ TRANSFORMS = {
     "pca": _fit_pca,
     "standard_scaler": _fit_standard_scaler,
     "minmax": _fit_minmax_scaler,
-    # the reference dispatches hdbscan here; that lib isn't in this
-    # container, so the clustering transform is KMeans (same fit/apply +
-    # label-column shape)
+    # the reference dispatches hdbscan for clustering
+    # (embeddings/transforms.py:30-40); that lib isn't in this container.
+    # Two stand-ins with the same label-column shape: KMeans (centroid
+    # model, fit/apply) and "dbscan" (DENSITY clustering like hdbscan —
+    # exact relational DBSCAN, operators/clustering.py, dispatched in
+    # apply_transform below because it has no fitted-model object)
     "kmeans": _fit_kmeans_labels,
 }
 
@@ -239,8 +242,28 @@ def apply_transform(
     by type, fit unless a pretrained model is given, apply, return
     (transformed df, model). Unknown types raise with the registry listing,
     mirroring the reference's missing-model error text shape."""
+    if transform_type == "dbscan":
+        # density clustering (the hdbscan dispatch target's analog): no
+        # fitted model — the labels ARE the transform; clusters over the
+        # first two embedding dimensions (the reference applies density
+        # transforms after dimensionality reduction for the same reason)
+        from .clustering import dbscan_labels
+
+        kwargs = parse_transform_kwargs(transform_extra_args)
+        pts = df.select(
+            F.col(id_col),
+            F.element_at(vec_col, 1).cast("double").alias("x"),
+            F.element_at(vec_col, 2).cast("double").alias("y"),
+        )
+        out = dbscan_labels(
+            pts,
+            eps=float(kwargs.get("eps", 0.05)),
+            min_pts=int(kwargs.get("min_samples", 5)),
+            id_col=id_col,
+        ).select(F.col("id").alias(id_col), F.col("label").alias(out_col), "is_core")
+        return out, None
     if transform_type not in TRANSFORMS:
-        avail = "\n".join(f"\t{k}" for k in sorted(TRANSFORMS))
+        avail = "\n".join(f"\t{k}" for k in sorted([*TRANSFORMS, "dbscan"]))
         raise ValueError(
             f"unknown transform type {transform_type!r}. Available transforms:\n{avail}"
         )

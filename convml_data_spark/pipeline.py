@@ -305,11 +305,100 @@ def build_triplet_dataset(
         raise NotImplementedError(spec.tiles_kind)
 
     for name, adf in (aux or {}).items():
-        out[f"aux:{name}"] = match_aux_to_scenes(
-            scenes.select("scene_id", F.col("t")), adf,
-            strategy="all_scenes_within_dt_aux",
-        )
+        out[f"aux:{name}"] = attach_aux_product(spark, spec, scenes, name, adf)
     return out
+
+
+EXTRA_PRODUCT_SEPARATOR = "___"
+EXTRA_PRODUCT_SENTINEL = f"{EXTRA_PRODUCT_SEPARATOR}extra{EXTRA_PRODUCT_SEPARATOR}"
+
+
+def parse_aux_product(aux_name: str, aux_products: dict) -> tuple[str, str, dict]:
+    """Resolve an aux name to (source_name, product_name, meta) — the
+    reference's ``AuxTaskMixin`` dispatch (pipeline/aux_sources.py:16-44):
+    sentinel-prefixed names ``___extra___<source>___<product>`` carry
+    their identity inline (THREE underscores because product names may
+    themselves contain two), everything else must be declared under
+    ``aux_products`` in meta.yaml; undeclared names raise with the
+    reference's error text shape. ``scene_mapping_strategy`` defaults to
+    ``single_scene_per_aux_time`` (aux_sources.py:82-84)."""
+    if aux_name.startswith(EXTRA_PRODUCT_SENTINEL):
+        *_, source_name, product_name = aux_name.split(EXTRA_PRODUCT_SEPARATOR)
+        meta: dict = {}
+    else:
+        if aux_name not in aux_products:
+            raise ValueError(
+                f"Please define `{aux_name}` in the `aux_products` group in meta.yaml"
+            )
+        meta = dict(aux_products[aux_name])
+        source_name = meta["source"]
+        product_name = meta["product"]
+    meta.setdefault("scene_mapping_strategy", "single_scene_per_aux_time")
+    return source_name, product_name, meta
+
+
+def apply_derived_product(adf: DataFrame, source_name: str, product: str, meta: dict) -> DataFrame:
+    """When an era5-sourced aux product names a DERIVED variable, compile
+    its §2.11 expression DAG onto the aux table before scene matching
+    (the reference resolves such products through ``DERIVED_VARIABLES``
+    recursively, sources/__init__.py:136-157,401-415). Base products pass
+    through unchanged. Registry geometry (column keys / level column /
+    level count) comes from the product's meta.yaml entry."""
+    if source_name != "era5":
+        return adf
+    from .plans.derived import era5_like_registry
+
+    reg = era5_like_registry(
+        column_keys=tuple(meta.get("column_keys", ("t_aux",))),
+        level_col=meta.get("level_col", "level"),
+        n_levels=int(meta.get("n_levels", 40)),
+    )
+    if product not in reg:
+        return adf
+    return reg.compile(adf, [product])
+
+
+def attach_aux_product(
+    spark: SparkSession,
+    spec: DatasetSpec,
+    scenes: DataFrame,
+    name: str,
+    adf: DataFrame,
+    aux_time: str = "t_aux",
+) -> DataFrame:
+    """One aux product through the spec path: optional derived-DAG
+    compilation (``aux_products`` declaration) → scene↔aux time matching
+    on the DISTINCT aux time axis → re-join of the full aux relation on
+    its time key.
+
+    Matching on distinct times keeps the as-of join's right side unique
+    per time even when the aux field is a multi-row-per-time profile
+    (e.g. 40 model levels) — the profile rows come back via one hash
+    equi-join on the time key, which is how a 100 TB aux field should
+    flow (the as-of machinery only ever sees the tiny time axis)."""
+    from .operators.asof import match_aux_to_scenes
+
+    strategy = "all_scenes_within_dt_aux"
+    dt_aux = None
+    if name.startswith(EXTRA_PRODUCT_SENTINEL) or name in spec.aux_products:
+        source_name, product, meta = parse_aux_product(name, spec.aux_products)
+        adf = apply_derived_product(adf, source_name, product, meta)
+        strategy = meta["scene_mapping_strategy"]
+        dt_aux = meta.get("dt_aux_seconds")
+    times = adf.select(aux_time).distinct()
+    matched = match_aux_to_scenes(
+        scenes.select("scene_id", F.col("t")),
+        times,
+        strategy=strategy,
+        dt_aux_seconds=dt_aux,
+    )
+    if strategy == "all_scenes_within_dt_aux":
+        # matched: scene cols + aux_<time>; bring the full aux relation back
+        return matched.join(
+            adf.withColumnRenamed(aux_time, f"aux_{aux_time}"), f"aux_{aux_time}"
+        )
+    # single_scene_per_aux_time: matched is keyed by the aux time itself
+    return matched.join(adf, aux_time)
 
 
 def synthetic_scene_raster(

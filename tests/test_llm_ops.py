@@ -415,3 +415,34 @@ def test_pq_rerank_recovers_exact_on_clustered_data(spark):
     assert g1 == g2  # deterministic fit + encode + rank
     hits = len(ex & {(q, i) for q, i, _ in g1})
     assert hits >= 8  # >= 80% of the 10 exact slots
+
+
+def test_dbscan_planted_clusters(spark):
+    """Two tight planted clusters + one isolated point: DBSCAN must find
+    exactly the two clusters (labelled by their min id), mark the isolated
+    point noise, and classify a near-cluster satellite as a border point."""
+    from convml_data_spark.operators.clustering import dbscan_labels
+
+    rows = []
+    # cluster A around (0, 0): ids 0..4
+    for k in range(5):
+        rows.append((k, 0.01 * k, 0.0))
+    # cluster B around (10, 10): ids 10..14
+    for k in range(5):
+        rows.append((10 + k, 10.0 + 0.01 * k, 10.0))
+    # border: within eps of A's edge point but with too few neighbors of
+    # its own to be core
+    rows.append((20, 0.04 + 0.07, 0.0))
+    # noise: far from everything
+    rows.append((30, 100.0, -50.0))
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {
+        r["id"]: (r["label"], r["is_core"])
+        for r in dbscan_labels(pts, eps=0.08, min_pts=4).collect()
+    }
+    for k in range(5):
+        assert out[k] == (0, True)
+    for k in range(10, 15):
+        assert out[10 + k - 10][0] == 10
+    assert out[20] == (0, False)   # border -> cluster of min core neighbor
+    assert out[30] == (None, False)  # noise

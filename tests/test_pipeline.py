@@ -248,3 +248,61 @@ def test_build_analytics_pipeline_invariants(spark):
     pc = model.pc.toArray()
     assert np.allclose(pc.T @ pc, np.eye(pc.shape[1]), atol=1e-8)
     assert all(abs(r["mean_emb"]) <= 1.0 + 1e-9 for r in rows)
+
+
+def test_parse_aux_product_sentinel_and_declared():
+    src, prod, meta = pipeline.parse_aux_product(
+        "___extra___era5___alt_p__mean", {}
+    )
+    assert (src, prod) == ("era5", "alt_p__mean")
+    assert meta["scene_mapping_strategy"] == "single_scene_per_aux_time"
+    src, prod, meta = pipeline.parse_aux_product(
+        "wind", {"wind": {"source": "era5", "product": "umag"}}
+    )
+    assert (src, prod) == ("era5", "umag")
+    try:
+        pipeline.parse_aux_product("undeclared", {})
+        raise AssertionError("should have raised")
+    except ValueError as e:
+        assert "aux_products" in str(e)
+
+
+def test_attach_aux_product_compiles_derived(spark):
+    """A declared era5 product naming a derived variable gets the §2.11
+    DAG compiled before matching; the multi-level profile rides back on
+    the time key."""
+    spec = pipeline.DatasetSpec.from_dict(
+        {
+            "source": "axx",
+            "inputs": ["vis"],
+            "t_start": "2024-01-01T00:00:00",
+            "t_end": "2024-01-01T04:00:00",
+            "step": "1 hour",
+            "sampling": {"resolution": 24.0, "triplets": {"N_triplets": {"train": 2}}},
+            "domain": {"l_zonal": 2000.0, "l_meridional": 2000.0},
+            "aux_products": {
+                "wind": {
+                    "source": "era5",
+                    "product": "umag",
+                    "column_keys": ["t_aux"],
+                    "n_levels": 3,
+                    "scene_mapping_strategy": "all_scenes_within_dt_aux",
+                }
+            },
+        }
+    )
+    profile = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", lv, 3.0, 4.0)
+            for lv in range(3)
+        ]
+        + [("2024-01-01 02:00:00", lv, 6.0, 8.0) for lv in range(3)],
+        "t_aux string, level int, u double, v double",
+    ).withColumn("t_aux", F.col("t_aux").cast("timestamp"))
+    scenes = pipeline.build_scene_table(spark, spec.scene)
+    out = pipeline.attach_aux_product(spark, spec, scenes, "wind", profile)
+    rows = out.collect()
+    # 4 scenes x 3 levels, umag = hypotenuse of the matched time's (u, v)
+    assert len(rows) == 12
+    got = {(r["scene_id"][-4:], r["level"]): r["umag"] for r in rows}
+    assert got[("0000", 0)] == 5.0 and got[("0300", 2)] == 10.0
