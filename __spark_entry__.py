@@ -2176,21 +2176,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one in-window representative; keys certified green in earlier rounds
     # rotate behind position 50 and back in on later rounds.
     return {
-        # ROUND 5 WINDOW (first 50 = driver-certified this round), per the
-        # r4 verdict's rotation plan: round 5's never-certified new keys
-        # first, then the 8 keys last certified in r1/r2, then as many of
-        # the 42 r3-certified keys as fit. Displaced r3 keys (quality/
-        # sampling keys + the s2/s6 static fetch-plan manifests — zero
-        # operator churn, covered by the in-repo oracle-parity replay) and
-        # the 50 r4-certified keys sit at 51+ and rotate back in round 6.
-        # --- new in round 6 (never certified -> window head) ---
+        # ROUND 6 WINDOW (first 50 = driver-certified this round), per the
+        # r5 verdict's rotation plan: round 6's never-certified new keys
+        # first, then the 7 keys whose operators were refactored in r5
+        # (as-of family, w6 null guard, stream pin, a7 signature), then as
+        # many of the 50 r4-certified keys as fit (37). Displaced to 51+
+        # and queued to lead the r7 window: 6 r4-certified keys with zero
+        # operator churn (a1/q3/a9/a11/g6/g7) and the 11 keys last
+        # driver-certified in r3 — every one of them stays covered every
+        # round by the in-repo oracle-parity replay
+        # (tests/test_oracle_parity.py). Every SURVEY 2 family keeps at
+        # least one in-window representative.
+        # --- new in round 6 (never certified) ---
         "emb_transform_dbscan": q_emb_transform_dbscan,
         "spec_aux_derived": q_spec_aux_derived,
         "spec_tile_data": q_spec_tile_data,
         "spec_regridded_scenes": q_spec_regridded_scenes,
         "spec_analytics_pipeline": q_spec_analytics_pipeline,
         "spec_rect_embeddings": q_spec_rect_embeddings,
-        # --- new in round 5 ---
+        # --- operator code changed in round 5; re-certify ---
+        "j2_asof_single": q_j2_asof_single,
+        "j3_asof_all_within": q_j3_asof_all_within,
+        "f4_traj_snap": q_f4_traj_snap,
+        "a3_min_spacing": q_a3_min_spacing,
+        "a7_equidepth": q_a7_equidepth,
+        "w6_sequential_scan": q_w6_sequential_scan,
+        "stream_seen_filter": q_stream_seen_filter,
+        # --- r4-certified, rotating back in ---
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "stream_daily_counts": q_stream_daily_counts,
+        "w7_sessionize": q_w7_sessionize,
+        "a14_rollup": q_a14_rollup,
+        "dedup_spans": q_dedup_spans,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "sketch_quantiles": q_sketch_quantiles,
+        "j10_interval_join": q_j10_interval_join,
+        "vocab_build": q_vocab_build,
+        "vocab_encode": q_vocab_encode,
+        "corpus_entropy": q_corpus_entropy,
+        "stream_dedup_watermark": q_stream_dedup_watermark,
+        "a5_binned_2d": q_a5_binned_2d,
+        "w5_sliding_tiles": q_w5_sliding_tiles,
+        "g1_nearest_regrid": q_g1_nearest_regrid,
+        "r5_triplet_locations": q_r5_triplet_locations,
+        "s5_calendar_offset_missing": q_s5_calendar_offset_missing,
+        "f1_time_intervals": q_f1_time_intervals,
+        "f2_datetime_components": q_f2_datetime_components,
+        "f3_solar_zenith": q_f3_solar_zenith,
+        "f5_regex_filter": q_f5_regex_filter,
+        "f7_percentile_filter": q_f7_percentile_filter,
+        "f9_lon_wrap": q_f9_lon_wrap,
+        "f11_nonempty": q_f11_nonempty,
+        "j5_semi_join": q_j5_semi_join,
+        "j7_positional_coords": q_j7_positional_coords,
+        "u1_union_by_name": q_u1_union_by_name,
+        "o3_distinct": q_o3_distinct,
+        "a2_udaf_pandas": q_a2_udaf_pandas,
+        "a4_binned_1d": q_a4_binned_1d,
+        "a6_ecdf_global": q_a6_ecdf_global,
+        "a8_daily_counts": q_a8_daily_counts,
+        "a10_column_integral": q_a10_column_integral,
+        "e5_array_roundtrip": q_e5_array_roundtrip,
+        "g1_bilinear_regrid": q_g1_bilinear_regrid,
+        "g4_crop_pad": q_g4_crop_pad,
+        "r1_split": q_r1_split,
+        # ---------------- position 51+: rotated out this round ----------
+        # displaced r4-certified (lead the r7 window)
+        "a1_pricing_summary": q_a1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "a9_layer_mean": q_a9_layer_mean,
+        "a11_minmax_norm": q_a11_minmax_norm,
+        "g6_spanning_domain": q_g6_spanning_domain,
+        "g7_tangent_projection": q_g7_tangent_projection,
+        # last driver-certified r3 (also queued for r7)
+        "s2_goes16_query": q_s2_goes16_query,
+        "s4_era5_manifest": q_s4_era5_manifest,
+        "s6_ceres_manifest": q_s6_ceres_manifest,
+        "emb_transform_scaler": q_emb_transform_scaler,
+        "dedup_components": q_dedup_components,
+        "dedup_survivors": q_dedup_survivors,
+        "decontam_ngram_overlap": q_decontam_ngram_overlap,
+        "text_gopher_quality": q_text_gopher_quality,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "pii_scrub": q_pii_scrub,
+        "sample_quality_weighted": q_sample_quality_weighted,
+        # r5-certified 50 (rotate back r7/r8)
         "traj_tiles": q_traj_tiles,
         "spec_triplet_pipeline": q_spec_triplet_pipeline,
         "emb_transform_kmeans": q_emb_transform_kmeans,
@@ -2202,7 +2272,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_pq_topk": q_similarity_pq_topk,
         "mixture_rates": q_mixture_rates,
         "token_windows": q_token_windows,
-        # --- last certified r1/r2 (pre-NTZ testdata) ---
         "r2_scene_pairs": q_r2_scene_pairs,
         "w2_argmin_per_group": q_w2_argmin_per_group,
         "w3_local_peaks": q_w3_local_peaks,
@@ -2211,7 +2280,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6_filter_dsl": q_f6_filter_dsl,
         "o4_topk": q_o4_topk,
         "j6_emb_aux_join": q_j6_emb_aux_join,
-        # --- last certified r3 ---
         "scene_table": q_scene_table,
         "u3_anti_join": q_u3_anti_join,
         "dedup_exact_prefix": q_dedup_exact_prefix,
@@ -2243,76 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_distinct_users": q_a15_distinct_users,
         "hll_user_counts": q_hll_user_counts,
         "g8_rgb_composite": q_g8_rgb_composite,
-        "s4_era5_manifest": q_s4_era5_manifest,
-        "dedup_components": q_dedup_components,
-        "dedup_survivors": q_dedup_survivors,
-        "decontam_ngram_overlap": q_decontam_ngram_overlap,
-        "text_gopher_quality": q_text_gopher_quality,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "pii_scrub": q_pii_scrub,
-        "sample_quality_weighted": q_sample_quality_weighted,
-        # ---------------- position 51+: the r3-certified keys displaced
-        # by round 5's new keys, then the r4-certified 50 (rotate back
-        # r6; all of them stay covered every round by the in-repo
-        # oracle-parity replay, tests/test_oracle_parity.py).
-        "emb_transform_scaler": q_emb_transform_scaler,
-        # Keys whose operator code changed THIS round (asof refactor: j2/
-        # j3/f4/a3; w6 null guard; stream_seen_filter single-batch pin;
-        # a7 signature) are re-proven today by the in-repo oracle-parity
-        # replay + the verify-skill driver sim, and re-certify in r6. ----
-        "s2_goes16_query": q_s2_goes16_query,
-        "s6_ceres_manifest": q_s6_ceres_manifest,
-        "dedup_minhash_sigs": q_dedup_minhash_sigs,
-        "stream_daily_counts": q_stream_daily_counts,
-        "w7_sessionize": q_w7_sessionize,
-        "a14_rollup": q_a14_rollup,
-        "j2_asof_single": q_j2_asof_single,
-        "j3_asof_all_within": q_j3_asof_all_within,
-        "f4_traj_snap": q_f4_traj_snap,
-        "a7_equidepth": q_a7_equidepth,
-        "dedup_spans": q_dedup_spans,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "sketch_quantiles": q_sketch_quantiles,
-        "stream_seen_filter": q_stream_seen_filter,
-        "w6_sequential_scan": q_w6_sequential_scan,
-        "j10_interval_join": q_j10_interval_join,
-        "vocab_build": q_vocab_build,
-        "vocab_encode": q_vocab_encode,
-        "corpus_entropy": q_corpus_entropy,
-        "stream_dedup_watermark": q_stream_dedup_watermark,
-        "a1_pricing_summary": q_a1_pricing_summary,
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "a5_binned_2d": q_a5_binned_2d,
-        "w5_sliding_tiles": q_w5_sliding_tiles,
-        "g1_nearest_regrid": q_g1_nearest_regrid,
-        "r5_triplet_locations": q_r5_triplet_locations,
-        "s5_calendar_offset_missing": q_s5_calendar_offset_missing,
-        "f1_time_intervals": q_f1_time_intervals,
-        "f2_datetime_components": q_f2_datetime_components,
-        "f3_solar_zenith": q_f3_solar_zenith,
-        "f5_regex_filter": q_f5_regex_filter,
-        "f7_percentile_filter": q_f7_percentile_filter,
-        "f9_lon_wrap": q_f9_lon_wrap,
-        "f11_nonempty": q_f11_nonempty,
-        "j5_semi_join": q_j5_semi_join,
-        "j7_positional_coords": q_j7_positional_coords,
-        "u1_union_by_name": q_u1_union_by_name,
-        "o3_distinct": q_o3_distinct,
-        "a2_udaf_pandas": q_a2_udaf_pandas,
-        "a3_min_spacing": q_a3_min_spacing,
-        "a4_binned_1d": q_a4_binned_1d,
-        "a6_ecdf_global": q_a6_ecdf_global,
-        "a8_daily_counts": q_a8_daily_counts,
-        "a9_layer_mean": q_a9_layer_mean,
-        "a10_column_integral": q_a10_column_integral,
-        "a11_minmax_norm": q_a11_minmax_norm,
-        "e5_array_roundtrip": q_e5_array_roundtrip,
-        "g1_bilinear_regrid": q_g1_bilinear_regrid,
-        "g4_crop_pad": q_g4_crop_pad,
-        "g6_spanning_domain": q_g6_spanning_domain,
-        "g7_tangent_projection": q_g7_tangent_projection,
-        "r1_split": q_r1_split,
-    }
+        }
 
 
 def _x3_oracle_sql() -> str:
