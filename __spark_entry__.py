@@ -2044,6 +2044,17 @@ def q_neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_neardup_pairs(emb, threshold=0.35, n_planes=6, dim=64)
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity.py::semantic_dedup;
+    Abbas et al. 2023, arXiv:2303.09540): hyperplane-LSH buckets as the
+    cluster proxy → exact within-bucket cosine pairs → alternating-star
+    component collapse → min-id survivor per semantic group. Full DuckDB
+    replay (inlined gaussian planes + recursive-CTE closure)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(emb, threshold=0.35, n_planes=6, dim=64)
+    return out.select("vec_id")
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (rows-only: signature internals are
     engine-defined; accuracy is property-tested against exact Jaccard)."""
@@ -2188,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tests/test_oracle_parity.py). Every SURVEY 2 family keeps at
         # least one in-window representative.
         # --- new in round 6 (never certified) ---
+        "dedup_semantic": q_dedup_semantic,
         "emb_transform_dbscan": q_emb_transform_dbscan,
         "spec_aux_derived": q_spec_aux_derived,
         "spec_tile_data": q_spec_tile_data,
@@ -2238,10 +2250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_column_integral": q_a10_column_integral,
         "e5_array_roundtrip": q_e5_array_roundtrip,
         "g1_bilinear_regrid": q_g1_bilinear_regrid,
-        "g4_crop_pad": q_g4_crop_pad,
         "r1_split": q_r1_split,
         # ---------------- position 51+: rotated out this round ----------
         # displaced r4-certified (lead the r7 window)
+        "g4_crop_pad": q_g4_crop_pad,
         "a1_pricing_summary": q_a1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
         "a9_layer_mean": q_a9_layer_mean,
@@ -2380,6 +2392,63 @@ def _neardup_lsh_oracle_sql() -> str:
               FROM cand
             )
             SELECT id_a, id_b, score FROM scored WHERE score >= 0.35
+        """
+
+
+def _semantic_dedup_oracle_sql(threshold: float = 0.35, n_planes: int = 6) -> str:
+    """semantic_dedup replay: the _neardup_lsh_oracle_sql pair pipeline
+    (same seed-42 inlined planes) extended with the recursive-CTE
+    transitive closure and min-id survivor rule."""
+    import random as _random
+
+    rng = _random.Random(42)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(n_planes)]
+    bits = []
+    for i, plane in enumerate(planes):
+        pl = ", ".join(repr(v) for v in plane)
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{pl}])[i])) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = "\n                     + ".join(bits)
+    return f"""
+            WITH RECURSIVE sig AS (
+              SELECT vec_id, embedding,
+                     {bucket} AS bucket
+              FROM embeddings
+            ), cand AS (
+              SELECT a.vec_id AS id_a, a.embedding AS va,
+                     b.vec_id AS id_b, b.embedding AS vb
+              FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ), scored AS (
+              SELECT DISTINCT id_a, id_b,
+                     round(
+                       list_sum(list_transform(range(1, len(va) + 1),
+                                i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(range(1, len(va) + 1),
+                                i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(range(1, len(vb) + 1),
+                                i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))))), 6) AS score
+              FROM cand
+            ), pr AS (
+              SELECT id_a, id_b FROM scored WHERE score >= {threshold}
+            ), e AS (
+              SELECT id_a AS s, id_b AS d FROM pr
+              UNION
+              SELECT id_b, id_a FROM pr
+            ), nodes AS (
+              SELECT DISTINCT s AS id FROM e
+            ), reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s
+            ), comp AS (
+              SELECT id, min(r) AS component FROM reach GROUP BY id
+            )
+            SELECT v.vec_id
+            FROM embeddings v LEFT JOIN comp ON v.vec_id = comp.id
+            WHERE comp.id IS NULL OR comp.component = v.vec_id
         """
 
 
@@ -4214,6 +4283,7 @@ def oracle_sql() -> dict[str, str]:
         # tanh(V·W) per output component
         "x3_batch_embed": _x3_oracle_sql(),
         "neardup_lsh_pairs": _neardup_lsh_oracle_sql(),
+        "dedup_semantic": _semantic_dedup_oracle_sql(),
         # pinned-outcome certifications for engine-internal numerics: the
         # Spark side computes the invariant (HLL error bound, planted-motion
         # recovery, PCA orthonormality) and the oracle pins the asserted

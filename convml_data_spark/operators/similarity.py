@@ -846,3 +846,45 @@ def pq_rerank_topk_batch(
         .select("qid", F.col(id_col), (-F.round(d2, 6)).alias("score"))
     )
     return _topk_per_query(rer, k, id_col)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): remove documents that are semantically (not
+    textually) near-identical by embedding similarity, keeping one
+    representative per semantic duplicate group.
+
+    The paper clusters the embedding space (k-means) and prunes
+    within-cluster pairs above a cosine threshold; here the cheap
+    partition is the hyperplane-LSH bucket (deterministic, replayable —
+    a k-means fit is engine-internal and couldn't be oracle-checked),
+    within-bucket pairs are EXACT-cosine verified
+    (:func:`lsh_neardup_pairs`), transitive groups collapse via the
+    alternating-star connected components, and the survivor per group is
+    the minimum id (:func:`~.dedup.canonical_survivors`).
+
+    Scale: bucket self-join (never all-pairs) → hash-partitioned CC
+    rounds → one anti join. Returns the surviving id relation.
+    """
+    from .dedup import canonical_survivors
+
+    pairs = lsh_neardup_pairs(
+        embeddings,
+        threshold=threshold,
+        n_planes=n_planes,
+        seed=seed,
+        dim=dim,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    return canonical_survivors(
+        embeddings.select(id_col), pairs, id_col=id_col, id_a="id_a", id_b="id_b"
+    )

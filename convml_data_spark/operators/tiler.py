@@ -136,6 +136,7 @@ def tile_regrid_nearest(
     value_col: str = "value",
     xc_col: str = "x_c",
     yc_col: str = "y_c",
+    broadcast_tiles: bool = True,
 ) -> DataFrame:
     """G3: per-tile nearest-neighbour regrid of a REGULAR per-scene source
     raster onto each tile's local tile_N×tile_N grid at ``resolution``.
@@ -179,6 +180,14 @@ def tile_regrid_nearest(
         F.col(j_col).alias("sj"),
         F.col(value_col).alias("value"),
     )
+    # the exploded tile-point relation is bounded by n_tiles · tile_N² while
+    # the pixel raster is the 100 TB side — broadcast the tile points so the
+    # raster is scanned once with no shuffle (stats on the derived tile plan
+    # are opaque to Catalyst, which otherwise picks a sort-merge join). Set
+    # broadcast_tiles=False for datasets with tens of millions of tiles and
+    # let the dense (scene, si, sj) hash shuffle handle it.
+    if broadcast_tiles:
+        pq = F.broadcast(pq)
     return pq.join(src, [scene_col, "si", "sj"])
 
 

@@ -559,6 +559,16 @@ def build_tile_data(
             if spec.tiles_kind == "triplets"
             else ["scene_id"]
         )
+        if "x_c" not in tiles.columns:
+            # trajectory tiles carry (central_latitude, central_longitude);
+            # the G3 regrid needs PLANAR centers — project them onto the
+            # domain plane first (grids.local_tangent_xy around the domain
+            # center) and alias to (x_c, y_c)
+            raise NotImplementedError(
+                "tile data needs planar tile centers (x_c, y_c); project "
+                "trajectory (central_latitude, central_longitude) with "
+                "grids.local_tangent_xy and rename before calling"
+            )
         tile_px = tiler.tile_regrid_nearest(
             tiles,
             pixels,
@@ -577,7 +587,9 @@ def build_tile_data(
     # as n_px=0 / shape_ok=false
     summary = tile_data_summary(tile_px, spec.tile_N, key_cols)
     keys_df = tiles.select(*key_cols).distinct()
-    out["tile_data"] = keys_df.join(summary, key_cols, "left").select(
+    # per-tile summary is bounded by the tile count — broadcast it under
+    # the left-outer join rather than shuffling the tile list
+    out["tile_data"] = keys_df.join(F.broadcast(summary), key_cols, "left").select(
         *key_cols,
         F.coalesce("n_px", F.lit(0)).alias("n_px"),
         F.coalesce("shape_ok", F.lit(False)).alias("shape_ok"),
@@ -732,8 +744,10 @@ def build_analytics_pipeline(
     aux_mean = aux_tile_px.groupBy(*key).agg(
         (F.sum("value") / F.lit(float(n_px))).alias("aux_mean")
     ).withColumn("_uid", uid)
-    # J6: embeddings ⋈ per-tile aux reduction
-    joined = emb.join(aux_mean.select("_uid", "aux_mean"), "_uid")
+    # J6: embeddings ⋈ per-tile aux reduction — the aux side is one row
+    # per tile (bounded aggregate); broadcast it (the Arrow-batched emb
+    # plan is stats-opaque to Catalyst, which otherwise sort-merges)
+    joined = emb.join(F.broadcast(aux_mean.select("_uid", "aux_mean")), "_uid")
     # X4: PCA over the embedding matrix (fit inside the same program)
     pca_in = joined.select("_uid", F.col("emb_out").alias("embedding"))
     _pca_out, model = pca_transform(pca_in, k=pca_k, id_col="_uid", out_col="pca")
