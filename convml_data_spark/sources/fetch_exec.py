@@ -51,6 +51,29 @@ def local_file_fetcher(remote_path: str, dest_path: str) -> int:
     return os.path.getsize(dest_path)
 
 
+def urllib_fetcher(
+    remote_path: str, dest_path: str, timeout: float = 60.0, chunk: int = 1 << 20
+) -> int:
+    """Stdlib URL fetcher: streams ``http(s)://`` / ``file://`` URLs to
+    ``dest_path`` in bounded chunks (no whole-object buffering — GOES16
+    granules run to hundreds of MB). The production analog of the
+    reference's ``urllib.request.urlretrieve`` wrapper
+    (convml_data/utils/download.py); network use stays opt-in — nothing
+    in the engine calls this unless a manifest execution passes it as the
+    ``fetcher``. ``file://`` URLs back the tests offline."""
+    from urllib.request import urlopen
+
+    n = 0
+    with urlopen(remote_path, timeout=timeout) as resp, open(dest_path, "wb") as out:
+        while True:
+            buf = resp.read(chunk)
+            if not buf:
+                break
+            out.write(buf)
+            n += len(buf)
+    return n
+
+
 def execute_fetch_manifest(
     manifest: DataFrame,
     dest_dir: str,

@@ -267,3 +267,26 @@ def test_pq_scan_joins_broadcast_the_probe_relation(spark):
     p = plan_of(spark, "similarity_pq_topk")
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_representative_queries_survive_ansi_mode(spark):
+    """ANSI mode turns silent overflow/bad-cast NULLs into runtime errors
+    — every family's representative (plus all round-6 composition keys)
+    must EXECUTE clean under it, not just analyze. Previously a manual
+    probe; automated so a new operator with an ANSI-fragile cast can't
+    land unnoticed."""
+    reps = [
+        "scene_table", "j2_asof_single", "a7_equidepth", "derived_dag",
+        "dedup_minhash", "dedup_semantic", "similarity_pq_topk",
+        "pack_chunks", "stratified_split", "text_langid",
+        "emb_transform_dbscan", "spec_tile_data", "spec_regridded_scenes",
+        "spec_rect_embeddings", "spec_aux_derived", "g8_rgb_composite",
+        "e7_json_map", "r1_split",
+    ]
+    old = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        for name in reps:
+            assert QUERIES[name](spark, SF_DIR).count() >= 0, name
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)

@@ -183,3 +183,33 @@ def test_fetch_executor_local_backend(spark, tmp_path):
             spark.createDataFrame([("a", "b")], "filename string, remote_path string"),
             str(dest / "x"),
         ).collect()
+
+
+def test_fetch_executor_urllib_backend_file_urls(spark, tmp_path):
+    """urllib_fetcher streams file:// URLs (the offline stand-in for the
+    production http(s):// path) through the same manifest executor; a
+    failing URL leaves NO .__part_* temp junk behind (per-attempt
+    cleanup)."""
+    from convml_data_spark.sources import fetch_exec
+
+    src = tmp_path / "mirror"
+    src.mkdir()
+    payload = b"streamed-bytes" * 1000
+    (src / "big.nc").write_bytes(payload)
+    rows = [
+        ("big.nc", (src / "big.nc").as_uri()),
+        ("gone.nc", (src / "gone.nc").as_uri()),
+    ]
+    manifest = spark.createDataFrame(rows, "filename string, remote_path string")
+    dest = tmp_path / "dest"
+    led = fetch_exec.execute_fetch_manifest(
+        manifest, str(dest), fetcher=fetch_exec.urllib_fetcher,
+        max_attempts=2, backoff_s=0.0,
+    ).collect()
+    by = {r["filename"]: r for r in led}
+    assert by["big.nc"]["status"] == "fetched"
+    assert by["big.nc"]["n_bytes"] == len(payload)
+    assert (dest / "big.nc").read_bytes() == payload
+    assert by["gone.nc"]["status"] == "error"
+    leftovers = [p.name for p in dest.iterdir() if "__part_" in p.name]
+    assert leftovers == []
