@@ -748,6 +748,13 @@ def build_analytics_pipeline(
     # per tile (bounded aggregate); broadcast it (the Arrow-batched emb
     # plan is stats-opaque to Catalyst, which otherwise sort-merges)
     joined = emb.join(F.broadcast(aux_mean.select("_uid", "aux_mean")), "_uid")
+    # materialize the embedded-tile relation ONCE (lazy checkpoint): the
+    # PCA fit runs several internal actions and would otherwise re-execute
+    # the whole scenes→tiles→raster→Arrow-inference chain per action. This
+    # is the same working set the reference materializes as its per-scene
+    # netCDF product — one row per (tile, emb, aux), bounded by the tile
+    # count, far below the raster it derives from.
+    joined = joined.localCheckpoint(eager=False)
     # X4: PCA over the embedding matrix (fit inside the same program)
     pca_in = joined.select("_uid", F.col("emb_out").alias("embedding"))
     _pca_out, model = pca_transform(pca_in, k=pca_k, id_col="_uid", out_col="pca")
