@@ -38,7 +38,8 @@ from .sampling import (
 )
 from .images import contrast_correction, make_rgb, true_color_rgb
 from .scenes import multi_input_scene_table
-from .tiler import sliding_tiles, tile_pixel_join
+from .clustering import dbscan_labels
+from .tiler import sliding_tiles, tile_pixel_join, tile_regrid_nearest
 
 __all__ = [
     "contrast_correction",
@@ -59,8 +60,10 @@ __all__ = [
     "time_interval_filter",
     "wrap_longitude",
     "multi_input_scene_table",
+    "dbscan_labels",
     "sliding_tiles",
     "tile_pixel_join",
+    "tile_regrid_nearest",
     "attach_grid_coords",
     "bilinear_regrid",
     "crop_to_bbox",

@@ -306,3 +306,33 @@ def test_attach_aux_product_compiles_derived(spark):
     assert len(rows) == 12
     got = {(r["scene_id"][-4:], r["level"]): r["umag"] for r in rows}
     assert got[("0000", 0)] == 5.0 and got[("0300", 2)] == 10.0
+
+
+def test_attach_aux_product_sentinel_name(spark):
+    """A sentinel-named aux (___extra___<source>___<product>) needs no
+    aux_products declaration and defaults to the reference's
+    single_scene_per_aux_time strategy (one matched scene per aux time)."""
+    spec = pipeline.DatasetSpec.from_dict(
+        {
+            "source": "sxx",
+            "inputs": ["vis"],
+            "t_start": "2024-01-01T00:00:00",
+            "t_end": "2024-01-01T04:00:00",
+            "step": "1 hour",
+            "sampling": {"resolution": 24.0, "triplets": {"N_triplets": {"train": 2}}},
+            "domain": {"l_zonal": 2000.0, "l_meridional": 2000.0},
+        }
+    )
+    aux = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1.0), ("2024-01-01 02:00:00", 2.0)],
+        "t_aux string, aux_v double",
+    ).withColumn("t_aux", F.col("t_aux").cast("timestamp"))
+    scenes = pipeline.build_scene_table(spark, spec.scene)
+    out = pipeline.attach_aux_product(
+        spark, spec, scenes, "___extra___era5___sst", aux
+    )
+    rows = out.collect()
+    # single_scene_per_aux_time: one row per AUX time, each with its scene
+    assert len(rows) == 2
+    assert {r["aux_v"] for r in rows} == {1.0, 2.0}
+    assert all(r["scene_scene_id"].startswith("sxx__") for r in rows)
