@@ -145,7 +145,8 @@ def encode_png(
     deterministic container (magic + dims + raw pixels) so the column
     schema, batching and downstream contracts stay exercised.
     """
-    schema = f"{id_col} long, png binary"
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, png binary"
 
     def encode(batches):
         import io

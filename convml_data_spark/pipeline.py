@@ -580,6 +580,17 @@ def build_tile_data(
             src_dy=src_dx,
         )
     out["tile_pixels"] = tile_px
+    # the IMAGE half of the reference's tile product (data + png + meta),
+    # lazily available alongside the reduction; rect slices order by the
+    # global (i, j) pixel indices, regridded tiles by their local (p, q)
+    rect = spec.tiles_kind == "rect-slidingwindow"
+    out["tile_images"] = tile_images(
+        tile_px,
+        spec.tile_N,
+        key_cols,
+        p_col="i" if rect else "p",
+        q_col="j" if rect else "q",
+    )
     # LEFT join the per-tile summary back onto the tile list: a tile whose
     # every target point misses the source raster has NO pixel rows at all
     # and would silently vanish from an inner aggregation — exactly the
@@ -599,6 +610,50 @@ def build_tile_data(
         "mean_val",
     )
     return out
+
+
+def tile_images(
+    tile_px: DataFrame,
+    tile_N: int,
+    key_cols: list[str],
+    value_max: float = 100.0,
+    p_col: str = "p",
+    q_col: str = "q",
+) -> DataFrame:
+    """The reference tile product's IMAGE half (``SceneTilesData`` writes a
+    PNG beside each tile's netCDF, pipeline/tiles.py:340-371): per-tile
+    pixel rows → a row-major uint8 grayscale raster payload, packed
+    ENTIRELY JVM-side (values scaled to [0, 255] with explicit HALF_UP,
+    hex-packed and unhexed to binary — no Python in the packing), then
+    :func:`~.operators.multimodal.encode_png` emits PNG bytes Arrow-batched
+    (real PIL when present, the deterministic stub container otherwise).
+
+    Returns (key columns..., png binary). Binary columns stay off the
+    driver-compare surface; byte-exactness is property-tested.
+    """
+    from .operators import multimodal
+
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(q_col), F.col(p_col), F.col("value")))
+    )
+    scale = 255.0 / float(value_max)
+    px8 = F.transform(
+        ordered, lambda s: F.round(s["value"] * F.lit(scale)).cast("int")
+    )
+    hexstr = F.array_join(F.transform(px8, lambda v: F.lpad(F.hex(v), 2, "0")), "")
+    agg = tile_px.groupBy(*key_cols).agg(F.unhex(hexstr).alias("payload"))
+    keyed = agg.withColumn(
+        "_uid", F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    ).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(int(tile_N)).alias("width"),
+            F.lit(int(tile_N)).alias("height"),
+            F.lit(multimodal.FAKE_FORMAT).alias("format"),
+        ),
+    )
+    pngs = multimodal.encode_png(keyed, id_col="_uid")
+    return keyed.select(*key_cols, "_uid").join(pngs, "_uid").drop("_uid")
 
 
 def tile_vectors(

@@ -336,3 +336,34 @@ def test_attach_aux_product_sentinel_name(spark):
     assert len(rows) == 2
     assert {r["aux_v"] for r in rows} == {1.0, 2.0}
     assert all(r["scene_scene_id"].startswith("sxx__") for r in rows)
+
+
+def test_tile_images_byte_exact_stub(spark):
+    """tile_images packs the ordered tile raster JVM-side and encodes PNG:
+    on the stub path the container bytes are exactly
+    STUBPNG + dims + floor(v*2.55 + 0.5) uint8 pixels in (q, p) order."""
+    import math
+
+    spec = pipeline.DatasetSpec.from_dict(TILE_SPEC)
+    d = pipeline.build_tile_data(spark, spec, src_dx=25.0, src_nx=80)
+    key = ["triplet_id", "collection", "tile_type", "scene_id"]
+    px = {
+        (r["triplet_id"], r["tile_type"], r["q"], r["p"]): r["value"]
+        for r in d["tile_pixels"].collect()
+    }
+    imgs = d["tile_images"].collect()
+    assert len(imgs) == 12
+    for r in imgs:
+        data = bytes(r["png"])
+        if data[:7] != b"STUBPNG":
+            assert data[:8] == b"\x89PNG\r\n\x1a\n"  # real PIL path
+            continue
+        w = int.from_bytes(data[7:11], "big")
+        h = int.from_bytes(data[11:15], "big")
+        assert (w, h) == (4, 4)
+        expected = bytes(
+            int(math.floor(px[(r["triplet_id"], r["tile_type"], q, p)] * 2.55 + 0.5))
+            for q in range(4)
+            for p in range(4)
+        )
+        assert data[15:] == expected
