@@ -367,3 +367,27 @@ def test_tile_images_byte_exact_stub(spark):
             for p in range(4)
         )
         assert data[15:] == expected
+
+
+def test_tile_regrid_nearest_matches_argmin(spark):
+    """The G3 closed-form nearest (round of the fractional source index)
+    must agree with brute-force argmin over the WHOLE raster for every
+    tile target point — the claim that lets the tile path skip per-cell
+    argmin search entirely on regular sources."""
+    import numpy as np
+
+    from convml_data_spark.operators import tiler
+
+    spec = pipeline.DatasetSpec.from_dict(TILE_SPEC)
+    d = pipeline.build_tile_data(spark, spec, src_dx=25.0, src_nx=80)
+    rows = d["tile_pixels"].select(
+        "triplet_id", "tile_type", "x_c", "y_c", "p", "q", "si", "sj"
+    ).collect()
+    assert len(rows) == 12 * 16
+    src = np.arange(80) * 25.0
+    for r in rows:
+        half = 24.0 * 4 / 2.0
+        xt = r["x_c"] - half + (r["p"] + 0.5) * 24.0
+        yt = r["y_c"] - half + (r["q"] + 0.5) * 24.0
+        assert r["si"] == int(np.abs(src - xt).argmin())
+        assert r["sj"] == int(np.abs(src - yt).argmin())
