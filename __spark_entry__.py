@@ -2191,9 +2191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 verdict's rotation plan: round 6's never-certified new keys
         # first, then the 7 keys whose operators were refactored in r5
         # (as-of family, w6 null guard, stream pin, a7 signature), then as
-        # many of the 50 r4-certified keys as fit (37). Displaced to 51+
-        # and queued to lead the r7 window: 6 r4-certified keys with zero
-        # operator churn (a1/q3/a9/a11/g6/g7) and the 11 keys last
+        # many of the 50 r4-certified keys as fit (36). Displaced to 51+
+        # and queued to lead the r7 window: 7 r4-certified keys with zero
+        # operator churn (g4/a1/q3/a9/a11/g6/g7) and the 11 keys last
         # driver-certified in r3 — every one of them stays covered every
         # round by the in-repo oracle-parity replay
         # (tests/test_oracle_parity.py). Every SURVEY 2 family keeps at

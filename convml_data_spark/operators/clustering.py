@@ -103,8 +103,11 @@ def dbscan_labels(
         .select("id_a", "id_b")
     )
     # the edge list feeds three consumers (core counts, CC, border
-    # assignment) — materialize it once
-    edges = edges.localCheckpoint()
+    # assignment) — checkpoint it so it materializes ONCE, lazily (an
+    # eager checkpoint would execute the full grid join at plan
+    # CONSTRUCTION time — every explain() of a dbscan query would run the
+    # job)
+    edges = edges.localCheckpoint(eager=False)
     n_nbr = edges.groupBy("id_a").agg(F.count("*").alias("_n"))
     core = (
         pts.join(n_nbr, pts.id == n_nbr.id_a, "left")

@@ -380,7 +380,12 @@ def attach_aux_product(
 
     strategy = "all_scenes_within_dt_aux"
     dt_aux = None
-    if name.startswith(EXTRA_PRODUCT_SENTINEL) or name in spec.aux_products:
+    if name.startswith(EXTRA_PRODUCT_SENTINEL) or spec.aux_products:
+        # a spec that DECLARES aux_products has opted into the reference's
+        # dispatch — an undeclared, non-sentinel name is then a typo and
+        # must fail fast (parse_aux_product raises), not silently take the
+        # legacy pass-through. Specs with NO declarations keep the legacy
+        # behavior: raw aux DataFrames matched all-scenes-within-dt.
         source_name, product, meta = parse_aux_product(name, spec.aux_products)
         adf = apply_derived_product(adf, source_name, product, meta)
         strategy = meta["scene_mapping_strategy"]
@@ -533,15 +538,18 @@ def build_tile_data(
 
     out = build_triplet_dataset(spark, spec, trajectory=trajectory)
     scenes = out["scenes"]
+    src_ny = src_nx
     if spec.tiles_kind == "rect-slidingwindow" and src_dx is None:
-        # rect slices in INDEX space: the raster IS the domain pixel grid
+        # rect slices in INDEX space: the raster IS the domain pixel
+        # grid — sized per AXIS (a non-square domain has nx != ny)
         src_dx = spec.resolution
         src_nx = int(round((spec.x_range[1] - spec.x_range[0]) / spec.resolution))
+        src_ny = int(round((spec.y_range[1] - spec.y_range[0]) / spec.resolution))
     if pixels is None:
         if src_dx is None or src_nx is None:
             raise ValueError("synthetic raster needs src_dx and src_nx")
         pixels = synthetic_scene_raster(
-            scenes, nx=src_nx, ny=src_nx, dx=src_dx, dy=src_dx,
+            scenes, nx=src_nx, ny=src_ny, dx=src_dx, dy=src_dx,
             x0=spec.x_range[0], y0=spec.y_range[0],
         )
     tiles = out["tiles"]
@@ -637,8 +645,15 @@ def tile_images(
         F.collect_list(F.struct(F.col(q_col), F.col(p_col), F.col("value")))
     )
     scale = 255.0 / float(value_max)
+    # clamp to [0, 255] BEFORE hex-packing: lpad TRUNCATES a >2-char hex
+    # (value 150 at the default scale would silently become byte 0x17)
+    # and a negative value renders 16 two's-complement chars
     px8 = F.transform(
-        ordered, lambda s: F.round(s["value"] * F.lit(scale)).cast("int")
+        ordered,
+        lambda s: F.least(
+            F.greatest(F.round(s["value"] * F.lit(scale)).cast("int"), F.lit(0)),
+            F.lit(255),
+        ),
     )
     hexstr = F.array_join(F.transform(px8, lambda v: F.lpad(F.hex(v), 2, "0")), "")
     agg = tile_px.groupBy(*key_cols).agg(F.unhex(hexstr).alias("payload"))
@@ -773,9 +788,17 @@ def build_analytics_pipeline(
     uid = F.concat_ws(
         "|", F.col("triplet_id").cast("string"), F.col("tile_type")
     )
-    # per-tile image vector -> X3 inference
-    vecs = tile_vectors(d["tile_pixels"], key).withColumn("_uid", uid)
+    # per-tile image vector -> X3 inference. PARTIAL tiles (source raster
+    # not covering the tile — the case the reference's shape check raises
+    # on, tiles.py:258-265) are EXCLUDED here: a short vector would crash
+    # np.stack inside the Arrow batch and a short aux sum would silently
+    # skew its mean; build_tile_data's shape_ok surfaces which ones
     in_dim = spec.tile_N * spec.tile_N
+    vecs = (
+        tile_vectors(d["tile_pixels"], key)
+        .where(F.size("tile_vec") == F.lit(in_dim))
+        .withColumn("_uid", uid)
+    )
     emb = batch_embed(
         vecs, in_dim=in_dim, out_dim=out_dim, seed=seed,
         vec_col="tile_vec", id_col="_uid",
@@ -795,10 +818,18 @@ def build_analytics_pipeline(
     )
     n_px = spec.tile_N * spec.tile_N
     # tile_N² is a power-of-two pixel count -> the mean of integer-valued
-    # doubles is DYADIC-exact (no rounding needed on either engine)
-    aux_mean = aux_tile_px.groupBy(*key).agg(
-        (F.sum("value") / F.lit(float(n_px))).alias("aux_mean")
-    ).withColumn("_uid", uid)
+    # doubles is DYADIC-exact (no rounding needed on either engine);
+    # partial tiles are excluded (same rule as the embed side above)
+    aux_mean = (
+        aux_tile_px.groupBy(*key)
+        .agg(
+            (F.sum("value") / F.lit(float(n_px))).alias("aux_mean"),
+            F.count("*").alias("_n_aux"),
+        )
+        .where(F.col("_n_aux") == F.lit(n_px))
+        .drop("_n_aux")
+        .withColumn("_uid", uid)
+    )
     # J6: embeddings ⋈ per-tile aux reduction — the aux side is one row
     # per tile (bounded aggregate); broadcast it (the Arrow-batched emb
     # plan is stats-opaque to Catalyst, which otherwise sort-merges)

@@ -391,3 +391,66 @@ def test_tile_regrid_nearest_matches_argmin(spark):
         yt = r["y_c"] - half + (r["q"] + 0.5) * 24.0
         assert r["si"] == int(np.abs(src - xt).argmin())
         assert r["sj"] == int(np.abs(src - yt).argmin())
+
+
+def test_attach_aux_product_undeclared_name_fails_fast(spark):
+    """Once a spec declares ANY aux_products, an undeclared non-sentinel
+    aux name is a typo and must raise (the reference's 'Please define'
+    contract), not silently take the legacy pass-through."""
+    import pytest as _pytest
+
+    spec = pipeline.DatasetSpec.from_dict(
+        {
+            "source": "tt",
+            "inputs": ["vis"],
+            "t_start": "2024-01-01T00:00:00",
+            "t_end": "2024-01-01T02:00:00",
+            "step": "1 hour",
+            "sampling": {"resolution": 24.0, "triplets": {"N_triplets": {"train": 2}}},
+            "domain": {"l_zonal": 2000.0, "l_meridional": 2000.0},
+            "aux_products": {"wind": {"source": "era5", "product": "sst"}},
+        }
+    )
+    aux = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1.0)], "t_aux string, v double"
+    ).withColumn("t_aux", F.col("t_aux").cast("timestamp"))
+    scenes = pipeline.build_scene_table(spark, spec.scene)
+    with _pytest.raises(ValueError, match="aux_products"):
+        pipeline.attach_aux_product(spark, spec, scenes, "typo_name", aux)
+
+
+def test_analytics_pipeline_excludes_partial_tiles(spark):
+    """A source raster that stops short of the domain clips some tiles;
+    the analytics chain must EXCLUDE those (the reference raises on them)
+    rather than crash the Arrow batch or skew the aux mean."""
+    spec = pipeline.DatasetSpec.from_dict(TILE_SPEC)
+    stats, _model = pipeline.build_analytics_pipeline(
+        spark, spec, src_dx=25.0, src_nx=40
+    )
+    rows = stats.collect()
+    d = pipeline.build_tile_data(spark, spec, src_dx=25.0, src_nx=40)
+    n_full = sum(1 for r in d["tile_data"].collect() if r["shape_ok"])
+    assert 0 < n_full < 12
+    assert sum(r["n"] for r in rows) == n_full * 4
+
+
+def test_build_rect_tile_data_non_square_domain(spark):
+    """A non-square rect domain sizes the synthetic raster per AXIS —
+    every tile slices a full tile_N x tile_N window."""
+    spec = pipeline.DatasetSpec.from_dict(
+        {
+            "source": "nsq",
+            "inputs": ["vis"],
+            "t_start": "2024-01-01T00:00:00",
+            "t_end": "2024-01-01T02:00:00",
+            "step": "1 hour",
+            "tiles_kind": "rect-slidingwindow",
+            "sampling": {"resolution": 20.0, "rect-slidingwindow": {"tile_N": 4}},
+            "domain": {"l_zonal": 320.0, "l_meridional": 640.0},
+        }
+    )
+    d = pipeline.build_tile_data(spark, spec)
+    rows = d["tile_data"].collect()
+    # 2 scenes x (4 x 8) tiles, all complete
+    assert len(rows) == 2 * 4 * 8
+    assert all(r["n_px"] == 16 and r["shape_ok"] for r in rows)
