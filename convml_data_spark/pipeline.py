@@ -925,6 +925,55 @@ def materialize(
     return True
 
 
+def compact_to_target_files(
+    spark: SparkSession,
+    path: str,
+    target_mb: float = 128.0,
+    fmt: str = "parquet",
+) -> int:
+    """Lake maintenance: rewrite a table directory so each output file is
+    ~``target_mb`` — the small-files compaction every incrementally-built
+    100 TB lake needs (each streaming/per-scene micro-batch leaves
+    file-per-task crumbs; scans then pay per-file open/footer cost and
+    lose row-group locality).
+
+    Sizing is from the ACTUAL on-disk bytes (not row counts — compression
+    ratios vary wildly across columns), the rewrite is
+    ``repartition(n)`` → a staging dir → an atomic-enough swap (staging
+    rename + old-dir cleanup; readers either see the complete old or the
+    complete new _SUCCESS-marked directory, never a mix). Returns the new
+    file count. Partitioned layouts should compact per partition
+    directory (call this on each leaf).
+    """
+    import shutil
+
+    total = 0
+    files = 0
+    for root, _dirs, names in os.walk(path):
+        for nm in names:
+            if nm.startswith(("_", ".")):
+                continue
+            total += os.path.getsize(os.path.join(root, nm))
+            files += 1
+    if files == 0:
+        return 0
+    n = max(1, int(total / (target_mb * 1024 * 1024) + 0.999))
+    df = spark.read.format(fmt).load(path)
+    staging = path.rstrip("/") + ".__compact__"
+    old = path.rstrip("/") + ".__old__"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    df.repartition(n).write.mode("overwrite").format(fmt).save(staging)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    # POSIX cannot atomically swap non-empty dirs — two renames, keeping
+    # the old copy until the new one is in place
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n
+
+
 def write_bucketed(
     df: DataFrame,
     name: str,

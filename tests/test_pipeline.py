@@ -454,3 +454,37 @@ def test_build_rect_tile_data_non_square_domain(spark):
     # 2 scenes x (4 x 8) tiles, all complete
     assert len(rows) == 2 * 4 * 8
     assert all(r["n_px"] == 16 and r["shape_ok"] for r in rows)
+
+
+def test_compact_to_target_files(spark, tmp_path):
+    """Compaction collapses a file-per-task crumb layout into ~target-size
+    files with identical data, atomically (no mixed state left behind)."""
+    path = str(tmp_path / "crumbs")
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    df.repartition(32).write.parquet(path)
+    import os as _os
+
+    files_before = [f for f in _os.listdir(path) if f.endswith(".parquet")]
+    assert len(files_before) >= 16
+    n = pipeline.compact_to_target_files(spark, path, target_mb=64.0)
+    assert n == 1  # tiny table -> one ~64 MB-target file
+    files_after = [f for f in _os.listdir(path) if f.endswith(".parquet")]
+    assert len(files_after) == 1
+    assert not _os.path.exists(path + ".__compact__")
+    assert not _os.path.exists(path + ".__old__")
+    got = spark.read.parquet(path)
+    assert got.count() == 10000
+    assert got.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+
+
+def test_materialize_orc_format(spark, tmp_path):
+    """S10 sinks cover ORC natively (fmt pass-through): write, _SUCCESS
+    incrementality, read-back parity."""
+    path = str(tmp_path / "orc_out")
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    assert pipeline.materialize(df, path, fmt="orc") is True
+    assert pipeline.materialize(df, path, fmt="orc") is False  # incremental
+    back = spark.read.orc(path)
+    assert back.count() == 100 and back.agg(F.sum("v")).collect()[0][0] == 9900
