@@ -390,11 +390,13 @@ def pack_token_chunks(
         if token_count_col
         else F.size(T.tokens(F.lower(F.col(text_col))))
     )
-    # NULL text ⇒ NULL token count; pack it as 0 tokens (the doc occupies
-    # no budget) — the window-SUM oracle skips NULLs, so an uncoalesced
-    # NULL here would poison the exclusive cumsum (number − NULL = NULL)
-    # and every downstream chunk id
-    n_tok = F.coalesce(n_tok.cast("long"), F.lit(0).cast("long"))
+    # NULL text ⇒ 0 tokens (the doc occupies no budget). greatest(·, 0)
+    # covers BOTH NULL-size regimes: size(NULL) is NULL when
+    # spark.sql.ansi.enabled is unset/true but -1 when a session sets it
+    # explicitly false (legacy.sizeOfNull) — greatest skips the NULL and
+    # floors the -1, so the guard is conf-independent; an unguarded value
+    # would poison the exclusive cumsum and every downstream chunk id
+    n_tok = F.greatest(n_tok.cast("long"), F.lit(0).cast("long"))
     base = _spread(docs, id_col).select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
@@ -543,7 +545,11 @@ def mixture_rates(
     )
     per = docs.groupBy(group_col).agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(T.tokens(F.lower(F.col(text_col))))).alias("n_tokens"),
+        # greatest(·, 0): size(NULL) is conf-dependent (NULL or -1, see
+        # pack_token_chunks) — either would corrupt the per-source sum
+        F.sum(
+            F.greatest(F.size(T.tokens(F.lower(F.col(text_col)))), F.lit(0))
+        ).alias("n_tokens"),
     )
     tf = F.coalesce(F.element_at(frac, F.col(group_col)), F.lit(0.0))
     # zero-token guard: budget·tf/0 is NULL (or a DIVIDE_BY_ZERO under

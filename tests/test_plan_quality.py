@@ -283,13 +283,21 @@ def test_representative_queries_survive_ansi_mode(spark):
         "spec_rect_embeddings", "spec_aux_derived", "g8_rgb_composite",
         "e7_json_map", "r1_split",
     ]
-    old = spark.conf.get("spark.sql.ansi.enabled", "false")
+    # restore by UNSET if it was unset: explicitly setting ansi false is
+    # NOT the same session state as leaving it unset (size(NULL) flips
+    # from NULL to -1 via legacy.sizeOfNull — a real cross-test leak this
+    # gate caught in round 6)
+    was_set = bool(spark.conf._jconf.contains("spark.sql.ansi.enabled"))
+    old = spark.conf.get("spark.sql.ansi.enabled") if was_set else None
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         for name in reps:
             assert QUERIES[name](spark, SF_DIR).count() >= 0, name
     finally:
-        spark.conf.set("spark.sql.ansi.enabled", old)
+        if was_set:
+            spark.conf.set("spark.sql.ansi.enabled", old)
+        else:
+            spark.conf.unset("spark.sql.ansi.enabled")
 
 
 def test_survey_coverage_map_keys_exist():
