@@ -28,8 +28,20 @@ EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokens (empty strings filtered)."""
-    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+    """Whitespace tokens (empty strings filtered); NULL text tokenizes to
+    the EMPTY array, not NULL.
+
+    The coalesce is the single choke point that makes every downstream
+    ``F.size``/ratio/guard conf-independent: ``size(NULL)`` is NULL under
+    default/ANSI sessions but **-1** when a session sets
+    ``spark.sql.ansi.enabled`` explicitly false (legacy.sizeOfNull), so a
+    NULL-propagating tokenizer would give NULL-text docs session-dependent
+    metrics. An empty doc and a NULL doc tokenize identically — the
+    semantics every consumer here already assumed."""
+    return F.coalesce(
+        F.filter(F.split(text, r"\s+"), lambda t: t != F.lit("")),
+        F.array().cast("array<string>"),
+    )
 
 
 def token_count(text: Column) -> Column:
