@@ -1984,6 +1984,32 @@ def q_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(sdf)
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 stream-static enrichment: the event stream joins a broadcast
+    static dimension per micro-batch (streaming J9), then watermarked
+    windowed counts — drained AvailableNow, so it oracle-checks against
+    the batch GROUP BY with the dimension inlined as a CASE mapping."""
+    from convml_data_spark import streaming
+
+    _prep(spark)
+    _, stream = streaming.stream_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [(et, i) for i, et in enumerate(EVENT_TYPES)],
+        "event_type string, priority int",
+    )
+    enriched = streaming.stream_static_join(stream, dim, "event_type")
+    sdf = streaming.stream_windowed_counts(
+        spark, sf_dir, None, group_cols=("event_type", "priority"), source=enriched
+    )
+    out = streaming.run_available_now(sdf)
+    return out.select(
+        "window_start",
+        "event_type",
+        F.col("priority").cast("bigint").alias("priority"),
+        "n",
+    )
+
+
 # ---------------------------------------------------------------- more LLM ops
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2206,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spec_regridded_scenes": q_spec_regridded_scenes,
         "spec_analytics_pipeline": q_spec_analytics_pipeline,
         "spec_rect_embeddings": q_spec_rect_embeddings,
+        "stream_static_join": q_stream_static_join,
         # --- operator code changed in round 5; re-certify ---
         "j2_asof_single": q_j2_asof_single,
         "j3_asof_all_within": q_j3_asof_all_within,
@@ -2237,7 +2264,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_solar_zenith": q_f3_solar_zenith,
         "f5_regex_filter": q_f5_regex_filter,
         "f7_percentile_filter": q_f7_percentile_filter,
-        "f9_lon_wrap": q_f9_lon_wrap,
         "f11_nonempty": q_f11_nonempty,
         "j5_semi_join": q_j5_semi_join,
         "j7_positional_coords": q_j7_positional_coords,
@@ -2253,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r1_split": q_r1_split,
         # ---------------- position 51+: rotated out this round ----------
         # displaced r4-certified (lead the r7 window)
+        "f9_lon_wrap": q_f9_lon_wrap,
         "g4_crop_pad": q_g4_crop_pad,
         "a1_pricing_summary": q_a1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
@@ -3036,6 +3063,15 @@ def oracle_sql() -> dict[str, str]:
         "a8_daily_counts": """
             SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "stream_static_join": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+                   event_type,
+                   CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                        WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                        ELSE 4 END AS priority,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2, 3
         """,
         "a10_column_integral": """
             WITH d AS (

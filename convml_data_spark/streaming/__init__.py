@@ -5,6 +5,7 @@ from .scene_stream import (
     drain_to_parquet,
     run_available_now,
     stream_sessionize,
+    stream_static_join,
     stream_table,
     stream_windowed_counts,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "drain_to_parquet",
     "run_available_now",
     "stream_sessionize",
+    "stream_static_join",
     "stream_table",
     "stream_windowed_counts",
 ]

@@ -267,3 +267,16 @@ def stream_sessionize(
         )
         .drop("_w")
     )
+
+
+def stream_static_join(
+    stream: DataFrame, dim: DataFrame, on, broadcast: bool = True
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins the static
+    dimension (config/lookup relation — the streaming analog of the J9
+    broadcast pattern). Spark re-plans the static side per micro-batch, so
+    a broadcast keeps each batch shuffle-free on the stream side; the
+    static relation must be small (it ships to executors every batch).
+    Stateless — no watermark interaction, composes freely with downstream
+    windowed aggregation."""
+    return stream.join(F.broadcast(dim) if broadcast else dim, on)

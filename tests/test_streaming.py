@@ -194,3 +194,38 @@ def test_stream_table_handles_file_and_directory_layouts(spark, tmp_path):
         )
         assert out.first()["count"] == n
         assert dict(batch.dtypes)["ts"] == "timestamp"
+
+
+def test_stream_static_join_enriches_every_batch(spark, tmp_path):
+    """Stream-static join: the broadcast dimension enriches the stream per
+    micro-batch; drained counts match the batch join exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from convml_data_spark import streaming
+
+    path = str(tmp_path / "stream_src")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", f"2024-01-0{1 + i % 3} 06:00:00") for i in range(30)],
+        "id long, k string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    dim = spark.createDataFrame([("a", 10), ("b", 20)], "k string, wt int")
+    enriched = streaming.stream_static_join(stream, dim, "k")
+    sdf = streaming.stream_windowed_counts(
+        spark, path, None, group_cols=("k", "wt"), source=enriched
+    )
+    rows = streaming.run_available_now(sdf).collect()
+    out = {(r["window_start"], r["k"], r["wt"]): r["n"] for r in rows}
+    batch = {
+        (r["d"], r["k"], r["wt"]): r["n"]
+        for r in df.join(dim, "k")
+        .groupBy(F.date_trunc("day", "ts").alias("d"), "k", "wt")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert out == batch
+    assert sum(out.values()) == 30
+    assert {(k, w) for (_, k, w) in out} == {("a", 10), ("b", 20)}
