@@ -3067,9 +3067,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_static_join": """
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
                    event_type,
-                   CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                   CAST(CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
                         WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
-                        ELSE 4 END AS priority,
+                        ELSE 4 END AS BIGINT) AS priority,
                    count(*) AS n
             FROM events GROUP BY 1, 2, 3
         """,
