@@ -2010,6 +2010,37 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 stream-stream inner join (click→purchase attribution): both
+    event streams watermarked, joined per user with the purchase inside
+    [0, 1 h] after the click — the time-range bound is what keeps the
+    join STATE bounded. AvailableNow drain ≡ the batch join, so the
+    oracle is plain SQL."""
+    from convml_data_spark import streaming
+
+    _prep(spark)
+    _, s1 = streaming.stream_table(spark, sf_dir, "events")
+    _, s2 = streaming.stream_table(spark, sf_dir, "events")
+    clicks = s1.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purch = s2.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = streaming.stream_stream_interval_join(
+        clicks, purch, [("c_user", "p_user")], "c_ts", "p_ts",
+        lower_s=0, upper_s=3600,
+    )
+    out = streaming.run_available_now(joined, output_mode="append")
+    return out.select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id", "c_ts", "p_ts"
+    )
+
+
 # ---------------------------------------------------------------- more LLM ops
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2233,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spec_analytics_pipeline": q_spec_analytics_pipeline,
         "spec_rect_embeddings": q_spec_rect_embeddings,
         "stream_static_join": q_stream_static_join,
+        "stream_stream_join": q_stream_stream_join,
         # --- operator code changed in round 5; re-certify ---
         "j2_asof_single": q_j2_asof_single,
         "j3_asof_all_within": q_j3_asof_all_within,
@@ -2263,7 +2295,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_datetime_components": q_f2_datetime_components,
         "f3_solar_zenith": q_f3_solar_zenith,
         "f5_regex_filter": q_f5_regex_filter,
-        "f7_percentile_filter": q_f7_percentile_filter,
         "f11_nonempty": q_f11_nonempty,
         "j5_semi_join": q_j5_semi_join,
         "j7_positional_coords": q_j7_positional_coords,
@@ -2279,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r1_split": q_r1_split,
         # ---------------- position 51+: rotated out this round ----------
         # displaced r4-certified (lead the r7 window)
+        "f7_percentile_filter": q_f7_percentile_filter,
         "f9_lon_wrap": q_f9_lon_wrap,
         "g4_crop_pad": q_g4_crop_pad,
         "a1_pricing_summary": q_a1_pricing_summary,
@@ -3063,6 +3095,14 @@ def oracle_sql() -> dict[str, str]:
         "a8_daily_counts": """
             SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "stream_stream_join": """
+            SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+                   c.ts AS c_ts, p.ts AS p_ts
+            FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+            JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         """,
         "stream_static_join": """
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,

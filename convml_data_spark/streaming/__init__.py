@@ -6,6 +6,7 @@ from .scene_stream import (
     run_available_now,
     stream_sessionize,
     stream_static_join,
+    stream_stream_interval_join,
     stream_table,
     stream_windowed_counts,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "run_available_now",
     "stream_sessionize",
     "stream_static_join",
+    "stream_stream_interval_join",
     "stream_table",
     "stream_windowed_counts",
 ]

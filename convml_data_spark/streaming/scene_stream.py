@@ -280,3 +280,47 @@ def stream_static_join(
     Stateless — no watermark interaction, composes freely with downstream
     windowed aggregation."""
     return stream.join(F.broadcast(dim) if broadcast else dim, on)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_pairs: list[tuple[str, str]],
+    left_time: str,
+    right_time: str,
+    lower_s: float = 0.0,
+    upper_s: float = 3600.0,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join with a time-range condition —
+    the event-correlation pattern (click→purchase attribution, sensor
+    pairing) Structured Streaming runs with BOUNDED state: the watermark
+    plus the time-range bound lets Spark evict buffered rows once the
+    other side can no longer match them (without the range condition the
+    join state grows forever).
+
+    ``key_pairs`` are (left_col, right_col) equi-key pairs; time columns
+    and non-key columns must be distinctly named across the two sides.
+    Under Trigger.AvailableNow the drained result equals the batch inner
+    join with the same predicate — which is how the oracle certifies it.
+    """
+    import functools
+    import operator
+
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    cond = functools.reduce(
+        operator.and_, [lw[lk] == rw[rk] for lk, rk in key_pairs]
+    )
+    cond = (
+        cond
+        & (
+            rw[right_time]
+            >= lw[left_time] + F.expr(f"INTERVAL {int(lower_s)} SECOND")
+        )
+        & (
+            rw[right_time]
+            <= lw[left_time] + F.expr(f"INTERVAL {int(upper_s)} SECOND")
+        )
+    )
+    return lw.join(rw, cond, "inner")

@@ -229,3 +229,47 @@ def test_stream_static_join_enriches_every_batch(spark, tmp_path):
     assert out == batch
     assert sum(out.values()) == 30
     assert {(k, w) for (_, k, w) in out} == {("a", 10), ("b", 20)}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream inner join with a time bound: the
+    AvailableNow drain equals the batch interval join exactly."""
+    from pyspark.sql import functions as F
+
+    from convml_data_spark import streaming
+
+    path = str(tmp_path / "ss_src")
+    rows = []
+    for u in range(3):
+        for h in range(6):
+            rows.append((u * 100 + h, u, "L", f"2024-01-01 {h:02d}:00:00"))
+            rows.append((u * 1000 + h, u, "R", f"2024-01-01 {h:02d}:30:00"))
+    df = spark.createDataFrame(rows, "id long, u long, side string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.coalesce(1).write.parquet(path)
+    stream = lambda: spark.readStream.schema(df.schema).parquet(path)
+    left = stream().where(F.col("side") == "L").select(
+        F.col("u").alias("lu"), F.col("id").alias("lid"), F.col("ts").alias("lts")
+    )
+    right = stream().where(F.col("side") == "R").select(
+        F.col("u").alias("ru"), F.col("id").alias("rid"), F.col("ts").alias("rts")
+    )
+    joined = streaming.stream_stream_interval_join(
+        left, right, [("lu", "ru")], "lts", "rts", lower_s=0, upper_s=5400
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in streaming.run_available_now(joined, output_mode="append").collect()
+    }
+    batch = df.where(F.col("side") == "L").alias("l").join(
+        df.where(F.col("side") == "R").alias("r"),
+        (F.col("l.u") == F.col("r.u"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 5400 SECOND")),
+    )
+    expect = {
+        (r[0], r[1])
+        for r in batch.select(F.col("l.id"), F.col("r.id")).collect()
+    }
+    assert got == expect and len(got) == 3 * (6 + 5)
