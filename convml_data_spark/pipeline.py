@@ -765,6 +765,7 @@ def build_analytics_pipeline(
     src_dx: float | None = None,
     src_nx: int | None = None,
     seed: int = 42,
+    checkpoint: bool = True,
 ):
     """The §3.3 analytics path as ONE composed lazy program (reference
     ``AggregatedDatasetScenesAuxFieldWithEmbeddings``,
@@ -839,8 +840,11 @@ def build_analytics_pipeline(
     # the whole scenes→tiles→raster→Arrow-inference chain per action. This
     # is the same working set the reference materializes as its per-scene
     # netCDF product — one row per (tile, emb, aux), bounded by the tile
-    # count, far below the raster it derives from.
-    joined = joined.localCheckpoint(eager=False)
+    # count, far below the raster it derives from. ``checkpoint=False``
+    # keeps the full upstream plan visible (plan-quality gates inspect
+    # the raster joins, which a checkpoint node hides).
+    if checkpoint:
+        joined = joined.localCheckpoint(eager=False)
     # X4: PCA over the embedding matrix (fit inside the same program)
     pca_in = joined.select("_uid", F.col("emb_out").alias("embedding"))
     _pca_out, model = pca_transform(pca_in, k=pca_k, id_col="_uid", out_col="pca")
