@@ -1992,7 +1992,9 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from convml_data_spark import streaming
 
     _prep(spark)
-    _, stream = streaming.stream_table(spark, sf_dir, "events")
+    # single-batch pin for the same reason as stream_stream_join: the
+    # watermarked agg's batch-equivalence assumes one AvailableNow drain
+    _, stream = streaming.stream_table(spark, sf_dir, "events", single_batch=True)
     dim = spark.createDataFrame(
         [(et, i) for i, et in enumerate(EVENT_TYPES)],
         "event_type string, priority int",
@@ -2019,8 +2021,12 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from convml_data_spark import streaming
 
     _prep(spark)
-    _, s1 = streaming.stream_table(spark, sf_dir, "events")
-    _, s2 = streaming.stream_table(spark, sf_dir, "events")
+    # single-batch pin: a multi-file layout with event times unordered
+    # across files would otherwise let the watermark evict join state
+    # BETWEEN micro-batches over the 30-day event span (the
+    # stream_seen_filter lesson) — batch-equivalence needs one drain
+    _, s1 = streaming.stream_table(spark, sf_dir, "events", single_batch=True)
+    _, s2 = streaming.stream_table(spark, sf_dir, "events", single_batch=True)
     clicks = s1.where(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),

@@ -390,12 +390,10 @@ def pack_token_chunks(
         if token_count_col
         else F.size(T.tokens(F.lower(F.col(text_col))))
     )
-    # NULL text ⇒ 0 tokens (the doc occupies no budget). greatest(·, 0)
-    # covers BOTH NULL-size regimes: size(NULL) is NULL when
-    # spark.sql.ansi.enabled is unset/true but -1 when a session sets it
-    # explicitly false (legacy.sizeOfNull) — greatest skips the NULL and
-    # floors the -1, so the guard is conf-independent; an unguarded value
-    # would poison the exclusive cumsum and every downstream chunk id
+    # The text path is NULL-safe at the tokenizer choke point (T.tokens
+    # coalesces NULL text to []); this guard is for the USER-SUPPLIED
+    # token_count_col branch, where a NULL or negative count would poison
+    # the exclusive cumsum and every downstream chunk id
     n_tok = F.greatest(n_tok.cast("long"), F.lit(0).cast("long"))
     base = _spread(docs, id_col).select(
         F.col(id_col),
@@ -545,11 +543,9 @@ def mixture_rates(
     )
     per = docs.groupBy(group_col).agg(
         F.count("*").alias("n_docs"),
-        # greatest(·, 0): size(NULL) is conf-dependent (NULL or -1, see
-        # pack_token_chunks) — either would corrupt the per-source sum
-        F.sum(
-            F.greatest(F.size(T.tokens(F.lower(F.col(text_col)))), F.lit(0))
-        ).alias("n_tokens"),
+        # NULL-safety lives in T.tokens (NULL text -> []), so size is
+        # always a plain non-negative count here
+        F.sum(F.size(T.tokens(F.lower(F.col(text_col))))).alias("n_tokens"),
     )
     tf = F.coalesce(F.element_at(frac, F.col(group_col)), F.lit(0.0))
     # zero-token guard: budget·tf/0 is NULL (or a DIVIDE_BY_ZERO under
@@ -612,10 +608,9 @@ def sliding_token_windows(
         raise ValueError("size and stride must be positive")
     from .dedup import _spread
 
-    toks = F.coalesce(
-        T.tokens(F.lower(F.col(text_col))), F.array().cast("array<string>")
-    )
-    # NULL text ⇒ empty token array (one empty window), not NULL plumbing
+    # NULL text tokenizes to [] at the T.tokens choke point -> one empty
+    # window per NULL doc, no NULL plumbing
+    toks = T.tokens(F.lower(F.col(text_col)))
     base = _spread(docs, id_col).select(
         F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
     )

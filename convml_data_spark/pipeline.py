@@ -942,18 +942,29 @@ def compact_to_target_files(
     lose row-group locality).
 
     Sizing is from the ACTUAL on-disk bytes (not row counts — compression
-    ratios vary wildly across columns), the rewrite is
-    ``repartition(n)`` → a staging dir → an atomic-enough swap (staging
-    rename + old-dir cleanup; readers either see the complete old or the
-    complete new _SUCCESS-marked directory, never a mix). Returns the new
-    file count. Partitioned layouts should compact per partition
-    directory (call this on each leaf).
+    ratios vary wildly across columns); the rewrite is ``repartition(n)``
+    → a staging dir → a two-rename swap. The swap is NOT atomic (POSIX
+    cannot atomically replace a non-empty directory): a concurrent reader
+    can hit a brief not-found window between the renames, and a crash
+    there leaves the data parked at ``<path>.__old__`` for manual
+    recovery — run compaction in a maintenance window, as every
+    file-listing-based lake rewrite must. Hive-partitioned roots are
+    REJECTED (one flat rewrite would silently drop the partition layout
+    and all downstream pruning — compact each leaf directory instead).
+    Returns the actual post-rewrite file count.
     """
     import shutil
 
     total = 0
     files = 0
-    for root, _dirs, names in os.walk(path):
+    for root, dirs, names in os.walk(path):
+        for d in dirs:
+            if "=" in d:
+                raise ValueError(
+                    f"{path!r} is Hive-partitioned ({d!r}); compact each "
+                    "leaf partition directory instead — a flat rewrite "
+                    "would drop the partition layout and its pruning"
+                )
         for nm in names:
             if nm.startswith(("_", ".")):
                 continue
@@ -970,12 +981,13 @@ def compact_to_target_files(
     df.repartition(n).write.mode("overwrite").format(fmt).save(staging)
     if os.path.exists(old):
         shutil.rmtree(old)
-    # POSIX cannot atomically swap non-empty dirs — two renames, keeping
-    # the old copy until the new one is in place
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old, ignore_errors=True)
-    return n
+    # empty repartition slots write no file — report what actually landed
+    return sum(
+        1 for nm in os.listdir(path) if not nm.startswith(("_", "."))
+    )
 
 
 def write_bucketed(

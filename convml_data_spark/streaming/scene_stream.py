@@ -312,15 +312,13 @@ def stream_stream_interval_join(
     cond = functools.reduce(
         operator.and_, [lw[lk] == rw[rk] for lk, rk in key_pairs]
     )
+    # microsecond-granular intervals: int(lower_s) would silently truncate
+    # fractional-second bounds (0.5 s -> 0) into a different predicate
+    lo_us = int(round(float(lower_s) * 1_000_000))
+    hi_us = int(round(float(upper_s) * 1_000_000))
     cond = (
         cond
-        & (
-            rw[right_time]
-            >= lw[left_time] + F.expr(f"INTERVAL {int(lower_s)} SECOND")
-        )
-        & (
-            rw[right_time]
-            <= lw[left_time] + F.expr(f"INTERVAL {int(upper_s)} SECOND")
-        )
+        & (rw[right_time] >= lw[left_time] + F.expr(f"INTERVAL {lo_us} MICROSECOND"))
+        & (rw[right_time] <= lw[left_time] + F.expr(f"INTERVAL {hi_us} MICROSECOND"))
     )
     return lw.join(rw, cond, "inner")

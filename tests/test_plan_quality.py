@@ -287,7 +287,8 @@ def test_representative_queries_survive_ansi_mode(spark):
     # NOT the same session state as leaving it unset (size(NULL) flips
     # from NULL to -1 via legacy.sizeOfNull — a real cross-test leak this
     # gate caught in round 6)
-    was_set = bool(spark.conf._jconf.contains("spark.sql.ansi.enabled"))
+    jconf = getattr(spark.conf, "_jconf", None)  # absent under Spark Connect
+    was_set = True if jconf is None else bool(jconf.contains("spark.sql.ansi.enabled"))
     old = spark.conf.get("spark.sql.ansi.enabled") if was_set else None
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
