@@ -1976,8 +1976,11 @@ def q_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     # stream_table normalizes every physical timestamp era (ns-as-long,
-    # MICROS-NTZ, instants) and both file-vs-directory layouts
-    _, stream = streaming.stream_table(spark, sf_dir, "events")
+    # MICROS-NTZ, instants) and both file-vs-directory layouts;
+    # single-batch pin: a multi-file layout unordered across files would
+    # let the watermark drop late windows between micro-batches, breaking
+    # the batch-equivalence the oracle certifies
+    _, stream = streaming.stream_table(spark, sf_dir, "events", single_batch=True)
     sdf = streaming.stream_windowed_counts(
         spark, sf_dir, None, group_cols=("event_type",), source=stream
     )
