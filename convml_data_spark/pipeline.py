@@ -990,6 +990,38 @@ def compact_to_target_files(
     )
 
 
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    target_mb: float = 128.0,
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """Compact a Hive-partitioned table LEAF BY LEAF (the layout-safe
+    complement of :func:`compact_to_target_files`, which rejects
+    partitioned roots): walks the ``k=v`` directory tree, compacts each
+    leaf independently — partition pruning is untouched because the
+    directory structure never changes — and returns
+    ``{leaf_relpath: new_file_count}``. Stale ``.__compact__``/
+    ``.__old__`` staging leftovers from a crashed earlier run are cleaned
+    as encountered (the data-bearing dir always wins)."""
+    import shutil
+
+    out: dict[str, int] = {}
+    for root, dirs, names in os.walk(path):
+        for d in list(dirs):
+            if d.endswith((".__compact__", ".__old__")):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                dirs.remove(d)
+        has_parts = any("=" in d for d in dirs)
+        data_files = [n for n in names if not n.startswith(("_", "."))]
+        if has_parts or not data_files:
+            continue
+        out[os.path.relpath(root, path)] = compact_to_target_files(
+            spark, root, target_mb=target_mb, fmt=fmt
+        )
+    return out
+
+
 def write_bucketed(
     df: DataFrame,
     name: str,

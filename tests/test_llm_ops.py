@@ -446,3 +446,59 @@ def test_dbscan_planted_clusters(spark):
         assert out[10 + k - 10][0] == 10
     assert out[20] == (0, False)   # border -> cluster of min core neighbor
     assert out[30] == (None, False)  # noise
+
+
+def test_dbscan_invariants_random_points(spark):
+    """Brute-force invariant check on md5-deterministic random point sets:
+    core iff >= min_pts neighbors (self included) within eps; every
+    border point's label is one of its core neighbors' labels; noise has
+    no core neighbor; every label is the minimum id of an eps-connected
+    core component."""
+    import hashlib
+
+    import numpy as np
+
+    from convml_data_spark.operators.clustering import dbscan_labels
+
+    def u(seed, i):
+        return int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:13], 16) / 2**52
+
+    n, eps, min_pts = 120, 0.13, 4
+    xs = np.array([u("x", i) for i in range(n)])
+    ys = np.array([u("y", i) for i in range(n)])
+    pts = spark.createDataFrame(
+        [(i, float(xs[i]), float(ys[i])) for i in range(n)], "id long, x double, y double"
+    )
+    got = {r["id"]: (r["label"], r["is_core"]) for r in
+           dbscan_labels(pts, eps, min_pts).collect()}
+    d2 = (xs[:, None] - xs[None, :]) ** 2 + (ys[:, None] - ys[None, :]) ** 2
+    nbr = d2 <= eps * eps  # includes self
+    core = nbr.sum(axis=1) >= min_pts
+    # exact core set
+    assert {i for i in range(n) if got[i][1]} == {i for i in range(n) if core[i]}
+    # components over core-core edges (numpy BFS)
+    label = {}
+    for s in range(n):
+        if not core[s] or s in label:
+            continue
+        comp, stack = [], [s]
+        seen = {s}
+        while stack:
+            c = stack.pop()
+            comp.append(c)
+            for t in np.nonzero(nbr[c] & core)[0]:
+                if t not in seen:
+                    seen.add(t)
+                    stack.append(int(t))
+        m = min(comp)
+        for c in comp:
+            label[c] = m
+    for i in range(n):
+        if core[i]:
+            assert got[i][0] == label[i], i
+        else:
+            core_nbrs = [j for j in np.nonzero(nbr[i])[0] if core[j] and j != i]
+            if core_nbrs:
+                assert got[i][0] in {label[j] for j in core_nbrs}, i
+            else:
+                assert got[i][0] is None, i

@@ -488,3 +488,30 @@ def test_materialize_orc_format(spark, tmp_path):
     assert pipeline.materialize(df, path, fmt="orc") is False  # incremental
     back = spark.read.orc(path)
     assert back.count() == 100 and back.agg(F.sum("v")).collect()[0][0] == 9900
+
+
+def test_compact_partitioned_preserves_layout(spark, tmp_path):
+    """Leaf-by-leaf compaction of a Hive-partitioned table: partition
+    directories (and therefore pruning) survive, crumb files collapse,
+    data is identical; the root-level API refuses the same input."""
+    import os as _os
+
+    import pytest as _pytest
+
+    path = str(tmp_path / "ptab")
+    df = spark.range(4000).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("p"), (F.col("id") * 2).alias("v")
+    )
+    df.repartition(16).write.partitionBy("p").parquet(path)
+    with _pytest.raises(ValueError, match="partitioned"):
+        pipeline.compact_to_target_files(spark, path)
+    res = pipeline.compact_partitioned(spark, path, target_mb=64.0)
+    assert set(res) == {"p=0", "p=1", "p=2"}
+    assert all(n == 1 for n in res.values())
+    for leaf in res:
+        files = [f for f in _os.listdir(_os.path.join(path, leaf)) if f.endswith(".parquet")]
+        assert len(files) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 4000
+    assert back.where(F.col("p") == 1).agg(F.sum("v")).collect()[0][0] == \
+        df.where(F.col("p") == 1).agg(F.sum("v")).collect()[0][0]
