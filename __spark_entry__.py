@@ -1547,12 +1547,15 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.13 built-in streaming dedup: dropDuplicatesWithinWatermark keeps
     one row per user_id with state expiring at the watermark horizon —
     WHICH row survives depends on micro-batch arrival order, so the
-    certified contract is the surviving KEY SET (≡ SELECT DISTINCT), the
-    part that is deterministic under any batch split."""
+    certified contract is the surviving KEY SET (≡ SELECT DISTINCT).
+    Single-batch pin like every batch-equivalence stream key: under a
+    multi-batch split a key whose only events arrive late (behind an
+    already-advanced watermark) would be dropped ENTIRELY, so even the
+    key set is only batch-split-invariant within one drain."""
     from convml_data_spark import streaming
 
     _prep(spark)
-    _, stream = streaming.stream_table(spark, sf_dir, "events")
+    _, stream = streaming.stream_table(spark, sf_dir, "events", single_batch=True)
     deduped = (
         stream.withWatermark("ts", "2 days")
         .dropDuplicatesWithinWatermark(["user_id"])

@@ -397,39 +397,16 @@ def lsh_neardup_pairs(
     (1−acos(s)/π)^n_planes), so candidates concentrate on true near-dups.
     Approximate-recall — property-tested, not oracle-checked.
     """
-    # per-ROW norms before the self-join: scoring a pair then costs one
-    # dot fold instead of three (the pairwise cosine re-folds both
-    # 64-element norm arrays per PAIR — same trap blocked_cosine_pairs
-    # already avoids). dot/(na*nb) is the identical expression tree, so
-    # scores are bit-for-bit unchanged.
+    # the bucket IS the block: delegate to blocked_cosine_pairs, which
+    # already hoists per-row norms before the self-join (one dot fold per
+    # pair instead of three) and re-spreads off the file layout — the
+    # same expression tree, so scores are bit-for-bit unchanged
     sigs = hyperplane_signatures(
         embeddings, n_planes=n_planes, dim=dim, seed=seed, vec_col=vec_col, id_col=id_col
-    ).withColumn("_nrm", l2_norm(F.col(vec_col)))
-    a = sigs.select(
-        F.col("bucket"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        F.col("_nrm").alias("_na"),
     )
-    b = sigs.select(
-        F.col("bucket"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("_nrm").alias("_nb"),
-    )
-    return (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "score",
-            F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 6
-            ),
-        )
-        .where(F.col("score") >= threshold)
-        .select("id_a", "id_b", "score")
-        .distinct()
-    )
+    return blocked_cosine_pairs(
+        sigs, threshold, block_col="bucket", vec_col=vec_col, id_col=id_col
+    ).distinct()
 
 
 def lsh_bucketed_topk(

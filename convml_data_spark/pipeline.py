@@ -1008,13 +1008,29 @@ def compact_partitioned(
 
     out: dict[str, int] = {}
     for root, dirs, names in os.walk(path):
-        for d in list(dirs):
-            if d.endswith((".__compact__", ".__old__")):
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        # crash recovery BEFORE any deletion: a run that died between the
+        # two swap renames leaves the data parked at <leaf>.__old__ with
+        # the <leaf> dir itself MISSING — restore it first ('.__old__' is
+        # the authoritative complete copy); only then are suffix dirs
+        # whose data dir exists truly stale and safe to sweep
+        for d in sorted(list(dirs), key=lambda x: not x.endswith(".__old__")):
+            full = os.path.join(root, d)
+            if d.endswith(".__old__"):
+                base = os.path.join(root, d[: -len(".__old__")])
+                if not os.path.exists(base):
+                    os.rename(full, base)
+                    dirs.remove(d)
+                    dirs.append(os.path.basename(base))
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
                 dirs.remove(d)
-        has_parts = any("=" in d for d in dirs)
+            elif d.endswith(".__compact__"):
+                shutil.rmtree(full, ignore_errors=True)
+                dirs.remove(d)
         data_files = [n for n in names if not n.startswith(("_", "."))]
-        if has_parts or not data_files:
+        # only compact TRUE leaves: any remaining subdirectory (Hive k=v
+        # or plain nested data) means a flat rewrite would destroy it
+        if dirs or not data_files:
             continue
         out[os.path.relpath(root, path)] = compact_to_target_files(
             spark, root, target_mb=target_mb, fmt=fmt

@@ -515,3 +515,34 @@ def test_compact_partitioned_preserves_layout(spark, tmp_path):
     assert back.count() == 4000
     assert back.where(F.col("p") == 1).agg(F.sum("v")).collect()[0][0] == \
         df.where(F.col("p") == 1).agg(F.sum("v")).collect()[0][0]
+
+
+def test_compact_partitioned_recovers_crashed_swap(spark, tmp_path):
+    """A leaf parked at <leaf>.__old__ after a mid-swap crash (data dir
+    missing) is RESTORED, not swept; stale suffix dirs whose data dir
+    exists are swept; a leaf with a plain nested subdir is skipped."""
+    import os as _os
+    import shutil as _shutil
+
+    path = str(tmp_path / "ptab2")
+    df = spark.range(900).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("p"), (F.col("id") * 3).alias("v")
+    )
+    df.repartition(4).write.partitionBy("p").parquet(path)
+    # simulate the crash window on p=1: data dir renamed away, old copy parked
+    _os.rename(_os.path.join(path, "p=1"), _os.path.join(path, "p=1.__old__"))
+    # stale leftovers next to a HEALTHY p=2
+    _os.makedirs(_os.path.join(path, "p=2.__compact__"))
+    _shutil.copytree(_os.path.join(path, "p=2"), _os.path.join(path, "p=2.__old__"))
+    # plain nested subdir under p=0 -> the PARENT must not be flattened;
+    # the nested dir compacts as its own leaf
+    nested = _os.path.join(path, "p=0", "extra")
+    spark.range(10).coalesce(1).write.parquet(nested)
+    res = pipeline.compact_partitioned(spark, path, target_mb=64.0)
+    assert "p=1" in res and "p=2" in res and "p=0" not in res
+    assert _os.path.join("p=0", "extra") in res
+    assert spark.read.parquet(nested).count() == 10
+    assert not _os.path.exists(_os.path.join(path, "p=2.__old__"))
+    assert not _os.path.exists(_os.path.join(path, "p=2.__compact__"))
+    back = spark.read.parquet(path)
+    assert back.where(F.col("p") == 1).count() == 300  # recovered, not lost
