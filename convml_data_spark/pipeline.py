@@ -201,6 +201,63 @@ class DatasetSpec:
         with open(path) as fh:
             return cls.from_dict(yaml.safe_load(fh))
 
+    def to_dict(self) -> dict:
+        """Serialize back to the meta.yaml dialect ``from_dict`` accepts —
+        the reference's specs are FILES (DataSource.save writes meta.yaml)
+        and a round-trippable spec is what makes pipeline runs
+        reproducible from the artifact alone."""
+        d: dict = {
+            "source": self.scene.source,
+            "inputs": list(self.scene.inputs),
+            "t_start": self.scene.t_start.isoformat(),
+            "t_end": self.scene.t_end.isoformat(),
+            "step": self.scene.step,
+            "tiles_kind": self.tiles_kind,
+            "seed": self.seed,
+            "sampling": {
+                "resolution": self.resolution,
+                "triplets": {
+                    "N_triplets": dict(self.n_triplets),
+                    "tile_N": self.tile_N,
+                    "neighbor_distance_scaling": self.neighbor_distance_scaling,
+                },
+            },
+            "domain": {
+                "l_zonal": self.x_range[1] - self.x_range[0],
+                "l_meridional": self.y_range[1] - self.y_range[0],
+            },
+        }
+        if self.scene.time_bucket:
+            d["time_bucket"] = self.scene.time_bucket
+        if self.scene.path_formats:
+            d["path_formats"] = dict(self.scene.path_formats)
+        if self.scene.offsets:
+            d["offsets"] = dict(self.scene.offsets)
+        if self.scene.exclude_times:
+            d["exclude_times"] = {
+                k: [t.isoformat() for t in v]
+                for k, v in self.scene.exclude_times.items()
+            }
+        if self.scene.time_intervals:
+            d["time_intervals"] = [
+                [a.isoformat(), b.isoformat()] for a, b in self.scene.time_intervals
+            ]
+        if self.scene.component_filters:
+            d["component_filters"] = {
+                k: list(v) for k, v in self.scene.component_filters.items()
+            }
+        if self.scene.solar_zenith:
+            d["solar_zenith"] = dict(self.scene.solar_zenith)
+        if self.aux_products:
+            d["aux_products"] = dict(self.aux_products)
+        return d
+
+    def to_yaml(self, path: str) -> None:
+        import yaml
+
+        with open(path, "w") as fh:
+            yaml.safe_dump(self.to_dict(), fh, sort_keys=False)
+
 
 def build_triplet_dataset(
     spark: SparkSession,
@@ -515,6 +572,7 @@ def build_tile_data(
     src_dx: float | None = None,
     src_nx: int | None = None,
     pixels: DataFrame | None = None,
+    domain_center: tuple[float, float] | None = None,
 ) -> dict[str, DataFrame]:
     """``GenerateTiles`` with DATA (reference ``SceneTilesData.run``,
     pipeline/tiles.py:232-297): the §3.1+§3.2 lifecycle of
@@ -570,12 +628,26 @@ def build_tile_data(
         if "x_c" not in tiles.columns:
             # trajectory tiles carry (central_latitude, central_longitude);
             # the G3 regrid needs PLANAR centers — project them onto the
-            # domain plane first (grids.local_tangent_xy around the domain
-            # center) and alias to (x_c, y_c)
-            raise NotImplementedError(
-                "tile data needs planar tile centers (x_c, y_c); project "
-                "trajectory (central_latitude, central_longitude) with "
-                "grids.local_tangent_xy and rename before calling"
+            # local tangent plane around the domain center (G7, the same
+            # projection the reference's LocalCartesianSquareTileDomain
+            # implies), offset so the domain origin is x_range[0]
+            if domain_center is None:
+                raise NotImplementedError(
+                    "trajectory tile data needs a (lat0, lon0) domain_center "
+                    "to project (central_latitude, central_longitude) onto "
+                    "the plane — or pass tiles with planar (x_c, y_c)"
+                )
+            from .operators import grids
+
+            lat0, lon0 = domain_center
+            px_x, px_y = grids.local_tangent_xy(
+                F.col("central_latitude"), F.col("central_longitude"),
+                lat0, lon0,
+            )
+            cx = (spec.x_range[0] + spec.x_range[1]) / 2.0
+            cy = (spec.y_range[0] + spec.y_range[1]) / 2.0
+            tiles = tiles.withColumn("x_c", px_x + F.lit(cx)).withColumn(
+                "y_c", px_y + F.lit(cy)
             )
         tile_px = tiler.tile_regrid_nearest(
             tiles,

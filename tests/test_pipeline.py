@@ -546,3 +546,50 @@ def test_compact_partitioned_recovers_crashed_swap(spark, tmp_path):
     assert not _os.path.exists(_os.path.join(path, "p=2.__compact__"))
     back = spark.read.parquet(path)
     assert back.where(F.col("p") == 1).count() == 300  # recovered, not lost
+
+
+def test_dataset_spec_yaml_roundtrip(spark, tmp_path):
+    """to_yaml -> from_yaml reproduces the SAME pipeline (the reference's
+    meta.yaml reproducibility contract): identical tile tables."""
+    import os as _os
+
+    spec = pipeline.DatasetSpec.from_dict(TILE_SPEC)
+    path = _os.path.join(str(tmp_path), "meta.yaml")
+    spec.to_yaml(path)
+    spec2 = pipeline.DatasetSpec.from_yaml(path)
+    t1 = {tuple(r) for r in pipeline.build_triplet_dataset(spark, spec)["tiles"].collect()}
+    t2 = {tuple(r) for r in pipeline.build_triplet_dataset(spark, spec2)["tiles"].collect()}
+    assert t1 == t2 and len(t1) == 12
+
+
+def test_build_tile_data_trajectories(spark):
+    """Trajectory tile DATA end-to-end: lat/lon tile centers project onto
+    the domain tangent plane (domain_center) and regrid like any tile —
+    one complete 4x4 tile per scene."""
+    spec = pipeline.DatasetSpec.from_dict(
+        {
+            "source": "trj",
+            "inputs": ["vis"],
+            "t_start": "2024-01-01T00:00:00",
+            "t_end": "2024-01-01T04:00:00",
+            "step": "1 hour",
+            "tiles_kind": "trajectories",
+            "sampling": {"resolution": 24.0, "trajectories": {"tile_N": 4}},
+            "domain": {"l_zonal": 2000.0, "l_meridional": 2000.0},
+        }
+    )
+    # trajectory points within ~300 m of the domain center (1e-3 deg ~ 111 m)
+    traj = spark.createDataFrame(
+        [
+            (f"2024-01-01 {h:02d}:30:00", 10.0 + 0.001 * h, 50.0 + 0.002 * h)
+            for h in range(4)
+        ],
+        "t_traj string, lat double, lon double",
+    ).withColumn("t_traj", F.col("t_traj").cast("timestamp"))
+    d = pipeline.build_tile_data(
+        spark, spec, trajectory=traj, src_dx=25.0, src_nx=80,
+        domain_center=(10.0, 50.0),
+    )
+    rows = d["tile_data"].collect()
+    assert len(rows) == 4  # one tile per scene
+    assert all(r["shape_ok"] and r["n_px"] == 16 for r in rows)
