@@ -2256,17 +2256,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one in-window representative; keys certified green in earlier rounds
     # rotate behind position 50 and back in on later rounds.
     return {
-        # ROUND 6 WINDOW (first 50 = driver-certified this round), per the
-        # r5 verdict's rotation plan: round 6's never-certified new keys
-        # first, then the 7 keys whose operators were refactored in r5
-        # (as-of family, w6 null guard, stream pin, a7 signature), then as
-        # many of the 50 r4-certified keys as fit (36). Displaced to 51+
-        # and queued to lead the r7 window: 7 r4-certified keys with zero
-        # operator churn (g4/a1/q3/a9/a11/g6/g7) and the 11 keys last
-        # driver-certified in r3 — every one of them stays covered every
-        # round by the in-repo oracle-parity replay
-        # (tests/test_oracle_parity.py). Every SURVEY 2 family keeps at
-        # least one in-window representative.
+        # ROUND 6 WINDOW (first 50 = driver-certified this round). Policy:
+        # never-certified keys and keys whose OPERATOR CODE changed this
+        # round come first; every SURVEY 2 family keeps one in-window
+        # representative. Composition: 9 never-certified round-6 keys, the
+        # 7 keys refactored in round 5 (as-of family, w6 null guard,
+        # stream pin, a7 signature), the 19 keys whose operators changed
+        # THIS round (the T.tokens NULL-choke-point rewired every text/
+        # dedup-shingle consumer; LSH scoring delegated to
+        # blocked_cosine_pairs; the Lloyd fit was chunked/reseeded for
+        # IVF/PQ), then 15 r4-certified keys (the six that are ALSO
+        # r6-changed plus one representative per otherwise-uncovered
+        # family). Displaced to 51+ and queued to lead the r7 window:
+        # churn-free r4 keys + the r3-stale remainder — all covered
+        # every round by tests/test_oracle_parity.py.
         # --- new in round 6 (never certified) ---
         "dedup_semantic": q_dedup_semantic,
         "emb_transform_dbscan": q_emb_transform_dbscan,
@@ -2285,45 +2288,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_equidepth": q_a7_equidepth,
         "w6_sequential_scan": q_w6_sequential_scan,
         "stream_seen_filter": q_stream_seen_filter,
-        # --- r4-certified, rotating back in ---
+        # --- operator code changed in round 6; re-certify ---
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_corpus_stats": q_text_corpus_stats,
+        "text_gopher_quality": q_text_gopher_quality,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "decontam_ngram_overlap": q_decontam_ngram_overlap,
+        "unigram_xent": q_unigram_xent,
+        "pack_chunks": q_pack_chunks,
+        "mixture_rates": q_mixture_rates,
+        "token_windows": q_token_windows,
+        "sample_quality_weighted": q_sample_quality_weighted,
+        "dedup_exact_prefix": q_dedup_exact_prefix,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "dedup_minhash": q_dedup_minhash,
+        "simhash": q_simhash,
+        "neardup_lsh_pairs": q_neardup_lsh_pairs,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "similarity_pq_topk": q_similarity_pq_topk,
+        # --- r4-certified: the six also touched this round + one rep per
+        # otherwise-uncovered family ---
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
-        "stream_daily_counts": q_stream_daily_counts,
-        "w7_sessionize": q_w7_sessionize,
-        "a14_rollup": q_a14_rollup,
         "dedup_spans": q_dedup_spans,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "sketch_quantiles": q_sketch_quantiles,
-        "j10_interval_join": q_j10_interval_join,
         "vocab_build": q_vocab_build,
         "vocab_encode": q_vocab_encode,
         "corpus_entropy": q_corpus_entropy,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "stream_daily_counts": q_stream_daily_counts,
         "stream_dedup_watermark": q_stream_dedup_watermark,
+        "g1_nearest_regrid": q_g1_nearest_regrid,
+        "u1_union_by_name": q_u1_union_by_name,
+        "o3_distinct": q_o3_distinct,
+        "e5_array_roundtrip": q_e5_array_roundtrip,
+        "f2_datetime_components": q_f2_datetime_components,
+        "s5_calendar_offset_missing": q_s5_calendar_offset_missing,
+        "r1_split": q_r1_split,
+        # ---------------- position 51+: rotated out this round ----------
+        # churn-free r4-certified keys (lead the r7 window)
+        "w7_sessionize": q_w7_sessionize,
+        "a14_rollup": q_a14_rollup,
+        "sketch_quantiles": q_sketch_quantiles,
+        "j10_interval_join": q_j10_interval_join,
         "a5_binned_2d": q_a5_binned_2d,
         "w5_sliding_tiles": q_w5_sliding_tiles,
-        "g1_nearest_regrid": q_g1_nearest_regrid,
         "r5_triplet_locations": q_r5_triplet_locations,
-        "s5_calendar_offset_missing": q_s5_calendar_offset_missing,
         "f1_time_intervals": q_f1_time_intervals,
-        "f2_datetime_components": q_f2_datetime_components,
         "f3_solar_zenith": q_f3_solar_zenith,
         "f5_regex_filter": q_f5_regex_filter,
+        "f7_percentile_filter": q_f7_percentile_filter,
+        "f9_lon_wrap": q_f9_lon_wrap,
         "f11_nonempty": q_f11_nonempty,
         "j5_semi_join": q_j5_semi_join,
         "j7_positional_coords": q_j7_positional_coords,
-        "u1_union_by_name": q_u1_union_by_name,
-        "o3_distinct": q_o3_distinct,
         "a2_udaf_pandas": q_a2_udaf_pandas,
         "a4_binned_1d": q_a4_binned_1d,
         "a6_ecdf_global": q_a6_ecdf_global,
         "a8_daily_counts": q_a8_daily_counts,
         "a10_column_integral": q_a10_column_integral,
-        "e5_array_roundtrip": q_e5_array_roundtrip,
         "g1_bilinear_regrid": q_g1_bilinear_regrid,
-        "r1_split": q_r1_split,
-        # ---------------- position 51+: rotated out this round ----------
-        # displaced r4-certified (lead the r7 window)
-        "f7_percentile_filter": q_f7_percentile_filter,
-        "f9_lon_wrap": q_f9_lon_wrap,
         "g4_crop_pad": q_g4_crop_pad,
         "a1_pricing_summary": q_a1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
@@ -2338,23 +2362,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_transform_scaler": q_emb_transform_scaler,
         "dedup_components": q_dedup_components,
         "dedup_survivors": q_dedup_survivors,
-        "decontam_ngram_overlap": q_decontam_ngram_overlap,
-        "text_gopher_quality": q_text_gopher_quality,
-        "tfidf_top_terms": q_tfidf_top_terms,
         "pii_scrub": q_pii_scrub,
-        "sample_quality_weighted": q_sample_quality_weighted,
-        # r5-certified 50 (rotate back r7/r8)
+        # r5-certified (rotate back r7/r8)
         "traj_tiles": q_traj_tiles,
         "spec_triplet_pipeline": q_spec_triplet_pipeline,
         "emb_transform_kmeans": q_emb_transform_kmeans,
-        "pack_chunks": q_pack_chunks,
+        "multimodal_audio": q_multimodal_audio,
         "cap_per_source": q_cap_per_source,
         "stratified_split": q_stratified_split,
-        "unigram_xent": q_unigram_xent,
-        "multimodal_audio": q_multimodal_audio,
-        "similarity_pq_topk": q_similarity_pq_topk,
-        "mixture_rates": q_mixture_rates,
-        "token_windows": q_token_windows,
         "r2_scene_pairs": q_r2_scene_pairs,
         "w2_argmin_per_group": q_w2_argmin_per_group,
         "w3_local_peaks": q_w3_local_peaks,
@@ -2365,23 +2380,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_emb_aux_join": q_j6_emb_aux_join,
         "scene_table": q_scene_table,
         "u3_anti_join": q_u3_anti_join,
-        "dedup_exact_prefix": q_dedup_exact_prefix,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "dedup_minhash": q_dedup_minhash,
-        "simhash": q_simhash,
         "neardup_cosine_pairs": q_neardup_cosine_pairs,
-        "neardup_lsh_pairs": q_neardup_lsh_pairs,
-        "text_quality": q_text_quality,
-        "text_corpus_stats": q_text_corpus_stats,
-        "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "g9_optical_flow": q_g9_optical_flow,
         "ann_cosine_topk": q_ann_cosine_topk,
         "similarity_lsh_topk": q_similarity_lsh_topk,
-        "similarity_ivf_topk": q_similarity_ivf_topk,
         "derived_dag": q_derived_dag,
         "x1_user_function": q_x1_user_function,
         "x2_dotted_udaf": q_x2_dotted_udaf,
@@ -2394,7 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_distinct_users": q_a15_distinct_users,
         "hll_user_counts": q_hll_user_counts,
         "g8_rgb_composite": q_g8_rgb_composite,
-        }
+    }
 
 
 def _x3_oracle_sql() -> str:
