@@ -593,3 +593,25 @@ def test_build_tile_data_trajectories(spark):
     rows = d["tile_data"].collect()
     assert len(rows) == 4  # one tile per scene
     assert all(r["shape_ok"] and r["n_px"] == 16 for r in rows)
+
+
+def test_tile_images_clamps_out_of_range_values(spark):
+    """Values outside [0, value_max] saturate to 0/255 instead of being
+    hex-truncated into wrong bytes (round-6 review finding)."""
+    px = spark.createDataFrame(
+        [(1, 0, 0, -50.0), (1, 1, 0, 150.0), (1, 0, 1, 100.0), (1, 1, 1, 0.0)],
+        "k int, p int, q int, value double",
+    )
+    out = pipeline.tile_images(px, tile_N=2, key_cols=["k"], value_max=100.0).collect()
+    data = bytes(out[0]["png"])
+    if data[:7] == b"STUBPNG":
+        body = data[15:]
+        # row-major (q, p): (-50 -> 0), (150*2.55 -> clamped 255), (255), (0)
+        assert body == bytes([0, 255, 255, 0])
+
+
+def test_dataset_spec_to_dict_idempotent():
+    spec = pipeline.DatasetSpec.from_dict(TILE_SPEC)
+    d1 = spec.to_dict()
+    d2 = pipeline.DatasetSpec.from_dict(d1).to_dict()
+    assert d1 == d2
