@@ -3074,7 +3074,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(floor((l_extendedprice - 0.0) / 5000.0) AS INT) AS bin,
                      CAST(l_quantity AS DECIMAL(15,2)) AS qty_dec, l_quantity
               FROM lineitem
-              WHERE l_extendedprice BETWEEN 0.0 AND 120000.0 - 1e-12
+              WHERE CAST(floor((l_extendedprice - 0.0) / 5000.0) AS INT)
+                    BETWEEN 0 AND 23
             )
             SELECT bin, round(0.0 + bin * 5000.0, 6) AS bin_lo,
                    count(qty_dec) AS count,
@@ -3092,6 +3093,10 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem
               WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
                 AND abs(l_quantity) != CAST('infinity' AS DOUBLE)
+                AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+                AND abs(l_extendedprice) != CAST('infinity' AS DOUBLE)
+                AND l_discount IS NOT NULL AND NOT isnan(l_discount)
+                AND abs(l_discount) != CAST('infinity' AS DOUBLE)
             )
             SELECT xbin, ybin, count(l_quantity) AS count,
                    min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

@@ -48,9 +48,17 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def _size0(arr: Column) -> Column:
+    """size() with NULL arrays counting 0 — same conf-independence rule
+    as tokens() (size(NULL) is NULL or -1 depending on how the session
+    set spark.sql.ansi.enabled)."""
+    return F.size(F.coalesce(arr, F.array().cast("array<string>")))
+
+
 def regex_token_count(text: Column) -> Column:
-    """BPE-ish regex token count (words + punctuation marks)."""
-    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), F.lit(0)))
+    """BPE-ish regex token count (words + punctuation marks); NULL text
+    counts 0."""
+    return _size0(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), F.lit(0)))
 
 
 def bpe_piece_count(text: Column) -> Column:
@@ -180,9 +188,10 @@ PII_PHONE = r"\b\d{3}-\d{3,4}-?\d{0,4}\b"
 
 
 def pii_counts(text: Column) -> tuple[Column, Column]:
-    """(n_emails, n_phones) found in ``text`` — JVM regex, no UDF."""
-    n_email = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0)))
-    n_phone = F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), F.lit(0)))
+    """(n_emails, n_phones) found in ``text`` — JVM regex, no UDF; NULL
+    text counts 0 of each (conf-independent, see _size0)."""
+    n_email = _size0(F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0)))
+    n_phone = _size0(F.regexp_extract_all(text, F.lit(PII_PHONE), F.lit(0)))
     return n_email, n_phone
 
 

@@ -72,14 +72,16 @@ def binned_statistic_1d(
     expression, no epsilon on every edge) and matches histogramming
     conventions (numpy.histogram); the reference's per-plot binning
     (plot_types.py) never places data exactly on an edge, so the choice is
-    observable only for synthetic edge-exact inputs. The upper domain edge
-    keeps a 1e-12 guard so ``by == hi`` stays out of a phantom bin
-    ``n_bins``; callers needing ``hi`` inclusive in the last bin should
-    pre-clamp values.
+    observable only for synthetic edge-exact inputs. The domain filter is
+    EXACT on the bucket id (``0 <= bin < n_bins``) — the earlier
+    ``hi - 1e-12`` epsilon guard was a floating-point no-op whenever
+    ulp(hi)/2 > 1e-12 (hi >= ~16384), which let ``by == hi`` into a
+    phantom bin ``n_bins``. Callers needing ``hi`` inclusive in the last
+    bin should pre-clamp values.
     """
     step = (hi - lo) / n_bins
-    binned = df.where(F.col(by_col).between(lo, hi - 1e-12)).withColumn(
-        "bin", _bucket(F.col(by_col), lo, step)
+    binned = df.withColumn("bin", _bucket(F.col(by_col), lo, step)).where(
+        F.col("bin").between(0, n_bins - 1)
     )
     out = binned.groupBy("bin").agg(*_agg_exprs(value_col, list(stats)), *(extra_aggs or []))
     return out.withColumn("bin_lo", (F.lit(lo) + F.col("bin") * F.lit(step)).cast("double"))
@@ -100,20 +102,38 @@ def binned_statistic_2d(
 ) -> DataFrame:
     """A5: 2-D binned statistic on a (x, y) grid with steps (dx, dy).
 
-    NaN/inf values are pre-filtered (plot_types.py:34-51); bins with
-    ``count <= min_points`` are dropped (``np.where(count > min_points)``,
-    plot_types.py:74-79 — strictly greater).
+    NaN/inf are pre-filtered on the VALUE **and both COORDINATES** —
+    the reference's ``values_mask`` covers x, y and v alike
+    (plot_types.py:34-51); an unmasked NaN coordinate would otherwise
+    bin to 0 under non-ANSI float→int casting (silently polluting bin
+    (0, y)) or throw under ANSI. Bins with ``count <= min_points`` are
+    dropped (``np.where(count > min_points)``, plot_types.py:74-79 —
+    strictly greater); the count aggregate is added internally when
+    ``min_points`` is set without ``"count"`` in ``stats``.
     """
-    v = F.col(value_col)
-    clean = df.where(v.isNotNull() & ~F.isnan(v) & (F.abs(v) != float("inf")))
+
+    def _finite(c: Column) -> Column:
+        return c.isNotNull() & ~F.isnan(c) & (F.abs(c) != float("inf"))
+
+    clean = df.where(
+        _finite(F.col(value_col))
+        & _finite(F.col(x_col).cast("double"))
+        & _finite(F.col(y_col).cast("double"))
+    )
     binned = clean.withColumn("xbin", _bucket(F.col(x_col), x0, dx)).withColumn(
         "ybin", _bucket(F.col(y_col), y0, dy)
     )
+    agg_stats = list(stats)
+    drop_count = min_points is not None and "count" not in agg_stats
+    if drop_count:
+        agg_stats.append("count")
     out = binned.groupBy("xbin", "ybin").agg(
-        *_agg_exprs(value_col, list(stats)), *(extra_aggs or [])
+        *_agg_exprs(value_col, agg_stats), *(extra_aggs or [])
     )
     if min_points is not None:
         out = out.where(F.col("count") > min_points)
+    if drop_count:
+        out = out.drop("count")
     return out
 
 
@@ -328,6 +348,10 @@ def global_ranks(
         F.create_map(*[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]),
         F.col("_b"),
     )
+    # SCALE BOUND: row_number() is IntegerType, so each BUCKET must stay
+    # below 2^31 rows. Cut counts scale with parallelism, so this holds
+    # whenever n / |cuts| < 2^31 — at 10^12 rows provision >= ~500 cuts
+    # (the global rank add itself widens via the offset literal's type)
     w = Window.partitionBy("_b").orderBy(value_col, *tiebreak)
     ranked = parts.withColumn(rank_col, F.row_number().over(w) - 1 + off_expr).drop("_b")
     return ranked, n
@@ -425,9 +449,12 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: list[float]) -> list[floa
         got = {offsets[r["_b"]] + r["_r"]: r["v"] for r in rows}
         out = []
         for pos, lo, hi in positions:
-            vlo, vhi = got[lo], got[hi]
+            # float() both boundaries: a DECIMAL column collects as
+            # decimal.Decimal, and Decimal * float raises TypeError in
+            # the interpolation below
+            vlo, vhi = float(got[lo]), float(got[hi])
             frac = pos - lo
-            out.append(vlo + (vhi - vlo) * frac if frac else float(vlo))
+            out.append(vlo + (vhi - vlo) * frac if frac else vlo)
         return out
     finally:
         vals.unpersist()

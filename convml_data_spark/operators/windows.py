@@ -21,10 +21,18 @@ from pyspark.sql import functions as F
 
 
 def consecutive_diff(
-    df: DataFrame, order_col: str, value_col: str, partition_by: list[str]
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    partition_by: list[str],
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
-    """W1: value − lag(value) within each partition ordered by ``order_col``."""
-    w = Window.partitionBy(*partition_by).orderBy(order_col)
+    """W1: value − lag(value) within each partition ordered by ``order_col``.
+
+    Pass ``tiebreak`` columns whenever ``(partition, order_col)`` can hold
+    duplicates — lag over a tied order is otherwise plan-dependent (AQE /
+    re-partitioning can reorder equal keys between runs)."""
+    w = Window.partitionBy(*partition_by).orderBy(order_col, *(tiebreak or []))
     return df.withColumn("diff", F.col(value_col) - F.lag(value_col).over(w))
 
 
@@ -40,10 +48,15 @@ def argmin_per_group(
 
 
 def local_peaks(
-    df: DataFrame, order_col: str, value_col: str, partition_by: list[str]
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    partition_by: list[str],
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
-    """W3: rows strictly greater than both ordered neighbours."""
-    w = Window.partitionBy(*partition_by).orderBy(order_col)
+    """W3: rows strictly greater than both ordered neighbours. Pass
+    ``tiebreak`` when the order key can repeat (see consecutive_diff)."""
+    w = Window.partitionBy(*partition_by).orderBy(order_col, *(tiebreak or []))
     v = F.col(value_col)
     return (
         df.withColumn("_prev", F.lag(value_col).over(w))
@@ -69,19 +82,29 @@ def sequential_scan(
     ``step_fn(state, row_dict) -> (state, out_dict | None)`` runs over each
     group's rows in ``order_by`` order inside ``applyInPandas`` — the group
     is the parallelism unit (reference: one task per date group); rows
-    stream through Python once, state never leaves the group.
+    stream through Python once, state never leaves the group. Each group
+    starts from a DEEP COPY of ``state0`` — a step_fn that mutates its
+    state in place must not leak one group's accumulation into the next
+    group handled by the same Python worker.
     """
+    import copy
+
     import pandas as pd
+    from pyspark.sql.types import StructType
+
+    # parse with Spark's own DDL parser: naive string-splitting breaks on
+    # complex types containing commas (map<string,long>)
+    out_cols = StructType.fromDDL(schema).fieldNames()
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_by, kind="mergesort")
-        state = state0
+        state = copy.deepcopy(state0)
         out = []
         for row in pdf.to_dict("records"):
             state, emitted = step_fn(state, row)
             if emitted is not None:
                 out.append(emitted)
-        return pd.DataFrame(out, columns=[c.split()[0] for c in schema.split(",")])
+        return pd.DataFrame(out, columns=out_cols)
 
     return df.groupBy(*partition_by).applyInPandas(run, schema)
 
@@ -103,6 +126,7 @@ def sessionize(
     gap_seconds: float,
     tiebreak: list[str] | None = None,
     method: str = "window",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Gap-based sessionization: consecutive events of a key belong to one
     session while the inter-event gap is ≤ ``gap_seconds``; a strictly
@@ -124,18 +148,24 @@ def sessionize(
 
     Returns one row per (key, session): ``session_id`` (1-based per key,
     window method only), ``session_start``, ``session_end`` (last event
-    time), ``n_events``, ``sum_value`` (decimal-exact sum of ``value``).
+    time), ``n_events``, and — when ``value_col`` is not None —
+    ``sum_value`` (decimal-exact sum of that column; pass ``None`` for
+    frames without a value payload).
     """
     tiebreak = tiebreak or []
     gap_us = int(round(gap_seconds * 1_000_000))
-    val = F.col("value").cast("decimal(38,6)")
+    val_aggs = (
+        [F.sum(F.col(value_col).cast("decimal(38,6)")).alias("sum_value")]
+        if value_col is not None
+        else []
+    )
     if method == "native":
         sw = F.session_window(F.col(time_col), f"{gap_us} microseconds")
         out = df.groupBy(*key_cols, sw.alias("_w")).agg(
             F.min(time_col).alias("session_start"),
             F.max(time_col).alias("session_end"),
             F.count("*").alias("n_events"),
-            F.sum(val).alias("sum_value"),
+            *val_aggs,
         )
         return out.drop("_w")
     w = Window.partitionBy(*key_cols).orderBy(time_col, *tiebreak)
@@ -153,5 +183,5 @@ def sessionize(
         F.min(time_col).alias("session_start"),
         F.max(time_col).alias("session_end"),
         F.count("*").alias("n_events"),
-        F.sum(val).alias("sum_value"),
+        *val_aggs,
     ).withColumnRenamed("_sid", "session_id")

@@ -432,3 +432,79 @@ def test_fit_sample_is_partition_layout_independent(spark):
         b = similarity.pq_train(df, m=4, k=4, seed=7, fit_fraction=0.5)
         outs.append((c, b))
     assert outs[0] == outs[1]
+
+
+def test_sequential_scan_state_not_shared_across_groups(spark):
+    """A step_fn that MUTATES its state dict in place must not leak one
+    group's accumulation into the next (each group deep-copies state0)."""
+    from convml_data_spark.operators.windows import sequential_scan
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "g string, t int"
+    )
+
+    def step(state, row):
+        state["n"] = state.get("n", 0) + 1  # in-place mutation
+        return state, {"g": row["g"], "n": state["n"]}
+
+    out = sequential_scan(df, ["g"], ["t"], step, {}, "g string, n long").collect()
+    got = {(r["g"], r["n"]) for r in out}
+    assert got == {("a", 1), ("a", 2), ("b", 1)}  # b restarts at 1
+
+
+def test_sequential_scan_schema_with_comma_in_type(spark):
+    """Complex output types containing commas parse via the DDL parser,
+    not naive string splitting."""
+    from convml_data_spark.operators.windows import sequential_scan
+
+    df = spark.createDataFrame([("a", 1)], "g string, t int")
+
+    def step(state, row):
+        return state, {"g": row["g"], "m": {"k": row["t"]}}
+
+    out = sequential_scan(
+        df, ["g"], ["t"], step, None, "g string, m map<string,int>"
+    ).collect()
+    assert out[0]["m"] == {"k": 1}
+
+
+def test_binned_1d_no_phantom_edge_bin(spark):
+    """A value exactly at hi lands NOWHERE (left-closed [lo, hi) domain)
+    — the old 1e-12 epsilon was a float no-op for hi >= ~16384 and let
+    by == hi into a phantom bin n_bins."""
+    from convml_data_spark.operators.binning import binned_statistic_1d
+
+    df = spark.createDataFrame(
+        [(120000.0, 1.0), (119999.0, 2.0), (0.0, 3.0), (-1.0, 4.0)],
+        "x double, v double",
+    )
+    out = binned_statistic_1d(df, "v", "x", 0.0, 120000.0, 24, stats=["count"])
+    bins = {r["bin"]: r["count"] for r in out.collect()}
+    assert 24 not in bins          # hi-exact row excluded
+    assert bins == {23: 1, 0: 1}   # interior + lo-edge rows binned
+
+
+def test_binned_2d_masks_nan_coordinates_and_min_points_without_count(spark):
+    from convml_data_spark.operators.binning import binned_statistic_2d
+
+    df = spark.createDataFrame(
+        [(float("nan"), 1.0, 5.0), (1.0, 1.0, 6.0), (1.0, 1.0, 7.0)],
+        "x double, y double, v double",
+    )
+    out = binned_statistic_2d(
+        df, "x", "y", "v", dx=10.0, dy=10.0, stats=["mean"], min_points=1
+    ).collect()
+    # NaN-x row dropped; surviving bin has 2 points > min_points, and the
+    # internal count column does not leak into the output
+    assert len(out) == 1 and set(out[0].asDict()) == {"xbin", "ybin", "mean"}
+    assert out[0]["mean"] == 6.5
+
+
+def test_exact_quantiles_on_decimal_column(spark):
+    from pyspark.sql import functions as F
+
+    from convml_data_spark.operators.binning import exact_quantiles
+
+    df = spark.range(101).select(F.col("id").cast("decimal(15,2)").alias("d"))
+    got = exact_quantiles(df, "d", [0.5, 0.25])
+    assert got == [50.0, 25.0]
