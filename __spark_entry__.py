@@ -2264,8 +2264,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream pin, a7 signature), the 19 keys whose operators changed
         # THIS round (the T.tokens NULL-choke-point rewired every text/
         # dedup-shingle consumer; LSH scoring delegated to
-        # blocked_cosine_pairs; the Lloyd fit was chunked/reseeded for
-        # IVF/PQ), then 15 r4-certified keys (the six that are ALSO
+        # blocked_cosine_pairs; the binned-statistic edge/mask semantics
+        # were tightened on BOTH engine and oracle sides), then 15
+        # r4-certified keys (the six that are ALSO
         # r6-changed plus one representative per otherwise-uncovered
         # family). Displaced to 51+ and queued to lead the r7 window:
         # churn-free r4 keys + the r3-stale remainder — all covered
@@ -2306,8 +2307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "simhash": q_simhash,
         "neardup_lsh_pairs": q_neardup_lsh_pairs,
-        "similarity_ivf_topk": q_similarity_ivf_topk,
-        "similarity_pq_topk": q_similarity_pq_topk,
+        "a4_binned_1d": q_a4_binned_1d,
+        "a5_binned_2d": q_a5_binned_2d,
         # --- r4-certified: the six also touched this round + one rep per
         # otherwise-uncovered family ---
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
@@ -2331,7 +2332,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a14_rollup": q_a14_rollup,
         "sketch_quantiles": q_sketch_quantiles,
         "j10_interval_join": q_j10_interval_join,
-        "a5_binned_2d": q_a5_binned_2d,
         "w5_sliding_tiles": q_w5_sliding_tiles,
         "r5_triplet_locations": q_r5_triplet_locations,
         "f1_time_intervals": q_f1_time_intervals,
@@ -2343,7 +2343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_semi_join": q_j5_semi_join,
         "j7_positional_coords": q_j7_positional_coords,
         "a2_udaf_pandas": q_a2_udaf_pandas,
-        "a4_binned_1d": q_a4_binned_1d,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "similarity_pq_topk": q_similarity_pq_topk,
         "a6_ecdf_global": q_a6_ecdf_global,
         "a8_daily_counts": q_a8_daily_counts,
         "a10_column_integral": q_a10_column_integral,
