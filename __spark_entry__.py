@@ -3075,7 +3075,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(floor((l_extendedprice - 0.0) / 5000.0) AS INT) AS bin,
                      CAST(l_quantity AS DECIMAL(15,2)) AS qty_dec, l_quantity
               FROM lineitem
-              WHERE CAST(floor((l_extendedprice - 0.0) / 5000.0) AS INT)
+              WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+                AND l_extendedprice >= 0.0 AND l_extendedprice < 120000.0
+                AND CAST(floor((l_extendedprice - 0.0) / 5000.0) AS INT)
                     BETWEEN 0 AND 23
             )
             SELECT bin, round(0.0 + bin * 5000.0, 6) AS bin_lo,

@@ -78,10 +78,29 @@ def binned_statistic_1d(
     ulp(hi)/2 > 1e-12 (hi >= ~16384), which let ``by == hi`` into a
     phantom bin ``n_bins``. Callers needing ``hi`` inclusive in the last
     bin should pre-clamp values.
+
+    The double-valued domain is pre-filtered BEFORE the bucket cast
+    (NULL/NaN/±inf and out-of-range rows never reach ``_bucket``):
+    ``floor(NaN)`` is 0 in Spark so an unmasked NaN would silently land
+    in bin 0, and ±inf or ``(x-lo)/step >= 2^31`` would raise
+    CAST_OVERFLOW under Spark 4's ANSI mode instead of being excluded —
+    mirroring the coordinate mask in :func:`binned_statistic_2d`. The
+    exact bucket-id filter is kept as well (it is what makes the edge
+    semantics float-exact when ``(x-lo)/step`` rounds up to ``n_bins``
+    for ``x`` just below ``hi``).
     """
     step = (hi - lo) / n_bins
-    binned = df.withColumn("bin", _bucket(F.col(by_col), lo, step)).where(
-        F.col("bin").between(0, n_bins - 1)
+    by_dbl = F.col(by_col).cast("double")
+    domain = (
+        by_dbl.isNotNull()
+        & ~F.isnan(by_dbl)
+        & (by_dbl >= F.lit(float(lo)))
+        & (by_dbl < F.lit(float(hi)))
+    )
+    binned = (
+        df.where(domain)
+        .withColumn("bin", _bucket(F.col(by_col), lo, step))
+        .where(F.col("bin").between(0, n_bins - 1))
     )
     out = binned.groupBy("bin").agg(*_agg_exprs(value_col, list(stats)), *(extra_aggs or []))
     return out.withColumn("bin_lo", (F.lit(lo) + F.col("bin") * F.lit(step)).cast("double"))

@@ -719,13 +719,16 @@ def tile_images(
     scale = 255.0 / float(value_max)
     # clamp to [0, 255] BEFORE hex-packing: lpad TRUNCATES a >2-char hex
     # (value 150 at the default scale would silently become byte 0x17)
-    # and a negative value renders 16 two's-complement chars
+    # and a negative value renders 16 two's-complement chars. The clamp
+    # happens on the DOUBLE side, before the int cast: under ANSI mode a
+    # corrupt/huge value (|round(v*scale)| >= 2^31) would raise
+    # CAST_OVERFLOW at the cast, defeating the saturation
     px8 = F.transform(
         ordered,
         lambda s: F.least(
-            F.greatest(F.round(s["value"] * F.lit(scale)).cast("int"), F.lit(0)),
-            F.lit(255),
-        ),
+            F.greatest(F.round(s["value"] * F.lit(scale)), F.lit(0.0)),
+            F.lit(255.0),
+        ).cast("int"),
     )
     hexstr = F.array_join(F.transform(px8, lambda v: F.lpad(F.hex(v), 2, "0")), "")
     agg = tile_px.groupBy(*key_cols).agg(F.unhex(hexstr).alias("payload"))
@@ -1020,9 +1023,14 @@ def compact_to_target_files(
     can hit a brief not-found window between the renames, and a crash
     there leaves the data parked at ``<path>.__old__`` for manual
     recovery — run compaction in a maintenance window, as every
-    file-listing-based lake rewrite must. Hive-partitioned roots are
-    REJECTED (one flat rewrite would silently drop the partition layout
-    and all downstream pruning — compact each leaf directory instead).
+    file-listing-based lake rewrite must. Directories containing ANY
+    non-hidden subdirectory are REJECTED — Hive ``k=v`` layouts (a flat
+    rewrite would silently drop the partition layout and all downstream
+    pruning) and plain nested data alike: the flat ``spark.read.load``
+    below does NOT recurse, so a nested subdirectory's files would be
+    counted for sizing but never read, and the rename swap would delete
+    them. Compact each leaf directory instead (:func:`compact_partitioned`
+    assumes the same leaves-are-flat invariant).
     Returns the actual post-rewrite file count.
     """
     import shutil
@@ -1031,12 +1039,19 @@ def compact_to_target_files(
     files = 0
     for root, dirs, names in os.walk(path):
         for d in dirs:
-            if "=" in d:
-                raise ValueError(
-                    f"{path!r} is Hive-partitioned ({d!r}); compact each "
-                    "leaf partition directory instead — a flat rewrite "
-                    "would drop the partition layout and its pruning"
-                )
+            if d.startswith(("_", ".")):
+                continue
+            why = (
+                "is Hive-partitioned" if "=" in d else "has a nested data subdirectory"
+            )
+            raise ValueError(
+                f"{path!r} {why} ({d!r}); compact each leaf directory "
+                "instead — the flat (non-recursive) rewrite would not "
+                "read its files, then delete them in the swap"
+            )
+        # hidden/metadata dirs (_spark_metadata, .crc …) are invisible to
+        # the flat read — keep their contents out of the sizing too
+        dirs[:] = []
         for nm in names:
             if nm.startswith(("_", ".")):
                 continue
