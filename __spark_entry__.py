@@ -2256,78 +2256,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one in-window representative; keys certified green in earlier rounds
     # rotate behind position 50 and back in on later rounds.
     return {
-        # ROUND 6 WINDOW (first 50 = driver-certified this round). Policy:
-        # never-certified keys and keys whose OPERATOR CODE changed this
-        # round come first; every SURVEY 2 family keeps one in-window
-        # representative. Composition: 9 never-certified round-6 keys, the
-        # 7 keys refactored in round 5 (as-of family, w6 null guard,
-        # stream pin, a7 signature), the 19 keys whose operators changed
-        # THIS round (the T.tokens NULL-choke-point rewired every text/
-        # dedup-shingle consumer; LSH scoring delegated to
-        # blocked_cosine_pairs; the binned-statistic edge/mask semantics
-        # were tightened on BOTH engine and oracle sides), then 15
-        # r4-certified keys (the six that are ALSO
-        # r6-changed plus one representative per otherwise-uncovered
-        # family). Displaced to 51+ and queued to lead the r7 window:
-        # churn-free r4 keys + the r3-stale remainder — all covered
-        # every round by tests/test_oracle_parity.py.
-        # --- new in round 6 (never certified) ---
-        "dedup_semantic": q_dedup_semantic,
-        "emb_transform_dbscan": q_emb_transform_dbscan,
-        "spec_aux_derived": q_spec_aux_derived,
-        "spec_tile_data": q_spec_tile_data,
-        "spec_regridded_scenes": q_spec_regridded_scenes,
-        "spec_analytics_pipeline": q_spec_analytics_pipeline,
-        "spec_rect_embeddings": q_spec_rect_embeddings,
-        "stream_static_join": q_stream_static_join,
-        "stream_stream_join": q_stream_stream_join,
-        # --- operator code changed in round 5; re-certify ---
-        "j2_asof_single": q_j2_asof_single,
-        "j3_asof_all_within": q_j3_asof_all_within,
-        "f4_traj_snap": q_f4_traj_snap,
-        "a3_min_spacing": q_a3_min_spacing,
-        "a7_equidepth": q_a7_equidepth,
-        "w6_sequential_scan": q_w6_sequential_scan,
-        "stream_seen_filter": q_stream_seen_filter,
-        # --- operator code changed in round 6; re-certify ---
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_corpus_stats": q_text_corpus_stats,
-        "text_gopher_quality": q_text_gopher_quality,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "decontam_ngram_overlap": q_decontam_ngram_overlap,
-        "unigram_xent": q_unigram_xent,
-        "pack_chunks": q_pack_chunks,
-        "mixture_rates": q_mixture_rates,
-        "token_windows": q_token_windows,
-        "sample_quality_weighted": q_sample_quality_weighted,
-        "dedup_exact_prefix": q_dedup_exact_prefix,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "dedup_minhash": q_dedup_minhash,
-        "simhash": q_simhash,
-        "neardup_lsh_pairs": q_neardup_lsh_pairs,
-        "a4_binned_1d": q_a4_binned_1d,
-        "a5_binned_2d": q_a5_binned_2d,
-        # --- r4-certified: the six also touched this round + one rep per
-        # otherwise-uncovered family ---
-        "dedup_minhash_sigs": q_dedup_minhash_sigs,
-        "dedup_spans": q_dedup_spans,
-        "vocab_build": q_vocab_build,
-        "vocab_encode": q_vocab_encode,
-        "corpus_entropy": q_corpus_entropy,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "stream_daily_counts": q_stream_daily_counts,
-        "stream_dedup_watermark": q_stream_dedup_watermark,
-        "g1_nearest_regrid": q_g1_nearest_regrid,
-        "u1_union_by_name": q_u1_union_by_name,
-        "o3_distinct": q_o3_distinct,
-        "e5_array_roundtrip": q_e5_array_roundtrip,
-        "f2_datetime_components": q_f2_datetime_components,
-        "s5_calendar_offset_missing": q_s5_calendar_offset_missing,
-        "r1_split": q_r1_split,
-        # ---------------- position 51+: rotated out this round ----------
-        # churn-free r4-certified keys (lead the r7 window)
+        # ROUND 8 WINDOW (first 50 = driver-certified this round). Policy
+        # unchanged: never/longest-uncertified keys and keys whose operator
+        # code changes this round come first. Composition: the 7 keys whose
+        # last driver row is r3 (four rounds stale), the IVF/PQ pair (no
+        # driver row since their r6 Lloyd refactor), the 26 r4-stale keys,
+        # the 8 keys whose operator code changes in round 8 (stratified
+        # split offsets de-drivered, analytics broadcast size-gated, LSH /
+        # semantic-dedup bucket-skew guard, tile_images NaN mask feeds
+        # spec_tile_data + g8, clustering checkpoint flag), then 7 oldest
+        # r5 fillers. New r8 query keys are inserted at the head as they
+        # land, displacing fillers to 51+. Displaced r7-certified keys and
+        # the remaining r5 keys queue behind position 50 for round 9
+        # (r5 remainder leads). Every key stays covered every round by
+        # tests/test_oracle_parity.py.
+        # --- last driver row r3: four rounds stale ---
+        "s2_goes16_query": q_s2_goes16_query,
+        "s4_era5_manifest": q_s4_era5_manifest,
+        "s6_ceres_manifest": q_s6_ceres_manifest,
+        "emb_transform_scaler": q_emb_transform_scaler,
+        "dedup_components": q_dedup_components,
+        "dedup_survivors": q_dedup_survivors,
+        "pii_scrub": q_pii_scrub,
+        # --- no driver row since the r6 Lloyd-fit refactor ---
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "similarity_pq_topk": q_similarity_pq_topk,
+        # --- last driver row r4 ---
         "w7_sessionize": q_w7_sessionize,
         "a14_rollup": q_a14_rollup,
         "sketch_quantiles": q_sketch_quantiles,
@@ -2342,38 +2296,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f11_nonempty": q_f11_nonempty,
         "j5_semi_join": q_j5_semi_join,
         "j7_positional_coords": q_j7_positional_coords,
+        "a1_pricing_summary": q_a1_pricing_summary,
         "a2_udaf_pandas": q_a2_udaf_pandas,
-        "similarity_ivf_topk": q_similarity_ivf_topk,
-        "similarity_pq_topk": q_similarity_pq_topk,
         "a6_ecdf_global": q_a6_ecdf_global,
         "a8_daily_counts": q_a8_daily_counts,
+        "a9_layer_mean": q_a9_layer_mean,
         "a10_column_integral": q_a10_column_integral,
+        "a11_minmax_norm": q_a11_minmax_norm,
+        "q3_shipping_priority": q_q3_shipping_priority,
         "g1_bilinear_regrid": q_g1_bilinear_regrid,
         "g4_crop_pad": q_g4_crop_pad,
-        "a1_pricing_summary": q_a1_pricing_summary,
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "a9_layer_mean": q_a9_layer_mean,
-        "a11_minmax_norm": q_a11_minmax_norm,
         "g6_spanning_domain": q_g6_spanning_domain,
         "g7_tangent_projection": q_g7_tangent_projection,
-        # last driver-certified r3 (also queued for r7)
-        "s2_goes16_query": q_s2_goes16_query,
-        "s4_era5_manifest": q_s4_era5_manifest,
-        "s6_ceres_manifest": q_s6_ceres_manifest,
-        "emb_transform_scaler": q_emb_transform_scaler,
-        "dedup_components": q_dedup_components,
-        "dedup_survivors": q_dedup_survivors,
-        "pii_scrub": q_pii_scrub,
-        # r5-certified (rotate back r7/r8)
+        # --- operator code changes in round 8; certify post-change ---
+        "stratified_split": q_stratified_split,
+        "spec_analytics_pipeline": q_spec_analytics_pipeline,
+        "neardup_lsh_pairs": q_neardup_lsh_pairs,
+        "dedup_semantic": q_dedup_semantic,
+        "spec_tile_data": q_spec_tile_data,
+        "g8_rgb_composite": q_g8_rgb_composite,
+        "emb_transform_dbscan": q_emb_transform_dbscan,
+        "emb_transform_kmeans": q_emb_transform_kmeans,
+        # --- oldest r5-certified fillers ---
         "traj_tiles": q_traj_tiles,
         "spec_triplet_pipeline": q_spec_triplet_pipeline,
-        "emb_transform_kmeans": q_emb_transform_kmeans,
         "multimodal_audio": q_multimodal_audio,
         "cap_per_source": q_cap_per_source,
-        "stratified_split": q_stratified_split,
         "r2_scene_pairs": q_r2_scene_pairs,
         "w2_argmin_per_group": q_w2_argmin_per_group,
         "w3_local_peaks": q_w3_local_peaks,
+        # ---------------- position 51+: rotated out this round ----------
+        # r5-certified remainder (leads the round-9 window)
         "a6_ecdf": q_a6_ecdf,
         "s3_calendar_scan": q_s3_calendar_scan,
         "f6_filter_dsl": q_f6_filter_dsl,
@@ -2399,7 +2352,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_tile_pixel_slice": q_g2_tile_pixel_slice,
         "a15_distinct_users": q_a15_distinct_users,
         "hll_user_counts": q_hll_user_counts,
-        "g8_rgb_composite": q_g8_rgb_composite,
+        # r7-certified (freshest; rotate back last)
+        "spec_aux_derived": q_spec_aux_derived,
+        "spec_regridded_scenes": q_spec_regridded_scenes,
+        "spec_rect_embeddings": q_spec_rect_embeddings,
+        "stream_static_join": q_stream_static_join,
+        "stream_stream_join": q_stream_stream_join,
+        "j2_asof_single": q_j2_asof_single,
+        "j3_asof_all_within": q_j3_asof_all_within,
+        "f4_traj_snap": q_f4_traj_snap,
+        "a3_min_spacing": q_a3_min_spacing,
+        "a7_equidepth": q_a7_equidepth,
+        "w6_sequential_scan": q_w6_sequential_scan,
+        "stream_seen_filter": q_stream_seen_filter,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_corpus_stats": q_text_corpus_stats,
+        "text_gopher_quality": q_text_gopher_quality,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "decontam_ngram_overlap": q_decontam_ngram_overlap,
+        "unigram_xent": q_unigram_xent,
+        "pack_chunks": q_pack_chunks,
+        "mixture_rates": q_mixture_rates,
+        "token_windows": q_token_windows,
+        "sample_quality_weighted": q_sample_quality_weighted,
+        "dedup_exact_prefix": q_dedup_exact_prefix,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "dedup_minhash": q_dedup_minhash,
+        "simhash": q_simhash,
+        "a4_binned_1d": q_a4_binned_1d,
+        "a5_binned_2d": q_a5_binned_2d,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_spans": q_dedup_spans,
+        "vocab_build": q_vocab_build,
+        "vocab_encode": q_vocab_encode,
+        "corpus_entropy": q_corpus_entropy,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "stream_daily_counts": q_stream_daily_counts,
+        "stream_dedup_watermark": q_stream_dedup_watermark,
+        "g1_nearest_regrid": q_g1_nearest_regrid,
+        "u1_union_by_name": q_u1_union_by_name,
+        "o3_distinct": q_o3_distinct,
+        "e5_array_roundtrip": q_e5_array_roundtrip,
+        "f2_datetime_components": q_f2_datetime_components,
+        "s5_calendar_offset_missing": q_s5_calendar_offset_missing,
+        "r1_split": q_r1_split,
     }
 
 
