@@ -722,11 +722,18 @@ def tile_images(
     # and a negative value renders 16 two's-complement chars. The clamp
     # happens on the DOUBLE side, before the int cast: under ANSI mode a
     # corrupt/huge value (|round(v*scale)| >= 2^31) would raise
-    # CAST_OVERFLOW at the cast, defeating the saturation
+    # CAST_OVERFLOW at the cast, defeating the saturation. NaN policy:
+    # Spark orders NaN ABOVE every double, so an unmasked NaN would ride
+    # greatest() through to least() and saturate to byte 255 (white) —
+    # nanvl maps NaN pixels to 0 (black, the same byte a masked/absent
+    # value scales to) so corrupt data can't impersonate max brightness.
     px8 = F.transform(
         ordered,
         lambda s: F.least(
-            F.greatest(F.round(s["value"] * F.lit(scale)), F.lit(0.0)),
+            F.greatest(
+                F.round(F.nanvl(s["value"], F.lit(0.0)) * F.lit(scale)),
+                F.lit(0.0),
+            ),
             F.lit(255.0),
         ).cast("int"),
     )

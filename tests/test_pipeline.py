@@ -610,6 +610,24 @@ def test_tile_images_clamps_out_of_range_values(spark):
         assert body == bytes([0, 255, 255, 0])
 
 
+def test_tile_images_maps_nan_pixels_to_black(spark):
+    """NaN orders above every double in Spark, so an unmasked NaN would
+    survive greatest() and saturate through least() to byte 255 (white),
+    silently rendering corrupt pixels as max brightness. Policy: NaN -> 0
+    (black), same as a masked/absent value."""
+    px = spark.createDataFrame(
+        [(1, 0, 0, float("nan")), (1, 1, 0, 100.0), (1, 0, 1, 50.0), (1, 1, 1, 0.0)],
+        "k int, p int, q int, value double",
+    )
+    out = pipeline.tile_images(px, tile_N=2, key_cols=["k"], value_max=100.0).collect()
+    data = bytes(out[0]["png"])
+    if data[:7] == b"STUBPNG":
+        body = data[15:]
+        # row-major (q, p): NaN -> 0 (NOT 255), 100 -> 255,
+        # 50 -> 127 (50 * 2.55 is 127.4999... in binary), 0 -> 0
+        assert body == bytes([0, 255, 127, 0])
+
+
 def test_dataset_spec_to_dict_idempotent():
     spec = pipeline.DatasetSpec.from_dict(TILE_SPEC)
     d1 = spec.to_dict()

@@ -484,6 +484,30 @@ def test_binned_1d_no_phantom_edge_bin(spark):
     assert bins == {23: 1, 0: 1}   # interior + lo-edge rows binned
 
 
+def test_binned_1d_excludes_nan_inf_and_overflow_values(spark):
+    """The domain pre-filter drops NaN (floor(NaN)=0 would land it in
+    bin 0), +/-inf, and huge by-values whose bucket id exceeds int range
+    (>= 2^31 * step would raise CAST_OVERFLOW under ANSI) — round-7 fix,
+    mirrored on the 2-D coordinate mask."""
+    from convml_data_spark.operators.binning import binned_statistic_1d
+
+    df = spark.createDataFrame(
+        [
+            (float("nan"), 1.0),
+            (float("inf"), 2.0),
+            (float("-inf"), 3.0),
+            (2.0**40, 4.0),     # >= 2^31 * step: overflow-sized, not NaN
+            (-2.0**40, 5.0),
+            (None, 6.0),
+            (0.5, 7.0),          # the only in-domain row
+        ],
+        "x double, v double",
+    )
+    out = binned_statistic_1d(df, "v", "x", 0.0, 10.0, 10, stats=["count"])
+    bins = {r["bin"]: r["count"] for r in out.collect()}
+    assert bins == {0: 1}
+
+
 def test_binned_2d_masks_nan_coordinates_and_min_points_without_count(spark):
     from convml_data_spark.operators.binning import binned_statistic_2d
 
