@@ -856,7 +856,10 @@ def build_analytics_pipeline(
     X4 PCA transform → A5 aux-binned embedding statistics.
 
     Every stage is the already-certified operator; composing them adds
-    only equi-joins on the tile key. Returns ``(stats, model)`` where
+    only equi-joins on the tile key. Works for ``triplets`` (bounded tile
+    count → broadcast join) and ``rect-slidingwindow`` (tiles ∝ raster →
+    shuffle-hash join; see the size gate at the J6 join) tiling.
+    Returns ``(stats, model)`` where
     ``stats`` has one row per (aux bin, embedding dim):
     (bin, dim, n, mean_emb, sum_emb) — mean over round(6) embeddings via
     an exact DECIMAL sum (order-independent), so the whole composition
@@ -867,10 +870,17 @@ def build_analytics_pipeline(
     from .operators.inference import batch_embed, pca_transform
 
     d = build_tile_data(spark, spec, src_dx=src_dx, src_nx=src_nx)
-    key = ["triplet_id", "collection", "tile_type", "scene_id"]
-    uid = F.concat_ws(
-        "|", F.col("triplet_id").cast("string"), F.col("tile_type")
-    )
+    rect = spec.tiles_kind == "rect-slidingwindow"
+    if rect:
+        key = ["scene_id", "tile_id"]
+        p_col, q_col = "i", "j"
+        uid = F.concat_ws("|", F.col("scene_id"), F.col("tile_id").cast("string"))
+    else:
+        key = ["triplet_id", "collection", "tile_type", "scene_id"]
+        p_col, q_col = "p", "q"
+        uid = F.concat_ws(
+            "|", F.col("triplet_id").cast("string"), F.col("tile_type")
+        )
     # per-tile image vector -> X3 inference. PARTIAL tiles (source raster
     # not covering the tile — the case the reference's shape check raises
     # on, tiles.py:258-265) are EXCLUDED here: a short vector would crash
@@ -878,7 +888,7 @@ def build_analytics_pipeline(
     # skew its mean; build_tile_data's shape_ok surfaces which ones
     in_dim = spec.tile_N * spec.tile_N
     vecs = (
-        tile_vectors(d["tile_pixels"], key)
+        tile_vectors(d["tile_pixels"], key, p_col=p_col, q_col=q_col)
         .where(F.size("tile_vec") == F.lit(in_dim))
         .withColumn("_uid", uid)
     )
@@ -889,16 +899,31 @@ def build_analytics_pipeline(
     # A1: per-tile aux-field reduction (independent raster, same grid)
     from .operators import tiler
 
+    aux_dx, aux_nx, aux_ny = src_dx, src_nx, src_nx
+    if rect and aux_dx is None:
+        # rect slices in INDEX space — the aux raster is the same domain
+        # pixel grid build_tile_data defaults to (sized per axis)
+        aux_dx = spec.resolution
+        aux_nx = int(round((spec.x_range[1] - spec.x_range[0]) / spec.resolution))
+        aux_ny = int(round((spec.y_range[1] - spec.y_range[0]) / spec.resolution))
     aux_px = synthetic_scene_raster(
-        d["scenes"], nx=src_nx, ny=src_nx, dx=src_dx, dy=src_dx,
+        d["scenes"], nx=aux_nx, ny=aux_ny, dx=aux_dx, dy=aux_dx,
         x0=spec.x_range[0], y0=spec.y_range[0], coeffs=AUX_RASTER_COEFFS,
     )
-    aux_tile_px = tiler.tile_regrid_nearest(
-        d["tiles"], aux_px,
-        resolution=spec.resolution, tile_N=spec.tile_N,
-        src_x0=spec.x_range[0], src_dx=src_dx,
-        src_y0=spec.y_range[0], src_dy=src_dx,
-    )
+    if rect:
+        aux_tile_px = tiler.tile_pixel_join(
+            aux_px.select("scene_id", "i", "j", "value"),
+            d["tiles"].select("tile_id", "i0", "imax", "j0", "jmax").distinct(),
+            x_col="i",
+            y_col="j",
+        )
+    else:
+        aux_tile_px = tiler.tile_regrid_nearest(
+            d["tiles"], aux_px,
+            resolution=spec.resolution, tile_N=spec.tile_N,
+            src_x0=spec.x_range[0], src_dx=src_dx,
+            src_y0=spec.y_range[0], src_dy=src_dx,
+        )
     n_px = spec.tile_N * spec.tile_N
     # tile_N² is a power-of-two pixel count -> the mean of integer-valued
     # doubles is DYADIC-exact (no rounding needed on either engine);
@@ -913,10 +938,21 @@ def build_analytics_pipeline(
         .drop("_n_aux")
         .withColumn("_uid", uid)
     )
-    # J6: embeddings ⋈ per-tile aux reduction — the aux side is one row
-    # per tile (bounded aggregate); broadcast it (the Arrow-batched emb
-    # plan is stats-opaque to Catalyst, which otherwise sort-merges)
-    joined = emb.join(F.broadcast(aux_mean.select("_uid", "aux_mean")), "_uid")
+    # J6: embeddings ⋈ per-tile aux reduction — one row per tile either
+    # side, and the Arrow-batched emb plan is stats-opaque to Catalyst
+    # (which otherwise sort-merges). The strategy is SIZE-GATED on what
+    # bounds the tile count: triplets/trajectories specs bound it by user
+    # input (n_triplets, trajectory rows) → broadcast; rect-slidingwindow
+    # tiles scale with the raster extent (reference emb_regridding.py:1-5:
+    # "number of embedding vectors was enormous") → an unconditional
+    # broadcast would blow the 8 GB cap / driver memory at 100×, so hint
+    # shuffle-hash instead (still avoids the sort-merge sort, stays
+    # executor-side, and the join key is the uniform tile uid — no skew).
+    aux_slim = aux_mean.select("_uid", "aux_mean")
+    if spec.tiles_kind == "rect-slidingwindow":
+        joined = emb.join(aux_slim.hint("shuffle_hash"), "_uid")
+    else:
+        joined = emb.join(F.broadcast(aux_slim), "_uid")
     # materialize the embedded-tile relation ONCE (lazy checkpoint): the
     # PCA fit runs several internal actions and would otherwise re-execute
     # the whole scenes→tiles→raster→Arrow-inference chain per action. This

@@ -349,3 +349,41 @@ def test_spec_tile_paths_broadcast_bounded_sides(spark):
     p2 = buf.getvalue()
     assert "SortMergeJoin" not in p2
     assert "BroadcastHashJoin" in p2
+
+
+def test_rect_analytics_aux_join_is_shuffle_hash_not_broadcast(spark):
+    """Size gate on the analytics emb⋈aux join: under rect-slidingwindow
+    tiling the per-tile aux relation scales with the RASTER extent
+    (reference emb_regridding.py:1-5 — 'number of embedding vectors was
+    enormous'), so an unconditional broadcast would hit the 8 GB cap /
+    driver OOM at 100×. The rect branch must plan a ShuffledHashJoin —
+    no broadcast-hash, no sort-merge. (tile_pixel_join's range join
+    legitimately broadcasts the tiny tile-extent list as a BNLJ; the gate
+    keys on the HASH join nodes only.)"""
+    from convml_data_spark import pipeline
+
+    spec = pipeline.DatasetSpec.from_dict(
+        {
+            "source": "re",
+            "inputs": ["vis"],
+            "t_start": "2024-01-01T00:00:00",
+            "t_end": "2024-01-01T06:00:00",
+            "step": "2 hours",
+            "tiles_kind": "rect-slidingwindow",
+            "sampling": {
+                "resolution": 20.0,
+                "rect-slidingwindow": {"tile_N": 4},
+            },
+            "domain": {"l_zonal": 160.0, "l_meridional": 160.0},
+        }
+    )
+    stats, _model = pipeline.build_analytics_pipeline(spark, spec, checkpoint=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        stats.explain("formatted")
+    p = buf.getvalue()
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" not in p
+    assert "ShuffledHashJoin" in p
+    # and the rect plumbing actually computes: one row per (bin, dim)
+    assert stats.limit(1).count() == 1
