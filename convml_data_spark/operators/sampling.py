@@ -269,10 +269,11 @@ def stratified_split(
     equidistant bucket cuts (uniform by construction, no sketch), ranks
     are computed per (group, bucket) in parallel, and each bucket's
     offset + the group total arrive via a broadcast (group, bucket)
-    count relation — one tiny aggregate, bounded by |groups|·P, never
-    driver-collected row data. Total: 1 count-aggregate job + 1 data
-    pass. Assignment thresholds replay exactly in SQL (same double
-    multiply + floor both engines).
+    count relation — a window-over-aggregate bounded by |groups|·P rows,
+    computed entirely executor-side (NO driver collect: a per-domain
+    split over millions of strata would otherwise materialize millions
+    of rows on the driver). Assignment thresholds replay exactly in SQL
+    (same double multiply + floor both engines).
     """
     from pyspark.sql import Window
 
@@ -290,17 +291,22 @@ def stratified_split(
         .withColumn("_b", F.least(F.floor(F.col("_u") * p), F.lit(p - 1)).cast("int"))
         .withColumn("_gk", gk)
     )
-    cells = keyed.groupBy("_gk", "_b").agg(F.count("*").alias("_c")).collect()
-    by_group: dict = {}
-    for r in cells:
-        by_group.setdefault(r["_gk"], {})[r["_b"]] = r["_c"]
-    rel = []
-    for g, bs in by_group.items():
-        n_g, acc = sum(bs.values()), 0
-        for b in sorted(bs):
-            rel.append((g, b, acc, n_g))
-            acc += bs[b]
-    off = spark.createDataFrame(rel, "_gk string, _b int, _off long, _n_g long")
+    # offsets as a RELATION, never a driver collect: the (group, bucket)
+    # count aggregate stays executor-side and the running-sum window runs
+    # over at most P rows per group (the window partitions by group but
+    # its input is the |groups|·P-row aggregate, not the data) — a
+    # per-domain split over millions of web domains materializes nothing
+    # driver-side
+    cells = keyed.groupBy("_gk", "_b").agg(F.count("*").alias("_c"))
+    w_off = Window.partitionBy("_gk").orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = cells.select(
+        "_gk",
+        "_b",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_c").over(Window.partitionBy("_gk")).alias("_n_g"),
+    )
     w = Window.partitionBy("_gk", "_b").orderBy("_u", id_col)
     ranked = keyed.join(F.broadcast(off), ["_gk", "_b"]).withColumn(
         "_rank", F.row_number().over(w) - 1 + F.col("_off")

@@ -258,6 +258,11 @@ def test_stratified_split_offsets_are_broadcast(spark):
     p = plan_of(spark, "stratified_split")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+    # offsets are a window-over-aggregate RELATION, not a driver
+    # collect round-tripped through createDataFrame: a parallelized
+    # local relation would appear as one of these scan nodes
+    assert "LocalTableScan" not in p
+    assert "ExistingRDD" not in p
 
 
 def test_pq_scan_joins_broadcast_the_probe_relation(spark):

@@ -309,6 +309,33 @@ def test_global_ranks_with_gap_stats_matches_bruteforce(spark):
     assert 0 <= p99 <= gap
 
 
+def test_stratified_split_scales_to_many_strata(spark):
+    """10⁴ strata through the executor-side offsets path: allocation is
+    exactly floor(n_g · cum_frac) in EVERY group and no rows are lost —
+    the shape (millions of web domains) that would have materialized the
+    old per-(group,bucket) driver collect."""
+    from collections import Counter
+
+    from convml_data_spark.operators.sampling import stratified_split
+
+    n_groups, per_group = 10_000, 3
+    df = (
+        spark.range(n_groups * per_group)
+        .selectExpr("id AS doc_id", f"concat('d', id % {n_groups}) AS source")
+        .repartition(16)
+    )
+    out = stratified_split(df, "source", {"a": 2, "b": 1}, seed=9)
+    rows = out.collect()
+    assert len(rows) == n_groups * per_group
+    per = Counter((r["source"], r["collection"]) for r in rows)
+    want_a = int(per_group * 2 / 3)  # floor(3 · 2/3) = 2
+    for g in range(0, n_groups, 997):  # spot-check a spread of groups
+        assert per[(f"d{g}", "a")] == want_a
+        assert per[(f"d{g}", "b")] == per_group - want_a
+    # and globally: every group allocated exactly (2, 1)
+    assert sum(v for (s, c), v in per.items() if c == "a") == n_groups * want_a
+
+
 def test_stratified_split_keeps_null_group_rows(spark):
     """A NULL group is its own stratum (window semantics), not silently
     dropped by the offsets equi-join."""
