@@ -789,6 +789,82 @@ def q_spec_regridded_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("scene_id", "ix", "iy", "cell_x", "cell_y", "value")
 
 
+def q_spec_regridded_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear through the spec regrid path (pipeline.py::
+    build_regridded_scenes(method='bilinear'); the reference's DEFAULT
+    for primary data, pipeline/regridding.py:98-112): each scene's 24×24
+    source raster (8 m spacing) interpolated onto the spec's 16×16 grid
+    at resolution 10 — 4-corner weights are exact sixteenths (10/8 steps)
+    and values are integers, so every weighted sum is dyadic-exact and
+    order-independent."""
+    from convml_data_spark import pipeline
+
+    _prep(spark)
+    spec = pipeline.DatasetSpec.from_dict(
+        {
+            "source": "rb",
+            "inputs": ["vis"],
+            "t_start": "2024-01-01T00:00:00",
+            "t_end": "2024-01-01T12:00:00",
+            "step": "1 hour",
+            "sampling": {"resolution": 10.0},
+            "domain": {"l_zonal": 160.0, "l_meridional": 160.0},
+        }
+    )
+    out = pipeline.build_regridded_scenes(
+        spark, spec, src_dx=8.0, src_nx=24, method="bilinear"
+    )
+    return out.select("scene_id", "ix", "iy", "cell_x", "cell_y", "value")
+
+
+def q_spec_scene_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-scene IMAGE product through the spec (pipeline.py::
+    build_scene_images; reference SceneImageMixin, scene_images.py:1-60 +
+    images.py:96-124 default rendering): regridded scenes → inverted
+    min-max grayscale uint8 per scene. This key certifies the uint8 path
+    (scene_id, ix, iy, byte) — the PNG half is the same JVM hex-pack +
+    Arrow encode as tile_images, property-tested byte-exact."""
+    from convml_data_spark import pipeline
+
+    _prep(spark)
+    spec = pipeline.DatasetSpec.from_dict(
+        {
+            "source": "si",
+            "inputs": ["vis"],
+            "t_start": "2024-01-01T00:00:00",
+            "t_end": "2024-01-01T12:00:00",
+            "step": "1 hour",
+            "sampling": {"resolution": 10.0},
+            "domain": {"l_zonal": 200.0, "l_meridional": 200.0},
+        }
+    )
+    d = pipeline.build_scene_images(spark, spec, src_dx=7.0, src_nx=24)
+    return d["bytes"].select("scene_id", "ix", "iy", F.col("byte").cast("int").alias("byte"))
+
+
+def q_spec_scene_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 wired through the SPEC (SceneSpec.scene_filter; reference
+    pipeline/utils.py:42-49 _filter_scene_ids): a scene_id regex with
+    re.match semantics (anchored at the start) applied inside
+    build_scene_table — a meta.yaml carrying scene_filter keeps only
+    matching scenes. Pattern keeps hours 00–11 of a 24-scene day."""
+    from convml_data_spark import pipeline
+
+    _prep(spark)
+    spec = pipeline.SceneSpec.from_dict(
+        {
+            "source": "sf",
+            "inputs": ["vis"],
+            "t_start": "2024-01-01T00:00:00",
+            "t_end": "2024-01-02T00:00:00",
+            "step": "1 hour",
+            "scene_filter": "sf__20240101(0[0-9]|1[01])",
+        }
+    )
+    scenes = pipeline.build_scene_table(spark, spec)
+    return scenes.select("scene_id", "t")
+
+
 def q_spec_analytics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The §3.3 analytics path composed as ONE program
     (pipeline.py::build_analytics_pipeline; reference
@@ -2270,6 +2346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the remaining r5 keys queue behind position 50 for round 9
         # (r5 remainder leads). Every key stays covered every round by
         # tests/test_oracle_parity.py.
+        # --- new in round 8 (never certified) ---
+        "spec_scene_images": q_spec_scene_images,
+        "spec_regridded_bilinear": q_spec_regridded_bilinear,
+        "spec_scene_filter": q_spec_scene_filter,
         # --- last driver row r3: four rounds stale ---
         "s2_goes16_query": q_s2_goes16_query,
         "s4_era5_manifest": q_s4_era5_manifest,
@@ -2322,11 +2402,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spec_triplet_pipeline": q_spec_triplet_pipeline,
         "multimodal_audio": q_multimodal_audio,
         "cap_per_source": q_cap_per_source,
+        # ---------------- position 51+: rotated out this round ----------
+        # r5-certified remainder (leads the round-9 window)
         "r2_scene_pairs": q_r2_scene_pairs,
         "w2_argmin_per_group": q_w2_argmin_per_group,
         "w3_local_peaks": q_w3_local_peaks,
-        # ---------------- position 51+: rotated out this round ----------
-        # r5-certified remainder (leads the round-9 window)
         "a6_ecdf": q_a6_ecdf,
         "s3_calendar_scan": q_s3_calendar_scan,
         "f6_filter_dsl": q_f6_filter_dsl,
@@ -3379,6 +3459,106 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT scene_id, ix, iy, ix * 10.0 AS cell_x, iy * 10.0 AS cell_y, value
             FROM rr WHERE rn = 1
+        """,
+        "spec_regridded_bilinear": """
+            WITH cal AS (
+              SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                            TIMESTAMP '2024-01-01 12:00:00',
+                                            INTERVAL 1 HOUR)) AS t
+            ),
+            sc AS (
+              SELECT 'rb__' || strftime(t, '%Y%m%d%H%M') AS scene_id, t
+              FROM cal WHERE t < TIMESTAMP '2024-01-01 12:00:00'
+            ),
+            px AS (
+              SELECT scene_id, ti.i AS i, tj.j AS j,
+                     CAST((epoch_us(t) // 3600000000 * 13 + ti.i * 37 + tj.j * 17) % 101
+                          AS DOUBLE) AS value
+              FROM sc CROSS JOIN range(0, 24) ti(i) CROSS JOIN range(0, 24) tj(j)
+            ),
+            tg AS (
+              SELECT scene_id, CAST(ti.i AS INT) AS ix, CAST(tj.j AS INT) AS iy,
+                     ti.i * 10.0 AS x, tj.j * 10.0 AS y
+              FROM sc CROSS JOIN range(0, 16) ti(i) CROSS JOIN range(0, 16) tj(j)
+            ),
+            c AS (
+              SELECT scene_id, ix, iy, x, y,
+                     x / 8.0 AS fx, y / 8.0 AS fy,
+                     CAST(floor(x / 8.0) AS INT) AS i0,
+                     CAST(floor(y / 8.0) AS INT) AS j0
+              FROM tg
+            ),
+            k AS (
+              SELECT c.*, d.di, d.dj,
+                     (1.0 - abs((fx - i0) - d.di)) * (1.0 - abs((fy - j0) - d.dj)) AS w
+              FROM c CROSS JOIN (VALUES (0.0, 0.0), (0.0, 1.0),
+                                        (1.0, 0.0), (1.0, 1.0)) d(di, dj)
+            )
+            SELECT k.scene_id, ix, iy, x AS cell_x, y AS cell_y,
+                   sum(w * value) AS value
+            FROM k JOIN px ON px.scene_id = k.scene_id
+                          AND px.i = k.i0 + CAST(k.di AS INT)
+                          AND px.j = k.j0 + CAST(k.dj AS INT)
+            GROUP BY k.scene_id, ix, iy, x, y
+            HAVING count(*) = 4
+        """,
+        "spec_scene_images": """
+            WITH cal AS (
+              SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                            TIMESTAMP '2024-01-01 12:00:00',
+                                            INTERVAL 1 HOUR)) AS t
+            ),
+            sc AS (
+              SELECT 'si__' || strftime(t, '%Y%m%d%H%M') AS scene_id, t
+              FROM cal WHERE t < TIMESTAMP '2024-01-01 12:00:00'
+            ),
+            px AS (
+              SELECT scene_id,
+                     ti.i * 7.0 AS x, tj.j * 7.0 AS y,
+                     CAST((epoch_us(t) // 3600000000 * 13 + ti.i * 37 + tj.j * 17) % 101
+                          AS DOUBLE) AS value
+              FROM sc CROSS JOIN range(0, 24) ti(i) CROSS JOIN range(0, 24) tj(j)
+            ),
+            cand AS (
+              SELECT *, CAST(round(x / 10.0) AS INT) AS ix,
+                        CAST(round(y / 10.0) AS INT) AS iy
+              FROM px
+            ),
+            d AS (
+              SELECT scene_id, ix, iy, x, y, value,
+                     (x - ix * 10.0) * (x - ix * 10.0)
+                     + (y - iy * 10.0) * (y - iy * 10.0) AS d2
+              FROM cand WHERE ix BETWEEN 0 AND 19 AND iy BETWEEN 0 AND 19
+            ),
+            rr AS (
+              SELECT *, row_number() OVER (
+                          PARTITION BY scene_id, ix, iy ORDER BY d2, x, y, value
+                        ) AS rn
+              FROM d
+            ),
+            reg AS (SELECT scene_id, ix, iy, value FROM rr WHERE rn = 1),
+            b AS (
+              SELECT scene_id, min(value) AS mn, max(value) AS mx
+              FROM reg GROUP BY scene_id
+            )
+            SELECT reg.scene_id, ix, iy,
+                   CAST(CASE WHEN mx = mn THEN 0
+                        ELSE least(floor((1.0 - (value - mn) / (mx - mn)) * 255.0),
+                                   255.0) END AS INT) AS byte
+            FROM reg JOIN b USING (scene_id)
+        """,
+        "spec_scene_filter": """
+            WITH cal AS (
+              SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                            TIMESTAMP '2024-01-02',
+                                            INTERVAL 1 HOUR)) AS t
+            ),
+            sc AS (
+              SELECT 'sf__' || strftime(t, '%Y%m%d%H%M') AS scene_id, t
+              FROM cal WHERE t < TIMESTAMP '2024-01-02'
+            )
+            SELECT scene_id, t FROM sc
+            WHERE regexp_matches(scene_id, '^(?:sf__20240101(0[0-9]|1[01]))')
         """,
         "j6_emb_aux_join": """
             WITH aux AS (

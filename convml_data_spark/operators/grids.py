@@ -183,6 +183,7 @@ def bilinear_regrid(
     value_col: str = "value",
     tx_col: str = "x",
     ty_col: str = "y",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """G1 (bilinear analog): interpolate a REGULAR source grid
     (i, j, value) at scattered target points — 4-corner weighted sum.
@@ -192,7 +193,15 @@ def bilinear_regrid(
     groupBy per target sums w·v. Targets outside the grid hull are dropped
     (reference crops first). Two shuffles total, both on dense integer keys
     — no range join, no UDF.
+
+    ``group_cols`` interpolates each group against its OWN grid (the
+    per-scene path of ``GenerateRegriddedScenes`` — bilinear is the
+    reference's DEFAULT for primary data, pipeline/regridding.py:98-112):
+    the join key becomes (group..., i, j), still dense and unskewed, so
+    every scene interpolates in parallel inside the same two shuffles.
+    Both ``grid`` and ``targets`` must carry the group columns.
     """
+    gcols = list(group_cols or [])
     fx = (F.col(tx_col) - F.lit(sx0)) / F.lit(sdx)
     fy = (F.col(ty_col) - F.lit(sy0)) / F.lit(sdy)
     i0 = F.floor(fx).cast("int")
@@ -217,9 +226,9 @@ def bilinear_regrid(
         "*", F.col("_corner.ci").alias("_ci"), F.col("_corner.cj").alias("_cj"), F.col("_corner.w").alias("_w")
     ).drop("_corner")
     g = grid.select(
-        F.col(i_col).alias("_ci"), F.col(j_col).alias("_cj"), F.col(value_col).alias("_v")
+        *gcols, F.col(i_col).alias("_ci"), F.col(j_col).alias("_cj"), F.col(value_col).alias("_v")
     )
-    joined = t.join(g, ["_ci", "_cj"])
+    joined = t.join(g, gcols + ["_ci", "_cj"])
     tgt_cols = [c for c in targets.columns]
     return (
         joined.groupBy(*tgt_cols)

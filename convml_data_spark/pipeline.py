@@ -54,6 +54,9 @@ class SceneSpec:
     time_intervals: list[tuple[datetime, datetime]] = field(default_factory=list)  # F1
     component_filters: dict[str, list[int]] = field(default_factory=dict)  # F2
     solar_zenith: dict | None = None  # F3: {"lon": deg, "dt_hours": h}
+    # F5 at the SPEC level: scene_id regex, re.match semantics (anchored
+    # at the start — reference pipeline/utils.py:42-49 _filter_scene_ids)
+    scene_filter: str | None = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "SceneSpec":
@@ -104,6 +107,7 @@ class SceneSpec:
                 k: list(v) for k, v in d.get("component_filters", {}).items()
             },
             solar_zenith=sz,
+            scene_filter=d.get("scene_filter"),
         )
 
     @classmethod
@@ -138,6 +142,11 @@ class DatasetSpec:
     x_range: tuple[float, float] = (0.0, 0.0)
     y_range: tuple[float, float] = (0.0, 0.0)
     aux_products: dict = field(default_factory=dict)
+    # scene-image product dispatch (reference scene_images.py:6-17 +
+    # meta `image_function`): "default" = inverted min-max grayscale
+    # (sources/images.py:96-124), a registered user-function name, or
+    # None = no image product (reference raises if rendering is asked for)
+    image_function: str | None = "default"
 
     @property
     def tile_size(self) -> float:
@@ -192,6 +201,7 @@ class DatasetSpec:
             x_range=(0.0, lz),
             y_range=(0.0, lm),
             aux_products=dict(d.get("aux_products") or {}),
+            image_function=d.get("image_function", "default"),
         )
 
     @classmethod
@@ -248,8 +258,12 @@ class DatasetSpec:
             }
         if self.scene.solar_zenith:
             d["solar_zenith"] = dict(self.scene.solar_zenith)
+        if self.scene.scene_filter:
+            d["scene_filter"] = self.scene.scene_filter
         if self.aux_products:
             d["aux_products"] = dict(self.aux_products)
+        if self.image_function != "default":
+            d["image_function"] = self.image_function
         return d
 
     def to_yaml(self, path: str) -> None:
@@ -512,20 +526,29 @@ def build_regridded_scenes(
     pixels: DataFrame | None = None,
     src_dx: float | None = None,
     src_nx: int | None = None,
+    method: str = "nearest",
 ) -> DataFrame:
     """``GenerateRegriddedScenes`` analog (reference
     pipeline/regridding.py:37-137): every scene's source raster resampled
     onto the spec domain's regular grid at ``sampling.resolution`` — the
-    per-scene G1 nearest regrid, driven by the meta.yaml spec.
+    per-scene G1 regrid, driven by the meta.yaml spec.
+
+    ``method``: ``"nearest"`` (argmin per cell) or ``"bilinear"``
+    (4-corner weighted sum — the reference's DEFAULT for primary data,
+    pipeline/regridding.py:98-112; aux products default to nearest).
+    Bilinear drops target cells whose 4-corner stencil leaves the source
+    hull (the reference crops to the domain first); nearest keeps every
+    cell some source point rounds into.
 
     ``pixels`` defaults to the synthetic scene raster (``src_nx`` points at
     ``src_dx`` spacing); pass a real (scene_id, x, y, value) table to
-    regrid actual data. One shuffle keyed by the dense
-    (scene_id, ix, iy) — every scene regrids in parallel inside the same
-    exchange, the relational twin of the reference's per-scene Luigi task
-    fan-out.
+    regrid actual data (bilinear additionally needs ``src_dx`` to index
+    the regular source). Both paths shuffle keyed by the dense
+    (scene_id, ix/i, iy/j) — every scene regrids in parallel inside the
+    same exchange, the relational twin of the reference's per-scene Luigi
+    task fan-out.
     """
-    from .operators.grids import nearest_regrid
+    from .operators.grids import bilinear_regrid, nearest_regrid
 
     nx = int(round((spec.x_range[1] - spec.x_range[0]) / spec.resolution))
     ny = int(round((spec.y_range[1] - spec.y_range[0]) / spec.resolution))
@@ -537,12 +560,154 @@ def build_regridded_scenes(
             scenes, nx=src_nx, ny=src_nx, dx=src_dx, dy=src_dx,
             x0=spec.x_range[0], y0=spec.y_range[0],
         )
-    return nearest_regrid(
-        pixels,
-        x0=spec.x_range[0], dx=spec.resolution, nx=nx,
-        y0=spec.y_range[0], dy=spec.resolution, ny=ny,
+    if method == "nearest":
+        return nearest_regrid(
+            pixels,
+            x0=spec.x_range[0], dx=spec.resolution, nx=nx,
+            y0=spec.y_range[0], dy=spec.resolution, ny=ny,
+            group_cols=["scene_id"],
+        )
+    if method != "bilinear":
+        raise ValueError(f"unknown regrid method {method!r} (nearest|bilinear)")
+    if src_dx is None:
+        raise ValueError("bilinear regrid needs src_dx (regular source spacing)")
+    # index the regular source: x = x0 + i·src_dx exactly, so the round
+    # recovers the integer index bit-exactly
+    x0, y0 = spec.x_range[0], spec.y_range[0]
+    grid = pixels.select(
+        "scene_id",
+        F.round((F.col("x") - F.lit(x0)) / F.lit(src_dx)).cast("int").alias("i"),
+        F.round((F.col("y") - F.lit(y0)) / F.lit(src_dx)).cast("int").alias("j"),
+        "value",
+    )
+    # target cells fan out executor-side off the scene table (explode ×
+    # explode — no driver loop), same pattern as synthetic_scene_raster
+    targets = (
+        scenes.select("scene_id")
+        .withColumn("ix", F.explode(F.expr(f"sequence(0, {nx - 1})")))
+        .withColumn("iy", F.explode(F.expr(f"sequence(0, {ny - 1})")))
+        .select(
+            "scene_id",
+            "ix",
+            "iy",
+            (F.lit(x0) + F.col("ix") * F.lit(spec.resolution)).alias("x"),
+            (F.lit(y0) + F.col("iy") * F.lit(spec.resolution)).alias("y"),
+        )
+    )
+    out = bilinear_regrid(
+        grid, targets, sx0=x0, sdx=src_dx, sy0=y0, sdy=src_dx,
         group_cols=["scene_id"],
     )
+    return out.select(
+        "scene_id", "ix", "iy",
+        F.col("x").alias("cell_x"), F.col("y").alias("cell_y"), "value",
+    )
+
+
+def build_scene_images(
+    spark: SparkSession,
+    spec: DatasetSpec,
+    pixels: DataFrame | None = None,
+    src_dx: float | None = None,
+    src_nx: int | None = None,
+    method: str = "nearest",
+    registry=None,
+) -> dict[str, DataFrame]:
+    """Per-scene IMAGE product through the spec — the reference's
+    quick-look scene PNGs (``SceneImageMixin``, pipeline/scene_images.py:
+    1-60, dispatching the meta.yaml ``image_function`` key; rendered by
+    sources/images.py:96-141): regridded scene raster → per-pixel uint8
+    via the spec's image function → row-major grayscale payload packed
+    ENTIRELY JVM-side (hex-pack/unhex, same path as ``tile_images``) →
+    PNG bytes Arrow-batched (real PIL when present, the deterministic
+    stub container otherwise).
+
+    Dispatch (scene_images.py:6-17):
+
+    * ``"default"`` — inverted min-max grayscale per scene
+      (``1 - (v-min)/(max-min)``, ×255 TRUNCATED like numpy's
+      ``astype(uint8)`` — images.py:104-107). Per-scene bounds come from
+      a groupBy aggregate broadcast-joined back (one row per scene), not
+      a per-scene window — no scene's raster funnels through a sort.
+    * any other name — looked up in ``registry`` (the user_functions.py
+      analog, :class:`~.functions.userfuncs.UserFunctionRegistry`); the
+      function's output must lie in [0, 1] — the reference RAISES outside
+      that range (images.py:97-109), mirrored here by an in-plan guard.
+    * ``None`` — raises; the spec declares no image product
+      (scene_images.py:20-23).
+
+    Returns ``{"bytes", "images"}``: ``bytes`` is the oracle-able uint8
+    path (scene_id, ix, iy, byte); ``images`` is (scene_id, png binary),
+    byte-exactness property-tested. PNG dims assume full-domain coverage
+    — render from the nearest regrid (bilinear drops edge cells whose
+    stencil leaves the source hull).
+    """
+    from .operators import multimodal
+
+    if spec.image_function is None:
+        raise ValueError(
+            "image_function is null — the spec declares no scene-image "
+            "product (reference scene_images.py:20-23)"
+        )
+    reg = build_regridded_scenes(
+        spark, spec, pixels=pixels, src_dx=src_dx, src_nx=src_nx, method=method
+    )
+    if spec.image_function == "default":
+        bounds = reg.groupBy("scene_id").agg(
+            F.min("value").alias("_mn"), F.max("value").alias("_mx")
+        )
+        px = reg.join(F.broadcast(bounds), "scene_id")
+        # flat scene (max == min): the reference divides by zero (NaN
+        # pixels); define it as 0 (black) instead of letting NaN pick a
+        # byte by float-ordering accident
+        scaled = F.when(F.col("_mx") == F.col("_mn"), F.lit(0.0)).otherwise(
+            F.lit(1.0) - (F.col("value") - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))
+        )
+    else:
+        if registry is None or spec.image_function not in registry:
+            raise ValueError(
+                f"image_function {spec.image_function!r} is not registered "
+                "(pass a UserFunctionRegistry defining it — reference "
+                "user_functions.py:5-41 raises NotImplementedError here)"
+            )
+        px = registry.apply(reg, spec.image_function, out_col="_img01")
+        img = F.col("_img01")
+        scaled = F.when(
+            img.isNull() | ((img >= 0.0) & (img <= 1.0)), F.coalesce(img, F.lit(0.0))
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"image_function {spec.image_function}: value outside "
+                    "[0,1] (reference images.py:97-109)"
+                )
+            )
+        )
+    # ×255 with TRUNCATION (numpy astype), not rounding; scaled==1.0
+    # lands exactly on 255
+    byte = F.least(F.floor(scaled * F.lit(255.0)).cast("int"), F.lit(255))
+    bytes_df = px.select("scene_id", "ix", "iy", byte.alias("byte"))
+    nx = int(round((spec.x_range[1] - spec.x_range[0]) / spec.resolution))
+    ny = int(round((spec.y_range[1] - spec.y_range[0]) / spec.resolution))
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("iy"), F.col("ix"), F.col("byte")))
+    )
+    hexstr = F.array_join(
+        F.transform(ordered, lambda s: F.lpad(F.hex(s["byte"]), 2, "0")), ""
+    )
+    keyed = (
+        bytes_df.groupBy("scene_id")
+        .agg(F.unhex(hexstr).alias("payload"))
+        .withColumn(
+            "media_meta",
+            F.struct(
+                F.lit(nx).alias("width"),
+                F.lit(ny).alias("height"),
+                F.lit(multimodal.FAKE_FORMAT).alias("format"),
+            ),
+        )
+    )
+    images = multimodal.encode_png(keyed, id_col="scene_id")
+    return {"bytes": bytes_df, "images": images}
 
 
 def tile_data_summary(
@@ -1018,6 +1183,14 @@ def build_scene_table(spark: SparkSession, spec: SceneSpec) -> DataFrame:
             scenes, "t",
             lon_degrees=spec.solar_zenith["lon"],
             dt_hours=spec.solar_zenith["dt_hours"],
+        )
+    if spec.scene_filter:
+        # F5 wired through the spec (reference pipeline/utils.py:42-49):
+        # re.match semantics — anchored at the START of the scene id only
+        # (rlike alone would be re.search); non-capturing group keeps a
+        # user pattern with alternation anchored as a whole
+        scenes = scenes.where(
+            F.col("scene_id").rlike("^(?:" + spec.scene_filter + ")")
         )
     return scenes
 

@@ -633,3 +633,76 @@ def test_dataset_spec_to_dict_idempotent():
     d1 = spec.to_dict()
     d2 = pipeline.DatasetSpec.from_dict(d1).to_dict()
     assert d1 == d2
+
+
+_IMG_SPEC = {
+    "source": "im",
+    "inputs": ["vis"],
+    "t_start": "2024-01-01T00:00:00",
+    "t_end": "2024-01-01T02:00:00",
+    "step": "1 hour",
+    "sampling": {"resolution": 10.0},
+    "domain": {"l_zonal": 40.0, "l_meridional": 40.0},
+}
+
+
+def test_scene_images_stub_png_matches_byte_raster(spark):
+    """The PNG half packs exactly the certified uint8 raster in row-major
+    (iy, ix) order — byte-exact against the deterministic stub container
+    (real PIL exercises the same payload when present)."""
+    spec = pipeline.DatasetSpec.from_dict(_IMG_SPEC)
+    d = pipeline.build_scene_images(spark, spec, src_dx=10.0, src_nx=4)
+    byts = {(r["scene_id"], r["ix"], r["iy"]): r["byte"] for r in d["bytes"].collect()}
+    imgs = {r["scene_id"]: bytes(r["png"]) for r in d["images"].collect()}
+    assert len(imgs) == 2
+    for sid, png in imgs.items():
+        if png[:7] == b"STUBPNG":
+            body = png[15:]
+            expect = bytes(byts[(sid, ix, iy)] for iy in range(4) for ix in range(4))
+            assert body == expect
+    # default rendering is INVERTED min-max: the per-scene max maps to 0
+    # (dark) and the min to 255 (bright) — reference images.py:104-107
+    for sid in imgs:
+        scene = [v for (s, _, _), v in byts.items() if s == sid]
+        assert min(scene) == 0 and max(scene) == 255
+
+
+def test_scene_images_user_function_dispatch_and_guards(spark):
+    """image_function dispatch mirrors scene_images.py:6-17: a registered
+    user function renders (values must sit in [0,1]); None and an
+    unregistered name raise like the reference."""
+    import pytest
+
+    from convml_data_spark.functions.userfuncs import UserFunctionRegistry
+
+    reg = UserFunctionRegistry()
+
+    @reg.register("norm_vis", inputs=["value"], units="1",
+                  long_name="normalized vis", bounded_01=True)
+    def norm_vis(value):
+        return value / 101.0
+
+    spec = pipeline.DatasetSpec.from_dict({**_IMG_SPEC, "image_function": "norm_vis"})
+    d = pipeline.build_scene_images(spark, spec, src_dx=10.0, src_nx=4, registry=reg)
+    rows = d["bytes"].collect()
+    assert len(rows) == 32
+    # byte = trunc(v/101·255) with v the integer raster value
+    for r in rows:
+        assert 0 <= r["byte"] <= 255
+
+    with pytest.raises(ValueError, match="no scene-image product"):
+        none_spec = pipeline.DatasetSpec.from_dict({**_IMG_SPEC, "image_function": None})
+        pipeline.build_scene_images(spark, none_spec, src_dx=10.0, src_nx=4)
+    with pytest.raises(ValueError, match="not registered"):
+        bad = pipeline.DatasetSpec.from_dict({**_IMG_SPEC, "image_function": "nope"})
+        pipeline.build_scene_images(spark, bad, src_dx=10.0, src_nx=4, registry=reg)
+
+
+def test_spec_round_trips_scene_filter_and_image_function():
+    spec = pipeline.DatasetSpec.from_dict(
+        {**_IMG_SPEC, "image_function": "norm_vis", "scene_filter": "im__2024.*"}
+    )
+    d1 = spec.to_dict()
+    assert d1["image_function"] == "norm_vis"
+    assert d1["scene_filter"] == "im__2024.*"
+    assert pipeline.DatasetSpec.from_dict(d1).to_dict() == d1
