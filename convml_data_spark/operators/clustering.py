@@ -48,6 +48,7 @@ def dbscan_labels(
     id_col: str = "id",
     x_col: str = "x",
     y_col: str = "y",
+    durable: bool | None = None,
 ) -> DataFrame:
     """Exact 2-D DBSCAN: returns ``(id, label, is_core)`` with
     ``label`` = the minimum core id of the point's cluster (NULL = noise).
@@ -55,6 +56,11 @@ def dbscan_labels(
     ``points`` must be unique per ``id_col``. Inputs with more dimensions
     should pass a 2-D projection (the reference applies its density
     transform after PCA reduction for the same reason).
+
+    ``durable`` picks the edge-list materialization
+    (:func:`~.persist.materialize_for_reuse`): default executor-local
+    checkpoint, or a reliable checkpoint that survives executor loss on a
+    real cluster.
     """
     from .dedup import connected_components
 
@@ -103,11 +109,13 @@ def dbscan_labels(
         .select("id_a", "id_b")
     )
     # the edge list feeds three consumers (core counts, CC, border
-    # assignment) — checkpoint it so it materializes ONCE, lazily (an
-    # eager checkpoint would execute the full grid join at plan
-    # CONSTRUCTION time — every explain() of a dbscan query would run the
-    # job)
-    edges = edges.localCheckpoint(eager=False)
+    # assignment) — materialize it ONCE, lazily (an eager checkpoint
+    # would execute the full grid join at plan CONSTRUCTION time — every
+    # explain() of a dbscan query would run the job); durable=True swaps
+    # the executor-local blocks for a reliable checkpoint
+    from .persist import materialize_for_reuse
+
+    edges = materialize_for_reuse(edges, durable=durable)
     n_nbr = edges.groupBy("id_a").agg(F.count("*").alias("_n"))
     core = (
         pts.join(n_nbr, pts.id == n_nbr.id_a, "left")

@@ -30,6 +30,7 @@ def blocked_cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 6,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Exact within-block cosine near-dup pairs: (id_a, id_b, score) with
     id_a < id_b and round(cosine, round_digits) >= threshold.
@@ -45,6 +46,16 @@ def blocked_cosine_pairs(
     identical to :func:`cosine_similarity`, so thresholds and oracle
     parity are unchanged. At 100 TB the block column is the shuffle key;
     skewed blocks split via AQE skew-join handling.
+
+    ``max_block`` (skew guard): within-block pairing is O(B²), so a
+    degenerate block — near-constant embeddings, too few LSH planes —
+    goes quadratic in one key. When set, each block keeps only its
+    ``max_block`` lowest-``id_col`` rows for PAIRING (deterministic, so
+    replayable; pair count is bounded by C(max_block, 2) per block). Rows
+    beyond the cap are excluded from candidate generation — a documented
+    recall trade, the same one a salting split would make by dropping
+    cross-shard pairs. The cap's own cost is one per-block sort (n log n,
+    spillable), paid only by blocks that exceed it.
     """
     n = embeddings.sparkSession.sparkContext.defaultParallelism
     base = embeddings.repartition(n, id_col).select(
@@ -53,6 +64,15 @@ def blocked_cosine_pairs(
         F.col(vec_col),
         l2_norm(F.col(vec_col)).alias("_nrm"),
     )
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(block_col).orderBy(id_col)
+        base = (
+            base.withColumn("_bn", F.row_number().over(w))
+            .where(F.col("_bn") <= int(max_block))
+            .drop("_bn")
+        )
     a = base.select(
         block_col,
         F.col(id_col).alias("id_a"),
@@ -387,6 +407,7 @@ def lsh_neardup_pairs(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup PAIRS at scale: self-join within
     hyperplane-LSH buckets only, then exact cosine verification.
@@ -396,6 +417,14 @@ def lsh_neardup_pairs(
     tracks cosine similarity (a pair at cosine s collides w.p.
     (1−acos(s)/π)^n_planes), so candidates concentrate on true near-dups.
     Approximate-recall — property-tested, not oracle-checked.
+
+    ``max_bucket`` bounds the O(B²) blow-up of a DEGENERATE bucket
+    (near-constant embeddings, too few planes): each bucket pairs only
+    its ``max_bucket`` lowest-id rows (see
+    :func:`blocked_cosine_pairs` ``max_block`` — deterministic,
+    replayable; excluded rows are a logged-in-docs recall trade). The
+    default is far above any healthy bucket's size at the plane counts
+    used here; pass ``None`` to disable.
     """
     # the bucket IS the block: delegate to blocked_cosine_pairs, which
     # already hoists per-row norms before the self-join (one dot fold per
@@ -405,7 +434,8 @@ def lsh_neardup_pairs(
         embeddings, n_planes=n_planes, dim=dim, seed=seed, vec_col=vec_col, id_col=id_col
     )
     return blocked_cosine_pairs(
-        sigs, threshold, block_col="bucket", vec_col=vec_col, id_col=id_col
+        sigs, threshold, block_col="bucket", vec_col=vec_col, id_col=id_col,
+        max_block=max_bucket,
     ).distinct()
 
 
@@ -853,6 +883,7 @@ def semantic_dedup(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): remove documents that are semantically (not
@@ -868,7 +899,8 @@ def semantic_dedup(
     alternating-star connected components, and the survivor per group is
     the minimum id (:func:`~.dedup.canonical_survivors`).
 
-    Scale: bucket self-join (never all-pairs) → hash-partitioned CC
+    Scale: bucket self-join (never all-pairs, ``max_bucket``-guarded
+    against degenerate-bucket O(B²) blow-up) → hash-partitioned CC
     rounds → one anti join. Returns the surviving id relation.
     """
     from .dedup import canonical_survivors
@@ -881,6 +913,7 @@ def semantic_dedup(
         dim=dim,
         vec_col=vec_col,
         id_col=id_col,
+        max_bucket=max_bucket,
     )
     return canonical_survivors(
         embeddings.select(id_col), pairs, id_col=id_col, id_a="id_a", id_b="id_b"

@@ -1012,7 +1012,7 @@ def build_analytics_pipeline(
     src_dx: float | None = None,
     src_nx: int | None = None,
     seed: int = 42,
-    checkpoint: bool = True,
+    checkpoint: bool | str = True,
 ):
     """The §3.3 analytics path as ONE composed lazy program (reference
     ``AggregatedDatasetScenesAuxFieldWithEmbeddings``,
@@ -1125,9 +1125,14 @@ def build_analytics_pipeline(
     # netCDF product — one row per (tile, emb, aux), bounded by the tile
     # count, far below the raster it derives from. ``checkpoint=False``
     # keeps the full upstream plan visible (plan-quality gates inspect
-    # the raster joins, which a checkpoint node hides).
+    # the raster joins, which a checkpoint node hides);
+    # ``checkpoint="durable"`` swaps executor-local blocks (not
+    # fault-tolerant — an executor loss mid-query kills the job on a real
+    # cluster) for a reliable checkpoint in the session's checkpoint dir.
     if checkpoint:
-        joined = joined.localCheckpoint(eager=False)
+        from .operators.persist import materialize_for_reuse
+
+        joined = materialize_for_reuse(joined, durable=(checkpoint == "durable"))
     # X4: PCA over the embedding matrix (fit inside the same program)
     pca_in = joined.select("_uid", F.col("emb_out").alias("embedding"))
     _pca_out, model = pca_transform(pca_in, k=pca_k, id_col="_uid", out_col="pca")

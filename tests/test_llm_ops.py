@@ -123,6 +123,34 @@ def test_lsh_neardup_pairs_finds_planted_dups(spark):
     assert all(p in planted for p in pairs)  # no false positives at 0.99
 
 
+def test_lsh_bucket_skew_guard_bounds_degenerate_pair_count(spark):
+    """Adversarial near-constant embeddings concentrate EVERY row into one
+    LSH bucket — unguarded, within-bucket pairing goes O(n²). With
+    max_bucket=50 the candidate pairs are bounded by C(50,2) (the 50
+    lowest ids pair; the rest are excluded — the documented recall
+    trade), and the default guard leaves healthy workloads untouched."""
+    from convml_data_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = [
+        (i, [float(x) for x in base + rng.standard_normal(16) * 1e-6])
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = similarity.lsh_neardup_pairs(
+        df, threshold=0.0, n_planes=4, dim=16, max_bucket=50
+    ).collect()
+    assert 0 < len(capped) <= 50 * 49 // 2
+    # only the 50 lowest ids participate (deterministic cap)
+    assert max(max(r["id_a"], r["id_b"]) for r in capped) < 50
+    # guard off → the full quadratic set (sanity: the cap was the limiter)
+    uncapped_n = similarity.lsh_neardup_pairs(
+        df, threshold=0.0, n_planes=4, dim=16, max_bucket=None
+    ).count()
+    assert uncapped_n == 500 * 499 // 2
+
+
 def test_batch_topk_matches_single_query_paths(spark):
     """The batch ANN entry points (one scan for a whole query batch) must
     return EXACTLY the per-query single paths' rows, per qid — same ids,
@@ -446,6 +474,35 @@ def test_dbscan_planted_clusters(spark):
         assert out[10 + k - 10][0] == 10
     assert out[20] == (0, False)   # border -> cluster of min core neighbor
     assert out[30] == (None, False)  # noise
+
+
+def test_durable_materialization_matches_local_and_guards_missing_dir(spark):
+    """materialize_for_reuse(durable=True) writes a RELIABLE checkpoint
+    (survives executor loss on a real cluster) and returns the same rows
+    as the default executor-local path; without a configured checkpoint
+    dir it raises with instructions instead of failing mid-job."""
+    import tempfile
+
+    import pytest
+
+    from convml_data_spark.operators.clustering import dbscan_labels
+    from convml_data_spark.operators.persist import materialize_for_reuse
+
+    rows = [(k, 0.01 * k, 0.0) for k in range(5)] + [(30, 100.0, -50.0)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    local = sorted(map(tuple, dbscan_labels(pts, eps=0.08, min_pts=4).collect()))
+
+    sc = spark.sparkContext
+    had_dir = not sc._jsc.sc().getCheckpointDir().isEmpty()
+    if not had_dir:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            materialize_for_reuse(pts, durable=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        sc.setCheckpointDir(tmp)
+        durable = sorted(
+            map(tuple, dbscan_labels(pts, eps=0.08, min_pts=4, durable=True).collect())
+        )
+        assert durable == local
 
 
 def test_dbscan_invariants_random_points(spark):
