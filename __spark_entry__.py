@@ -2337,11 +2337,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # code changes this round come first. Composition: the 7 keys whose
         # last driver row is r3 (four rounds stale), the IVF/PQ pair (no
         # driver row since their r6 Lloyd refactor), the 26 r4-stale keys,
-        # the 8 keys whose operator code changes in round 8 (stratified
+        # the 9 keys whose operator code changes in round 8 (stratified
         # split offsets de-drivered, analytics broadcast size-gated, LSH /
         # semantic-dedup bucket-skew guard, tile_images NaN mask feeds
-        # spec_tile_data + g8, clustering checkpoint flag), then 7 oldest
-        # r5 fillers. New r8 query keys are inserted at the head as they
+        # spec_tile_data + g8, clustering checkpoint flag, rect G2 slice
+        # switched to the covering-tile explode → spec_rect_embeddings),
+        # then the oldest r5 fillers. New r8 query keys are inserted at the head as they
         # land, displacing fillers to 51+. Displaced r7-certified keys and
         # the remaining r5 keys queue behind position 50 for round 9
         # (r5 remainder leads). Every key stays covered every round by
@@ -2389,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g6_spanning_domain": q_g6_spanning_domain,
         "g7_tangent_projection": q_g7_tangent_projection,
         # --- operator code changes in round 8; certify post-change ---
+        "spec_rect_embeddings": q_spec_rect_embeddings,
         "stratified_split": q_stratified_split,
         "spec_analytics_pipeline": q_spec_analytics_pipeline,
         "neardup_lsh_pairs": q_neardup_lsh_pairs,
@@ -2398,12 +2400,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_transform_dbscan": q_emb_transform_dbscan,
         "emb_transform_kmeans": q_emb_transform_kmeans,
         # --- oldest r5-certified fillers ---
-        "traj_tiles": q_traj_tiles,
         "spec_triplet_pipeline": q_spec_triplet_pipeline,
         "multimodal_audio": q_multimodal_audio,
         "cap_per_source": q_cap_per_source,
         # ---------------- position 51+: rotated out this round ----------
         # r5-certified remainder (leads the round-9 window)
+        "traj_tiles": q_traj_tiles,
         "r2_scene_pairs": q_r2_scene_pairs,
         "w2_argmin_per_group": q_w2_argmin_per_group,
         "w3_local_peaks": q_w3_local_peaks,
@@ -2435,7 +2437,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7-certified (freshest; rotate back last)
         "spec_aux_derived": q_spec_aux_derived,
         "spec_regridded_scenes": q_spec_regridded_scenes,
-        "spec_rect_embeddings": q_spec_rect_embeddings,
         "stream_static_join": q_stream_static_join,
         "stream_stream_join": q_stream_stream_join,
         "j2_asof_single": q_j2_asof_single,

@@ -194,10 +194,12 @@ def tile_regrid_nearest(
 def tile_pixel_join(pixels: DataFrame, tiles: DataFrame, x_col: str = "x", y_col: str = "y") -> DataFrame:
     """G2: pixels ⋈ tiles with ``i0 <= x < imax AND j0 <= y < jmax``.
 
-    The tile table is tiny relative to pixels — broadcast it so the range
-    join is a broadcast nested-loop over a small build side rather than a
-    shuffle; at extreme tile counts switch to the covering-tile equi-join
-    described in the module docstring.
+    For an ARBITRARY (e.g. filtered) tile set: the tile table is
+    broadcast so the range join is a nested loop over a small build side
+    rather than a shuffle. When the tile set is the FULL sliding grid —
+    the rect-slidingwindow spec paths, where tiles scale with the raster
+    and a broadcast eventually hits the 8 GB cap — use
+    :func:`tile_pixel_cover` instead: zero joins, constant fan-out.
     """
     return pixels.join(
         F.broadcast(tiles),
@@ -205,4 +207,60 @@ def tile_pixel_join(pixels: DataFrame, tiles: DataFrame, x_col: str = "x", y_col
         & (F.col(x_col) < F.col("imax"))
         & (F.col(y_col) >= F.col("j0"))
         & (F.col(y_col) < F.col("jmax")),
+    )
+
+
+def tile_pixel_cover(
+    pixels: DataFrame,
+    nx: int,
+    ny: int,
+    n_tile: int,
+    step: int,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """G2 membership against the FULL :func:`sliding_tiles` grid as a
+    CONSTANT-FAN-OUT explode — no join at all (the module docstring's
+    covering-tile rewrite, now the spec paths' default).
+
+    Every pixel x is covered by the tile origins ``k·step`` with
+    ``k ∈ [ceil((x-n_tile+1)/step), floor(x/step)]`` clamped to the grid
+    — at most ``ceil(n_tile/step)`` per axis, a plan-time constant — so
+    the tile id, extent and membership are all closed-form expressions.
+    Scale: where :func:`tile_pixel_join` broadcasts a tile list that
+    grows with the raster under rect tiling (OOM at 100×), this emits
+    ``(n_tile/step)²`` rows per pixel with zero shuffles and zero
+    broadcast state. Row set and columns are IDENTICAL to
+    ``tile_pixel_join(pixels, sliding_tiles(...))`` (property-tested).
+    """
+    n_i = (nx - n_tile) // step + 1
+    n_j = (ny - n_tile) // step + 1
+
+    def k_range(c, n_k):
+        lo = F.greatest(
+            F.ceil((c - F.lit(n_tile - 1)) / F.lit(float(step))).cast("int"),
+            F.lit(0),
+        )
+        hi = F.least(
+            F.floor(c / F.lit(float(step))).cast("int"), F.lit(n_k - 1)
+        )
+        # sequence(lo, hi) with lo > hi generates a DESCENDING sequence —
+        # pixels in a coverage gap (step > n_tile) or past the last tile
+        # must yield an EMPTY array (explode then drops the row)
+        return F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    ki = k_range(F.col(x_col), n_i)
+    kj = k_range(F.col(y_col), n_j)
+    out = pixels.withColumn("_ki", F.explode(ki)).withColumn("_kj", F.explode(kj))
+    i0 = F.col("_ki") * step
+    j0 = F.col("_kj") * step
+    return out.select(
+        *pixels.columns,
+        (F.col("_kj") * n_i + F.col("_ki")).cast("int").alias("tile_id"),
+        i0.cast("int").alias("i0"),
+        (i0 + n_tile).cast("int").alias("imax"),
+        j0.cast("int").alias("j0"),
+        (j0 + n_tile).cast("int").alias("jmax"),
     )

@@ -749,8 +749,10 @@ def build_tile_data(
       (:func:`~.operators.tiler.tile_regrid_nearest` — closed-form
       nearest on the regular source, one dense-key equi-join shuffle);
     * ``rect-slidingwindow``: the G2 index slice
-      (``isel(x=slice(i0, imax), y=slice(j0, jmax))``) via
-      :func:`~.operators.tiler.tile_pixel_join` on pixel indices.
+      (``isel(x=slice(i0, imax), y=slice(j0, jmax))``) via the
+      covering-tile explode :func:`~.operators.tiler.tile_pixel_cover`
+      (zero joins — the full sliding grid scales with the raster, so it
+      is never broadcast).
 
     Returns the :func:`build_triplet_dataset` dict plus ``tile_pixels``
     (per-tile pixel rows) and ``tile_data`` (per-tile reduction +
@@ -777,9 +779,15 @@ def build_tile_data(
         )
     tiles = out["tiles"]
     if spec.tiles_kind == "rect-slidingwindow":
-        tile_px = tiler.tile_pixel_join(
+        # the rect tile set is the FULL sliding grid, which scales with
+        # the raster — the covering-tile explode (zero joins, constant
+        # fan-out) replaces the broadcast range join that would OOM the
+        # driver at 100× (grid dims must match build_triplet_dataset's)
+        gnx = int((spec.x_range[1] - spec.x_range[0]) / spec.resolution)
+        gny = int((spec.y_range[1] - spec.y_range[0]) / spec.resolution)
+        tile_px = tiler.tile_pixel_cover(
             pixels.select("scene_id", "i", "j", "value"),
-            tiles.select("tile_id", "i0", "imax", "j0", "jmax").distinct(),
+            nx=gnx, ny=gny, n_tile=spec.tile_N, step=spec.tile_N,
             x_col="i",
             y_col="j",
         )
@@ -1076,9 +1084,13 @@ def build_analytics_pipeline(
         x0=spec.x_range[0], y0=spec.y_range[0], coeffs=AUX_RASTER_COEFFS,
     )
     if rect:
-        aux_tile_px = tiler.tile_pixel_join(
+        # same covering-tile explode as build_tile_data's rect slice —
+        # the tile grid scales with the raster, so no broadcast of it
+        aux_tile_px = tiler.tile_pixel_cover(
             aux_px.select("scene_id", "i", "j", "value"),
-            d["tiles"].select("tile_id", "i0", "imax", "j0", "jmax").distinct(),
+            nx=int((spec.x_range[1] - spec.x_range[0]) / spec.resolution),
+            ny=int((spec.y_range[1] - spec.y_range[0]) / spec.resolution),
+            n_tile=spec.tile_N, step=spec.tile_N,
             x_col="i",
             y_col="j",
         )

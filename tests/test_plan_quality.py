@@ -362,9 +362,9 @@ def test_rect_analytics_aux_join_is_shuffle_hash_not_broadcast(spark):
     (reference emb_regridding.py:1-5 — 'number of embedding vectors was
     enormous'), so an unconditional broadcast would hit the 8 GB cap /
     driver OOM at 100×. The rect branch must plan a ShuffledHashJoin —
-    no broadcast-hash, no sort-merge. (tile_pixel_join's range join
-    legitimately broadcasts the tiny tile-extent list as a BNLJ; the gate
-    keys on the HASH join nodes only.)"""
+    no broadcast-hash, no sort-merge — and since the G2 slice is the
+    covering-tile EXPLODE (tile_pixel_cover), no broadcast-nested-loop
+    range join against the raster-scaled tile grid either."""
     from convml_data_spark import pipeline
 
     spec = pipeline.DatasetSpec.from_dict(
@@ -389,6 +389,7 @@ def test_rect_analytics_aux_join_is_shuffle_hash_not_broadcast(spark):
     p = buf.getvalue()
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
     assert "ShuffledHashJoin" in p
     # and the rect plumbing actually computes: one row per (bin, dim)
     assert stats.limit(1).count() == 1

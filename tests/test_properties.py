@@ -495,6 +495,37 @@ def test_sequential_scan_schema_with_comma_in_type(spark):
     assert out[0]["m"] == {"k": 1}
 
 
+def test_tile_pixel_cover_matches_range_join_on_full_grid(spark):
+    """The covering-tile explode returns EXACTLY the broadcast range
+    join's rows against the full sliding grid — overlapping tiles
+    (step < n_tile), a coverage gap (grid not spanning every pixel), and
+    out-of-grid pixels included."""
+    from pyspark.sql import functions as F
+
+    from convml_data_spark.operators import tiler
+
+    for nx, ny, n_tile, step in ((20, 20, 8, 4), (21, 13, 6, 6), (16, 16, 4, 4)):
+        px = (
+            spark.range(1)
+            .select(F.explode(F.expr(f"sequence(0, {nx + 2})")).alias("x"))
+            .select("x", F.explode(F.expr(f"sequence(0, {ny + 2})")).alias("y"))
+            .withColumn("value", F.col("x") * 1000 + F.col("y"))
+        )
+        tiles = tiler.sliding_tiles(spark, nx, ny, n_tile, step)
+        want = sorted(
+            map(tuple, tiler.tile_pixel_join(px, tiles).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                tiler.tile_pixel_cover(
+                    px, nx=nx, ny=ny, n_tile=n_tile, step=step
+                ).collect(),
+            )
+        )
+        assert got == want, (nx, ny, n_tile, step)
+
+
 def test_binned_1d_no_phantom_edge_bin(spark):
     """A value exactly at hi lands NOWHERE (left-closed [lo, hi) domain)
     — the old 1e-12 epsilon was a float no-op for hi >= ~16384 and let
