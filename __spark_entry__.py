@@ -2527,11 +2527,20 @@ def _neardup_lsh_oracle_sql() -> str:
             f"THEN {1 << i} ELSE 0 END)"
         )
     bucket = "\n                     + ".join(bits)
+    from convml_data_spark.operators.similarity import LSH_MAX_BUCKET
+
     return f"""
-            WITH sig AS (
+            WITH sig0 AS (
               SELECT vec_id, embedding,
                      {bucket} AS bucket
               FROM embeddings
+            ), sig AS (
+              -- the engine's max_bucket skew guard, mirrored exactly:
+              -- each bucket pairs only its LSH_MAX_BUCKET lowest ids
+              SELECT vec_id, embedding, bucket FROM (
+                SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS _bn
+                FROM sig0
+              ) WHERE _bn <= {LSH_MAX_BUCKET}
             ), cand AS (
               SELECT a.vec_id AS id_a, a.embedding AS va,
                      b.vec_id AS id_b, b.embedding AS vb
@@ -2568,11 +2577,19 @@ def _semantic_dedup_oracle_sql(threshold: float = 0.35, n_planes: int = 6) -> st
             f"THEN {1 << i} ELSE 0 END)"
         )
     bucket = "\n                     + ".join(bits)
+    from convml_data_spark.operators.similarity import LSH_MAX_BUCKET
+
     return f"""
-            WITH RECURSIVE sig AS (
+            WITH RECURSIVE sig0 AS (
               SELECT vec_id, embedding,
                      {bucket} AS bucket
               FROM embeddings
+            ), sig AS (
+              -- the engine's max_bucket skew guard, mirrored exactly
+              SELECT vec_id, embedding, bucket FROM (
+                SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS _bn
+                FROM sig0
+              ) WHERE _bn <= {LSH_MAX_BUCKET}
             ), cand AS (
               SELECT a.vec_id AS id_a, a.embedding AS va,
                      b.vec_id AS id_b, b.embedding AS vb

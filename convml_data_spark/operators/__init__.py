@@ -39,7 +39,7 @@ from .sampling import (
 from .images import contrast_correction, make_rgb, true_color_rgb
 from .scenes import multi_input_scene_table
 from .clustering import dbscan_labels
-from .tiler import sliding_tiles, tile_pixel_join, tile_regrid_nearest
+from .tiler import sliding_tiles, tile_pixel_cover, tile_pixel_join, tile_regrid_nearest
 
 __all__ = [
     "contrast_correction",
@@ -62,6 +62,7 @@ __all__ = [
     "multi_input_scene_table",
     "dbscan_labels",
     "sliding_tiles",
+    "tile_pixel_cover",
     "tile_pixel_join",
     "tile_regrid_nearest",
     "attach_grid_coords",

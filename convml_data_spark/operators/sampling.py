@@ -268,8 +268,8 @@ def stratified_split(
     100 TB is terabytes). Instead the md5-uniform rank key gets FIXED
     equidistant bucket cuts (uniform by construction, no sketch), ranks
     are computed per (group, bucket) in parallel, and each bucket's
-    offset + the group total arrive via a broadcast (group, bucket)
-    count relation — a window-over-aggregate bounded by |groups|·P rows,
+    offset + the group total arrive via a (group, bucket) count relation
+    — a window-over-aggregate bounded by |groups|·P rows,
     computed entirely executor-side (NO driver collect: a per-domain
     split over millions of strata would otherwise materialize millions
     of rows on the driver). Assignment thresholds replay exactly in SQL
@@ -307,8 +307,15 @@ def stratified_split(
         F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
         F.sum("_c").over(Window.partitionBy("_gk")).alias("_n_g"),
     )
+    # NO broadcast hint: the ranking window below repartitions the data
+    # by (_gk, _b) anyway, so a shuffle join on the same key REUSES that
+    # exchange (one data shuffle total, same as the broadcast plan) —
+    # and, unlike a forced broadcast, it survives millions of strata
+    # (off is bounded by |groups|·P, which only a shuffle join handles at
+    # web-domain cardinalities). AQE still converts to broadcast at
+    # runtime when off turns out tiny.
     w = Window.partitionBy("_gk", "_b").orderBy("_u", id_col)
-    ranked = keyed.join(F.broadcast(off), ["_gk", "_b"]).withColumn(
+    ranked = keyed.join(off, ["_gk", "_b"]).withColumn(
         "_rank", F.row_number().over(w) - 1 + F.col("_off")
     )
     assign = None

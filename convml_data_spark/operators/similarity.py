@@ -22,6 +22,13 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, dot, l2_norm
 
+# default within-bucket pairing cap for the LSH near-dup / semantic-dedup
+# paths. PART OF THE OPERATOR SEMANTICS, not just a perf knob: the DuckDB
+# oracle twins in __spark_entry__ mirror this exact constant (row_number
+# per bucket ordered by id), so engine and oracle agree even on data
+# where a bucket exceeds the cap.
+LSH_MAX_BUCKET = 10_000
+
 
 def blocked_cosine_pairs(
     embeddings: DataFrame,
@@ -54,8 +61,10 @@ def blocked_cosine_pairs(
     replayable; pair count is bounded by C(max_block, 2) per block). Rows
     beyond the cap are excluded from candidate generation — a documented
     recall trade, the same one a salting split would make by dropping
-    cross-shard pairs. The cap's own cost is one per-block sort (n log n,
-    spillable), paid only by blocks that exceed it.
+    cross-shard pairs. Cost: a per-block count aggregate (map-side
+    combined, ≤ |blocks| rows); the ranking sort runs ONLY over rows of
+    blocks that actually exceed the cap — a healthy workload pays no
+    per-row sort.
     """
     n = embeddings.sparkSession.sparkContext.defaultParallelism
     base = embeddings.repartition(n, id_col).select(
@@ -67,12 +76,18 @@ def blocked_cosine_pairs(
     if max_block is not None:
         from pyspark.sql import Window
 
+        cap = int(max_block)
+        counts = base.groupBy(block_col).agg(F.count("*").alias("_bc"))
+        sized = base.join(counts, block_col)
+        healthy = sized.where(F.col("_bc") <= cap)
         w = Window.partitionBy(block_col).orderBy(id_col)
-        base = (
-            base.withColumn("_bn", F.row_number().over(w))
-            .where(F.col("_bn") <= int(max_block))
+        capped = (
+            sized.where(F.col("_bc") > cap)
+            .withColumn("_bn", F.row_number().over(w))
+            .where(F.col("_bn") <= cap)
             .drop("_bn")
         )
+        base = healthy.unionByName(capped).drop("_bc")
     a = base.select(
         block_col,
         F.col(id_col).alias("id_a"),
@@ -407,7 +422,7 @@ def lsh_neardup_pairs(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-dup PAIRS at scale: self-join within
     hyperplane-LSH buckets only, then exact cosine verification.
@@ -883,7 +898,7 @@ def semantic_dedup(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): remove documents that are semantically (not

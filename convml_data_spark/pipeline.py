@@ -318,6 +318,12 @@ def build_triplet_dataset(
         nx = int((spec.x_range[1] - spec.x_range[0]) / spec.resolution)
         ny = int((spec.y_range[1] - spec.y_range[0]) / spec.resolution)
         grid = tiler.sliding_tiles(spark, nx, ny, spec.tile_N, spec.tile_N)
+        # grid is TILE EXTENTS only (no scene dimension): (nx/tile_N)·
+        # (ny/tile_N) rows — quadratically smaller than the raster (a
+        # 100k² raster at tile_N=256 is ~150k rows), so the broadcast
+        # replicating it under the scene cross join stays bounded; the
+        # relations that DO scale with scenes×tiles (pixels, summaries)
+        # never broadcast (tile_pixel_cover / the shuffle-hash gates)
         out["tiles"] = scenes.select("scene_id").crossJoin(F.broadcast(grid))
     elif spec.tiles_kind == "triplets":
         splits = smp.proportional_split(
@@ -637,13 +643,14 @@ def build_scene_images(
       (scene_images.py:20-23).
 
     Returns ``{"bytes", "images"}``: ``bytes`` is the oracle-able uint8
-    path (scene_id, ix, iy, byte); ``images`` is (scene_id, png binary),
-    byte-exactness property-tested. PNG dims assume full-domain coverage
-    — render from the nearest regrid (bilinear drops edge cells whose
-    stencil leaves the source hull).
+    path (scene_id, ix, iy, byte) over the COVERED cells; ``images``
+    always packs the full nx×ny raster — cells the regrid left empty
+    (source not covering the domain; bilinear edge stencils) are
+    completed as byte 0, the same black the NaN policy uses — so the
+    payload length always matches the declared PNG dims (a short payload
+    crashes real PIL and mis-slices the stub). Byte-exactness is
+    property-tested.
     """
-    from .operators import multimodal
-
     if spec.image_function is None:
         raise ValueError(
             "image_function is null — the spec declares no scene-image "
@@ -688,25 +695,21 @@ def build_scene_images(
     bytes_df = px.select("scene_id", "ix", "iy", byte.alias("byte"))
     nx = int(round((spec.x_range[1] - spec.x_range[0]) / spec.resolution))
     ny = int(round((spec.y_range[1] - spec.y_range[0]) / spec.resolution))
-    ordered = F.array_sort(
-        F.collect_list(F.struct(F.col("iy"), F.col("ix"), F.col("byte")))
+    # complete the raster before packing: cells the regrid never emitted
+    # (source hull short of the domain, bilinear edge stencils) become
+    # byte 0, so every payload is exactly nx·ny bytes
+    grid = (
+        bytes_df.select("scene_id")
+        .distinct()
+        .withColumn("ix", F.explode(F.expr(f"sequence(0, {nx - 1})")))
+        .withColumn("iy", F.explode(F.expr(f"sequence(0, {ny - 1})")))
     )
-    hexstr = F.array_join(
-        F.transform(ordered, lambda s: F.lpad(F.hex(s["byte"]), 2, "0")), ""
+    full = grid.join(bytes_df, ["scene_id", "ix", "iy"], "left").select(
+        "scene_id", "ix", "iy", F.coalesce("byte", F.lit(0)).alias("_byte")
     )
-    keyed = (
-        bytes_df.groupBy("scene_id")
-        .agg(F.unhex(hexstr).alias("payload"))
-        .withColumn(
-            "media_meta",
-            F.struct(
-                F.lit(nx).alias("width"),
-                F.lit(ny).alias("height"),
-                F.lit(multimodal.FAKE_FORMAT).alias("format"),
-            ),
-        )
+    images = _pack_gray8(
+        full, ["scene_id"], width=nx, height=ny, p_col="ix", q_col="iy"
     )
-    images = multimodal.encode_png(keyed, id_col="scene_id")
     return {"bytes": bytes_df, "images": images}
 
 
@@ -851,9 +854,16 @@ def build_tile_data(
     # as n_px=0 / shape_ok=false
     summary = tile_data_summary(tile_px, spec.tile_N, key_cols)
     keys_df = tiles.select(*key_cols).distinct()
-    # per-tile summary is bounded by the tile count — broadcast it under
-    # the left-outer join rather than shuffling the tile list
-    out["tile_data"] = keys_df.join(F.broadcast(summary), key_cols, "left").select(
+    # per-tile summary: bounded by USER input for triplet/trajectory specs
+    # (broadcast under the left-outer join rather than shuffling the tile
+    # list), but ∝ scenes × tiles under rect tiling — there a broadcast
+    # would hit the 8 GB cap at scale, so hint shuffle-hash instead (same
+    # size gate as the analytics emb⋈aux join)
+    if rect:
+        summary = summary.hint("shuffle_hash")
+    else:
+        summary = F.broadcast(summary)
+    out["tile_data"] = keys_df.join(summary, key_cols, "left").select(
         *key_cols,
         F.coalesce("n_px", F.lit(0)).alias("n_px"),
         F.coalesce("shape_ok", F.lit(False)).alias("shape_ok"),
@@ -863,6 +873,53 @@ def build_tile_data(
         "mean_val",
     )
     return out
+
+
+def _pack_gray8(
+    byte_px: DataFrame,
+    key_cols: list[str],
+    width: int,
+    height: int,
+    p_col: str,
+    q_col: str,
+    byte_col: str = "_byte",
+) -> DataFrame:
+    """Shared gray8 image packer (the tile AND scene image products):
+    per-key pixel rows → row-major uint8 payload packed ENTIRELY
+    JVM-side (array_sort over (q, p, byte) structs — deterministic
+    regardless of upstream order — hex-pack + unhex to binary), then
+    :func:`~.operators.multimodal.encode_png` emits PNG bytes
+    Arrow-batched (real PIL when present, the deterministic stub
+    container otherwise). Callers must supply exactly width·height rows
+    per key with ``byte_col`` already in [0, 255].
+
+    Returns (key columns..., png binary).
+    """
+    from .operators import multimodal
+
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(q_col), F.col(p_col), F.col(byte_col)))
+    )
+    hexstr = F.array_join(
+        F.transform(ordered, lambda s: F.lpad(F.hex(s[byte_col]), 2, "0")), ""
+    )
+    keyed = (
+        byte_px.groupBy(*key_cols)
+        .agg(F.unhex(hexstr).alias("payload"))
+        .withColumn(
+            "_uid", F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+        )
+        .withColumn(
+            "media_meta",
+            F.struct(
+                F.lit(int(width)).alias("width"),
+                F.lit(int(height)).alias("height"),
+                F.lit(multimodal.FAKE_FORMAT).alias("format"),
+            ),
+        )
+    )
+    pngs = multimodal.encode_png(keyed, id_col="_uid")
+    return keyed.select(*key_cols, "_uid").join(pngs, "_uid").drop("_uid")
 
 
 def tile_images(
@@ -884,11 +941,6 @@ def tile_images(
     Returns (key columns..., png binary). Binary columns stay off the
     driver-compare surface; byte-exactness is property-tested.
     """
-    from .operators import multimodal
-
-    ordered = F.array_sort(
-        F.collect_list(F.struct(F.col(q_col), F.col(p_col), F.col("value")))
-    )
     scale = 255.0 / float(value_max)
     # clamp to [0, 255] BEFORE hex-packing: lpad TRUNCATES a >2-char hex
     # (value 150 at the default scale would silently become byte 0x17)
@@ -900,30 +952,21 @@ def tile_images(
     # greatest() through to least() and saturate to byte 255 (white) —
     # nanvl maps NaN pixels to 0 (black, the same byte a masked/absent
     # value scales to) so corrupt data can't impersonate max brightness.
-    px8 = F.transform(
-        ordered,
-        lambda s: F.least(
-            F.greatest(
-                F.round(F.nanvl(s["value"], F.lit(0.0)) * F.lit(scale)),
-                F.lit(0.0),
-            ),
-            F.lit(255.0),
-        ).cast("int"),
-    )
-    hexstr = F.array_join(F.transform(px8, lambda v: F.lpad(F.hex(v), 2, "0")), "")
-    agg = tile_px.groupBy(*key_cols).agg(F.unhex(hexstr).alias("payload"))
-    keyed = agg.withColumn(
-        "_uid", F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
-    ).withColumn(
-        "media_meta",
-        F.struct(
-            F.lit(int(tile_N)).alias("width"),
-            F.lit(int(tile_N)).alias("height"),
-            F.lit(multimodal.FAKE_FORMAT).alias("format"),
+    byte = F.least(
+        F.greatest(
+            F.round(F.nanvl(F.col("value"), F.lit(0.0)) * F.lit(scale)),
+            F.lit(0.0),
         ),
+        F.lit(255.0),
+    ).cast("int")
+    return _pack_gray8(
+        tile_px.withColumn("_byte", byte),
+        key_cols,
+        width=tile_N,
+        height=tile_N,
+        p_col=p_col,
+        q_col=q_col,
     )
-    pngs = multimodal.encode_png(keyed, id_col="_uid")
-    return keyed.select(*key_cols, "_uid").join(pngs, "_uid").drop("_uid")
 
 
 def tile_vectors(
@@ -959,7 +1002,7 @@ def build_rect_embeddings(
     vector → X3 batch inference → J7 grid-coordinate attach with the
     reference's y-axis flip (``y = y0 + (Ny − j0)·dy``).
 
-    One plan: G2 slice (broadcast tile grid) → per-tile vector groupBy →
+    One plan: G2 slice (covering-tile explode) → per-tile vector groupBy →
     Arrow-batched linear+tanh inference (weights broadcast once) → pure
     expression coord attach. Output one row per (scene, tile, dim):
     (scene_id, tile_id, i0, j0, x, y, dim, v) — long form keeps the
@@ -1144,7 +1187,11 @@ def build_analytics_pipeline(
     if checkpoint:
         from .operators.persist import materialize_for_reuse
 
-        joined = materialize_for_reuse(joined, durable=(checkpoint == "durable"))
+        # checkpoint=True defers to the env flag (durable=None); only the
+        # explicit string forces the reliable path from code
+        joined = materialize_for_reuse(
+            joined, durable=True if checkpoint == "durable" else None
+        )
     # X4: PCA over the embedding matrix (fit inside the same program)
     pca_in = joined.select("_uid", F.col("emb_out").alias("embedding"))
     _pca_out, model = pca_transform(pca_in, k=pca_k, id_col="_uid", out_col="pca")

@@ -667,6 +667,30 @@ def test_scene_images_stub_png_matches_byte_raster(spark):
         assert min(scene) == 0 and max(scene) == 255
 
 
+def test_scene_images_pads_uncovered_cells_to_full_raster(spark):
+    """A source raster short of the domain leaves regrid cells EMPTY; the
+    PNG payload must still be exactly nx·ny bytes (a short payload
+    crashes real PIL and mis-slices the stub container across scenes),
+    with uncovered cells rendered black (0)."""
+    spec = pipeline.DatasetSpec.from_dict(_IMG_SPEC)  # 4x4 cells at res 10
+    # 3x3 source at 10.0 spacing covers only cells 0..2 on each axis
+    d = pipeline.build_scene_images(spark, spec, src_dx=10.0, src_nx=3)
+    per_scene = {}
+    for r in d["bytes"].collect():
+        per_scene.setdefault(r["scene_id"], {})[(r["ix"], r["iy"])] = r["byte"]
+    assert all(len(v) == 9 for v in per_scene.values())  # covered cells only
+    for r in d["images"].collect():
+        data = bytes(r["png"])
+        if data[:7] == b"STUBPNG":
+            body = data[15:]
+            assert len(body) == 16  # full 4x4 despite 9 covered cells
+            covered = per_scene[r["scene_id"]]
+            for iy in range(4):
+                for ix in range(4):
+                    want = covered.get((ix, iy), 0)
+                    assert body[iy * 4 + ix] == want
+
+
 def test_scene_images_user_function_dispatch_and_guards(spark):
     """image_function dispatch mirrors scene_images.py:6-17: a registered
     user function renders (values must sit in [0,1]); None and an

@@ -251,16 +251,19 @@ def test_every_registered_query_plan_is_scale_clean(spark):
             )
 
 
-def test_stratified_split_offsets_are_broadcast(spark):
-    """The per-(group, bucket) offset relation must ride a broadcast hash
-    join — a shuffle join here would re-shuffle the 100 TB side against a
-    |groups|·P-row table."""
+def test_stratified_split_offsets_stay_executor_side(spark):
+    """The per-(group, bucket) offset relation is a window-over-aggregate
+    RELATION joined back without a forced broadcast: Catalyst size
+    estimation broadcasts it while it is small (as here) and falls back
+    to a shuffle join at web-domain stratum counts — which costs nothing
+    extra, because the ranking window repartitions the data by
+    (_gk, _b) anyway. The gate pins what must never appear: a driver
+    round-trip (parallelized local relation) or a cartesian."""
     p = plan_of(spark, "stratified_split")
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
-    # offsets are a window-over-aggregate RELATION, not a driver
-    # collect round-tripped through createDataFrame: a parallelized
-    # local relation would appear as one of these scan nodes
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "CartesianProduct" not in p
+    # offsets are computed executor-side, not collected and re-sent: a
+    # driver round-trip would appear as one of these scan nodes
     assert "LocalTableScan" not in p
     assert "ExistingRDD" not in p
 
