@@ -416,6 +416,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    durable: bool | None = None,
 ) -> DataFrame:
     """Connected components over an undirected near-dup edge list:
     (id, component) with component = the minimum node id reachable.
@@ -436,10 +437,14 @@ def connected_components(
     Scale design: edges only ever move through hash-partitioned groupBy
     (min) and equi-joins — no driver-sized state, no cross product; the
     per-round convergence probe is a four-scalar aggregate (count/sum/sum/
-    hash-sum) with no join; ``localCheckpoint`` truncates lineage each
-    round so the plan does not grow with the iteration count. Only nodes
+    hash-sum) with no join; a checkpoint truncates lineage each round so
+    the plan does not grow with the iteration count (``durable`` picks
+    the mechanism — executor-local by default, reliable on request, see
+    :func:`~.persist.materialize_for_reuse`; the per-round probe already
+    executes the plan, so these checkpoints are eager). Only nodes
     that appear in ``pairs`` are labelled (self-pairs label themselves).
     """
+    from .persist import materialize_for_reuse
     # materialize the normalized pair list ONCE: both the edge set and the
     # node set derive from it, and `pairs` is typically an expensive
     # candidate-generation plan (cosine scoring, LSH verify) that must not
@@ -449,8 +454,8 @@ def connected_components(
             F.least(id_a, id_b).alias("u"), F.greatest(id_a, id_b).alias("v")
         )
         .distinct()
-        .localCheckpoint()
     )
+    p0 = materialize_for_reuse(p0, durable=durable, eager=True)
     nodes = (
         p0.select(F.col("u").alias("id"))
         .unionAll(p0.select(F.col("v").alias("id")))
@@ -477,7 +482,7 @@ def connected_components(
 
     sig = _sig(e)
     for _ in range(max_iters):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = materialize_for_reuse(_small_star(_large_star(e)), durable=durable, eager=True)
         new_sig = _sig(e)
         if new_sig == sig:
             break
