@@ -130,7 +130,9 @@ def dbscan_labels(
         .select("id_a", "id_b")
         .unionByName(core.select(F.col("id").alias("id_a"), F.col("id").alias("id_b")))
     )
-    comp = connected_components(cc_edges).withColumnRenamed("component", "label")
+    comp = connected_components(cc_edges, durable=durable).withColumnRenamed(
+        "component", "label"
+    )
     core_labeled = core.join(comp, "id").select("id", "label")
     # border: non-core with >= 1 core neighbor -> its minimum core
     # neighbor's cluster

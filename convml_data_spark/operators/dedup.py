@@ -505,6 +505,7 @@ def canonical_survivors(
     id_col: str = "id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    durable: bool | None = None,
 ) -> DataFrame:
     """The user-facing dedup collapse: given the full id set and the
     near-dup pair list (from any candidate generator — minhash-LSH,
@@ -514,9 +515,10 @@ def canonical_survivors(
     Composition: :func:`connected_components` labels each paired node
     with its cluster minimum; non-canonical members (``id != component``)
     are removed with a left-anti join. Both steps are hash-partitioned
-    joins — no driver state, no cross product.
+    joins — no driver state, no cross product. ``durable`` threads through
+    to the CC rounds' per-iteration materialization.
     """
-    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b, durable=durable)
     drop = comp.where(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

@@ -88,6 +88,66 @@ def proportional_split(
     return ranked.withColumn(collection_col, assign).drop("_u", "_rank")
 
 
+def _per_collection_scene_index(
+    scenes: DataFrame, collection_col: str, scene_id_col: str
+) -> DataFrame:
+    """0-based dense per-collection index ordered by scene id, WITHOUT a
+    per-collection window: collections are coarse keys (2–3 values), so
+    ``row_number() over (partition by collection)`` funnels the whole
+    scene table through 2–3 tasks. Instead the scene-id axis gets range
+    BUCKETS from a bounded deterministic sample (cuts only balance bucket
+    sizes — any cut set yields identical ranks), per-(collection, bucket)
+    ``row_number`` windows run in parallel, and each bucket's offset plus
+    the collection total arrive via a window-over-aggregate relation (the
+    :func:`stratified_split` pattern — executor-side, never a driver
+    offsets collect). Returns (collection, scene_id, _i, _n).
+    """
+    from pyspark.sql import Window
+
+    spark = scenes.sparkSession
+    p = max(spark.sparkContext.defaultParallelism, 2)
+    base = scenes.select(collection_col, scene_id_col)
+    # bounded plan-time sample (≤ 8·P scalar rows) in md5 order — a
+    # deterministic uniform draw; every ~8th sampled value becomes a cut.
+    # Raw values (not string casts) so cut comparison uses the SAME
+    # comparator as the ranking orderBy for any id type.
+    sampled = sorted(
+        r[0]
+        for r in base.select(F.col(scene_id_col).alias("_s"))
+        .orderBy(F.md5(F.col("_s").cast("string")))
+        .limit(8 * p)
+        .collect()
+        if r[0] is not None
+    )
+    step = max(len(sampled) // p, 1)
+    cuts = sorted(set(sampled[step::step]))
+    if cuts:
+        cuts_arr = F.array(*[F.lit(c) for c in cuts])
+        b = F.size(F.filter(cuts_arr, lambda c: c <= F.col(scene_id_col)))
+    else:
+        b = F.lit(0)
+    parts = base.withColumn("_b", b.cast("int"))
+    cells = parts.groupBy(collection_col, "_b").agg(F.count("*").alias("_c"))
+    w_off = Window.partitionBy(collection_col).orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = cells.select(
+        collection_col,
+        "_b",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_c").over(Window.partitionBy(collection_col)).alias("_n"),
+    )
+    # no broadcast hint: the ranking window repartitions by
+    # (collection, _b) anyway, so a shuffle join reuses that exchange;
+    # AQE still broadcasts the |collections|·P-row off relation when tiny
+    w = Window.partitionBy(collection_col, "_b").orderBy(scene_id_col)
+    return (
+        parts.join(off, [collection_col, "_b"])
+        .withColumn("_i", F.row_number().over(w) - 1 + F.col("_off"))
+        .drop("_b", "_off")
+    )
+
+
 def pick_scene_pairs(
     triplets: DataFrame,
     scenes: DataFrame,
@@ -101,26 +161,23 @@ def pick_scene_pairs(
 
     Index math: ``anchor = floor(u_a · n)``; ``distant`` is drawn from the
     remaining ``n-1`` slots and shifted past the anchor, so distinctness is
-    structural, not retry-based. Scene indices come from per-collection
-    ranks (parallel window per collection); the triplet→scene lookup is two
-    equi-joins on (collection, index) — broadcastable when the scene table
-    is small.
+    structural, not retry-based. Scene indices come from the bucketed
+    per-collection rank decomposition
+    (:func:`_per_collection_scene_index` — parallel per-(collection,
+    bucket) windows, never a collection-wide sort task); the
+    triplet→scene lookup is two equi-joins on (collection, index) —
+    broadcastable when the scene table is small.
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(collection_col).orderBy(scene_id_col)
-    idx = (
-        scenes.select(collection_col, scene_id_col)
-        .withColumn("_i", F.row_number().over(w) - 1)
-        .withColumn("_n", F.count("*").over(Window.partitionBy(collection_col)))
-    )
+    idx = _per_collection_scene_index(scenes, collection_col, scene_id_col)
     t = triplets.select(
         F.col(triplet_id_col),
         F.col(collection_col),
         hash_uniform(seed, F.lit("anchor"), F.col(triplet_id_col)).alias("_ua"),
         hash_uniform(seed, F.lit("distant"), F.col(triplet_id_col)).alias("_ud"),
     )
-    sizes = idx.groupBy(collection_col).agg(F.max("_n").alias("_n"))
+    # collection sizes straight off the scene table — no need to execute
+    # the ranking windows just to learn |collection|
+    sizes = scenes.groupBy(collection_col).agg(F.count("*").alias("_n"))
     t = t.join(F.broadcast(sizes), collection_col)
     anchor_i = F.floor(F.col("_ua") * F.col("_n")).cast("int")
     d0 = F.floor(F.col("_ud") * (F.col("_n") - 1)).cast("int")

@@ -899,6 +899,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_bucket: int | None = LSH_MAX_BUCKET,
+    durable: bool | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): remove documents that are semantically (not
@@ -931,5 +932,10 @@ def semantic_dedup(
         max_bucket=max_bucket,
     )
     return canonical_survivors(
-        embeddings.select(id_col), pairs, id_col=id_col, id_a="id_a", id_b="id_b"
+        embeddings.select(id_col),
+        pairs,
+        id_col=id_col,
+        id_a="id_a",
+        id_b="id_b",
+        durable=durable,
     )

@@ -644,12 +644,14 @@ def build_scene_images(
 
     Returns ``{"bytes", "images"}``: ``bytes`` is the oracle-able uint8
     path (scene_id, ix, iy, byte) over the COVERED cells; ``images``
-    always packs the full nx×ny raster — cells the regrid left empty
-    (source not covering the domain; bilinear edge stencils) are
-    completed as byte 0, the same black the NaN policy uses — so the
-    payload length always matches the declared PNG dims (a short payload
-    crashes real PIL and mis-slices the stub). Byte-exactness is
-    property-tested.
+    always packs the full nx×ny raster for EVERY scene in the spec's
+    scene table (or the caller's pixel input) — cells the regrid left
+    empty (source not covering the domain; bilinear edge stencils) are
+    completed as byte 0, the same black the NaN policy uses, and a scene
+    whose regrid covers zero cells emits a whole-black image rather than
+    silently vanishing — so the payload length always matches the
+    declared PNG dims (a short payload crashes real PIL and mis-slices
+    the stub). Byte-exactness is property-tested.
     """
     if spec.image_function is None:
         raise ValueError(
@@ -697,10 +699,17 @@ def build_scene_images(
     ny = int(round((spec.y_range[1] - spec.y_range[0]) / spec.resolution))
     # complete the raster before packing: cells the regrid never emitted
     # (source hull short of the domain, bilinear edge stencils) become
-    # byte 0, so every payload is exactly nx·ny bytes
+    # byte 0, so every payload is exactly nx·ny bytes. The scene universe
+    # comes from the SCENE table (or the caller's pixel input), never from
+    # bytes_df — a scene whose regrid covers zero cells still gets its
+    # all-black image (the docstring's full-raster contract), and the
+    # completion grid doesn't rescan the per-pixel byte relation
+    if pixels is None:
+        scene_ids = build_scene_table(spark, spec.scene).select("scene_id")
+    else:
+        scene_ids = pixels.select("scene_id").distinct()
     grid = (
-        bytes_df.select("scene_id")
-        .distinct()
+        scene_ids
         .withColumn("ix", F.explode(F.expr(f"sequence(0, {nx - 1})")))
         .withColumn("iy", F.explode(F.expr(f"sequence(0, {ny - 1})")))
     )

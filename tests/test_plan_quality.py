@@ -268,6 +268,39 @@ def test_stratified_split_offsets_stay_executor_side(spark):
     assert "ExistingRDD" not in p
 
 
+def test_scene_pair_ranking_partitions_by_bucket(spark):
+    """pick_scene_pairs' per-collection scene index must rank per
+    (collection, BUCKET) — a collection-only row_number partition funnels
+    a million-scene campaign through 2–3 tasks (the last coarse-key
+    window removed in round 9). Gate: every row_number window in the plan
+    carries a ``_b`` bucket column in its partition spec, and the offset
+    relation stays executor-side (no driver round-trip scan nodes beyond
+    the bounded literal cut array)."""
+    p = plan_of(spark, "r2_scene_pairs")
+    assert "CartesianProduct" not in p
+    needle = "row_number() windowspecdefinition("
+    found, i = 0, 0
+    while True:
+        j = p.find(needle, i)
+        if j < 0:
+            break
+        start = j + len(needle)
+        depth, k = 1, start
+        while k < len(p) and depth:
+            if p[k] == "(":
+                depth += 1
+            elif p[k] == ")":
+                depth -= 1
+            k += 1
+        args = p[start : k - 1]
+        part = args.split(" ASC")[0]  # partition cols precede the order spec
+        assert "_b#" in part, f"row_number window without bucket partition: {args[:160]}"
+        found += 1
+        i = k
+    assert found >= 2  # proportional_split rank + per-collection scene index
+    assert "ExistingRDD" not in p
+
+
 def test_pq_scan_joins_broadcast_the_probe_relation(spark):
     """The PQ batch scan's (qid, lut) and rerank (qid, qv) relations are
     tiny plan-time literals — both must broadcast, never shuffle the
