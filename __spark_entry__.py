@@ -1245,6 +1245,49 @@ def q_g8_rgb_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g8_rayleigh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8+: Rayleigh-CORRECTED true-color composite — the analytic
+    single-scattering stand-in for the reference's satpy ``true_color``
+    recipe (sources/goes16/satpy_rgb.py:41-94, which interpolates
+    pyspectral's multiple-scattering LUTs): per-band λ⁻⁴ optical depth,
+    solar geometry from UTC time + geolocation (images.py::
+    solar_cos_zenith), path reflectance ρ_r = τ·P(Θ)/(4μ_sμ_v) subtracted
+    and two-way transmittance divided out (images.py::rayleigh_correct),
+    then the existing clip→gamma→true-green→contrast pipeline. Daytime
+    rows only (μ_s ≥ 0.2 — the approximation's validity domain and
+    satpy's own day-composite constraint). All whole-stage-codegen
+    Column trig, replayed exactly in DuckDB at round(6)."""
+    events = _t(spark, sf_dir, "events")
+    av = F.abs(F.col("value"))
+    px = events.select(
+        "event_id",
+        F.col("ts"),
+        (((av * F.lit(7.0)) % F.lit(120.0)) - F.lit(60.0)).alias("lat"),
+        (((av * F.lit(11.0)) % F.lit(360.0)) - F.lit(180.0)).alias("lon"),
+        ((av % F.lit(300.0)) / F.lit(256.0)).alias("cb"),
+        (((av * F.lit(1.7)) % F.lit(280.0)) / F.lit(256.0)).alias("cr"),
+        (((av * F.lit(2.3)) % F.lit(260.0)) / F.lit(256.0)).alias("cg"),
+        ((av * F.lit(3.1)) % F.lit(180.0)).alias("raz"),
+        F.cos(((av * F.lit(5.0)) % F.lit(60.0)) * F.lit(0.017453292519943295)).alias(
+            "mu_v"
+        ),
+    )
+    mu_s = ops.solar_cos_zenith(F.col("ts"), F.col("lat"), F.col("lon"))
+    px = px.withColumn("mu_s", mu_s).where(F.col("mu_s") >= F.lit(0.2))
+    cos_scat = ops.scattering_cosine(F.col("mu_s"), F.col("mu_v"), F.col("raz"))
+    r, g, b = ops.rayleigh_true_color(
+        F.col("cb"), F.col("cr"), F.col("cg"),
+        F.col("mu_s"), F.col("mu_v"), cos_scat,
+    )
+    return px.select(
+        "event_id",
+        F.round("mu_s", 6).alias("mu_s"),
+        F.round(r, 6).alias("r"),
+        F.round(g, 6).alias("g"),
+        F.round(b, 6).alias("b"),
+    )
+
+
 def q_x2_dotted_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: per-group reduction resolved by dotted name (``numpy__median``)
     through the importlib dispatch (aux_fields/data.py:82-108) — Arrow
@@ -2066,6 +2109,39 @@ def q_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(sdf)
 
 
+def q_stream_parquet_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 PRODUCTION sink path: the same watermarked 1-day windowed
+    counts as ``stream_daily_counts``, but drained through the engine sink
+    ``drain_to_parquet`` (streaming/scene_stream.py — checkpoint-chained
+    foreachBatch parquet appends, no rows through the driver) and read
+    BACK from the sink directory. Readers keep each key's LAST emission
+    (max ``_batch_id``) exactly as the sink contract documents for
+    update-mode re-emissions; with the single-batch pin there is one
+    batch, so the reducer is an identity the oracle still certifies.
+    Oracle = the same batch GROUP BY day — closes the gap where every
+    certified stream key drained through the in-memory collector while
+    the parquet path had only a property test."""
+    import tempfile
+
+    from convml_data_spark import streaming
+
+    _prep(spark)
+    _, stream = streaming.stream_table(spark, sf_dir, "events", single_batch=True)
+    sdf = streaming.stream_windowed_counts(
+        spark, sf_dir, None, group_cols=("event_type",), source=stream
+    )
+    root = tempfile.mkdtemp(prefix="stream_parquet_drain_")
+    streaming.drain_to_parquet(
+        sdf, f"{root}/ckpt", f"{root}/out", output_mode="update"
+    )
+    sink = spark.read.parquet(f"{root}/out")
+    return (
+        sink.groupBy("window_start", "event_type")
+        .agg(F.max_by("n", "_batch_id").alias("n"))
+        .select("window_start", "event_type", "n")
+    )
+
+
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.13 stream-static enrichment: the event stream joins a broadcast
     static dimension per micro-batch (streaming J9), then watermarked
@@ -2332,109 +2408,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one in-window representative; keys certified green in earlier rounds
     # rotate behind position 50 and back in on later rounds.
     return {
-        # ROUND 8 WINDOW (first 50 = driver-certified this round). Policy
+        # ROUND 9 WINDOW (first 50 = driver-certified this round). Policy
         # unchanged: never/longest-uncertified keys and keys whose operator
-        # code changes this round come first. Composition: the 7 keys whose
-        # last driver row is r3 (four rounds stale), the IVF/PQ pair (no
-        # driver row since their r6 Lloyd refactor), the 26 r4-stale keys,
-        # the 9 keys whose operator code changes in round 8 (stratified
-        # split offsets de-drivered, analytics broadcast size-gated, LSH /
-        # semantic-dedup bucket-skew guard, tile_images NaN mask feeds
-        # spec_tile_data + g8, clustering checkpoint flag, rect G2 slice
-        # switched to the covering-tile explode → spec_rect_embeddings),
-        # then the oldest r5 fillers. New r8 query keys are inserted at the head as they
-        # land, displacing fillers to 51+. Displaced r7-certified keys and
-        # the remaining r5 keys queue behind position 50 for round 9
-        # (r5 remainder leads). Every key stays covered every round by
-        # tests/test_oracle_parity.py.
-        # --- new in round 8 (never certified) ---
-        "spec_scene_images": q_spec_scene_images,
-        "spec_regridded_bilinear": q_spec_regridded_bilinear,
-        "spec_scene_filter": q_spec_scene_filter,
-        # --- last driver row r3: four rounds stale ---
-        "s2_goes16_query": q_s2_goes16_query,
-        "s4_era5_manifest": q_s4_era5_manifest,
-        "s6_ceres_manifest": q_s6_ceres_manifest,
-        "emb_transform_scaler": q_emb_transform_scaler,
-        "dedup_components": q_dedup_components,
-        "dedup_survivors": q_dedup_survivors,
-        "pii_scrub": q_pii_scrub,
-        # --- no driver row since the r6 Lloyd-fit refactor ---
-        "similarity_ivf_topk": q_similarity_ivf_topk,
-        "similarity_pq_topk": q_similarity_pq_topk,
-        # --- last driver row r4 ---
-        "w7_sessionize": q_w7_sessionize,
-        "a14_rollup": q_a14_rollup,
-        "sketch_quantiles": q_sketch_quantiles,
-        "j10_interval_join": q_j10_interval_join,
-        "w5_sliding_tiles": q_w5_sliding_tiles,
-        "r5_triplet_locations": q_r5_triplet_locations,
-        "f1_time_intervals": q_f1_time_intervals,
-        "f3_solar_zenith": q_f3_solar_zenith,
-        "f5_regex_filter": q_f5_regex_filter,
-        "f7_percentile_filter": q_f7_percentile_filter,
-        "f9_lon_wrap": q_f9_lon_wrap,
-        "f11_nonempty": q_f11_nonempty,
-        "j5_semi_join": q_j5_semi_join,
-        "j7_positional_coords": q_j7_positional_coords,
-        "a1_pricing_summary": q_a1_pricing_summary,
-        "a2_udaf_pandas": q_a2_udaf_pandas,
-        "a6_ecdf_global": q_a6_ecdf_global,
-        "a8_daily_counts": q_a8_daily_counts,
-        "a9_layer_mean": q_a9_layer_mean,
-        "a10_column_integral": q_a10_column_integral,
-        "a11_minmax_norm": q_a11_minmax_norm,
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "g1_bilinear_regrid": q_g1_bilinear_regrid,
-        "g4_crop_pad": q_g4_crop_pad,
-        "g6_spanning_domain": q_g6_spanning_domain,
-        "g7_tangent_projection": q_g7_tangent_projection,
-        # --- operator code changes in round 8; certify post-change ---
-        "spec_rect_embeddings": q_spec_rect_embeddings,
-        "stratified_split": q_stratified_split,
-        "spec_analytics_pipeline": q_spec_analytics_pipeline,
-        "neardup_lsh_pairs": q_neardup_lsh_pairs,
-        "dedup_semantic": q_dedup_semantic,
-        "spec_tile_data": q_spec_tile_data,
-        "g8_rgb_composite": q_g8_rgb_composite,
-        "emb_transform_dbscan": q_emb_transform_dbscan,
-        "emb_transform_kmeans": q_emb_transform_kmeans,
-        # --- oldest r5-certified fillers ---
-        "spec_triplet_pipeline": q_spec_triplet_pipeline,
-        "multimodal_audio": q_multimodal_audio,
-        "cap_per_source": q_cap_per_source,
-        # ---------------- position 51+: rotated out this round ----------
-        # r5-certified remainder (leads the round-9 window)
-        "traj_tiles": q_traj_tiles,
+        # code changes this round come first. Composition: the 2 new r9
+        # keys (rayleigh true-color, production parquet stream drain), the
+        # 6 keys whose operator code changed in round 9 (pick_scene_pairs
+        # bucketed rank decomposition → r2/spec_triplet; durable-flag
+        # threading → dedup_survivors/dedup_semantic/emb_transform_dbscan;
+        # scene-table completion grid → spec_scene_images), the 28
+        # remaining r5-stale keys (three rounds old — the whole backlog),
+        # then the 14 OLDEST r7-certified keys as fillers. Result: no
+        # key's last driver row predates round 7 — the two-round staleness
+        # ceiling the r8 verdict prescribed. Round 10 window should lead
+        # with the remaining r7-certified keys (text_gopher_quality
+        # onward, 30 keys), then the oldest r8. Every key stays covered
+        # every round by tests/test_oracle_parity.py.
+        # --- new in round 9 (never certified) ---
+        "g8_rayleigh": q_g8_rayleigh,
+        "stream_parquet_drain": q_stream_parquet_drain,
+        # --- operator code changes in round 9; certify post-change ---
         "r2_scene_pairs": q_r2_scene_pairs,
-        "w2_argmin_per_group": q_w2_argmin_per_group,
-        "w3_local_peaks": q_w3_local_peaks,
+        "spec_triplet_pipeline": q_spec_triplet_pipeline,
+        "dedup_survivors": q_dedup_survivors,
+        "dedup_semantic": q_dedup_semantic,
+        "emb_transform_dbscan": q_emb_transform_dbscan,
+        "spec_scene_images": q_spec_scene_images,
+        # --- last driver row r5: three rounds stale (whole backlog) ---
+        "a15_distinct_users": q_a15_distinct_users,
         "a6_ecdf": q_a6_ecdf,
-        "s3_calendar_scan": q_s3_calendar_scan,
-        "f6_filter_dsl": q_f6_filter_dsl,
-        "o4_topk": q_o4_topk,
-        "j6_emb_aux_join": q_j6_emb_aux_join,
-        "scene_table": q_scene_table,
-        "u3_anti_join": q_u3_anti_join,
-        "neardup_cosine_pairs": q_neardup_cosine_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "derived_dag": q_derived_dag,
         "doc_fingerprint": q_doc_fingerprint,
+        "e2_string_ops": q_e2_string_ops,
+        "e7_json_map": q_e7_json_map,
+        "f6_filter_dsl": q_f6_filter_dsl,
+        "f8_dropna_slice": q_f8_dropna_slice,
+        "g2_tile_pixel_slice": q_g2_tile_pixel_slice,
+        "g9_optical_flow": q_g9_optical_flow,
+        "hll_user_counts": q_hll_user_counts,
+        "j6_emb_aux_join": q_j6_emb_aux_join,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
-        "g9_optical_flow": q_g9_optical_flow,
-        "ann_cosine_topk": q_ann_cosine_topk,
+        "neardup_cosine_pairs": q_neardup_cosine_pairs,
+        "o4_topk": q_o4_topk,
+        "s3_calendar_scan": q_s3_calendar_scan,
+        "scene_table": q_scene_table,
         "similarity_lsh_topk": q_similarity_lsh_topk,
-        "derived_dag": q_derived_dag,
+        "traj_tiles": q_traj_tiles,
+        "u3_anti_join": q_u3_anti_join,
+        "w2_argmin_per_group": q_w2_argmin_per_group,
+        "w3_local_peaks": q_w3_local_peaks,
         "x1_user_function": q_x1_user_function,
         "x2_dotted_udaf": q_x2_dotted_udaf,
         "x3_batch_embed": q_x3_batch_embed,
         "x4_pca": q_x4_pca,
-        "f8_dropna_slice": q_f8_dropna_slice,
-        "e2_string_ops": q_e2_string_ops,
-        "e7_json_map": q_e7_json_map,
-        "g2_tile_pixel_slice": q_g2_tile_pixel_slice,
-        "a15_distinct_users": q_a15_distinct_users,
-        "hll_user_counts": q_hll_user_counts,
-        # r7-certified (freshest; rotate back last)
+        # --- oldest r7-certified fillers (positions 37-50) ---
         "spec_aux_derived": q_spec_aux_derived,
         "spec_regridded_scenes": q_spec_regridded_scenes,
         "stream_static_join": q_stream_static_join,
@@ -2449,6 +2477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_corpus_stats": q_text_corpus_stats,
+        # ---------------- position 51+: rotated out this round ----------
+        # r7-certified remainder (leads the round-10 window)
         "text_gopher_quality": q_text_gopher_quality,
         "tfidf_top_terms": q_tfidf_top_terms,
         "decontam_ngram_overlap": q_decontam_ngram_overlap,
@@ -2479,7 +2509,127 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_datetime_components": q_f2_datetime_components,
         "s5_calendar_offset_missing": q_s5_calendar_offset_missing,
         "r1_split": q_r1_split,
+        # r8-certified (freshest; rotate back last)
+        "spec_regridded_bilinear": q_spec_regridded_bilinear,
+        "spec_scene_filter": q_spec_scene_filter,
+        "s2_goes16_query": q_s2_goes16_query,
+        "s4_era5_manifest": q_s4_era5_manifest,
+        "s6_ceres_manifest": q_s6_ceres_manifest,
+        "emb_transform_scaler": q_emb_transform_scaler,
+        "dedup_components": q_dedup_components,
+        "pii_scrub": q_pii_scrub,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "similarity_pq_topk": q_similarity_pq_topk,
+        "w7_sessionize": q_w7_sessionize,
+        "a14_rollup": q_a14_rollup,
+        "sketch_quantiles": q_sketch_quantiles,
+        "j10_interval_join": q_j10_interval_join,
+        "w5_sliding_tiles": q_w5_sliding_tiles,
+        "r5_triplet_locations": q_r5_triplet_locations,
+        "f1_time_intervals": q_f1_time_intervals,
+        "f3_solar_zenith": q_f3_solar_zenith,
+        "f5_regex_filter": q_f5_regex_filter,
+        "f7_percentile_filter": q_f7_percentile_filter,
+        "f9_lon_wrap": q_f9_lon_wrap,
+        "f11_nonempty": q_f11_nonempty,
+        "j5_semi_join": q_j5_semi_join,
+        "j7_positional_coords": q_j7_positional_coords,
+        "a1_pricing_summary": q_a1_pricing_summary,
+        "a2_udaf_pandas": q_a2_udaf_pandas,
+        "a6_ecdf_global": q_a6_ecdf_global,
+        "a8_daily_counts": q_a8_daily_counts,
+        "a9_layer_mean": q_a9_layer_mean,
+        "a10_column_integral": q_a10_column_integral,
+        "a11_minmax_norm": q_a11_minmax_norm,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "g1_bilinear_regrid": q_g1_bilinear_regrid,
+        "g4_crop_pad": q_g4_crop_pad,
+        "g6_spanning_domain": q_g6_spanning_domain,
+        "g7_tangent_projection": q_g7_tangent_projection,
+        "spec_rect_embeddings": q_spec_rect_embeddings,
+        "stratified_split": q_stratified_split,
+        "spec_analytics_pipeline": q_spec_analytics_pipeline,
+        "neardup_lsh_pairs": q_neardup_lsh_pairs,
+        "spec_tile_data": q_spec_tile_data,
+        "g8_rgb_composite": q_g8_rgb_composite,
+        "emb_transform_kmeans": q_emb_transform_kmeans,
+        "multimodal_audio": q_multimodal_audio,
+        "cap_per_source": q_cap_per_source,
     }
+
+
+def _g8_rayleigh_oracle_sql() -> str:
+    """g8_rayleigh replay: the full analytic pipeline — solar geometry,
+    per-band single-scattering correction, gamma/true-green/contrast —
+    as one DuckDB expression chain; τ constants inlined from the same
+    λ⁻⁴ fit the Spark side uses (operators/images.py::TAU_ABI)."""
+    from convml_data_spark.operators.images import TAU_ABI
+
+    f = (259.0 * (80.0 + 255.0)) / (255.0 * 259.0 - 80.0)
+    rad = 0.017453292519943295
+    two_pi = 6.283185307179586
+
+    def clip(e: str) -> str:
+        return (
+            f"CASE WHEN ({e}) < 0.0 THEN 0.0 WHEN ({e}) > 1.0 "
+            f"THEN 1.0 ELSE ({e}) END"
+        )
+
+    def corr(c: str, tau: float) -> str:
+        rho = f"{tau!r} * 0.75 * (1.0 + cth * cth) / (4.0 * mu_s * mu_v)"
+        t2 = f"exp({-tau / 2.0!r} * (1.0 / mu_s + 1.0 / mu_v))"
+        return clip(f"(({c}) - ({rho})) / ({t2})")
+
+    return f"""
+        WITH px AS (
+          SELECT event_id, ts,
+                 ((abs(value) * 7.0) % 120.0) - 60.0 AS lat,
+                 ((abs(value) * 11.0) % 360.0) - 180.0 AS lon,
+                 (abs(value) % 300.0) / 256.0 AS cb,
+                 ((abs(value) * 1.7) % 280.0) / 256.0 AS cr,
+                 ((abs(value) * 2.3) % 260.0) / 256.0 AS cg,
+                 (abs(value) * 3.1) % 180.0 AS raz,
+                 cos(((abs(value) * 5.0) % 60.0) * {rad!r}) AS mu_v
+          FROM events
+        ), geo AS (
+          SELECT *,
+                 -23.44 * {rad!r} * cos({two_pi!r} / 365.25
+                   * (CAST(dayofyear(ts) AS DOUBLE) + 10.0)) AS decl,
+                 {two_pi!r} * (CAST(date_part('hour', ts) * 3600
+                   + date_part('minute', ts) * 60
+                   + date_part('second', ts) AS DOUBLE) / 86400.0 - 0.5)
+                   + lon * {rad!r} AS ha,
+                 lat * {rad!r} AS phi
+          FROM px
+        ), sg AS (
+          SELECT *, sin(phi) * sin(decl)
+                    + cos(phi) * cos(decl) * cos(ha) AS mu_s
+          FROM geo
+        ), sc AS (
+          SELECT *, -mu_s * mu_v
+                    + sqrt(greatest(1.0 - mu_s * mu_s, 0.0))
+                    * sqrt(greatest(1.0 - mu_v * mu_v, 0.0))
+                    * cos(raz * {rad!r}) AS cth
+          FROM sg WHERE mu_s >= 0.2
+        ), cor AS (
+          SELECT *, {corr('cb', TAU_ABI['C01'])} AS kb,
+                    {corr('cr', TAU_ABI['C02'])} AS kr,
+                    {corr('cg', TAU_ABI['C03'])} AS kg
+          FROM sc
+        ), gam AS (
+          SELECT *, power(kr, 0.4) AS gr, power(kg, 0.4) AS gg,
+                    power(kb, 0.4) AS gb
+          FROM cor
+        ), tg AS (
+          SELECT *, {clip('0.48358168 * gr + 0.45706946 * gb + 0.06038137 * gg')} AS gtc
+          FROM gam
+        )
+        SELECT event_id, round(mu_s, 6) AS mu_s,
+               round({clip(f'{f!r} * (gr - 0.5) + 0.5')}, 6) AS r,
+               round({clip(f'{f!r} * (gtc - 0.5) + 0.5')}, 6) AS g,
+               round({clip(f'{f!r} * (gb - 0.5) + 0.5')}, 6) AS b
+        FROM tg
+    """
 
 
 def _x3_oracle_sql() -> str:
@@ -4055,6 +4205,14 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n
             FROM events GROUP BY 1, 2
         """,
+        # the production drain_to_parquet sink path computes the SAME
+        # windowed counts — identical batch replay certifies the parquet
+        # round-trip (write, read-back, last-emission reduce)
+        "stream_parquet_drain": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
         "doc_fingerprint": """
             WITH g AS (
               SELECT doc_id,
@@ -4581,6 +4739,7 @@ def oracle_sql() -> dict[str, str]:
         "x3_batch_embed": _x3_oracle_sql(),
         "neardup_lsh_pairs": _neardup_lsh_oracle_sql(),
         "dedup_semantic": _semantic_dedup_oracle_sql(),
+        "g8_rayleigh": _g8_rayleigh_oracle_sql(),
         # pinned-outcome certifications for engine-internal numerics: the
         # Spark side computes the invariant (HLL error bound, planted-motion
         # recovery, PCA orthonormality) and the oracle pins the asserted

@@ -36,7 +36,16 @@ from .sampling import (
     triplet_tile_locations,
     uniform_tile_placement,
 )
-from .images import contrast_correction, make_rgb, true_color_rgb
+from .images import (
+    contrast_correction,
+    make_rgb,
+    rayleigh_correct,
+    rayleigh_reflectance,
+    rayleigh_true_color,
+    scattering_cosine,
+    solar_cos_zenith,
+    true_color_rgb,
+)
 from .scenes import multi_input_scene_table
 from .clustering import dbscan_labels
 from .tiler import sliding_tiles, tile_pixel_cover, tile_pixel_join, tile_regrid_nearest

@@ -590,3 +590,45 @@ def test_exact_quantiles_on_decimal_column(spark):
     df = spark.range(101).select(F.col("id").cast("decimal(15,2)").alias("d"))
     got = exact_quantiles(df, "d", [0.5, 0.25])
     assert got == [50.0, 25.0]
+
+
+def test_rayleigh_correction_physics(spark):
+    """The analytic single-scattering rayleigh stand-in must behave like
+    the physics it approximates: (1) the blue band's path reflectance
+    exceeds the red band's at any shared geometry (tau ~ lambda^-4);
+    (2) path reflectance decreases as the sun rises (mu_s -> 1);
+    (3) tau -> 0 collapses the correction to the clipped identity;
+    (4) NULL (missing pixel) propagates."""
+    from pyspark.sql import functions as F
+
+    from convml_data_spark.operators.images import (
+        TAU_ABI,
+        rayleigh_correct,
+        rayleigh_reflectance,
+        scattering_cosine,
+    )
+
+    assert TAU_ABI["C01"] > TAU_ABI["C02"] > TAU_ABI["C03"]
+    df = spark.createDataFrame(
+        [(0.4, 0.9, 0.95, 30.0), (0.4, 0.3, 0.95, 30.0), (None, 0.9, 0.95, 30.0)],
+        "refl double, mu_s double, mu_v double, raz double",
+    )
+    cth = scattering_cosine(F.col("mu_s"), F.col("mu_v"), F.col("raz"))
+    out = df.select(
+        rayleigh_reflectance(TAU_ABI["C01"], F.col("mu_s"), F.col("mu_v"), cth).alias("rb"),
+        rayleigh_reflectance(TAU_ABI["C02"], F.col("mu_s"), F.col("mu_v"), cth).alias("rr"),
+        rayleigh_correct(F.col("refl"), TAU_ABI["C01"], F.col("mu_s"), F.col("mu_v"), cth).alias("cb"),
+        rayleigh_correct(F.col("refl"), 0.0, F.col("mu_s"), F.col("mu_v"), cth).alias("ident"),
+        F.col("mu_s"),
+    ).collect()
+    high_sun = next(r for r in out if r["mu_s"] == 0.9 and r["cb"] is not None)
+    low_sun = next(r for r in out if r["mu_s"] == 0.3)
+    null_row = next(r for r in out if r["cb"] is None and r["mu_s"] == 0.9)
+    # (1) blue path reflectance > red at the same geometry
+    assert high_sun["rb"] > high_sun["rr"] > 0.0
+    # (2) lower sun -> more air mass -> more path reflectance
+    assert low_sun["rb"] > high_sun["rb"]
+    # (3) tau=0: no subtraction, unit transmittance
+    assert abs(high_sun["ident"] - 0.4) < 1e-12
+    # (4) missing pixel stays missing through the whole correction
+    assert null_row["ident"] is None
