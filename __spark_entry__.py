@@ -1941,6 +1941,31 @@ def q_emb_transform_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dbscan_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 density HIERARCHY (clustering.py::dbscan_eps_ladder): exact
+    DBSCAN labels at two eps heights from ONE materialized candidate
+    join — the relational slice of the reference's hdbscan dendrogram
+    (embeddings/transforms.py:107-139; hdbscan-the-library's
+    mutual-reachability MST is single-node and not oracle-replayable).
+    Each level is the certified DBSCAN semantics; watching labels merge
+    between levels is the dendrogram's cluster-merge event. Noise = -1."""
+    from convml_data_spark.operators import clustering
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    out = clustering.dbscan_eps_ladder(pts, [0.02, 0.04], 5, id_col="vec_id")
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "eps",
+        F.coalesce("label", F.lit(-1)).alias("label"),
+        "is_core",
+    )
+
+
 def q_emb_transform_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-transform registry (transforms.py:17-139): dispatch
     ``standard_scaler`` by type string, fit + apply as a Spark ML
@@ -2426,6 +2451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 9 (never certified) ---
         "g8_rayleigh": q_g8_rayleigh,
         "stream_parquet_drain": q_stream_parquet_drain,
+        "dbscan_ladder": q_dbscan_ladder,
         # --- operator code changes in round 9; certify post-change ---
         "r2_scene_pairs": q_r2_scene_pairs,
         "spec_triplet_pipeline": q_spec_triplet_pipeline,
@@ -2476,9 +2502,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_seen_filter": q_stream_seen_filter,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
-        "text_corpus_stats": q_text_corpus_stats,
         # ---------------- position 51+: rotated out this round ----------
-        # r7-certified remainder (leads the round-10 window)
+        # r7-certified remainder (leads the round-10 window;
+        # text_corpus_stats displaced to 51 by the late dbscan_ladder key)
+        "text_corpus_stats": q_text_corpus_stats,
         "text_gopher_quality": q_text_gopher_quality,
         "tfidf_top_terms": q_tfidf_top_terms,
         "decontam_ngram_overlap": q_decontam_ngram_overlap,
@@ -2982,6 +3009,22 @@ def _dbscan_oracle_sql(eps: float = 0.04, min_pts: int = 5) -> str:
         LEFT JOIN comp cl ON p.id = cl.id
         LEFT JOIN border b ON p.id = b.id
     """
+
+
+def _dbscan_ladder_oracle_sql(
+    eps_levels: tuple[float, ...] = (0.02, 0.04), min_pts: int = 5
+) -> str:
+    """dbscan_eps_ladder replay: the single-eps recursive-CTE closure
+    (:func:`_dbscan_oracle_sql`) evaluated at every ladder height and
+    UNION ALL-ed with its eps tag — each level independently certifies
+    the same grid-join + closure semantics the engine computes from one
+    shared edge materialization."""
+    parts = [
+        f"SELECT vec_id, {float(e)!r} AS eps, label, is_core "
+        f"FROM ({_dbscan_oracle_sql(e, min_pts)})"
+        for e in eps_levels
+    ]
+    return " UNION ALL ".join(parts)
 
 
 def _spec_tile_data_oracle_sql() -> str:
@@ -4740,6 +4783,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_lsh_pairs": _neardup_lsh_oracle_sql(),
         "dedup_semantic": _semantic_dedup_oracle_sql(),
         "g8_rayleigh": _g8_rayleigh_oracle_sql(),
+        "dbscan_ladder": _dbscan_ladder_oracle_sql(),
         # pinned-outcome certifications for engine-internal numerics: the
         # Spark side computes the invariant (HLL error bound, planted-motion
         # recovery, PCA orthonormality) and the oracle pins the asserted

@@ -47,7 +47,7 @@ from .images import (
     true_color_rgb,
 )
 from .scenes import multi_input_scene_table
-from .clustering import dbscan_labels
+from .clustering import dbscan_eps_ladder, dbscan_labels
 from .tiler import sliding_tiles, tile_pixel_cover, tile_pixel_join, tile_regrid_nearest
 
 __all__ = [

@@ -62,8 +62,6 @@ def dbscan_labels(
     checkpoint, or a reliable checkpoint that survives executor loss on a
     real cluster.
     """
-    from .dedup import connected_components
-
     eps = float(eps)
     pts = points.select(
         F.col(id_col).alias("id"),
@@ -116,6 +114,17 @@ def dbscan_labels(
     from .persist import materialize_for_reuse
 
     edges = materialize_for_reuse(edges, durable=durable)
+    return _labels_from_edges(pts, edges, min_pts, durable)
+
+
+def _labels_from_edges(
+    pts: DataFrame, edges: DataFrame, min_pts: int, durable: bool | None
+) -> DataFrame:
+    """Core/cluster/border/noise labeling given a SYMMETRIC eps-neighbor
+    edge list (id_a, id_b) — the post-candidate-join half of DBSCAN,
+    shared by the single-eps operator and the eps-ladder hierarchy."""
+    from .dedup import connected_components
+
     n_nbr = edges.groupBy("id_a").agg(F.count("*").alias("_n"))
     core = (
         pts.join(n_nbr, pts.id == n_nbr.id_a, "left")
@@ -157,3 +166,91 @@ def dbscan_labels(
         .join(labeled, "id", "left")
         .select("id", "label", F.coalesce("is_core", F.lit(False)).alias("is_core"))
     )
+
+
+def dbscan_eps_ladder(
+    points: DataFrame,
+    eps_levels: list[float],
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    durable: bool | None = None,
+) -> DataFrame:
+    """HDBSCAN-style hierarchy SLICE: exact DBSCAN labels at every eps in
+    a small ladder, from ONE candidate join — the relational analog of
+    cutting the hdbscan dendrogram at a fixed set of heights (OPTICS with
+    a discretized eps axis). Returns the long table
+    ``(id, eps, label, is_core)``; a point's first-clustered level is its
+    discretized core/reachability distance, and watching a label pair
+    merge as eps grows is exactly the dendrogram's cluster-merge event.
+
+    Closes the semantic distance to the reference's ``hdbscan`` dispatch
+    (embeddings/transforms.py:107-139): hdbscan-the-library's
+    mutual-reachability MST is single-node and not oracle-replayable; the
+    eps-ladder is deterministic, exact per level, and each level is the
+    same certified DBSCAN semantics.
+
+    Scale: the 3x3 grid candidate join runs ONCE at ``max(eps_levels)``
+    keeping squared distances; every level filters the MATERIALIZED edge
+    relation (superset property: the eps_max grid covers every smaller
+    radius), so adding a level adds CC rounds but no new n-scale joins or
+    grid explodes.
+    """
+    from .persist import materialize_for_reuse
+
+    eps_levels = sorted({float(e) for e in eps_levels})
+    if not eps_levels:
+        raise ValueError("eps_levels must be non-empty")
+    eps_max = eps_levels[-1]
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    cx = F.floor(F.col("x") / F.lit(eps_max))
+    cy = F.floor(F.col("y") / F.lit(eps_max))
+    cells = pts.select("id", "x", "y", cx.alias("cx"), cy.alias("cy"))
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("o")
+    left = cells.select("id", "x", "y", "cx", "cy", off).select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        (F.col("cx") + F.col("o.dx")).alias("tcx"),
+        (F.col("cy") + F.col("o.dy")).alias("tcy"),
+    )
+    right = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("tcx"),
+        F.col("cy").alias("tcy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    edges = (
+        left.join(right, ["tcx", "tcy"])
+        .where((F.col("id_a") != F.col("id_b")) & (d2 <= F.lit(eps_max * eps_max)))
+        .select("id_a", "id_b", d2.alias("_d2"))
+    )
+    edges = materialize_for_reuse(edges, durable=durable)
+    outs = []
+    for eps in eps_levels:
+        level_edges = edges.where(F.col("_d2") <= F.lit(eps * eps)).select(
+            "id_a", "id_b"
+        )
+        labeled = _labels_from_edges(pts, level_edges, min_pts, durable)
+        outs.append(labeled.select("id", F.lit(eps).alias("eps"), "label", "is_core"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -559,3 +559,40 @@ def test_dbscan_invariants_random_points(spark):
                 assert got[i][0] in {label[j] for j in core_nbrs}, i
             else:
                 assert got[i][0] is None, i
+
+
+def test_dbscan_eps_ladder_levels_match_single_eps_and_are_monotone(spark):
+    """Each ladder level must equal the standalone single-eps DBSCAN on
+    the same data (the shared-edge-materialization rewrite is a pure
+    optimization), and the CLUSTERED point set must grow monotonically
+    with eps (more radius -> more neighbors -> core/border status never
+    lost)."""
+    from convml_data_spark.operators.clustering import (
+        dbscan_eps_ladder,
+        dbscan_labels,
+    )
+
+    rows = []
+    for k in range(5):
+        rows.append((k, 0.01 * k, 0.0))
+    for k in range(5):
+        rows.append((10 + k, 10.0 + 0.03 * k, 10.0))
+    rows.append((20, 0.04 + 0.07, 0.0))
+    rows.append((30, 100.0, -50.0))
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    ladder = dbscan_eps_ladder(pts, [0.05, 0.16], min_pts=4).collect()
+    by_level = {}
+    for r in ladder:
+        by_level.setdefault(r["eps"], {})[r["id"]] = (r["label"], r["is_core"])
+    for eps in (0.05, 0.16):
+        single = {
+            r["id"]: (r["label"], r["is_core"])
+            for r in dbscan_labels(pts, eps=eps, min_pts=4).collect()
+        }
+        assert by_level[eps] == single, eps
+    clustered_small = {i for i, (lab, _) in by_level[0.05].items() if lab is not None}
+    clustered_big = {i for i, (lab, _) in by_level[0.16].items() if lab is not None}
+    assert clustered_small <= clustered_big
+    # the small eps separates B's looser spacing from core status while
+    # the big eps clusters it — a real dendrogram transition, not a no-op
+    assert clustered_small != clustered_big
