@@ -2146,6 +2146,8 @@ def q_stream_parquet_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle = the same batch GROUP BY day — closes the gap where every
     certified stream key drained through the in-memory collector while
     the parquet path had only a property test."""
+    import os
+    import shutil
     import tempfile
 
     from convml_data_spark import streaming
@@ -2155,7 +2157,13 @@ def q_stream_parquet_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = streaming.stream_windowed_counts(
         spark, sf_dir, None, group_cols=("event_type",), source=stream
     )
-    root = tempfile.mkdtemp(prefix="stream_parquet_drain_")
+    # fixed per-process scratch, wiped on entry: repeated invocations
+    # (sweep, sim, pytest) reuse one directory instead of leaking a
+    # mkdtemp checkpoint+sink pair per call
+    root = os.path.join(
+        tempfile.gettempdir(), f"stream_parquet_drain_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
     streaming.drain_to_parquet(
         sdf, f"{root}/ckpt", f"{root}/out", output_mode="update"
     )
@@ -2435,14 +2443,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ROUND 9 WINDOW (first 50 = driver-certified this round). Policy
         # unchanged: never/longest-uncertified keys and keys whose operator
-        # code changes this round come first. Composition: the 2 new r9
-        # keys (rayleigh true-color, production parquet stream drain), the
-        # 6 keys whose operator code changed in round 9 (pick_scene_pairs
-        # bucketed rank decomposition → r2/spec_triplet; durable-flag
-        # threading → dedup_survivors/dedup_semantic/emb_transform_dbscan;
+        # code changes this round come first. Composition: the 3 new r9
+        # keys (rayleigh true-color, production parquet stream drain,
+        # dbscan eps-ladder), the 6 keys whose operator code changed in
+        # round 9 (pick_scene_pairs bucketed rank decomposition →
+        # r2/spec_triplet; durable-flag threading →
+        # dedup_survivors/dedup_semantic/emb_transform_dbscan;
         # scene-table completion grid → spec_scene_images), the 28
         # remaining r5-stale keys (three rounds old — the whole backlog),
-        # then the 14 OLDEST r7-certified keys as fillers. Result: no
+        # then the 13 OLDEST r7-certified keys as fillers (positions
+        # 38-50, spec_aux_derived .. text_langid). Result: no
         # key's last driver row predates round 7 — the two-round staleness
         # ceiling the r8 verdict prescribed. Round 10 window should lead
         # with the remaining r7-certified keys (text_gopher_quality
@@ -2603,7 +2613,10 @@ def _g8_rayleigh_oracle_sql() -> str:
         )
 
     def corr(c: str, tau: float) -> str:
-        rho = f"{tau!r} * 0.75 * (1.0 + cth * cth) / (4.0 * mu_s * mu_v)"
+        # parenthesized exactly as the engine associates it:
+        # tau * (0.75 * (1 + c²)) — float multiply is non-associative and
+        # the last-ulp difference can split round(6) ties downstream
+        rho = f"{tau!r} * (0.75 * (1.0 + cth * cth)) / (4.0 * mu_s * mu_v)"
         t2 = f"exp({-tau / 2.0!r} * (1.0 / mu_s + 1.0 / mu_v))"
         return clip(f"(({c}) - ({rho})) / ({t2})")
 

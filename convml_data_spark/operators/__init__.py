@@ -54,6 +54,12 @@ __all__ = [
     "contrast_correction",
     "make_rgb",
     "true_color_rgb",
+    "rayleigh_correct",
+    "rayleigh_reflectance",
+    "rayleigh_true_color",
+    "scattering_cosine",
+    "solar_cos_zenith",
+    "dbscan_eps_ladder",
     "asof_join",
     "infer_min_spacing",
     "match_aux_to_scenes",

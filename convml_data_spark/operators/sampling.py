@@ -117,15 +117,26 @@ def _per_collection_scene_index(
         .orderBy(F.md5(F.col("_s").cast("string")))
         .limit(8 * p)
         .collect()
-        if r[0] is not None
+        # exclude NULL and (for float ids) NaN from the cut candidates:
+        # both still RANK correctly (NULL counts 0 cuts = first bucket,
+        # NaN counts all cuts = last bucket, matching Spark's sort
+        # order), but NaN breaks Python's sorted() below
+        if r[0] is not None and r[0] == r[0]
     )
     step = max(len(sampled) // p, 1)
     cuts = sorted(set(sampled[step::step]))
-    if cuts:
-        cuts_arr = F.array(*[F.lit(c) for c in cuts])
-        b = F.size(F.filter(cuts_arr, lambda c: c <= F.col(scene_id_col)))
-    else:
-        b = F.lit(0)
+    # sum-of-whens cut count, NOT size(filter(array, lambda)): the
+    # higher-order-function lambda's outer column reference hits a
+    # Catalyst INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when the id column is
+    # numeric (regression-tested); the plain CASE chain stays inside
+    # whole-stage codegen anyway. ``x >= cut`` counts the same cuts as
+    # ``cut <= x``: NULL -> 0 (bucket 0, sorts first), float NaN ->
+    # every cut (last bucket — Spark comparisons treat NaN as greater
+    # than all numerics, same as its sort order), so bucket assignment
+    # stays monotone in the orderBy comparator.
+    b = F.lit(0)
+    for c in cuts:
+        b = b + F.when(F.col(scene_id_col) >= F.lit(c), 1).otherwise(0)
     parts = base.withColumn("_b", b.cast("int"))
     cells = parts.groupBy(collection_col, "_b").agg(F.count("*").alias("_c"))
     w_off = Window.partitionBy(collection_col).orderBy("_b").rowsBetween(

@@ -350,6 +350,39 @@ def test_stratified_split_keeps_null_group_rows(spark):
     assert sum(r["collection"] == "a" for r in nulls) == 10  # floor(20·0.5)
 
 
+def test_scene_index_decomposition_matches_window_with_nan_null_ids(spark):
+    """The bucketed per-collection scene index must equal the plain
+    ``row_number() over (partition by collection order by id)`` it
+    replaced — including double ids with NaN and NULL. Spark's comparison
+    operators treat NaN as greater than every numeric (same as its sort
+    order and DuckDB's), so the cut-count bucket expression stays
+    monotone in the orderBy comparator and NaN rows keep their
+    sort-last rank; NULLs sort first and count zero cuts (bucket 0)."""
+    from pyspark.sql import Window
+
+    from convml_data_spark.operators.sampling import _per_collection_scene_index
+
+    rows = []
+    for i in range(200):
+        rows.append(("A" if i % 3 else "B", float(i % 97) * 1.5))
+    rows += [("A", float("nan")), ("B", float("nan")), ("A", None), ("B", None)]
+    scenes = spark.createDataFrame(rows, "collection string, scene_id double")
+    got = _per_collection_scene_index(scenes, "collection", "scene_id")
+    w = Window.partitionBy("collection").orderBy("scene_id")
+    want = (
+        scenes.select("collection", "scene_id")
+        .withColumn("_i", F.row_number().over(w) - 1)
+        .withColumn("_n", F.count("*").over(Window.partitionBy("collection")))
+    )
+
+    def key(r):
+        sid = r["scene_id"]
+        sid = "NaN" if sid is not None and sid != sid else sid
+        return (r["collection"], str(sid), r["_i"], r["_n"])
+
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
 def test_mixture_sampling_tracks_planned_rates(spark):
     """sample_mixture draws each source at its planned rate: realized
     token counts land within 25% of expected for sampled sources, zero
