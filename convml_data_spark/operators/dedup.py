@@ -436,24 +436,56 @@ def connected_components(
 
     Scale design: edges only ever move through hash-partitioned groupBy
     (min) and equi-joins — no driver-sized state, no cross product; the
-    per-round convergence probe is a four-scalar aggregate (count/sum/sum/
-    hash-sum) with no join; a checkpoint truncates lineage each round so
-    the plan does not grow with the iteration count (``durable`` picks
-    the mechanism — executor-local by default, reliable on request, see
-    :func:`~.persist.materialize_for_reuse`; the per-round probe already
-    executes the plan, so these checkpoints are eager). Only nodes
-    that appear in ``pairs`` are labelled (self-pairs label themselves).
+    per-round convergence probe is a four-scalar (count/sum/sum/hash-sum)
+    ``observe()`` metric collected DURING the round's eager checkpoint —
+    zero extra jobs or scans per round (it was previously a separate
+    per-round aggregation scan); a checkpoint truncates lineage each
+    round so the plan does not grow with the iteration count (``durable``
+    picks the mechanism — executor-local by default, reliable on request,
+    see :func:`~.persist.materialize_for_reuse`; observation metrics fire
+    on both checkpoint kinds). Only nodes that appear in ``pairs`` are
+    labelled (self-pairs label themselves).
     """
+    from pyspark.sql import Observation
+
     from .persist import materialize_for_reuse
+
+    def _sig_exprs():
+        # exact-enough fixed-point probe: star rounds never change a
+        # component's membership, so an unchanged (count, Σu, Σv, Σhash)
+        # quadruple across a round means the edge set is stable. Every
+        # term hash-based: numeric casts of the ids would raise
+        # CAST_INVALID_INPUT under ANSI for string ids (URLs, content
+        # hashes — the normal id shape for text dedup) and silently go
+        # NULL otherwise. Decimal sums: long sums of 64-bit hashes
+        # overflow under ANSI. Self-pairs are excluded by the guard so
+        # the p0 observation measures the same edge set the rounds do.
+        nz = F.col("u") != F.col("v")
+        return [
+            F.sum(F.when(nz, 1).otherwise(0)).alias("n"),
+            F.sum(F.when(nz, F.xxhash64("u")).cast("decimal(38,0)")).alias("su"),
+            F.sum(F.when(nz, F.xxhash64("v")).cast("decimal(38,0)")).alias("sv"),
+            F.sum(F.when(nz, F.xxhash64("u", "v")).cast("decimal(38,0)")).alias(
+                "sh"
+            ),
+        ]
+
+    def _sig_of(obs: Observation):
+        m = obs.get
+        return (m["n"], m["su"], m["sv"], m["sh"])
+
     # materialize the normalized pair list ONCE: both the edge set and the
     # node set derive from it, and `pairs` is typically an expensive
     # candidate-generation plan (cosine scoring, LSH verify) that must not
-    # re-execute for the final node labelling
+    # re-execute for the final node labelling. The initial signature rides
+    # on the same checkpoint execution via observe().
+    obs0 = Observation()
     p0 = (
         pairs.select(
             F.least(id_a, id_b).alias("u"), F.greatest(id_a, id_b).alias("v")
         )
         .distinct()
+        .observe(obs0, *_sig_exprs())
     )
     p0 = materialize_for_reuse(p0, durable=durable, eager=True)
     nodes = (
@@ -463,27 +495,15 @@ def connected_components(
     )
     e = p0.where(F.col("u") != F.col("v"))
 
-    def _sig(edges: DataFrame):
-        # exact-enough fixed-point probe in ONE scan: star rounds never
-        # change a component's membership, so an unchanged (count, Σu, Σv,
-        # Σhash) quadruple across a round means the edge set is stable
-        # every term hash-based: numeric casts of the ids would raise
-        # CAST_INVALID_INPUT under ANSI for string ids (URLs, content
-        # hashes — the normal id shape for text dedup) and silently go
-        # NULL otherwise. Decimal sums: long sums of 64-bit hashes
-        # overflow under ANSI.
-        row = edges.agg(
-            F.count("*").alias("n"),
-            F.sum(F.xxhash64("u").cast("decimal(38,0)")).alias("su"),
-            F.sum(F.xxhash64("v").cast("decimal(38,0)")).alias("sv"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("sh"),
-        ).collect()[0]
-        return tuple(row)
-
-    sig = _sig(e)
+    sig = _sig_of(obs0)
     for _ in range(max_iters):
-        e = materialize_for_reuse(_small_star(_large_star(e)), durable=durable, eager=True)
-        new_sig = _sig(e)
+        obs = Observation()
+        e = materialize_for_reuse(
+            _small_star(_large_star(e)).observe(obs, *_sig_exprs()),
+            durable=durable,
+            eager=True,
+        )
+        new_sig = _sig_of(obs)
         if new_sig == sig:
             break
         sig = new_sig
