@@ -1736,6 +1736,24 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup collapse (dedup.py::best_survivors): blocked
+    word-3-gram Jaccard near-dup pairs at 0.5 → connected components →
+    keep the LONGEST document (max n_chars, ties → min doc_id) per
+    duplicate cluster plus all unpaired docs — the SlimPajama-style
+    "keep the best" policy vs dedup_survivors' min-id rule."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_dedup_blocked(
+        docs, block_cols=["lang", "source"], threshold=0.5, ngram=3
+    ).select("id_a", "id_b")
+    return dedup.best_survivors(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        pairs,
+        quality_col="n_chars",
+        id_col="doc_id",
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -2462,11 +2480,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g8_rayleigh": q_g8_rayleigh,
         "stream_parquet_drain": q_stream_parquet_drain,
         "dbscan_ladder": q_dbscan_ladder,
+        "dedup_best_survivors": q_dedup_best_survivors,
         # --- operator code changes in round 9; certify post-change ---
+        # (connected_components gained the observe()-probe refactor, so
+        # dedup_components joins the CC-family keys below; the two
+        # youngest r7 fillers text_quality/text_langid displaced past 50
+        # — they lead the round-10 window with the other r7 keys.)
         "r2_scene_pairs": q_r2_scene_pairs,
         "spec_triplet_pipeline": q_spec_triplet_pipeline,
         "dedup_survivors": q_dedup_survivors,
         "dedup_semantic": q_dedup_semantic,
+        "dedup_components": q_dedup_components,
         "emb_transform_dbscan": q_emb_transform_dbscan,
         "spec_scene_images": q_spec_scene_images,
         # --- last driver row r5: three rounds stale (whole backlog) ---
@@ -2553,7 +2577,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_era5_manifest": q_s4_era5_manifest,
         "s6_ceres_manifest": q_s6_ceres_manifest,
         "emb_transform_scaler": q_emb_transform_scaler,
-        "dedup_components": q_dedup_components,
         "pii_scrub": q_pii_scrub,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "similarity_pq_topk": q_similarity_pq_topk,
@@ -4359,6 +4382,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.vec_id, v.label
             FROM embeddings v LEFT JOIN comp ON comp.id = v.vec_id
             WHERE comp.id IS NULL OR comp.component = v.vec_id
+        """,
+        "dedup_best_survivors": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, lang, source,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, lang, source,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.lang = b.lang AND a.source = b.source AND a.shingle = b.shingle
+               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pr AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+              WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+            ), e AS (
+              SELECT id_a AS s, id_b AS d FROM pr
+              UNION
+              SELECT id_b, id_a FROM pr
+            ), nodes AS (
+              SELECT DISTINCT s AS id FROM e
+            ), reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s
+            ), comp AS (
+              SELECT id, min(r) AS component FROM reach GROUP BY id
+            ), m AS (
+              SELECT c.id, c.component, d.n_chars
+              FROM comp c JOIN documents d ON d.doc_id = c.id
+            ), best AS (
+              SELECT component, max(n_chars) AS bq FROM m GROUP BY component
+            ), keep AS (
+              SELECT m.component, min(m.id) AS keep_id
+              FROM m JOIN best b ON b.component = m.component AND m.n_chars = b.bq
+              GROUP BY m.component
+            ), dr AS (
+              SELECT m.id FROM m JOIN keep k ON k.component = m.component
+              WHERE m.id != k.keep_id
+            )
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d LEFT JOIN dr ON dr.id = d.doc_id
+            WHERE dr.id IS NULL
         """,
         "decontam_ngram_overlap": """
             WITH toks AS (

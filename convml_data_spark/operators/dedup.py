@@ -543,3 +543,47 @@ def canonical_survivors(
         F.col("id").alias(id_col)
     )
     return ids.join(drop, id_col, "left_anti")
+
+
+def best_survivors(
+    ids: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    durable: bool | None = None,
+) -> DataFrame:
+    """Quality-aware dedup collapse: keep the HIGHEST-``quality_col`` row
+    per duplicate cluster (ties broken by minimum id) plus every row in no
+    pair — the SlimPajama-style "keep the best, not the first" policy, vs
+    :func:`canonical_survivors`' min-id rule. Mirrors the selection intent
+    of the reference's per-group canonical pick (triplets.py:101-118
+    chooses one representative scene per group) with an explicit score.
+
+    Scale design: the argmax is two hash aggregations (max quality per
+    component, then min id among the maximal members) plus equi-joins —
+    all map-side-combinable and skew-safe even for a degenerate
+    boilerplate cluster with millions of members, where a per-component
+    ``row_number`` window would funnel that cluster through one task.
+    NULL qualities lose to any non-NULL quality; an all-NULL cluster
+    falls back to the min-id rule (null-safe equality on the max).
+    """
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b, durable=durable)
+    members = comp.join(
+        ids.select(F.col(id_col).alias("id"), F.col(quality_col).alias("_q")),
+        "id",
+    )
+    best = members.groupBy("component").agg(F.max("_q").alias("_bq"))
+    keep = (
+        members.join(best, "component")
+        .where(F.col("_q").eqNullSafe(F.col("_bq")))
+        .groupBy("component")
+        .agg(F.min("id").alias("_keep"))
+    )
+    drop = (
+        members.join(keep, "component")
+        .where(F.col("id") != F.col("_keep"))
+        .select(F.col("id").alias(id_col))
+    )
+    return ids.join(drop, id_col, "left_anti")

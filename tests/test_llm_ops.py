@@ -388,6 +388,40 @@ def test_connected_components_random_graphs_match_union_find(spark):
         assert got == want, f"trial {trial}: CC mismatch"
 
 
+def test_best_survivors_argmax_quality_with_tiebreaks(spark):
+    """Quality-aware collapse (dedup.py::best_survivors): per duplicate
+    cluster the max-quality row survives, quality ties break to the min
+    id, NULL qualities lose to any scored member, an all-NULL cluster
+    falls back to the min-id rule, and unpaired rows always survive."""
+    from convml_data_spark.operators.dedup import best_survivors, canonical_survivors
+
+    # clusters: {1,2,3} chain (3 best), {10,11} tie (min id 10 wins),
+    # {20,21} where 21 is NULL (20 wins despite lower quality),
+    # {30,31} both NULL (min id 30), and 99 unpaired (NULL quality).
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)], "id_a long, id_b long"
+    )
+    rows = [
+        (1, 5.0), (2, 7.0), (3, 9.0),
+        (10, 4.0), (11, 4.0),
+        (20, 1.0), (21, None),
+        (30, None), (31, None),
+        (99, None),
+    ]
+    ids = spark.createDataFrame(rows, "id long, q double")
+    got = {r["id"] for r in best_survivors(ids, pairs, quality_col="q").collect()}
+    assert got == {3, 10, 20, 30, 99}
+
+    # structure matches the min-id collapse: one survivor per cluster plus
+    # every unpaired row — only the representative differs
+    n_canon = canonical_survivors(ids, pairs).count()
+    assert best_survivors(ids, pairs, quality_col="q").count() == n_canon
+
+    # empty pair list: everything survives untouched
+    empty = pairs.where("id_a < 0")
+    assert best_survivors(ids, empty, quality_col="q").count() == ids.count()
+
+
 def test_audio_fake_decode_features_and_resample(spark):
     """Audio plumbing: payload bytes replay exactly (md5 stream), features
     match a numpy reference, nearest-sample resample picks exactly the
