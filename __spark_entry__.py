@@ -1434,6 +1434,34 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered token-budget curation (corpus.py::
+    select_to_token_budget): score docs by EN-stopword ratio, then keep
+    the best-first prefix of ≤800 tokens per source — the 'take the best
+    N tokens per source' training-mix step. Bucket-decomposed running
+    sum, never a per-source window."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        T.token_count(t).alias("n_tokens"),
+        F.round(T.en_stopword_ratio(t), 6).alias("quality"),
+    )
+    return corpus.select_to_token_budget(
+        scored,
+        budget=800,
+        quality_col="quality",
+        token_col="n_tokens",
+        group_col="source",
+        id_col="doc_id",
+    )
+
+
 def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
@@ -2481,11 +2509,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_parquet_drain": q_stream_parquet_drain,
         "dbscan_ladder": q_dbscan_ladder,
         "dedup_best_survivors": q_dedup_best_survivors,
+        "select_token_budget": q_select_token_budget,
         # --- operator code changes in round 9; certify post-change ---
         # (connected_components gained the observe()-probe refactor, so
-        # dedup_components joins the CC-family keys below; the two
-        # youngest r7 fillers text_quality/text_langid displaced past 50
-        # — they lead the round-10 window with the other r7 keys.)
+        # dedup_components joins the CC-family keys below; the three
+        # youngest r7 fillers stream_seen_filter/text_quality/text_langid
+        # displaced past 50 — they lead the round-10 window with the
+        # other r7 keys.)
         "r2_scene_pairs": q_r2_scene_pairs,
         "spec_triplet_pipeline": q_spec_triplet_pipeline,
         "dedup_survivors": q_dedup_survivors,
@@ -4795,6 +4825,23 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(list_filter(ltoks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / greatest(len(ltoks), 1), 6) AS en_stopword_ratio,
                    (CAST(len(list_filter(ltoks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / greatest(len(ltoks), 1)) > 0.15 AS is_en_guess
             FROM t
+        """,
+        "select_token_budget": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS INT) AS n_tokens,
+                     round(CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != ''),
+                                x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+                           / greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')), 1), 6) AS quality
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source, n_tokens, quality,
+                     sum(n_tokens) OVER (PARTITION BY source
+                                         ORDER BY quality DESC NULLS LAST, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cs
+              FROM t
+            )
+            SELECT doc_id, source, n_tokens, quality FROM c WHERE cs <= 800
         """,
         "text_corpus_stats": """
             SELECT source, count(*) AS n_docs,

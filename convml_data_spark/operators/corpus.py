@@ -466,6 +466,78 @@ def cap_per_group(
     )
 
 
+def select_to_token_budget(
+    df: DataFrame,
+    budget: int,
+    quality_col: str,
+    token_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ordered corpus curation under a per-group token budget:
+    within each group, rank rows by ``quality_col`` DESC (ties → min
+    ``id_col``, NULL qualities last) and keep the maximal prefix whose
+    running ``token_col`` total stays ≤ ``budget`` — the "take the best N
+    tokens per source" step a training-mix builder runs after scoring.
+    A row survives iff its inclusive running token sum ≤ ``budget``
+    (the first overflowing row and everything after it is dropped; no
+    backfilling with smaller later docs).
+
+    Scale design: the running sum is NEVER a per-group window (a group is
+    a coarse key — one source can hold billions of docs). Same
+    decomposition as :func:`~.binning.global_cumsum`, applied per group:
+    sketch-derived quality cut points split each group into ~P buckets
+    (equal qualities always share a bucket, so the id tiebreak never
+    crosses a boundary), per-(group, bucket) window cumsums run in
+    parallel, and each bucket's group-local offset comes from a tiny
+    aggregate relation (|groups|·P rows) that is broadcast back — no
+    driver collect, one shuffle for the agg and one for the windows.
+    Token counts are assumed ≥ 0; NULL tokens count as 0.
+    """
+    spark = df.sparkSession
+    P = max(spark.sparkContext.defaultParallelism, 2)
+    cuts = df.stat.approxQuantile(quality_col, [i / P for i in range(1, P)], 0.01)
+    q = F.col(quality_col)
+    # bucket 0 = highest quality; plain sum-of-when, not a HOF lambda
+    # (outer-column refs inside lambdas hit a Catalyst ATTRIBUTE_NOT_FOUND
+    # bug — see sampling._per_collection_scene_index)
+    bexpr = F.lit(0)
+    for c in cuts:
+        bexpr = bexpr + F.when(q < F.lit(float(c)), 1).otherwise(0)
+    bexpr = F.when(q.isNull(), F.lit(len(cuts) + 1)).otherwise(bexpr)
+    val = F.coalesce(F.col(token_col).cast("long"), F.lit(0).cast("long"))
+    parts = df.withColumn("_b", bexpr).withColumn("_tok", val)
+    offsets = (
+        parts.groupBy(group_col, "_b")
+        .agg(F.sum("_tok").alias("_s"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_s").over(
+                    Window.partitionBy(group_col)
+                    .orderBy("_b")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select(group_col, "_b", "_off")
+    )
+    w = (
+        Window.partitionBy(group_col, "_b")
+        .orderBy(q.desc_nulls_last(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        parts.withColumn("_local", F.sum("_tok").over(w))
+        # offsets is bounded by construction (|groups|·(P+2) rows) but sits
+        # behind an agg+window plan Catalyst has no stats for — broadcast
+        .join(F.broadcast(offsets), [group_col, "_b"])
+        .where(F.col("_off") + F.col("_local") <= F.lit(int(budget)))
+    )
+    return out.select(*df.columns)
+
+
 def unigram_logprob_score(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -422,6 +422,53 @@ def test_best_survivors_argmax_quality_with_tiebreaks(spark):
     assert best_survivors(ids, empty, quality_col="q").count() == ids.count()
 
 
+def test_select_to_token_budget_matches_naive_window(spark):
+    """Bucket-decomposed per-group budget prefix (corpus.py::
+    select_to_token_budget) equals the naive per-group running-sum window
+    on randomized corpora with ties, NULL qualities, and NULL tokens; the
+    prefix semantics never overshoot the budget."""
+    import random
+
+    from pyspark.sql import Window
+
+    from convml_data_spark.operators.corpus import select_to_token_budget
+
+    rng = random.Random(77)
+    rows = []
+    for i in range(400):
+        rows.append(
+            (
+                i,
+                f"s{rng.randrange(4)}",
+                rng.choice([None, rng.randrange(0, 40)]),
+                rng.choice([None, round(rng.random(), 2), 0.5]),  # many ties
+            )
+        )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int, quality double")
+    for budget in (0, 37, 200, 10_000):
+        got = select_to_token_budget(
+            df, budget, quality_col="quality", token_col="n_tokens"
+        )
+        w = (
+            Window.partitionBy("source")
+            .orderBy(F.col("quality").desc_nulls_last(), F.col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = df.withColumn(
+            "_cs", F.sum(F.coalesce(F.col("n_tokens").cast("long"), F.lit(0))).over(w)
+        ).where(F.col("_cs") <= budget)
+        assert {r["doc_id"] for r in got.collect()} == {
+            r["doc_id"] for r in want.collect()
+        }, f"budget={budget}"
+        # kept token totals never exceed the budget per group
+        tots = (
+            got.groupBy("source")
+            .agg(F.sum(F.coalesce(F.col("n_tokens"), F.lit(0))).alias("t"))
+            .collect()
+        )
+        assert all(r["t"] <= budget for r in tots)
+
+
 def test_audio_fake_decode_features_and_resample(spark):
     """Audio plumbing: payload bytes replay exactly (md5 stream), features
     match a numpy reference, nearest-sample resample picks exactly the
