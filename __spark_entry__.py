@@ -1504,6 +1504,20 @@ def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.gopher_quality(docs)
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher repetition suite (corpus.py::gopher_repetition_ladder):
+    top-n-gram fractions n=2..4, duplicate-n-gram fractions n=5..10, and
+    duplicate line/paragraph fractions with the published caps — the
+    complete Rae et al. table-A1 ladder (gopher_quality carries only the
+    n=2/3 pair)."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return corpus.gopher_repetition_ladder(docs)
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (corpus.py::tfidf_top_terms) —
     characteristic-term extraction for corpus exploration/clustering."""
@@ -2510,12 +2524,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_ladder": q_dbscan_ladder,
         "dedup_best_survivors": q_dedup_best_survivors,
         "select_token_budget": q_select_token_budget,
+        "gopher_repetition": q_gopher_repetition,
         # --- operator code changes in round 9; certify post-change ---
         # (connected_components gained the observe()-probe refactor, so
-        # dedup_components joins the CC-family keys below; the three
-        # youngest r7 fillers stream_seen_filter/text_quality/text_langid
-        # displaced past 50 — they lead the round-10 window with the
-        # other r7 keys.)
+        # dedup_components joins the CC-family keys below; the four
+        # youngest r7 fillers w6_sequential_scan/stream_seen_filter/
+        # text_quality/text_langid displaced past 50 — they lead the
+        # round-10 window with the other r7 keys.)
         "r2_scene_pairs": q_r2_scene_pairs,
         "spec_triplet_pipeline": q_spec_triplet_pipeline,
         "dedup_survivors": q_dedup_survivors,
@@ -3179,6 +3194,70 @@ def _spec_rect_oracle_sql() -> str:
         SELECT scene_id, tile_id, i0, j0,
                i0 * 20.0 AS x, (16 - j0) * 20.0 AS y, dim, v
         FROM emb
+    """
+
+
+def _gopher_ladder_oracle() -> str:
+    """DuckDB twin of corpus.gopher_repetition_ladder — the 11-signal SQL
+    is mechanical, so it is generated from the same cap tables the
+    operator uses (any cap/ladder edit changes both sides together)."""
+    from convml_data_spark.operators.corpus import (
+        GOPHER_DUP_LINE_CAP,
+        GOPHER_DUP_NGRAM_CAPS,
+        GOPHER_DUP_PARA_CAP,
+        GOPHER_TOP_NGRAM_CAPS,
+    )
+
+    def gram(n: int) -> str:
+        joined = " || ' ' || ".join(f"w[i+{k}]" if k else "w[i]" for k in range(n))
+        return (
+            f"list_transform(range(1, greatest(len(w) - {n - 1}, 0) + 1), "
+            f"i -> {joined})"
+        )
+
+    g_defs, raw_defs, out_cols, conds = [], [], [], []
+    for n, cap in GOPHER_TOP_NGRAM_CAPS.items():
+        g_defs.append(f"{gram(n)} AS g{n}")
+        raw_defs.append(
+            f"CASE WHEN len(g{n}) = 0 THEN 0.0 ELSE "
+            f"list_max(list_transform(list_distinct(g{n}), "
+            f"x -> len(list_filter(g{n}, y -> y = x)))) / len(g{n}) END "
+            f"AS top{n}"
+        )
+        out_cols.append(f"round(top{n}, 6) AS top_{n}gram_frac")
+        conds.append(f"top{n} <= {cap}")
+    for n, cap in GOPHER_DUP_NGRAM_CAPS.items():
+        g_defs.append(f"{gram(n)} AS g{n}")
+        raw_defs.append(
+            f"CASE WHEN len(g{n}) = 0 THEN 0.0 ELSE "
+            f"1.0 - len(list_distinct(g{n})) / len(g{n}) END AS dup{n}"
+        )
+        out_cols.append(f"round(dup{n}, 6) AS dup_{n}gram_frac")
+        conds.append(f"dup{n} <= {cap}")
+    for name, splitter, cap in (
+        ("dup_line_frac", "chr(10)", GOPHER_DUP_LINE_CAP),
+        ("dup_para_frac", "chr(10) || chr(10)", GOPHER_DUP_PARA_CAP),
+    ):
+        raw_defs.append(
+            f"CASE WHEN len(list_filter(string_split(text, {splitter}), x -> x != '')) = 0 THEN 0.0 ELSE "
+            f"1.0 - len(list_distinct(list_filter(string_split(text, {splitter}), x -> x != ''))) "
+            f"/ len(list_filter(string_split(text, {splitter}), x -> x != '')) END AS {name}_raw"
+        )
+        out_cols.append(f"round({name}_raw, 6) AS {name}")
+        conds.append(f"{name}_raw <= {cap}")
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+          FROM documents
+        ), g AS (
+          SELECT doc_id, text, w, {", ".join(g_defs)} FROM t
+        ), r AS (
+          SELECT doc_id, {", ".join(raw_defs)} FROM g
+        )
+        SELECT doc_id, {", ".join(out_cols)},
+               ({" AND ".join(conds)}) AS pass_repetition
+        FROM r
     """
 
 
@@ -4826,6 +4905,7 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(len(list_filter(ltoks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / greatest(len(ltoks), 1)) > 0.15 AS is_en_guess
             FROM t
         """,
+        "gopher_repetition": _gopher_ladder_oracle(),
         "select_token_budget": """
             WITH t AS (
               SELECT doc_id, source,

@@ -119,6 +119,61 @@ def gopher_quality(
     )
 
 
+# Rae et al. 2021 table A1 repetition caps (a doc passes when every
+# signal is at or under its cap). Fractions here are occurrence
+# fractions, engine-defined like gopher_quality's — the paper uses
+# character fractions for some rows.
+GOPHER_TOP_NGRAM_CAPS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_CAPS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+GOPHER_DUP_LINE_CAP = 0.30
+GOPHER_DUP_PARA_CAP = 0.30
+
+
+def gopher_repetition_ladder(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The FULL Gopher repetition suite (Rae et al. 2021, table A1):
+    top-n-gram occurrence fractions for n=2..4, duplicate-n-gram
+    fractions for n=5..10, and duplicate line / paragraph fractions —
+    :func:`gopher_quality` carries only the n=2/3 pair. Emits every
+    measure plus the conjunction ``pass_repetition`` under the published
+    caps (module constants; pass-flag comparisons use the raw fractions,
+    outputs are round(6) like every float surface here). Compose with a
+    min-word-count gate (:func:`gopher_quality`) as the paper does —
+    very short docs trivially trip the top-n-gram caps (3 words →
+    top-2-gram = 1/2).
+
+    One narrow projection per row: the token array materializes once and
+    every n-gram array derives from it JVM-side — no explode, no shuffle,
+    no Python.
+    """
+    toks = T.tokens(F.lower(F.col(text_col)))
+
+    def _dup_frac(arr):
+        return F.when(F.size(arr) <= 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - F.size(F.array_distinct(arr)) / F.size(arr)
+        )
+
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
+    paras = F.filter(F.split(F.col(text_col), "\n\n"), lambda x: x != "")
+    measures: list[tuple[str, object, object]] = []  # (name, raw, cap)
+    for n, cap in GOPHER_TOP_NGRAM_CAPS.items():
+        measures.append((f"top_{n}gram_frac", T.top_ngram_frac(toks, n), cap))
+    for n, cap in GOPHER_DUP_NGRAM_CAPS.items():
+        measures.append((f"dup_{n}gram_frac", T.dup_ngram_frac(toks, n), cap))
+    measures.append(("dup_line_frac", _dup_frac(lines), GOPHER_DUP_LINE_CAP))
+    measures.append(("dup_para_frac", _dup_frac(paras), GOPHER_DUP_PARA_CAP))
+    passed = None
+    for _, raw, cap in measures:
+        c = raw <= F.lit(cap)
+        passed = c if passed is None else (passed & c)
+    return docs.select(
+        id_col,
+        *[F.round(raw, 6).alias(name) for name, raw, _ in measures],
+        passed.alias("pass_repetition"),
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

@@ -422,6 +422,45 @@ def test_best_survivors_argmax_quality_with_tiebreaks(spark):
     assert best_survivors(ids, empty, quality_col="q").count() == ids.count()
 
 
+def test_gopher_repetition_ladder_known_fractions(spark):
+    """Full Gopher table-A1 ladder (corpus.py::gopher_repetition_ladder):
+    crafted docs hit exact expected fractions — an alternating bigram
+    loop, duplicated lines/paragraphs, and short/empty docs that zero
+    every signal."""
+    from convml_data_spark.operators.corpus import gopher_repetition_ladder
+
+    rows = [
+        # 'a b' repeated 10x: 19 bigrams, 'a b' occurs 10 -> top2 = 10/19;
+        # every 5-gram is one of 2 distinct among 16 -> dup5 = 14/16
+        (1, " ".join(["a", "b"] * 10)),
+        # 4 lines, 'x' twice; 2 paragraphs, both 'x' -> dup_para = 1/2
+        (2, "x\ny\nx\nz\n\nx\ny\nx\nz"),
+        # 3 distinct words: top2 = 1/2 (2 unique bigrams -> max count 1 of
+        # 2) trips the 0.20 cap — faithful to the paper, which applies
+        # repetition caps only after the min-word-count gate
+        (3, "one two three"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_repetition_ladder(df).collect()}
+    assert got[1]["top_2gram_frac"] == round(10 / 19, 6)
+    assert got[1]["dup_5gram_frac"] == round(14 / 16, 6)
+    assert got[1]["pass_repetition"] is False
+    # doc 2: lines = [x,y,x,z,x,y,x,z] -> 8 total, 3 distinct -> 5/8;
+    # paras = [x\ny\nx\nz, x\ny\nx\nz] -> dup 1/2
+    assert got[2]["dup_line_frac"] == round(1 - 3 / 8, 6)
+    assert got[2]["dup_para_frac"] == 0.5
+    assert got[3] == {
+        **got[3],
+        "top_2gram_frac": 0.5,
+        "dup_5gram_frac": 0.0,
+        "dup_line_frac": 0.0,
+        "pass_repetition": False,
+    }
+    assert got[4]["pass_repetition"] is True
+    assert all(v == 0.0 for k, v in got[4].items() if k.endswith("_frac"))
+
+
 def test_select_to_token_budget_matches_naive_window(spark):
     """Bucket-decomposed per-group budget prefix (corpus.py::
     select_to_token_budget) equals the naive per-group running-sum window

@@ -268,6 +268,31 @@ def test_stratified_split_offsets_stay_executor_side(spark):
     assert "ExistingRDD" not in p
 
 
+def test_token_budget_cumsum_partitions_by_bucket(spark):
+    """select_to_token_budget's running sum must be per-(group, bucket),
+    never a per-source window (a source is a coarse key), and the bounded
+    offsets relation joins back via broadcast — a sort-merge there would
+    shuffle the full corpus against a |groups|·P-row side."""
+    p = plan_of(spark, "select_token_budget")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # the data-side cumsum window partitions by (source, _b): every window
+    # spec over the scored corpus must carry the bucket column
+    needle = "windowspecdefinition(source"
+    found, i = 0, 0
+    while True:
+        j = p.find(needle, i)
+        if j < 0:
+            break
+        seg = p[j : j + 120]
+        # offsets window (over the tiny agg) orders by _b; the data window
+        # partitions by _b — either way _b must appear in the spec
+        assert "_b#" in seg, f"source window without bucket: {seg}"
+        found += 1
+        i = j + len(needle)
+    assert found >= 1
+
+
 def test_scene_pair_ranking_partitions_by_bucket(spark):
     """pick_scene_pairs' per-collection scene index must rank per
     (collection, BUCKET) — a collection-only row_number partition funnels
