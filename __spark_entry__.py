@@ -3238,10 +3238,12 @@ def _gopher_ladder_oracle() -> str:
         ("dup_line_frac", "chr(10)", GOPHER_DUP_LINE_CAP),
         ("dup_para_frac", "chr(10) || chr(10)", GOPHER_DUP_PARA_CAP),
     ):
+        # coalesce(text, '') mirrors the engine's NULL-text-as-empty-doc
+        # convention (tokens() coalesce)
+        arr = f"list_filter(string_split(coalesce(text, ''), {splitter}), x -> x != '')"
         raw_defs.append(
-            f"CASE WHEN len(list_filter(string_split(text, {splitter}), x -> x != '')) = 0 THEN 0.0 ELSE "
-            f"1.0 - len(list_distinct(list_filter(string_split(text, {splitter}), x -> x != ''))) "
-            f"/ len(list_filter(string_split(text, {splitter}), x -> x != '')) END AS {name}_raw"
+            f"CASE WHEN len({arr}) = 0 THEN 0.0 ELSE "
+            f"1.0 - len(list_distinct({arr})) / len({arr}) END AS {name}_raw"
         )
         out_cols.append(f"round({name}_raw, 6) AS {name}")
         conds.append(f"{name}_raw <= {cap}")

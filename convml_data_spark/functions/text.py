@@ -172,13 +172,20 @@ def top_ngram_frac(toks: Column, n: int) -> Column:
     )
 
 
+def dup_frac(arr: Column) -> Column:
+    """Fraction of array elements that are repeats of an earlier one:
+    ``1 - distinct/total`` (0.0 for empty or NULL arrays — the
+    conf-independent guard, see :func:`tokens`)."""
+    a = F.coalesce(arr, F.array().cast("array<string>"))
+    return F.when(F.size(a) <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(a)) / F.size(a)
+    )
+
+
 def dup_ngram_frac(toks: Column, n: int) -> Column:
     """Fraction of n-gram occurrences that are repeats of an earlier one:
     ``1 - distinct/total`` (0.0 for docs shorter than n tokens)."""
-    g = ngrams_from_tokens(toks, n)
-    return F.when(F.size(g) <= 0, F.lit(0.0)).otherwise(
-        F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g)
-    )
+    return dup_frac(ngrams_from_tokens(toks, n))
 
 
 # PII patterns chosen for identical semantics in Java regex (Spark) and

@@ -148,21 +148,18 @@ def gopher_repetition_ladder(
     no Python.
     """
     toks = T.tokens(F.lower(F.col(text_col)))
-
-    def _dup_frac(arr):
-        return F.when(F.size(arr) <= 0, F.lit(0.0)).otherwise(
-            F.lit(1.0) - F.size(F.array_distinct(arr)) / F.size(arr)
-        )
-
-    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
-    paras = F.filter(F.split(F.col(text_col), "\n\n"), lambda x: x != "")
+    # NULL text must behave like the empty doc on every signal (the
+    # tokens() coalesce convention — size(NULL) is session-conf-dependent)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(txt, "\n"), lambda x: x != "")
+    paras = F.filter(F.split(txt, "\n\n"), lambda x: x != "")
     measures: list[tuple[str, object, object]] = []  # (name, raw, cap)
     for n, cap in GOPHER_TOP_NGRAM_CAPS.items():
         measures.append((f"top_{n}gram_frac", T.top_ngram_frac(toks, n), cap))
     for n, cap in GOPHER_DUP_NGRAM_CAPS.items():
         measures.append((f"dup_{n}gram_frac", T.dup_ngram_frac(toks, n), cap))
-    measures.append(("dup_line_frac", _dup_frac(lines), GOPHER_DUP_LINE_CAP))
-    measures.append(("dup_para_frac", _dup_frac(paras), GOPHER_DUP_PARA_CAP))
+    measures.append(("dup_line_frac", T.dup_frac(lines), GOPHER_DUP_LINE_CAP))
+    measures.append(("dup_para_frac", T.dup_frac(paras), GOPHER_DUP_PARA_CAP))
     passed = None
     for _, raw, cap in measures:
         c = raw <= F.lit(cap)
@@ -583,11 +580,18 @@ def select_to_token_budget(
         .orderBy(q.desc_nulls_last(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # NULL group keys form their own group (the window/groupBy already
+    # treat them so) — the join-back must be null-safe on the group key or
+    # those rows silently vanish from the output
+    offs = offsets.withColumnRenamed(group_col, "_g").withColumnRenamed("_b", "_ob")
     out = (
         parts.withColumn("_local", F.sum("_tok").over(w))
         # offsets is bounded by construction (|groups|·(P+2) rows) but sits
         # behind an agg+window plan Catalyst has no stats for — broadcast
-        .join(F.broadcast(offsets), [group_col, "_b"])
+        .join(
+            F.broadcast(offs),
+            F.col(group_col).eqNullSafe(F.col("_g")) & (F.col("_b") == F.col("_ob")),
+        )
         .where(F.col("_off") + F.col("_local") <= F.lit(int(budget)))
     )
     return out.select(*df.columns)

@@ -439,7 +439,12 @@ def connected_components(
     per-round convergence probe is a four-scalar (count/sum/sum/hash-sum)
     ``observe()`` metric collected DURING the round's eager checkpoint —
     zero extra jobs or scans per round (it was previously a separate
-    per-round aggregation scan); a checkpoint truncates lineage each
+    per-round aggregation scan). Observation metrics are accumulator-
+    backed: a task retry or speculative duplicate can over-count a round's
+    quadruple, which can only MISS a fixed point (one sig spuriously ≠
+    the next) and burn extra star rounds up to ``max_iters`` — never
+    produce a wrong label, since star rounds are idempotent at the fixed
+    point; a checkpoint truncates lineage each
     round so the plan does not grow with the iteration count (``durable``
     picks the mechanism — executor-local by default, reliable on request,
     see :func:`~.persist.materialize_for_reuse`; observation metrics fire

@@ -478,7 +478,9 @@ def test_select_to_token_budget_matches_naive_window(spark):
         rows.append(
             (
                 i,
-                f"s{rng.randrange(4)}",
+                # NULL sources form their own group (regression: the
+                # offsets join-back must be null-safe or they vanish)
+                rng.choice([None, "s0", "s1", "s2", "s3"]),
                 rng.choice([None, rng.randrange(0, 40)]),
                 rng.choice([None, round(rng.random(), 2), 0.5]),  # many ties
             )
