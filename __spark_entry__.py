@@ -2398,6 +2398,23 @@ def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a signature index (dedup.py::
+    incremental_sig_dedup): the even-doc_id half of documents stands in
+    for the standing corpus (signatures ONLY — never re-shingled), the
+    odd half is the incoming batch. New docs drop on ≥1 full band
+    collision with the index at sig-agreement ≥ 0.5; the remainder
+    min-id-collapses within the batch under the same criterion."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, num_hashes=8)
+    old = sigs.where(F.col("id") % 2 == 0)
+    new = sigs.where(F.col("id") % 2 == 1)
+    out = dedup.incremental_sig_dedup(
+        new, old, threshold=0.5, bands=4, num_hashes=8
+    )
+    return out.select("id")
+
+
 def q_g9_optical_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G9: Shi-Tomasi + Lucas-Kanade trajectory tracking over per-group
     image sequences (rows-only; displacement recovery is property-tested)."""
@@ -2525,12 +2542,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_best_survivors": q_dedup_best_survivors,
         "select_token_budget": q_select_token_budget,
         "gopher_repetition": q_gopher_repetition,
+        "incremental_dedup": q_incremental_dedup,
         # --- operator code changes in round 9; certify post-change ---
         # (connected_components gained the observe()-probe refactor, so
-        # dedup_components joins the CC-family keys below; the four
-        # youngest r7 fillers w6_sequential_scan/stream_seen_filter/
-        # text_quality/text_langid displaced past 50 — they lead the
-        # round-10 window with the other r7 keys.)
+        # dedup_components joins the CC-family keys below; the five
+        # youngest r7 fillers a7_equidepth/w6_sequential_scan/
+        # stream_seen_filter/text_quality/text_langid displaced past 50 —
+        # they lead the round-10 window with the other r7 keys.)
         "r2_scene_pairs": q_r2_scene_pairs,
         "spec_triplet_pipeline": q_spec_triplet_pipeline,
         "dedup_survivors": q_dedup_survivors,
@@ -3285,6 +3303,20 @@ def oracle_sql() -> dict[str, str]:
     )
     minhash_aggs = ", ".join(f"min(t{i}) AS h{i}" for i in range(8))
     minhash_arr = ", ".join(f"h{i}" for i in range(8))
+
+    # incremental_sig_dedup replay (8 hashes, 4 bands of 2): full-band
+    # collision + component-agreement fraction, both pure sig arithmetic
+    def _band_match(x: str, y: str) -> str:
+        return " OR ".join(
+            f"({x}.h{2 * b} = {y}.h{2 * b} AND {x}.h{2 * b + 1} = {y}.h{2 * b + 1})"
+            for b in range(4)
+        )
+
+    def _sig_agree(x: str, y: str) -> str:
+        return (
+            "(" + " + ".join(f"CAST({x}.h{i} = {y}.h{i} AS INT)" for i in range(8))
+            + ") / 8.0"
+        )
     simhash_bitsums = ",\n                     ".join(
         f"sum((h >> {b}) & 1) AS b{b}" for b in range(60)
     )
@@ -4852,6 +4884,50 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT id, CAST('0x'||substr(md5(shingle),1,15) AS BIGINT) AS x FROM sh)
             ), m AS (SELECT id, {minhash_aggs} FROM h GROUP BY id)
             SELECT id, {minhash_arr} FROM m
+        """,
+        "incremental_dedup": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id AS id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS tk
+              FROM documents
+            ), sh AS (
+              SELECT id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(tk) - 2, 0) + 1),
+                       i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+              FROM toks
+            ), hx AS (
+              SELECT id, {minhash_terms}
+              FROM (SELECT id, CAST('0x'||substr(md5(shingle),1,15) AS BIGINT) AS x FROM sh)
+            ), m AS (SELECT id, {minhash_aggs} FROM hx GROUP BY id),
+            o AS (SELECT * FROM m WHERE id % 2 = 0),
+            n AS (SELECT * FROM m WHERE id % 2 = 1),
+            cd AS (
+              SELECT DISTINCT n.id
+              FROM n JOIN o ON ({_band_match("n", "o")})
+              WHERE {_sig_agree("n", "o")} >= 0.5
+            ),
+            rem AS (SELECT * FROM n WHERE id NOT IN (SELECT id FROM cd)),
+            pr AS (
+              SELECT a.id AS id_a, b.id AS id_b
+              FROM rem a JOIN rem b
+                ON a.id < b.id AND ({_band_match("a", "b")})
+              WHERE {_sig_agree("a", "b")} >= 0.5
+            ), e AS (
+              SELECT id_a AS s, id_b AS d FROM pr
+              UNION
+              SELECT id_b, id_a FROM pr
+            ), nodes AS (
+              SELECT DISTINCT s AS id FROM e
+            ), reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s
+            ), comp AS (
+              SELECT id, min(r) AS component FROM reach GROUP BY id
+            )
+            SELECT rem.id
+            FROM rem LEFT JOIN comp ON comp.id = rem.id
+            WHERE comp.id IS NULL OR comp.component = rem.id
         """,
         "simhash": f"""
             WITH toks AS (

@@ -550,6 +550,91 @@ def canonical_survivors(
     return ids.join(drop, id_col, "left_anti")
 
 
+def incremental_sig_dedup(
+    new_sigs: DataFrame,
+    old_sigs: DataFrame,
+    threshold: float = 0.5,
+    bands: int = 4,
+    num_hashes: int | None = None,
+    id_col: str = "id",
+    durable: bool | None = None,
+) -> DataFrame:
+    """Incremental corpus dedup against a MinHash signature INDEX — the
+    production shape for continuously-ingested corpora: the standing
+    corpus is represented only by its stored signatures (never re-read,
+    never re-shingled), and each new batch is (1) dropped where it
+    LSH-collides with the index at sig-agreement ≥ ``threshold``, then
+    (2) min-id-collapsed within the batch under the same criterion.
+    Returns the surviving rows of ``new_sigs``.
+
+    Match criterion: ≥1 full band collision (all ``num_hashes/bands``
+    signature components of some band equal) AND component-agreement
+    fraction ≥ ``threshold`` — both computed purely from signatures, so
+    the whole program is replayable from a sig table (and by the DuckDB
+    oracle; band keys are the slice VALUES, not an engine hash).
+
+    Scale design: candidates come from equi-joins on (band, slice-key) —
+    new×index and new×new only, NEVER index×index (the index side is the
+    100 TB corpus; it is banded and joined, n_bands rows per indexed doc,
+    but no index pair is ever formed). Agreement verification is a JVM
+    ``zip_with`` fold per candidate. The within-batch collapse reuses
+    :func:`canonical_survivors` (hash-partitioned CC).
+    """
+    if num_hashes is None:
+        sample = new_sigs.select(F.size("sig").alias("n")).limit(1).collect()
+        num_hashes = sample[0]["n"] if sample else 0
+    r = max(num_hashes // bands, 1)
+
+    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            F.col("sig").alias(f"sig_{out_id}"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * r + 1, r),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bb"),
+        ).select(out_id, f"sig_{out_id}", "bb.band", "bb.bucket")
+
+    def agreement(a: str, b: str):
+        eq = F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0))
+        hits = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v)
+        return hits / F.lit(num_hashes)
+
+    nb = banded(new_sigs, "nid")
+    ob = banded(old_sigs, "oid")
+    cross_drop = (
+        nb.join(ob, ["band", "bucket"])
+        .where(agreement("sig_nid", "sig_oid") >= F.lit(threshold))
+        .select(F.col("nid").alias(id_col))
+        .distinct()
+    )
+    rem = new_sigs.join(cross_drop, id_col, "left_anti")
+    rb = banded(rem, "id_a")
+    rb2 = rb.select(
+        F.col("id_a").alias("id_b"), F.col("sig_id_a").alias("sig_id_b"),
+        "band", "bucket",
+    )
+    within = (
+        rb.join(rb2, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(agreement("sig_id_a", "sig_id_b") >= F.lit(threshold))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return canonical_survivors(rem, within, id_col=id_col, durable=durable)
+
+
 def best_survivors(
     ids: DataFrame,
     pairs: DataFrame,

@@ -422,6 +422,44 @@ def test_best_survivors_argmax_quality_with_tiebreaks(spark):
     assert best_survivors(ids, empty, quality_col="q").count() == ids.count()
 
 
+def test_incremental_sig_dedup_band_and_agreement_rules(spark):
+    """Incremental index dedup (dedup.py::incremental_sig_dedup): a new
+    doc drops only when BOTH a full band collides AND the agreement
+    fraction clears the threshold; agreement without a band collision is
+    never even a candidate; within-batch survivors min-id-collapse."""
+    from convml_data_spark.operators.dedup import incremental_sig_dedup
+
+    # 4 hashes, 2 bands of 2, threshold 0.5 (>=2 of 4 components equal)
+    old = spark.createDataFrame([(100, [1, 2, 3, 4])], "id long, sig array<long>")
+    new = spark.createDataFrame(
+        [
+            (1, [1, 2, 9, 9]),   # band0 (1,2) collides, agree 2/4 -> drop
+            (2, [1, 8, 3, 9]),   # agree 2/4 but NO full band -> kept
+            (3, [5, 6, 7, 8]),   # pairs with 5 within-batch; min id keeps
+            (5, [5, 6, 7, 0]),   # band0 (5,6) + agree 3/4 -> drops to 3
+            (7, [9, 9, 1, 2]),   # band1 (1,2) != old band1 (3,4) -> kept
+        ],
+        "id long, sig array<long>",
+    )
+    got = {
+        r["id"]
+        for r in incremental_sig_dedup(
+            new, old, threshold=0.5, bands=2, num_hashes=4
+        ).collect()
+    }
+    assert got == {2, 3, 7}
+
+    # empty index: only the within-batch collapse applies
+    empty = old.where("id < 0")
+    got2 = {
+        r["id"]
+        for r in incremental_sig_dedup(
+            new, empty, threshold=0.5, bands=2, num_hashes=4
+        ).collect()
+    }
+    assert got2 == {1, 2, 3, 7}
+
+
 def test_gopher_repetition_ladder_known_fractions(spark):
     """Full Gopher table-A1 ladder (corpus.py::gopher_repetition_ladder):
     crafted docs hit exact expected fractions — an alternating bigram
