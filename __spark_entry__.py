@@ -1462,6 +1462,18 @@ def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (corpus.py::dsir_logratio): every doc
+    scored by mean per-token log-ratio of an add-one-smoothed unigram LM
+    fit on the English subset (the target) vs one fit on the full corpus
+    — the importance-resampling weight of Xie et al. 2023."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return corpus.dsir_logratio(docs, target)
+
+
 def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
@@ -2543,12 +2555,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_token_budget": q_select_token_budget,
         "gopher_repetition": q_gopher_repetition,
         "incremental_dedup": q_incremental_dedup,
+        "dsir_logratio": q_dsir_logratio,
         # --- operator code changes in round 9; certify post-change ---
         # (connected_components gained the observe()-probe refactor, so
-        # dedup_components joins the CC-family keys below; the five
-        # youngest r7 fillers a7_equidepth/w6_sequential_scan/
-        # stream_seen_filter/text_quality/text_langid displaced past 50 —
-        # they lead the round-10 window with the other r7 keys.)
+        # dedup_components joins the CC-family keys below; the six
+        # youngest r7 fillers a3_min_spacing/a7_equidepth/
+        # w6_sequential_scan/stream_seen_filter/text_quality/text_langid
+        # displaced past 50 — they lead the round-10 window with the
+        # other r7 keys.)
         "r2_scene_pairs": q_r2_scene_pairs,
         "spec_triplet_pipeline": q_spec_triplet_pipeline,
         "dedup_survivors": q_dedup_survivors,
@@ -5156,6 +5170,35 @@ def oracle_sql() -> dict[str, str]:
                          i -> (s[i-1] - 128.0) * (s[i] - 128.0) < 0)) AS BIGINT)
                        AS n_zero_cross
             FROM b
+        """,
+        "dsir_logratio": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          x -> x != '')) AS token
+                FROM documents
+            ), ttok AS (
+                SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          x -> x != '')) AS token
+                FROM documents WHERE lang = 'en'
+            ), cr AS (
+                SELECT token, count(*) AS cr FROM tok GROUP BY token
+            ), ct AS (
+                SELECT token, count(*) AS ct FROM ttok GROUP BY token
+            ), vocab AS (
+                SELECT token, coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+                FROM cr FULL OUTER JOIN ct USING (token)
+            ), scal AS (
+                SELECT sum(cr) AS Nr, sum(ct) AS Nt, count(*) AS V FROM vocab
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   round(CAST(sum(CAST(
+                           ln((ct + 1) / (Nt + V)) - ln((cr + 1) / (Nr + V))
+                         AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) + 0.0
+                       AS dsir_logratio
+            FROM tok JOIN vocab USING (token) CROSS JOIN scal
+            GROUP BY doc_id
         """,
         "unigram_xent": """
             WITH tok AS (

@@ -643,6 +643,70 @@ def unigram_logprob_score(
     )
 
 
+def dsir_logratio(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance score (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", unigram feature space):
+    per raw doc, the mean per-token log-ratio ``ln p_target(t) − ln
+    p_raw(t)`` under add-one-smoothed unigram LMs over the shared
+    vocabulary. Positive = more target-like; feed the score into
+    :func:`quality_weighted_sample` / :func:`select_to_token_budget` for
+    the resampling step.
+
+    Scale design: two corpus-wide map-side-combined hash aggregations
+    build the frequency tables; the vocabulary union is one full-outer
+    join bounded by VOCABULARY size, not corpus size; the three scalars
+    (N_raw, N_target, V) ride a broadcast 1-row relation; the per-doc
+    pass is one token equi-join + hash agg. Each log-ratio term casts to
+    DECIMAL(38,12) before summing so the reduction is exact and
+    order-independent under AQE (the :func:`unigram_logprob_score`
+    discipline).
+    """
+    from .dedup import _spread
+
+    tok = _spread(docs, id_col).select(
+        F.col(id_col), F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    ttok = target_docs.select(
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    cr = tok.groupBy("token").agg(F.count("*").alias("cr"))
+    ct = ttok.groupBy("token").agg(F.count("*").alias("ct"))
+    vocab = cr.join(ct, "token", "full_outer").select(
+        "token",
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+    )
+    scal = vocab.agg(
+        F.sum("cr").alias("_Nr"), F.sum("ct").alias("_Nt"), F.count("*").alias("_V")
+    )
+    lr = F.log((F.col("ct") + 1) / (F.col("_Nt") + F.col("_V"))) - F.log(
+        (F.col("cr") + 1) / (F.col("_Nr") + F.col("_V"))
+    )
+    per = (
+        tok.join(vocab, "token")
+        .join(F.broadcast(scal))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(lr.cast("decimal(38,12)")).alias("_s"),
+        )
+    )
+    # + 0.0 collapses IEEE negative zero (a tiny negative mean rounds to
+    # -0.0 in engines that round by multiply — repr-level parity breaks)
+    return per.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (F.round(F.col("_s").cast("double") / F.col("n_tokens"), 6) + F.lit(0.0)).alias(
+            "dsir_logratio"
+        ),
+    )
+
+
 def mixture_rates(
     docs: DataFrame,
     weights: dict[str, float],

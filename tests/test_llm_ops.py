@@ -422,6 +422,27 @@ def test_best_survivors_argmax_quality_with_tiebreaks(spark):
     assert best_survivors(ids, empty, quality_col="q").count() == ids.count()
 
 
+def test_dsir_logratio_hand_computed(spark):
+    """DSIR importance score (corpus.py::dsir_logratio) matches the
+    hand-derived add-one-smoothed unigram log-ratio on a 2-doc corpus,
+    and target-like docs score above off-target docs."""
+    import math
+
+    from convml_data_spark.operators.corpus import dsir_logratio
+
+    docs = spark.createDataFrame(
+        [(1, "a a"), (2, "b")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([(9, "a")], "doc_id long, text string")
+    got = {r["doc_id"]: r["dsir_logratio"] for r in dsir_logratio(docs, target).collect()}
+    # vocab: a(cr=2, ct=1), b(cr=1, ct=0); Nr=3, Nt=1, V=2
+    want1 = math.log((1 + 1) / (1 + 2)) - math.log((2 + 1) / (3 + 2))  # ln(10/9)
+    want2 = math.log((0 + 1) / (1 + 2)) - math.log((1 + 1) / (3 + 2))  # ln(5/6)
+    assert abs(got[1] - want1) < 2e-6
+    assert abs(got[2] - want2) < 2e-6
+    assert got[1] > 0 > got[2]  # 'a a' is target-like, 'b' is not
+
+
 def test_incremental_sig_dedup_band_and_agreement_rules(spark):
     """Incremental index dedup (dedup.py::incremental_sig_dedup): a new
     doc drops only when BOTH a full band collides AND the agreement
