@@ -2275,6 +2275,51 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 × incremental dedup: INGEST-TIME streaming dedup against a
+    static MinHash signature index. The odd-doc_id half of documents
+    arrives as a file stream; signatures compute statelessly per
+    micro-batch (dedup.py::minhash_signatures_stateless — array exprs,
+    no aggregation), bands explode (stateless), and a per-batch left
+    join against the static even-half banded index marks collisions
+    (full band match + sig-agreement ≥ 0.5). One streaming max-per-doc
+    aggregation drains AvailableNow; survivors are the docs with zero
+    collisions. Oracle = the batch cross-index filter (the within-batch
+    collapse belongs to the batch operator, key incremental_dedup).
+    At production scale the banded index is a bucketed table
+    co-partitioned on (band, bucket); it is broadcast here because the
+    demo index is bounded by the sf documents table."""
+    from convml_data_spark import streaming
+
+    _prep(spark)
+    batch, stream = streaming.stream_table(
+        spark, sf_dir, "documents", single_batch=True
+    )
+    index_sigs = dedup.minhash_signatures(
+        batch.where(F.col("doc_id") % 2 == 0), num_hashes=8
+    )
+    new_sigs = dedup.minhash_signatures_stateless(
+        stream.where(F.col("doc_id") % 2 == 1), num_hashes=8
+    )
+    nb = dedup.banded_slice_keys(new_sigs, bands=4, num_hashes=8, out_id="nid")
+    ob = (
+        dedup.banded_slice_keys(index_sigs, bands=4, num_hashes=8, out_id="oid")
+        .withColumnRenamed("band", "oband")
+        .withColumnRenamed("bucket", "obucket")
+    )
+    cond = (
+        (F.col("band") == F.col("oband"))
+        & (F.col("bucket") == F.col("obucket"))
+        & (dedup.sig_agreement("sig_nid", "sig_oid", 8) >= F.lit(0.5))
+    )
+    hits = nb.join(F.broadcast(ob), cond, "left").select(
+        "nid", F.when(F.col("oid").isNotNull(), 1).otherwise(0).alias("hit")
+    )
+    agg = hits.groupBy("nid").agg(F.max("hit").alias("hit"))
+    drained = streaming.run_available_now(agg, output_mode="complete")
+    return drained.where(F.col("hit") == 0).select(F.col("nid").alias("id"))
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.13 stream-stream inner join (click→purchase attribution): both
     event streams watermarked, joined per user with the purchase inside
@@ -2556,10 +2601,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "incremental_dedup": q_incremental_dedup,
         "dsir_logratio": q_dsir_logratio,
+        "stream_incremental_dedup": q_stream_incremental_dedup,
         # --- operator code changes in round 9; certify post-change ---
         # (connected_components gained the observe()-probe refactor, so
-        # dedup_components joins the CC-family keys below; the six
-        # youngest r7 fillers a3_min_spacing/a7_equidepth/
+        # dedup_components joins the CC-family keys below; the seven
+        # youngest r7 fillers f4_traj_snap/a3_min_spacing/a7_equidepth/
         # w6_sequential_scan/stream_seen_filter/text_quality/text_langid
         # displaced past 50 — they lead the round-10 window with the
         # other r7 keys.)
@@ -4942,6 +4988,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT rem.id
             FROM rem LEFT JOIN comp ON comp.id = rem.id
             WHERE comp.id IS NULL OR comp.component = rem.id
+        """,
+        "stream_incremental_dedup": f"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS tk
+              FROM documents
+            ), sh AS (
+              SELECT id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(tk) - 2, 0) + 1),
+                       i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+              FROM toks
+            ), hx AS (
+              SELECT id, {minhash_terms}
+              FROM (SELECT id, CAST('0x'||substr(md5(shingle),1,15) AS BIGINT) AS x FROM sh)
+            ), m AS (SELECT id, {minhash_aggs} FROM hx GROUP BY id),
+            o AS (SELECT * FROM m WHERE id % 2 = 0),
+            n AS (SELECT * FROM m WHERE id % 2 = 1),
+            cd AS (
+              SELECT DISTINCT n.id
+              FROM n JOIN o ON ({_band_match("n", "o")})
+              WHERE {_sig_agree("n", "o")} >= 0.5
+            )
+            SELECT n.id FROM n WHERE n.id NOT IN (SELECT id FROM cd)
         """,
         "simhash": f"""
             WITH toks AS (

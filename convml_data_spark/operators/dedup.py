@@ -242,6 +242,54 @@ def _minhash_signatures_from_shingles(
     return sigs.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+def minhash_signatures_stateless(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-row MinHash signatures — value-identical to
+    :func:`minhash_signatures` (same shingling, same decimal-exact affine
+    hashes, same drop of docs shorter than ``ngram`` tokens) but computed
+    entirely as array expressions with NO aggregation: ``min`` over the
+    exploded shingles becomes ``array_min`` over the shingle array.
+
+    Exists for STREAMING ingest (a stateless per-micro-batch projection —
+    the explode+groupBy form is a stateful streaming agg) and for batch
+    plans that want to avoid the shuffle when downstream doesn't need the
+    shingle relation. Per-row cost is O(|shingles|·num_hashes) either way.
+    """
+    params = _hash_params(num_hashes, seed)
+    grams = F.array_distinct(
+        ngrams_from_tokens(tokens(F.lower(F.col(text_col))), ngram)
+    )
+
+    def _affine(ai: int, bi: int):
+        p = F.lit(_MERSENNE_P).cast("decimal(38,0)")
+        return lambda g: F.pmod(
+            (
+                F.lit(ai).cast("decimal(38,0)")
+                * _shingle_hash64(g).cast("decimal(38,0)")
+                + F.lit(bi)
+            ).cast("decimal(38,0)")
+            % p,
+            p,
+        ).cast("long")
+
+    return (
+        docs.select(F.col(id_col).alias("id"), grams.alias("_sh"))
+        .where(F.size("_sh") > 0)
+        .select(
+            "id",
+            F.array(
+                *[F.array_min(F.transform("_sh", _affine(ai, bi))) for ai, bi in params]
+            ).alias("sig"),
+        )
+    )
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame, bands: int = 16, num_hashes: int | None = None
 ) -> DataFrame:
@@ -550,6 +598,50 @@ def canonical_survivors(
     return ids.join(drop, id_col, "left_anti")
 
 
+def banded_slice_keys(
+    sigs: DataFrame,
+    bands: int,
+    num_hashes: int,
+    id_col: str = "id",
+    out_id: str = "id",
+) -> DataFrame:
+    """Explode a ``(id, sig ARRAY<LONG>)`` relation into one row per LSH
+    band with the band's SLICE VALUES as the bucket key (a string of the
+    ``num_hashes/bands`` components) — unlike the engine-hash bucket of
+    :func:`minhash_lsh_candidates`, slice-value keys are replayable in
+    any engine and equality on them IS full-band equality. Stateless
+    (pure explode/projection), so it also runs on a streaming DataFrame.
+    """
+    r = max(num_hashes // bands, 1)
+    return sigs.select(
+        F.col(id_col).alias(out_id),
+        F.col("sig").alias(f"sig_{out_id}"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("sig", b * r + 1, r),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(out_id, f"sig_{out_id}", "bb.band", "bb.bucket")
+
+
+def sig_agreement(a: str, b: str, num_hashes: int):
+    """Fraction of equal signature components between two sig arrays —
+    the MinHash estimate of Jaccard similarity, as a pure JVM fold."""
+    eq = F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0))
+    hits = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v)
+    return hits / F.lit(num_hashes)
+
+
 def incremental_sig_dedup(
     new_sigs: DataFrame,
     old_sigs: DataFrame,
@@ -583,33 +675,12 @@ def incremental_sig_dedup(
     if num_hashes is None:
         sample = new_sigs.select(F.size("sig").alias("n")).limit(1).collect()
         num_hashes = sample[0]["n"] if sample else 0
-    r = max(num_hashes // bands, 1)
 
     def banded(sigs: DataFrame, out_id: str) -> DataFrame:
-        return sigs.select(
-            F.col(id_col).alias(out_id),
-            F.col("sig").alias(f"sig_{out_id}"),
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("sig", b * r + 1, r),
-                                lambda x: x.cast("string"),
-                            ),
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ])
-            ).alias("bb"),
-        ).select(out_id, f"sig_{out_id}", "bb.band", "bb.bucket")
+        return banded_slice_keys(sigs, bands, num_hashes, id_col=id_col, out_id=out_id)
 
     def agreement(a: str, b: str):
-        eq = F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0))
-        hits = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v)
-        return hits / F.lit(num_hashes)
+        return sig_agreement(a, b, num_hashes)
 
     nb = banded(new_sigs, "nid")
     ob = banded(old_sigs, "oid")

@@ -422,6 +422,35 @@ def test_best_survivors_argmax_quality_with_tiebreaks(spark):
     assert best_survivors(ids, empty, quality_col="q").count() == ids.count()
 
 
+def test_minhash_signatures_stateless_equals_aggregated(spark):
+    """The stateless array-expression MinHash (dedup.py::
+    minhash_signatures_stateless — the streaming-ingest form) is
+    value-identical to the explode+groupBy form, including the drop of
+    docs shorter than ngram tokens and NULL text."""
+    from convml_data_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_stateless,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox leaps over the lazy dog"),
+            (3, "two words"),       # < 3 tokens: dropped by both forms
+            (4, None),              # NULL text: dropped by both forms
+            (5, "a b c a b c a b c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    a = {r["id"]: list(r["sig"]) for r in minhash_signatures(docs, num_hashes=8).collect()}
+    b = {
+        r["id"]: list(r["sig"])
+        for r in minhash_signatures_stateless(docs, num_hashes=8).collect()
+    }
+    assert a == b
+    assert set(a) == {1, 2, 5}
+
+
 def test_dsir_logratio_hand_computed(spark):
     """DSIR importance score (corpus.py::dsir_logratio) matches the
     hand-derived add-one-smoothed unigram log-ratio on a 2-doc corpus,
