@@ -2575,83 +2575,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one in-window representative; keys certified green in earlier rounds
     # rotate behind position 50 and back in on later rounds.
     return {
-        # ROUND 9 WINDOW (first 50 = driver-certified this round). Policy
-        # unchanged: never/longest-uncertified keys and keys whose operator
-        # code changes this round come first. Composition: the 3 new r9
-        # keys (rayleigh true-color, production parquet stream drain,
-        # dbscan eps-ladder), the 6 keys whose operator code changed in
-        # round 9 (pick_scene_pairs bucketed rank decomposition →
-        # r2/spec_triplet; durable-flag threading →
-        # dedup_survivors/dedup_semantic/emb_transform_dbscan;
-        # scene-table completion grid → spec_scene_images), the 28
-        # remaining r5-stale keys (three rounds old — the whole backlog),
-        # then the 13 OLDEST r7-certified keys as fillers (positions
-        # 38-50, spec_aux_derived .. text_langid). Result: no
-        # key's last driver row predates round 7 — the two-round staleness
-        # ceiling the r8 verdict prescribed. Round 10 window should lead
-        # with the remaining r7-certified keys (text_gopher_quality
-        # onward, 30 keys), then the oldest r8. Every key stays covered
-        # every round by tests/test_oracle_parity.py.
-        # --- new in round 9 (never certified) ---
-        "g8_rayleigh": q_g8_rayleigh,
-        "stream_parquet_drain": q_stream_parquet_drain,
-        "dbscan_ladder": q_dbscan_ladder,
-        "dedup_best_survivors": q_dedup_best_survivors,
-        "select_token_budget": q_select_token_budget,
-        "gopher_repetition": q_gopher_repetition,
-        "incremental_dedup": q_incremental_dedup,
-        "dsir_logratio": q_dsir_logratio,
-        "stream_incremental_dedup": q_stream_incremental_dedup,
-        # --- operator code changes in round 9; certify post-change ---
-        # (connected_components gained the observe()-probe refactor, so
-        # dedup_components joins the CC-family keys below; the seven
-        # youngest r7 fillers f4_traj_snap/a3_min_spacing/a7_equidepth/
-        # w6_sequential_scan/stream_seen_filter/text_quality/text_langid
-        # displaced past 50 — they lead the round-10 window with the
-        # other r7 keys.)
-        "r2_scene_pairs": q_r2_scene_pairs,
-        "spec_triplet_pipeline": q_spec_triplet_pipeline,
-        "dedup_survivors": q_dedup_survivors,
-        "dedup_semantic": q_dedup_semantic,
-        "dedup_components": q_dedup_components,
-        "emb_transform_dbscan": q_emb_transform_dbscan,
-        "spec_scene_images": q_spec_scene_images,
-        # --- last driver row r5: three rounds stale (whole backlog) ---
-        "a15_distinct_users": q_a15_distinct_users,
-        "a6_ecdf": q_a6_ecdf,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "derived_dag": q_derived_dag,
-        "doc_fingerprint": q_doc_fingerprint,
-        "e2_string_ops": q_e2_string_ops,
-        "e7_json_map": q_e7_json_map,
-        "f6_filter_dsl": q_f6_filter_dsl,
-        "f8_dropna_slice": q_f8_dropna_slice,
-        "g2_tile_pixel_slice": q_g2_tile_pixel_slice,
-        "g9_optical_flow": q_g9_optical_flow,
-        "hll_user_counts": q_hll_user_counts,
-        "j6_emb_aux_join": q_j6_emb_aux_join,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "neardup_cosine_pairs": q_neardup_cosine_pairs,
-        "o4_topk": q_o4_topk,
-        "s3_calendar_scan": q_s3_calendar_scan,
-        "scene_table": q_scene_table,
-        "similarity_lsh_topk": q_similarity_lsh_topk,
-        "traj_tiles": q_traj_tiles,
-        "u3_anti_join": q_u3_anti_join,
-        "w2_argmin_per_group": q_w2_argmin_per_group,
-        "w3_local_peaks": q_w3_local_peaks,
-        "x1_user_function": q_x1_user_function,
-        "x2_dotted_udaf": q_x2_dotted_udaf,
-        "x3_batch_embed": q_x3_batch_embed,
-        "x4_pca": q_x4_pca,
-        # --- oldest r7-certified fillers (positions 37-50) ---
-        "spec_aux_derived": q_spec_aux_derived,
-        "spec_regridded_scenes": q_spec_regridded_scenes,
-        "stream_static_join": q_stream_static_join,
-        "stream_stream_join": q_stream_stream_join,
-        "j2_asof_single": q_j2_asof_single,
-        "j3_asof_all_within": q_j3_asof_all_within,
+        # ROUND 11 WINDOW (first 50 = driver-certified this round).
+        # Policy unchanged: never/longest-uncertified keys first; new keys
+        # added this round insert at the dict head and displace the last
+        # fillers past 50. Composition per the r10 verdict: ALL 38 keys
+        # whose last driver row is r7 (three rounds stale — the f4..r1
+        # cohort below), then the 12 oldest r8-certified keys as fillers.
+        # After r11 no key's last driver row predates r8. Round 12 should
+        # lead with the remaining 32 r8-certified keys (j10_interval_join
+        # onward), then the oldest r10. Every key stays covered every
+        # round by tests/test_oracle_parity.py.
+        # --- last driver row r7: three rounds stale (all 38) ---
         "f4_traj_snap": q_f4_traj_snap,
         "a3_min_spacing": q_a3_min_spacing,
         "a7_equidepth": q_a7_equidepth,
@@ -2659,9 +2593,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_seen_filter": q_stream_seen_filter,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
-        # ---------------- position 51+: rotated out this round ----------
-        # r7-certified remainder (leads the round-10 window;
-        # text_corpus_stats displaced to 51 by the late dbscan_ladder key)
         "text_corpus_stats": q_text_corpus_stats,
         "text_gopher_quality": q_text_gopher_quality,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2693,7 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_datetime_components": q_f2_datetime_components,
         "s5_calendar_offset_missing": q_s5_calendar_offset_missing,
         "r1_split": q_r1_split,
-        # r8-certified (freshest; rotate back last)
+        # --- oldest r8-certified fillers (positions 39-50) ---
         "spec_regridded_bilinear": q_spec_regridded_bilinear,
         "spec_scene_filter": q_spec_scene_filter,
         "s2_goes16_query": q_s2_goes16_query,
@@ -2706,6 +2637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_sessionize": q_w7_sessionize,
         "a14_rollup": q_a14_rollup,
         "sketch_quantiles": q_sketch_quantiles,
+        # ---------------- position 51+: rotated out this round ----------
+        # r8-certified remainder (leads the round-12 window)
         "j10_interval_join": q_j10_interval_join,
         "w5_sliding_tiles": q_w5_sliding_tiles,
         "r5_triplet_locations": q_r5_triplet_locations,
@@ -2738,6 +2671,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_transform_kmeans": q_emb_transform_kmeans,
         "multimodal_audio": q_multimodal_audio,
         "cap_per_source": q_cap_per_source,
+        # r10-certified (freshest; rotate back last)
+        "g8_rayleigh": q_g8_rayleigh,
+        "stream_parquet_drain": q_stream_parquet_drain,
+        "dbscan_ladder": q_dbscan_ladder,
+        "dedup_best_survivors": q_dedup_best_survivors,
+        "select_token_budget": q_select_token_budget,
+        "gopher_repetition": q_gopher_repetition,
+        "incremental_dedup": q_incremental_dedup,
+        "dsir_logratio": q_dsir_logratio,
+        "stream_incremental_dedup": q_stream_incremental_dedup,
+        "r2_scene_pairs": q_r2_scene_pairs,
+        "spec_triplet_pipeline": q_spec_triplet_pipeline,
+        "dedup_survivors": q_dedup_survivors,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_components": q_dedup_components,
+        "emb_transform_dbscan": q_emb_transform_dbscan,
+        "spec_scene_images": q_spec_scene_images,
+        "a15_distinct_users": q_a15_distinct_users,
+        "a6_ecdf": q_a6_ecdf,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "derived_dag": q_derived_dag,
+        "doc_fingerprint": q_doc_fingerprint,
+        "e2_string_ops": q_e2_string_ops,
+        "e7_json_map": q_e7_json_map,
+        "f6_filter_dsl": q_f6_filter_dsl,
+        "f8_dropna_slice": q_f8_dropna_slice,
+        "g2_tile_pixel_slice": q_g2_tile_pixel_slice,
+        "g9_optical_flow": q_g9_optical_flow,
+        "hll_user_counts": q_hll_user_counts,
+        "j6_emb_aux_join": q_j6_emb_aux_join,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "neardup_cosine_pairs": q_neardup_cosine_pairs,
+        "o4_topk": q_o4_topk,
+        "s3_calendar_scan": q_s3_calendar_scan,
+        "scene_table": q_scene_table,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
+        "traj_tiles": q_traj_tiles,
+        "u3_anti_join": q_u3_anti_join,
+        "w2_argmin_per_group": q_w2_argmin_per_group,
+        "w3_local_peaks": q_w3_local_peaks,
+        "x1_user_function": q_x1_user_function,
+        "x2_dotted_udaf": q_x2_dotted_udaf,
+        "x3_batch_embed": q_x3_batch_embed,
+        "x4_pca": q_x4_pca,
+        "spec_aux_derived": q_spec_aux_derived,
+        "spec_regridded_scenes": q_spec_regridded_scenes,
+        "stream_static_join": q_stream_static_join,
+        "stream_stream_join": q_stream_stream_join,
+        "j2_asof_single": q_j2_asof_single,
+        "j3_asof_all_within": q_j3_asof_all_within,
     }
 
 
