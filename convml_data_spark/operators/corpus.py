@@ -18,6 +18,11 @@ from pyspark.sql.window import Window
 from ..functions import text as T
 from .sampling import hash_uniform
 
+# Hard cap on construction-time sample collects (select_to_token_budget's
+# bucket-cut estimation) — same bound as the ANN fit sample
+# (similarity.py): fixed driver memory at any corpus size.
+_CUT_SAMPLE_ROWS = 65_536
+
 
 def ngram_overlap(
     train: DataFrame,
@@ -538,17 +543,38 @@ def select_to_token_budget(
     Scale design: the running sum is NEVER a per-group window (a group is
     a coarse key — one source can hold billions of docs). Same
     decomposition as :func:`~.binning.global_cumsum`, applied per group:
-    sketch-derived quality cut points split each group into ~P buckets
+    sample-derived quality cut points split each group into ~P buckets
     (equal qualities always share a bucket, so the id tiebreak never
     crosses a boundary), per-(group, bucket) window cumsums run in
     parallel, and each bucket's group-local offset comes from a tiny
     aggregate relation (|groups|·P rows) that is broadcast back — no
-    driver collect, one shuffle for the agg and one for the windows.
-    Token counts are assumed ≥ 0; NULL tokens count as 0.
+    unbounded driver collect, one shuffle for the agg and one for the
+    windows. Token counts are assumed ≥ 0; NULL tokens count as 0.
+
+    Cut estimation is a CONSTRUCTION-TIME job, deliberately bounded the
+    same way as the ANN fit sample (similarity.py's 65,536-row cap): a
+    deterministic md5-ordered TakeOrdered brings ≤ ``_CUT_SAMPLE_ROWS``
+    quality values to the driver (per-partition top-k heaps — one scan,
+    no full sort, fixed driver memory at any corpus size), replacing the
+    previous full-data ``approxQuantile`` sketch. Cut placement only
+    BALANCES the buckets; the surviving row set is cut-invariant (bucket
+    assignment is monotone in quality and ties share a bucket), so
+    sample error can skew bucket sizes but never change the answer.
     """
     spark = df.sparkSession
     P = max(spark.sparkContext.defaultParallelism, 2)
-    cuts = df.stat.approxQuantile(quality_col, [i / P for i in range(1, P)], 0.01)
+    qvals = [
+        r[0]
+        for r in df.select(F.col(quality_col).cast("double"))
+        .where(F.col(quality_col).isNotNull())
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(_CUT_SAMPLE_ROWS)
+        .collect()
+    ]
+    qvals.sort()
+    cuts = (
+        [qvals[(i * len(qvals)) // P] for i in range(1, P)] if qvals else []
+    )
     q = F.col(quality_col)
     # bucket 0 = highest quality; plain sum-of-when, not a HOF lambda
     # (outer-column refs inside lambdas hit a Catalyst ATTRIBUTE_NOT_FOUND

@@ -488,15 +488,23 @@ def connected_components(
     ``observe()`` metric collected DURING the round's eager checkpoint —
     zero extra jobs or scans per round (it was previously a separate
     per-round aggregation scan). Observation metrics are accumulator-
-    backed: a task retry or speculative duplicate can over-count a round's
-    quadruple, which can only MISS a fixed point (one sig spuriously ≠
-    the next) and burn extra star rounds up to ``max_iters`` — never
-    produce a wrong label, since star rounds are idempotent at the fixed
-    point; a checkpoint truncates lineage each
-    round so the plan does not grow with the iteration count (``durable``
-    picks the mechanism — executor-local by default, reliable on request,
-    see :func:`~.persist.materialize_for_reuse`; observation metrics fire
-    on both checkpoint kinds). Only nodes that appear in ``pairs`` are
+    backed, so a task retry or speculative duplicate can distort a
+    round's quadruple in EITHER direction: a spurious mismatch only burns
+    extra star rounds (star rounds are idempotent at the fixed point),
+    but a distorted quadruple could in principle also coincide with the
+    next round's and fake a fixed point. The accumulator probe is
+    therefore only a TRIGGER: when two consecutive rounds' observed
+    quadruples match, both edge sets (still materialized) are re-
+    aggregated with ordinary exact jobs and the loop accepts only on
+    exact equality — two cheap scans over checkpointed blocks, paid once
+    per convergence, never per round. Residual risk after the exact check
+    is hash-sum collision between different edge sets (three independent
+    64-bit hash sums + a count, ≈ 2^-192), not retry noise. A checkpoint
+    truncates lineage each round so the plan does not grow with the
+    iteration count (``durable`` picks the mechanism — executor-local by
+    default, reliable on request, see
+    :func:`~.persist.materialize_for_reuse`; observation metrics fire on
+    both checkpoint kinds). Only nodes that appear in ``pairs`` are
     labelled (self-pairs label themselves).
     """
     from pyspark.sql import Observation
@@ -548,7 +556,14 @@ def connected_components(
     )
     e = p0.where(F.col("u") != F.col("v"))
 
+    def _exact_sig(df: DataFrame):
+        # ordinary aggregation job (not accumulator-backed): retries
+        # cannot distort it. Runs over already-checkpointed blocks.
+        row = df.agg(*_sig_exprs()).first()
+        return (row["n"], row["su"], row["sv"], row["sh"])
+
     sig = _sig_of(obs0)
+    prev_e = e
     for _ in range(max_iters):
         obs = Observation()
         e = materialize_for_reuse(
@@ -557,9 +572,13 @@ def connected_components(
             eager=True,
         )
         new_sig = _sig_of(obs)
-        if new_sig == sig:
+        # accumulator match is only the trigger — accept the fixed point
+        # on an EXACT re-aggregation of both (materialized) edge sets, so
+        # a retry-distorted observation can never end the loop early
+        if new_sig == sig and _exact_sig(e) == _exact_sig(prev_e):
             break
         sig = new_sig
+        prev_e = e
     # at the fixed point every component is a star centered at its minimum:
     # component(x) = min(neighbors ∪ {x}); unpaired/self-pair nodes keep
     # their own id via the left join
@@ -611,8 +630,23 @@ def banded_slice_keys(
     :func:`minhash_lsh_candidates`, slice-value keys are replayable in
     any engine and equality on them IS full-band equality. Stateless
     (pure explode/projection), so it also runs on a streaming DataFrame.
+
+    Requires ``1 <= bands <= num_hashes``: a band whose slice starts past
+    the signature is EMPTY, its bucket key collapses to ``''`` for every
+    row, and the downstream (band, bucket) equi-join degenerates toward a
+    cross join over the whole relation — a silent quadratic blow-up, so
+    it is rejected here instead.
     """
-    r = max(num_hashes // bands, 1)
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    if bands > num_hashes:
+        raise ValueError(
+            f"bands={bands} exceeds num_hashes={num_hashes}: every band "
+            "needs at least one signature component (an out-of-range "
+            "slice yields an empty '' bucket shared by ALL rows, turning "
+            "the (band, bucket) join into a cross join)"
+        )
+    r = num_hashes // bands
     return sigs.select(
         F.col(id_col).alias(out_id),
         F.col("sig").alias(f"sig_{out_id}"),
@@ -645,9 +679,9 @@ def sig_agreement(a: str, b: str, num_hashes: int):
 def incremental_sig_dedup(
     new_sigs: DataFrame,
     old_sigs: DataFrame,
+    num_hashes: int,
     threshold: float = 0.5,
     bands: int = 4,
-    num_hashes: int | None = None,
     id_col: str = "id",
     durable: bool | None = None,
 ) -> DataFrame:
@@ -671,10 +705,14 @@ def incremental_sig_dedup(
     but no index pair is ever formed). Agreement verification is a JVM
     ``zip_with`` fold per candidate. The within-batch collapse reuses
     :func:`canonical_survivors` (hash-partitioned CC).
+
+    ``num_hashes`` is REQUIRED (the signature width the index was built
+    with — a stored-index pipeline always knows it): inferring it from
+    the data would run a construction-time driver job against what may be
+    a live stream or an expensive plan, and a batch/index width mismatch
+    must be the caller's explicit, checkable contract rather than a
+    silent probe.
     """
-    if num_hashes is None:
-        sample = new_sigs.select(F.size("sig").alias("n")).limit(1).collect()
-        num_hashes = sample[0]["n"] if sample else 0
 
     def banded(sigs: DataFrame, out_id: str) -> DataFrame:
         return banded_slice_keys(sigs, bands, num_hashes, id_col=id_col, out_id=out_id)

@@ -510,6 +510,48 @@ def test_incremental_sig_dedup_band_and_agreement_rules(spark):
     assert got2 == {1, 2, 3, 7}
 
 
+def test_banded_slice_keys_rejects_bands_over_num_hashes(spark):
+    """banded_slice_keys must refuse bands > num_hashes (and bands < 1):
+    an out-of-range slice is empty, its bucket key collapses to '' for
+    every row, and the (band, bucket) join degenerates toward a cross
+    join — rejected with ValueError instead of silently emitted."""
+    import pytest
+
+    from convml_data_spark.operators.dedup import banded_slice_keys
+
+    sigs = spark.createDataFrame(
+        [(1, [1, 2, 3, 4]), (2, [5, 6, 7, 8])], "id long, sig array<long>"
+    )
+    with pytest.raises(ValueError, match="exceeds num_hashes"):
+        banded_slice_keys(sigs, bands=8, num_hashes=4)
+    with pytest.raises(ValueError, match="bands must be >= 1"):
+        banded_slice_keys(sigs, bands=0, num_hashes=4)
+    # bands == num_hashes is the legal edge: one component per band,
+    # no empty slices, no '' buckets
+    rows = banded_slice_keys(sigs, bands=4, num_hashes=4).collect()
+    assert len(rows) == 8
+    assert all(r["bucket"] != "" for r in rows)
+
+
+def test_select_to_token_budget_all_null_quality(spark):
+    """select_to_token_budget with an all-NULL quality column: the
+    bounded cut sample is empty (cuts = []), every row lands in the NULL
+    bucket, and the id-ordered prefix under the budget survives."""
+    from convml_data_spark.operators.corpus import select_to_token_budget
+
+    df = spark.createDataFrame(
+        [(i, "s", None, 10) for i in range(6)],
+        "doc_id long, source string, q double, tok long",
+    )
+    got = {
+        r["doc_id"]
+        for r in select_to_token_budget(
+            df, budget=30, quality_col="q", token_col="tok"
+        ).collect()
+    }
+    assert got == {0, 1, 2}
+
+
 def test_gopher_repetition_ladder_known_fractions(spark):
     """Full Gopher table-A1 ladder (corpus.py::gopher_repetition_ladder):
     crafted docs hit exact expected fractions — an alternating bigram
