@@ -114,15 +114,38 @@ def dbscan_labels(
     from .persist import materialize_for_reuse
 
     edges = materialize_for_reuse(edges, durable=durable)
-    return _labels_from_edges(pts, edges, min_pts, durable)
+    return _labels_from_edges(pts, edges, min_pts, durable)[0]
 
 
 def _labels_from_edges(
-    pts: DataFrame, edges: DataFrame, min_pts: int, durable: bool | None
-) -> DataFrame:
+    pts: DataFrame,
+    edges: DataFrame,
+    min_pts: int,
+    durable: bool | None,
+    prev_core_labels: DataFrame | None = None,
+    materialize_core: bool = False,
+) -> tuple[DataFrame, DataFrame]:
     """Core/cluster/border/noise labeling given a SYMMETRIC eps-neighbor
     edge list (id_a, id_b) — the post-candidate-join half of DBSCAN,
-    shared by the single-eps operator and the eps-ladder hierarchy."""
+    shared by the single-eps operator and the eps-ladder hierarchy.
+    Returns ``(labels, core_labels)``: the full per-point result plus the
+    core-only ``(id, label)`` relation (the ladder threads the latter into
+    the next level's warm start).
+
+    ``prev_core_labels`` (optional) warm-starts the cluster collapse from
+    a SMALLER-eps level's core labels. Validity rests on monotonicity in
+    eps: neighbor counts only grow, so prev cores are still cores, and
+    every prev core-core edge is still a core-core edge — each previous
+    component is wholly contained in one current component. Both edge
+    endpoints are therefore CONTRACTED through the previous labels
+    (non-prev-core endpoints map to themselves), connected components
+    runs on the super-node graph — whose distinct edge count is roughly
+    the NEW merges, not the whole edge set — and each core's final label
+    is its super-node's component. Labels stay exactly the min core id:
+    contracted node ids are previous cluster minima plus newly-core ids,
+    and every level-k cluster minimum is ≤ all ids it represents, so the
+    min over contracted ids equals the min over all core ids.
+    """
     from .dedup import connected_components
 
     n_nbr = edges.groupBy("id_a").agg(F.count("*").alias("_n"))
@@ -139,10 +162,42 @@ def _labels_from_edges(
         .select("id_a", "id_b")
         .unionByName(core.select(F.col("id").alias("id_a"), F.col("id").alias("id_b")))
     )
-    comp = connected_components(cc_edges, durable=durable).withColumnRenamed(
-        "component", "label"
-    )
-    core_labeled = core.join(comp, "id").select("id", "label")
+    if prev_core_labels is None:
+        comp = connected_components(cc_edges, durable=durable).withColumnRenamed(
+            "component", "label"
+        )
+        core_labeled = core.join(comp, "id").select("id", "label")
+    else:
+        pl_a = prev_core_labels.select(
+            F.col("id").alias("id_a"), F.col("label").alias("_la")
+        )
+        pl_b = prev_core_labels.select(
+            F.col("id").alias("id_b"), F.col("label").alias("_lb")
+        )
+        contracted = (
+            cc_edges.join(pl_a, "id_a", "left")
+            .join(pl_b, "id_b", "left")
+            .select(
+                F.coalesce("_la", F.col("id_a")).alias("id_a"),
+                F.coalesce("_lb", F.col("id_b")).alias("id_b"),
+            )
+        )
+        sup = connected_components(contracted, durable=durable).select(
+            F.col("id").alias("_node"), F.col("component").alias("label")
+        )
+        core_labeled = (
+            core.join(prev_core_labels.withColumnRenamed("label", "_pl"), "id", "left")
+            .select("id", F.coalesce("_pl", F.col("id")).alias("_node"))
+            .join(sup, "_node")
+            .select("id", "label")
+        )
+    if materialize_core:
+        # shared by this level's border/output joins AND the next ladder
+        # level's contraction — one lazy checkpoint, filled by the first
+        # action on any consumer
+        from .persist import materialize_for_reuse
+
+        core_labeled = materialize_for_reuse(core_labeled, durable=durable)
     # border: non-core with >= 1 core neighbor -> its minimum core
     # neighbor's cluster
     core_nbr = (
@@ -161,11 +216,12 @@ def _labels_from_edges(
     labeled = core_labeled.select(
         "id", "label", F.lit(True).alias("is_core")
     ).unionByName(border.select("id", "label", F.lit(False).alias("is_core")))
-    return (
+    out = (
         pts.select("id")
         .join(labeled, "id", "left")
         .select("id", "label", F.coalesce("is_core", F.lit(False)).alias("is_core"))
     )
+    return out, core_labeled
 
 
 def dbscan_eps_ladder(
@@ -176,6 +232,7 @@ def dbscan_eps_ladder(
     x_col: str = "x",
     y_col: str = "y",
     durable: bool | None = None,
+    warm_start: bool = True,
 ) -> DataFrame:
     """HDBSCAN-style hierarchy SLICE: exact DBSCAN labels at every eps in
     a small ladder, from ONE candidate join — the relational analog of
@@ -195,7 +252,15 @@ def dbscan_eps_ladder(
     keeping squared distances; every level filters the MATERIALIZED edge
     relation (superset property: the eps_max grid covers every smaller
     radius), so adding a level adds CC rounds but no new n-scale joins or
-    grid explodes.
+    grid explodes. Levels additionally WARM-START each other
+    (``warm_start=True``): level k's core labels contract level k+1's
+    core-core edges into super-nodes before the star rounds (edges and
+    core sets are monotone in eps, see :func:`_labels_from_edges`), so
+    each level's CC runs over roughly the NEW merge edges instead of the
+    full edge set — sub-linear total CC work in the number of levels at
+    real ladder depths. ``warm_start=False`` runs every level from
+    scratch (the property-test baseline; labels are identical by
+    construction).
     """
     from .persist import materialize_for_reuse
 
@@ -244,11 +309,21 @@ def dbscan_eps_ladder(
     )
     edges = materialize_for_reuse(edges, durable=durable)
     outs = []
+    prev_core_labels = None
     for eps in eps_levels:
         level_edges = edges.where(F.col("_d2") <= F.lit(eps * eps)).select(
             "id_a", "id_b"
         )
-        labeled = _labels_from_edges(pts, level_edges, min_pts, durable)
+        labeled, core_labels = _labels_from_edges(
+            pts,
+            level_edges,
+            min_pts,
+            durable,
+            prev_core_labels=prev_core_labels,
+            materialize_core=warm_start,
+        )
+        if warm_start:
+            prev_core_labels = core_labels
         outs.append(labeled.select("id", F.lit(eps).alias("eps"), "label", "is_core"))
     out = outs[0]
     for o in outs[1:]:

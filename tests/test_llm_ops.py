@@ -848,3 +848,45 @@ def test_dbscan_eps_ladder_levels_match_single_eps_and_are_monotone(spark):
     # the small eps separates B's looser spacing from core status while
     # the big eps clusters it — a real dendrogram transition, not a no-op
     assert clustered_small != clustered_big
+
+
+def test_dbscan_eps_ladder_warm_start_equals_from_scratch(spark):
+    """The warm-started ladder (level k's core labels contract level
+    k+1's CC graph into super-nodes) must be LABEL-IDENTICAL to running
+    every level from scratch — on a random point cloud whose density
+    makes every level transition real (merges, new cores, and borders
+    appear as eps grows), across 4 levels."""
+    import random
+
+    from convml_data_spark.operators.clustering import dbscan_eps_ladder
+
+    rng = random.Random(11)
+    rows = []
+    # three gaussian blobs with different spreads + uniform background
+    for b, (cx, cy, s) in enumerate([(0, 0, 0.02), (1, 0, 0.05), (0.5, 1, 0.1)]):
+        for k in range(40):
+            rows.append(
+                (b * 100 + k, cx + rng.gauss(0, s), cy + rng.gauss(0, s))
+            )
+    for k in range(40):
+        rows.append((900 + k, rng.uniform(-1, 2), rng.uniform(-1, 2)))
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    levels = [0.03, 0.06, 0.12, 0.25]
+    warm = {
+        (r["id"], r["eps"]): (r["label"], r["is_core"])
+        for r in dbscan_eps_ladder(pts, levels, min_pts=5).collect()
+    }
+    cold = {
+        (r["id"], r["eps"]): (r["label"], r["is_core"])
+        for r in dbscan_eps_ladder(
+            pts, levels, min_pts=5, warm_start=False
+        ).collect()
+    }
+    assert warm == cold
+    # every level transition did something (the test is vacuous if the
+    # ladder collapses to one effective level)
+    per_level = {}
+    for (_, eps), (lab, _) in warm.items():
+        per_level.setdefault(eps, set()).add(lab)
+    labelsets = [frozenset(per_level[e]) for e in levels]
+    assert len(set(labelsets)) >= 3
