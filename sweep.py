@@ -11,6 +11,16 @@ non-zero if any query is BOTH >2x slower than the previous sweep AND >1 s
 absolute (the absolute floor keeps sub-second job-scheduling jitter from
 tripping the ratchet).
 
+Ratchet verdicts are MIN-OF-N: a key whose first measurement would trip
+is re-measured up to ``EXTRA_RUNS`` more times in the same session and
+judged (and recorded) on its minimum. Rationale: rotating the
+``queries()`` window reorders sweep execution, and a key that moves ~40
+slots earlier runs with colder JIT/codegen — round 9 logged two false
+2x-trips on unchanged plans from exactly this (BASELINE.md "Ratchet
+refresh"). A real regression reproduces across back-to-back runs; a
+cold-start artifact does not. Keys that pass first try are not re-run,
+so the normal sweep stays one pass.
+
 Usage:
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python sweep.py
     python sweep.py --baseline SWEEP.json   # explicit comparison file
@@ -31,6 +41,9 @@ from convml_data_spark import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SWEEP.json")
+# extra same-session measurements for a key whose FIRST run would trip the
+# ratchet; the verdict and the recorded "sec" use the min
+EXTRA_RUNS = 2
 
 
 def main() -> int:
@@ -56,14 +69,35 @@ def main() -> int:
     timings: dict[str, dict] = {}
     failures: list[str] = []
     for name, fn in queries.items():
-        t0 = time.perf_counter()
-        try:
-            n = fn(spark, SF_DIR).count()
-            err = None
-        except Exception as e:  # a crash is a regression too
-            n, err = -1, f"{type(e).__name__}: {e}"
-        dt = round(time.perf_counter() - t0, 3)
-        timings[name] = {"sec": dt, "rows": n, **({"err": err} if err else {})}
+
+        def run_once():
+            t0 = time.perf_counter()
+            try:
+                n = fn(spark, SF_DIR).count()
+                err = None
+            except Exception as e:  # a crash is a regression too
+                n, err = -1, f"{type(e).__name__}: {e}"
+            return round(time.perf_counter() - t0, 3), n, err
+
+        dt, n, err = run_once()
+        runs = [dt]
+        if not err and name in prev and "err" not in prev[name]:
+            p = prev[name]["sec"]
+            # min-of-N: only a reproducible slowdown trips — re-measure a
+            # would-trip key (warm JIT/codegen now) and judge the minimum
+            while dt > 2.0 * p and dt > 1.0 and len(runs) <= EXTRA_RUNS:
+                rdt, rn, rerr = run_once()
+                if rerr:
+                    err, n = rerr, rn
+                    break
+                runs.append(rdt)
+                dt = min(dt, rdt)
+        timings[name] = {
+            "sec": dt,
+            "rows": n,
+            **({"runs": runs} if len(runs) > 1 else {}),
+            **({"err": err} if err else {}),
+        }
         flag = ""
         if err:
             failures.append(f"{name}: CRASH {err}")
@@ -71,9 +105,13 @@ def main() -> int:
         elif name in prev and "err" not in prev[name]:
             p = prev[name]["sec"]
             if dt > 2.0 * p and dt > 1.0:
-                failures.append(f"{name}: {p:.2f}s -> {dt:.2f}s (> 2x ratchet)")
+                failures.append(
+                    f"{name}: {p:.2f}s -> {dt:.2f}s "
+                    f"(> 2x ratchet, min of {len(runs)})"
+                )
                 flag = "  <-- RATCHET"
-        print(f"# {name}: {dt:.3f}s ({n} rows){flag}", file=sys.stderr)
+        extra = f" min of {runs}" if len(runs) > 1 else ""
+        print(f"# {name}: {dt:.3f}s ({n} rows){extra}{flag}", file=sys.stderr)
 
     total = round(sum(v["sec"] for v in timings.values()), 3)
     out = {
