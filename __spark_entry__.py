@@ -2038,6 +2038,25 @@ def q_dbscan_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dbscan_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-grid occupancy diagnostic (clustering.py::
+    epsilon_grid_cell_stats): the pre-flight probe for DBSCAN's one
+    quadratic corner — a dense grid cell contributes c² candidate rows to
+    the 3x3 neighbor join no matter how the rest of the data looks.
+    One hash aggregation on the cell key + a 1-row reduce; the in-flight
+    twin is the skew_observation candidate-pair probe on dbscan_labels /
+    dbscan_eps_ladder (exercised by the dense-cell unit test)."""
+    from convml_data_spark.operators import clustering
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    return clustering.epsilon_grid_cell_stats(pts, 0.02, id_col="vec_id")
+
+
 def q_emb_transform_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-transform registry (transforms.py:17-139): dispatch
     ``standard_scaler`` by type string, fit + apply as a Spark ML
@@ -2578,13 +2597,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ROUND 11 WINDOW (first 50 = driver-certified this round).
         # Policy unchanged: never/longest-uncertified keys first; new keys
         # added this round insert at the dict head and displace the last
-        # fillers past 50. Composition per the r10 verdict: ALL 38 keys
-        # whose last driver row is r7 (three rounds stale — the f4..r1
-        # cohort below), then the 12 oldest r8-certified keys as fillers.
-        # After r11 no key's last driver row predates r8. Round 12 should
-        # lead with the remaining 32 r8-certified keys (j10_interval_join
-        # onward), then the oldest r10. Every key stays covered every
+        # fillers past 50. Composition per the r10 verdict: the new
+        # round-11 keys first, then ALL 38 keys whose last driver row is
+        # r7 (three rounds stale — the f4..r1 cohort below), then the
+        # oldest r8-certified fillers (each new key displaces the
+        # youngest filler past 50). After r11 no key's last driver row
+        # predates r8. Round 12 should lead with the remaining
+        # r8-certified keys (j10_interval_join onward plus any displaced
+        # fillers), then the oldest r10. Every key stays covered every
         # round by tests/test_oracle_parity.py.
+        # --- new in round 11 (never certified) ---
+        "dbscan_cell_stats": q_dbscan_cell_stats,
         # --- last driver row r7: three rounds stale (all 38) ---
         "f4_traj_snap": q_f4_traj_snap,
         "a3_min_spacing": q_a3_min_spacing,
@@ -5142,6 +5165,25 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _semantic_dedup_oracle_sql(),
         "g8_rayleigh": _g8_rayleigh_oracle_sql(),
         "dbscan_ladder": _dbscan_ladder_oracle_sql(),
+        # epsilon-grid occupancy diagnostic: same cell keys as the DBSCAN
+        # candidate join (floor(x/eps) on double-cast coords — FLOAT ->
+        # DOUBLE is exact, division/floor bit-identical); sums cast to
+        # BIGINT (DuckDB HUGEINT renders float64 at the driver, Spark
+        # long renders int — width classes must match)
+        "dbscan_cell_stats": """
+            WITH cells AS (
+                SELECT floor(CAST(embedding[1] AS DOUBLE) / 0.02) AS cx,
+                       floor(CAST(embedding[2] AS DOUBLE) / 0.02) AS cy,
+                       count(*) AS c
+                FROM embeddings
+                GROUP BY 1, 2
+            )
+            SELECT CAST(sum(c) AS BIGINT) AS n_points,
+                   count(*) AS n_cells,
+                   CAST(max(c) AS BIGINT) AS max_cell_count,
+                   CAST(sum(c * c) AS BIGINT) AS sum_sq_cell_count
+            FROM cells
+        """,
         # pinned-outcome certifications for engine-internal numerics: the
         # Spark side computes the invariant (HLL error bound, planted-motion
         # recovery, PCA orthonormality) and the oracle pins the asserted

@@ -47,7 +47,7 @@ from .images import (
     true_color_rgb,
 )
 from .scenes import multi_input_scene_table
-from .clustering import dbscan_eps_ladder, dbscan_labels
+from .clustering import dbscan_eps_ladder, dbscan_labels, epsilon_grid_cell_stats
 from .tiler import sliding_tiles, tile_pixel_cover, tile_pixel_join, tile_regrid_nearest
 
 __all__ = [
@@ -76,6 +76,7 @@ __all__ = [
     "wrap_longitude",
     "multi_input_scene_table",
     "dbscan_labels",
+    "epsilon_grid_cell_stats",
     "sliding_tiles",
     "tile_pixel_cover",
     "tile_pixel_join",

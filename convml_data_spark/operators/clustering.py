@@ -37,8 +37,52 @@ cartesian. 100 TB: grid join + groupBy + CC rounds, all hash-partitioned.
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import Observation
+
+
+def epsilon_grid_cell_stats(
+    points: DataFrame,
+    eps: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Exact epsilon-grid occupancy diagnostic — the pre-flight check for
+    the one quadratic corner DBSCAN's relational formulation has left: a
+    DENSE CELL. The 3×3 candidate join's output is Σ over cells of
+    c_cell · (c_cell + neighbor cells' counts), so one cell holding c
+    points contributes ≥ c² candidate rows no matter how the rest of the
+    data is laid out (that square IS the correct DBSCAN answer for such
+    data — every pair is a neighbor pair — but its cost should be seen
+    BEFORE a 100 TB run, not discovered as a hot executor).
+
+    Returns ONE row: ``n_points``, ``n_cells``, ``max_cell_count`` (the
+    skew headline — candidate work grows with its square),
+    ``sum_sq_cell_count`` (Σ c², the exact same-cell candidate-pair count
+    incl. self-pairs; 9·Σc² upper-bounds the full 3×3 join output by
+    Cauchy–Schwarz). Cost: one hash aggregation on the cell key + a
+    1-row reduce — run it as a cheap separate job, or rely on the free
+    ``skew_observation`` probe on :func:`dbscan_labels` /
+    :func:`dbscan_eps_ladder` for the in-flight variant.
+    """
+    eps = float(eps)
+    cx = F.floor(F.col(x_col).cast("double") / F.lit(eps))
+    cy = F.floor(F.col(y_col).cast("double") / F.lit(eps))
+    cells = points.groupBy(cx.alias("cx"), cy.alias("cy")).agg(
+        F.count("*").alias("c")
+    )
+    return cells.agg(
+        F.sum("c").alias("n_points"),
+        F.count("*").alias("n_cells"),
+        F.max("c").alias("max_cell_count"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq_cell_count"),
+    )
 
 
 def dbscan_labels(
@@ -49,6 +93,7 @@ def dbscan_labels(
     x_col: str = "x",
     y_col: str = "y",
     durable: bool | None = None,
+    skew_observation: "Observation | None" = None,
 ) -> DataFrame:
     """Exact 2-D DBSCAN: returns ``(id, label, is_core)`` with
     ``label`` = the minimum core id of the point's cluster (NULL = noise).
@@ -61,6 +106,18 @@ def dbscan_labels(
     (:func:`~.persist.materialize_for_reuse`): default executor-local
     checkpoint, or a reliable checkpoint that survives executor loss on a
     real cluster.
+
+    ``skew_observation`` (optional ``pyspark.sql.Observation``) rides the
+    candidate join at no extra scan cost (the dedup CC convergence-probe
+    pattern): ``candidate_pairs`` = the pre-distance-filter join output
+    size, the quantity a dense epsilon-grid cell blows up quadratically.
+    Compare against ``n_points`` to alarm a production run; the exact
+    per-cell breakdown is :func:`epsilon_grid_cell_stats`. Passing an
+    observation makes the edge materialization EAGER (observation events
+    only fire on a query the checkpoint itself executes — a lazily
+    checkpointed plan runs inside a consumer's job and reports nothing),
+    so the grid join executes when the DataFrame is BUILT, exactly like
+    the CC rounds' probes.
     """
     eps = float(eps)
     pts = points.select(
@@ -101,19 +158,25 @@ def dbscan_labels(
     d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
         F.col("ya") - F.col("yb")
     ) * (F.col("ya") - F.col("yb"))
-    edges = (
-        left.join(right, ["tcx", "tcy"])
-        .where((F.col("id_a") != F.col("id_b")) & (d2 <= F.lit(eps * eps)))
-        .select("id_a", "id_b")
-    )
+    cand = left.join(right, ["tcx", "tcy"])
+    if skew_observation is not None:
+        cand = cand.observe(
+            skew_observation, F.count(F.lit(1)).alias("candidate_pairs")
+        )
+    edges = cand.where(
+        (F.col("id_a") != F.col("id_b")) & (d2 <= F.lit(eps * eps))
+    ).select("id_a", "id_b")
     # the edge list feeds three consumers (core counts, CC, border
     # assignment) — materialize it ONCE, lazily (an eager checkpoint
     # would execute the full grid join at plan CONSTRUCTION time — every
     # explain() of a dbscan query would run the job); durable=True swaps
-    # the executor-local blocks for a reliable checkpoint
+    # the executor-local blocks for a reliable checkpoint. The opt-in
+    # skew probe forces eager: see the docstring.
     from .persist import materialize_for_reuse
 
-    edges = materialize_for_reuse(edges, durable=durable)
+    edges = materialize_for_reuse(
+        edges, durable=durable, eager=skew_observation is not None
+    )
     return _labels_from_edges(pts, edges, min_pts, durable)[0]
 
 
@@ -233,6 +296,7 @@ def dbscan_eps_ladder(
     y_col: str = "y",
     durable: bool | None = None,
     warm_start: bool = True,
+    skew_observation: "Observation | None" = None,
 ) -> DataFrame:
     """HDBSCAN-style hierarchy SLICE: exact DBSCAN labels at every eps in
     a small ladder, from ONE candidate join — the relational analog of
@@ -302,12 +366,19 @@ def dbscan_eps_ladder(
     d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
         F.col("ya") - F.col("yb")
     ) * (F.col("ya") - F.col("yb"))
-    edges = (
-        left.join(right, ["tcx", "tcy"])
-        .where((F.col("id_a") != F.col("id_b")) & (d2 <= F.lit(eps_max * eps_max)))
-        .select("id_a", "id_b", d2.alias("_d2"))
+    cand = left.join(right, ["tcx", "tcy"])
+    if skew_observation is not None:
+        # in-flight skew probe: collects during the (then eager) edge
+        # checkpoint execution (see dbscan_labels)
+        cand = cand.observe(
+            skew_observation, F.count(F.lit(1)).alias("candidate_pairs")
+        )
+    edges = cand.where(
+        (F.col("id_a") != F.col("id_b")) & (d2 <= F.lit(eps_max * eps_max))
+    ).select("id_a", "id_b", d2.alias("_d2"))
+    edges = materialize_for_reuse(
+        edges, durable=durable, eager=skew_observation is not None
     )
-    edges = materialize_for_reuse(edges, durable=durable)
     outs = []
     prev_core_labels = None
     for eps in eps_levels:

@@ -850,7 +850,43 @@ def test_dbscan_eps_ladder_levels_match_single_eps_and_are_monotone(spark):
     assert clustered_small != clustered_big
 
 
-def test_dbscan_eps_ladder_warm_start_equals_from_scratch(spark):
+def test_epsilon_grid_cell_skew_metric_fires_on_dense_cell(spark):
+    """The one quadratic corner left in the engine — a dense epsilon-grid
+    cell — must be OBSERVABLE: epsilon_grid_cell_stats reports the exact
+    per-cell occupancy (max_cell_count, sum-of-squares candidate bound),
+    and the free skew_observation probe on dbscan_labels reports the
+    candidate-join output size during the normal run. A deliberately
+    dense cell (60 coincident-cell points) must dominate both."""
+    from pyspark.sql import Observation
+
+    from convml_data_spark.operators.clustering import (
+        dbscan_labels,
+        epsilon_grid_cell_stats,
+    )
+
+    eps = 1.0
+    rows = []
+    for k in range(60):  # all in cell (0, 0): x, y in [0, 1)
+        rows.append((k, 0.001 * k, 0.5))
+    for k in range(10):  # isolated singleton cells far apart
+        rows.append((100 + k, 100.0 * (k + 1), -100.0 * (k + 1)))
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+
+    stats = epsilon_grid_cell_stats(pts, eps).collect()[0]
+    assert stats["n_points"] == 70
+    assert stats["n_cells"] == 11
+    assert stats["max_cell_count"] == 60
+    assert stats["sum_sq_cell_count"] == 60 * 60 + 10
+
+    obs = Observation()
+    out = dbscan_labels(pts, eps=eps, min_pts=4, skew_observation=obs)
+    n = out.count()
+    assert n == 70
+    # dense cell: 60 points x 60 same-cell candidates (self included)
+    # = 3600 of the candidate rows; the singletons add 1 self-candidate
+    # each; neighbor-cell offsets add nothing (all other cells empty in
+    # the 3x3 halo of every occupied cell)
+    assert obs.get["candidate_pairs"] == 60 * 60 + 10
     """The warm-started ladder (level k's core labels contract level
     k+1's CC graph into super-nodes) must be LABEL-IDENTICAL to running
     every level from scratch — on a random point cloud whose density
