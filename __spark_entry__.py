@@ -1485,6 +1485,24 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff bigram LM quality score (corpus.py::
+    bigram_backoff_score, Brants et al. 2007) — the CCNet/KenLM-proxy
+    signal one step up from unigram_xent: docs whose doc_id % 10 == 0
+    play the curated reference corpus the LM is built from; every other
+    doc is scored by its mean per-transition -ln S under
+    S(w2|w1)=c(w1 w2)/c(w1), backing off to 0.4 * add-one unigram for
+    unseen bigrams (both branches fire at sf0.01 AND sf0.1). In-row
+    bigram construction (shifted-slice zip), two LM hash aggs, three
+    equi-joins, DECIMAL(38,12) log sums, round(6) + 0.0."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = docs.where(F.col("doc_id") % 10 == 0)
+    scored = docs.where(F.col("doc_id") % 10 != 0)
+    return corpus.bigram_backoff_score(scored, lm)
+
+
 def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs whose md5 bucket is 0 play the
     held-out eval suite; every train doc sharing a distinct word 7-gram
@@ -1502,6 +1520,23 @@ def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_shared_ngrams").cast("bigint").alias("n_shared_ngrams"),
         F.col("n_eval_docs").cast("bigint").alias("n_eval_docs"),
+    )
+
+
+def q_decontam_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination (corpus.py::
+    exact_span_decontaminate, the Lee et al. 2022 token-level shape):
+    same eval split as decontam_ngram_overlap (md5 bucket 0), but the
+    EXACT >=7-token-span guarantee via stride-1 window hashing over
+    sliding_token_windows — grouped by span hash, eval side distinct'd
+    before the join, never all-pairs. Returns matched-window counts and
+    the earliest contaminated offset per flagged train doc."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    return corpus.exact_span_decontaminate(
+        docs.where(~is_eval), docs.where(is_eval), k=7
     )
 
 
@@ -2608,6 +2643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round by tests/test_oracle_parity.py.
         # --- new in round 11 (never certified) ---
         "dbscan_cell_stats": q_dbscan_cell_stats,
+        "bigram_xent": q_bigram_xent,
+        "decontam_substring": q_decontam_substring,
         # --- last driver row r7: three rounds stale (all 38) ---
         "f4_traj_snap": q_f4_traj_snap,
         "a3_min_spacing": q_a3_min_spacing,
@@ -5294,6 +5331,93 @@ def oracle_sql() -> dict[str, str]:
                        AS dsir_logratio
             FROM tok JOIN vocab USING (token) CROSS JOIN scal
             GROUP BY doc_id
+        """,
+        # exact-substring decontam replay: the token_windows oracle
+        # pattern at size=7/stride=1 (full windows only), md5 span
+        # hashes, eval side DISTINCT before the join — the same
+        # grouped-by-span program, never all-pairs
+        "decontam_substring": """
+            WITH base AS (
+                SELECT doc_id,
+                       COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != ''), []) AS toks,
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+                           AS is_eval
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, toks, len(toks) AS n, is_eval FROM base
+            ), wins AS (
+                SELECT doc_id, is_eval, toks, n,
+                       unnest(range(0, greatest(n, 1), 1)) AS start
+                FROM sized
+            ), full_wins AS (
+                SELECT doc_id, is_eval, start,
+                       md5(array_to_string(toks[start + 1 : start + 7], ' '))
+                           AS h
+                FROM wins
+                WHERE (start = 0 OR start - 1 + 7 < n)
+                  AND least(start + 7, n) - start = 7
+            ), espan AS (
+                SELECT DISTINCT h FROM full_wins WHERE is_eval
+            ), tspan AS (
+                SELECT doc_id, start, h FROM full_wins WHERE NOT is_eval
+            )
+            SELECT doc_id,
+                   count(*) AS n_span_positions,
+                   count(DISTINCT h) AS n_distinct_spans,
+                   CAST(min(start) AS BIGINT) AS first_start
+            FROM tspan JOIN espan USING (h)
+            GROUP BY doc_id
+        """,
+        # Stupid-Backoff bigram replay: bigrams via 1-based list indexing
+        # over unnest(range(1, len)) — identical transitions to Spark's
+        # shifted-slice zip; integer/HUGEINT divisions promote to double
+        # identically on both engines; DECIMAL(38,12) term sums; the
+        # + 0.0 collapses -0.0 for an all-seen doc whose terms are all 0
+        "bigram_xent": """
+            WITH lmbase AS (
+                SELECT COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != ''), []) AS toks
+                FROM documents WHERE doc_id % 10 = 0
+            ), lmtok AS (
+                SELECT unnest(toks) AS w FROM lmbase
+            ), cu AS (
+                SELECT w, count(*) AS cu FROM lmtok GROUP BY w
+            ), nv AS (
+                SELECT sum(cu) AS n, count(*) AS v FROM cu
+            ), cb AS (
+                SELECT w1, w2, count(*) AS cb FROM (
+                    SELECT toks[i] AS w1, toks[i + 1] AS w2
+                    FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                          FROM lmbase)
+                ) GROUP BY w1, w2
+            ), scbase AS (
+                SELECT doc_id,
+                       COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != ''), []) AS toks
+                FROM documents WHERE doc_id % 10 <> 0
+            ), inst AS (
+                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                      FROM scbase)
+            ), terms AS (
+                SELECT doc_id,
+                       CASE WHEN cb.cb IS NOT NULL
+                            THEN ln(cb.cb / cu1.cu)
+                            ELSE ln(0.4 * (COALESCE(cu2.cu, 0) + 1)
+                                    / (nv.n + nv.v))
+                       END AS term
+                FROM inst
+                LEFT JOIN cb USING (w1, w2)
+                LEFT JOIN cu cu1 ON inst.w1 = cu1.w
+                LEFT JOIN cu cu2 ON inst.w2 = cu2.w
+                CROSS JOIN nv
+            )
+            SELECT doc_id,
+                   count(*) AS n_bigrams,
+                   round(-CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE)
+                         / count(*), 6) + 0.0 AS xent_nats
+            FROM terms GROUP BY doc_id
         """,
         "unigram_xent": """
             WITH tok AS (

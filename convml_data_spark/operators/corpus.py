@@ -623,6 +623,62 @@ def select_to_token_budget(
     return out.select(*df.columns)
 
 
+def exact_span_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring decontamination (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" shape, token-level): flag
+    every train doc sharing a VERBATIM ≥ ``k``-token span with any eval
+    doc. Reduction: a shared span of length ≥ k contains at least one
+    shared k-token window, so hashing ALL k-token windows (stride 1) of
+    both corpora and equi-joining on the hash finds exactly the
+    contaminated docs — no suffix array, no all-pairs. This is the exact
+    complement to :func:`ngram_overlap`'s fixed-n approximation: that
+    operator samples one n; this one certifies the ≥k guarantee.
+
+    Returns one row per CONTAMINATED train doc:
+    ``(id, n_span_positions, n_distinct_spans, first_start)`` — how many
+    of its k-token window positions match, how many distinct spans, and
+    the earliest matching token offset (for masking/excision downstream).
+
+    Scale design: windows come from :func:`sliding_token_windows`
+    (in-row explode, ≤ n_tokens rows per doc) projected immediately to
+    ``(id, start, md5(win_text))`` so no window TEXT ever shuffles; the
+    eval side is reduced to its DISTINCT span-hash set BEFORE the join,
+    so a span repeated across the eval suite cannot fan out; candidates
+    come from one hash equi-join on the span hash (grouped by span —
+    never all-pairs) and collapse in one per-doc aggregation. Partial
+    trailing windows (< k tokens) are excluded on both sides — only full
+    k-token spans count.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def spans(docs: DataFrame, cols: list[str]) -> DataFrame:
+        w = sliding_token_windows(
+            docs, size=k, stride=1, id_col=id_col, text_col=text_col
+        )
+        return w.where(F.col("end") - F.col("start") == k).select(
+            *cols, F.md5("win_text").alias("_h")
+        )
+
+    tspan = spans(train, [id_col, "start"])
+    espan = spans(eval_docs, []).distinct()
+    return (
+        tspan.join(espan, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_span_positions"),
+            F.count_distinct("_h").alias("n_distinct_spans"),
+            F.min("start").alias("first_start"),
+        )
+    )
+
+
 def unigram_logprob_score(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -665,6 +721,114 @@ def unigram_logprob_score(
         F.col("n_tokens"),
         F.round(
             F.log(F.col("_N")) - F.col("_s").cast("double") / F.col("n_tokens"), 6
+        ).alias("xent_nats"),
+    )
+
+
+def _bigram_instances(
+    docs: DataFrame, id_cols: list[str], text_col: str
+) -> DataFrame:
+    """(id_cols..., w1, w2) — one row per ordered token transition, built
+    IN-ROW (two shifted slices zipped) so the only fan-out is the explode:
+    no window, no self-join, no shuffle before the explode."""
+    toks = T.tokens(F.lower(F.col(text_col)))
+    m = F.greatest(F.size("_t") - 1, F.lit(0))
+    return (
+        docs.select(*id_cols, toks.alias("_t"))
+        .select(
+            *id_cols,
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_t", 1, m).alias("w1"),
+                    F.slice("_t", 2, m).alias("w2"),
+                )
+            ).alias("_bg"),
+        )
+        .select(*id_cols, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    )
+
+
+def bigram_backoff_score(
+    docs: DataFrame,
+    lm_docs: DataFrame,
+    alpha: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stupid-Backoff bigram cross-entropy (Brants et al. 2007, "Large
+    Language Models in Machine Translation") — the standard CCNet/KenLM
+    quality-proxy shape one step up from
+    :func:`unigram_logprob_score`: score each doc in ``docs`` under a
+    bigram LM built from ``lm_docs`` (a reference corpus — e.g. the
+    already-curated portion; scoring a corpus under itself makes the
+    backoff branch dead since every observed bigram is in the LM).
+
+    Per token transition::
+
+        S(w2 | w1) = c(w1 w2) / c(w1)              seen bigram
+                   = alpha * (c(w2) + 1) / (N + V)  backoff (add-one
+                                                    unigram, so unseen
+                                                    words stay finite)
+
+    ``xent_nats = −(Σ ln S) / n_bigrams`` over the doc's ``n_tokens − 1``
+    transitions; docs with < 2 tokens emit no row (no transitions to
+    score). Lower = more LM-like.
+
+    Scale design: bigram instances are built in-row (two shifted slices
+    zipped — no window, no self-join); the LM tables are two corpus-wide
+    map-side-combined hash aggregations; the per-doc pass is three hash
+    equi-joins (bigram, w1-unigram, w2-unigram) + one aggregation; the
+    (N, V) scalars ride a broadcast 1-row relation. Float discipline as
+    the whole LM-score family: every ``ln`` term casts to DECIMAL(38,12)
+    before summing (exact, order-independent under AQE), final
+    ``round(6) + 0.0`` (−0.0 repr guard).
+    """
+    from .dedup import _spread
+
+    inst = _bigram_instances(_spread(docs, id_col), [id_col], text_col)
+    lm_big = _bigram_instances(lm_docs, [], text_col)
+    cb = lm_big.groupBy("w1", "w2").agg(F.count("*").alias("_cb"))
+    cu = (
+        lm_docs.select(F.explode(T.tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("_cu"))
+    )
+    nv = cu.agg(F.sum("_cu").alias("_N"), F.count("*").alias("_V"))
+    scored = (
+        inst.join(cb, ["w1", "w2"], "left")
+        .join(
+            cu.select(F.col("w").alias("w1"), F.col("_cu").alias("_cu1")),
+            "w1",
+            "left",
+        )
+        .join(
+            cu.select(F.col("w").alias("w2"), F.col("_cu").alias("_cu2")),
+            "w2",
+            "left",
+        )
+        .join(F.broadcast(nv))
+    )
+    # seen bigram implies seen w1 (c(w1 w2) <= c(w1)), so _cu1 is never
+    # NULL on that branch; S <= 1 there, hence ln S <= 0 and xent >= 0
+    term = F.when(
+        F.col("_cb").isNotNull(), F.log(F.col("_cb") / F.col("_cu1"))
+    ).otherwise(
+        F.log(
+            F.lit(float(alpha))
+            * (F.coalesce("_cu2", F.lit(0)) + F.lit(1))
+            / (F.col("_N") + F.col("_V"))
+        )
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(term.cast("decimal(38,12)")).alias("_s"),
+    )
+    return per.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        (
+            F.round(-F.col("_s").cast("double") / F.col("n_bigrams"), 6)
+            + F.lit(0.0)
         ).alias("xent_nats"),
     )
 

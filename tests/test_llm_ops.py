@@ -472,6 +472,87 @@ def test_dsir_logratio_hand_computed(spark):
     assert got[1] > 0 > got[2]  # 'a a' is target-like, 'b' is not
 
 
+def test_bigram_backoff_score_hand_computed(spark):
+    """Stupid-Backoff bigram xent (corpus.py::bigram_backoff_score):
+    hand-derived values on a tiny LM/scored split — the seen-bigram
+    branch uses c(w1 w2)/c(w1), the backoff branch fires for an unseen
+    bigram with alpha * add-one unigram, and docs with < 2 tokens emit
+    no row."""
+    import math
+
+    from convml_data_spark.operators.corpus import bigram_backoff_score
+
+    lm = spark.createDataFrame(
+        [(9, "a b"), (10, "b a b")], "doc_id long, text string"
+    )
+    # LM: cu(a)=2, cu(b)=3, N=5, V=2; cb(a,b)=2, cb(b,a)=1
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a"),   # (a,b): ln(2/2)=0; (b,a): ln(1/3)
+            (2, "a c"),     # (a,c) unseen: ln(0.4 * (0+1) / 7)
+            (3, "b"),       # 1 token: no transitions, no row
+            (4, None),      # NULL text: no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["xent_nats"])
+        for r in bigram_backoff_score(docs, lm).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1][0] == 2
+    assert abs(got[1][1] - (-(0.0 + math.log(1 / 3)) / 2)) < 2e-6
+    assert got[2][0] == 1
+    assert abs(got[2][1] - (-math.log(0.4 * 1 / 7))) < 2e-6
+    # scoring a corpus that IS the LM: every bigram seen, xent finite,
+    # and the all-seen doc scores lower than the unseen-heavy doc
+    self_scored = {
+        r["doc_id"]: r["xent_nats"]
+        for r in bigram_backoff_score(lm, lm).collect()
+    }
+    assert set(self_scored) == {9, 10}
+    assert all(v >= 0 for v in self_scored.values())
+    assert got[1][1] < got[2][1]
+
+
+def test_exact_span_decontaminate_k_token_guarantee(spark):
+    """Exact-substring decontam (corpus.py::exact_span_decontaminate):
+    a train doc sharing a VERBATIM >=k-token span with any eval doc is
+    flagged with exact window counts and the earliest offset; sharing
+    only k-1 consecutive tokens is NOT flagged (the >=k guarantee is
+    two-sided); docs shorter than k tokens can never match."""
+    from convml_data_spark.operators.corpus import exact_span_decontaminate
+
+    evald = spark.createDataFrame(
+        [(100, "q w e r t y u i o p")],  # 10 tokens
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # tokens 2..9 of the eval doc (8 shared tokens = 2 windows of
+            # 7 at train offsets 2 and 3)
+            (1, "x1 x2 w e r t y u i o x3"),
+            # only 6 consecutive shared tokens -> below k, clean
+            (2, "w e r t y u zzz"),
+            # shares the FULL eval doc + one extra token: 4 windows
+            (3, "q w e r t y u i o p extra"),
+            (4, "totally different words here nothing shared at all ok"),
+            (5, "q w e"),   # shorter than k
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_span_positions"], r["n_distinct_spans"], r["first_start"]
+        )
+        for r in exact_span_decontaminate(train, evald, k=7).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[1] == (2, 2, 2)
+    assert got[3] == (4, 4, 0)
+
+
 def test_incremental_sig_dedup_band_and_agreement_rules(spark):
     """Incremental index dedup (dedup.py::incremental_sig_dedup): a new
     doc drops only when BOTH a full band collides AND the agreement
