@@ -1540,6 +1540,22 @@ def q_decontam_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span EXCISION (corpus.py::excise_contaminated_spans — the Lee et
+    al. 2022 remove-the-span policy): same split and k as
+    decontam_substring, but every token covered by a matched 7-window is
+    deleted and the survivors re-join in order. One hash agg collapses
+    covered positions to a sorted per-doc array; the rebuild is an
+    in-row indexed array filter — token streams never explode/shuffle."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    return corpus.excise_contaminated_spans(
+        docs.where(~is_eval), docs.where(is_eval), k=7
+    )
+
+
 def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gate (corpus.py::gopher_quality): word-count /
     word-length / repetition / stopword rules with per-rule flags."""
@@ -2645,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_cell_stats": q_dbscan_cell_stats,
         "bigram_xent": q_bigram_xent,
         "decontam_substring": q_decontam_substring,
+        "decontam_excise": q_decontam_excise,
         # --- last driver row r7: three rounds stale (all 38) ---
         "f4_traj_snap": q_f4_traj_snap,
         "a3_min_spacing": q_a3_min_spacing,
@@ -5368,6 +5385,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(start) AS BIGINT) AS first_start
             FROM tspan JOIN espan USING (h)
             GROUP BY doc_id
+        """,
+        # span-excision replay: same window/hash program as
+        # decontam_substring; covered positions distinct per doc, kept
+        # tokens rebuilt with an ORDER BY string_agg (a fully-leaked doc
+        # LEFT-joins to clean_text = '')
+        "decontam_excise": """
+            WITH base AS (
+                SELECT doc_id,
+                       COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != ''), []) AS toks,
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+                           AS is_eval
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, toks, len(toks) AS n, is_eval FROM base
+            ), wins AS (
+                SELECT doc_id, is_eval, toks, n,
+                       unnest(range(0, greatest(n, 1), 1)) AS start
+                FROM sized
+            ), full_wins AS (
+                SELECT doc_id, is_eval, start,
+                       md5(array_to_string(toks[start + 1 : start + 7], ' '))
+                           AS h
+                FROM wins
+                WHERE (start = 0 OR start - 1 + 7 < n)
+                  AND least(start + 7, n) - start = 7
+            ), espan AS (
+                SELECT DISTINCT h FROM full_wins WHERE is_eval
+            ), hits AS (
+                SELECT t.doc_id, t.start
+                FROM (SELECT doc_id, start, h FROM full_wins
+                      WHERE NOT is_eval) t
+                JOIN espan USING (h)
+            ), badpos AS (
+                SELECT DISTINCT doc_id, pos FROM (
+                    SELECT doc_id,
+                           unnest(range(start, start + 7)) AS pos
+                    FROM hits
+                )
+            ), toks_pos AS (
+                SELECT s.doc_id, i AS pos, s.toks[i + 1] AS tok
+                FROM (SELECT doc_id, toks,
+                             unnest(range(0, len(toks))) AS i
+                      FROM sized
+                      WHERE NOT is_eval
+                        AND doc_id IN (SELECT doc_id FROM badpos)) s
+            ), kept AS (
+                SELECT t.doc_id, t.pos, t.tok
+                FROM toks_pos t
+                LEFT JOIN badpos b
+                  ON t.doc_id = b.doc_id AND t.pos = b.pos
+                WHERE b.pos IS NULL
+            ), clean AS (
+                SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY pos) AS clean_text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   CAST(s.n AS BIGINT) AS n_tokens,
+                   c.n_removed,
+                   COALESCE(cl.clean_text, '') AS clean_text
+            FROM (SELECT doc_id, count(*) AS n_removed
+                  FROM badpos GROUP BY doc_id) c
+            JOIN sized s USING (doc_id)
+            LEFT JOIN clean cl USING (doc_id)
         """,
         # Stupid-Backoff bigram replay: bigrams via 1-based list indexing
         # over unnest(range(1, len)) — identical transitions to Spark's

@@ -655,6 +655,28 @@ def exact_span_decontaminate(
     trailing windows (< k tokens) are excluded on both sides — only full
     k-token spans count.
     """
+    tspan, espan = _span_hash_sides(train, eval_docs, k, id_col, text_col)
+    return (
+        tspan.join(espan, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_span_positions"),
+            F.count_distinct("_h").alias("n_distinct_spans"),
+            F.min("start").alias("first_start"),
+        )
+    )
+
+
+def _span_hash_sides(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared span program of the exact-substring decontam family:
+    stride-1 full k-token windows hashed to ``(id, start, _h)`` on the
+    train side and the DISTINCT ``_h`` set on the eval side."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
@@ -666,15 +688,69 @@ def exact_span_decontaminate(
             *cols, F.md5("win_text").alias("_h")
         )
 
-    tspan = spans(train, [id_col, "start"])
-    espan = spans(eval_docs, []).distinct()
+    return spans(train, [id_col, "start"]), spans(eval_docs, []).distinct()
+
+
+def excise_contaminated_spans(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The excision half of exact-substring decontamination (Lee et al.
+    2022 REMOVE the leaked spans rather than drop whole documents):
+    for every contaminated train doc, delete each token covered by ANY
+    matched k-token window and re-join the remaining tokens in order.
+    Returns one row per contaminated doc —
+    ``(id, n_tokens, n_removed, clean_text)`` — over the same
+    lowercased/whitespace-normalized token stream the matching runs on
+    (clean docs pass through a pipeline untouched: anti-join on the ids
+    here). A doc that is one big leaked span comes back with
+    ``clean_text = ''``, not a missing row.
+
+    Scale design: matched window starts reuse the
+    :func:`exact_span_decontaminate` span program (grouped by span hash,
+    eval side distinct'd — never all-pairs); covered positions collapse
+    to ONE sorted distinct array per doc in a single hash aggregation
+    (state bounded by the doc's own token count); the rebuild is a
+    per-row array filter by index — token streams are never exploded or
+    shuffled token-by-token.
+    """
+    tspan, espan = _span_hash_sides(train, eval_docs, k, id_col, text_col)
+    hits = tspan.join(espan, "_h").select(F.col(id_col), F.col("start"))
+    badarr = hits.groupBy(id_col).agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.sequence(
+                            F.col("start"), F.col("start") + F.lit(k - 1)
+                        )
+                    )
+                )
+            )
+        ).alias("_bad")
+    )
+    from .dedup import _spread
+
+    toks = T.tokens(F.lower(F.col(text_col)))
     return (
-        tspan.join(espan, "_h")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_span_positions"),
-            F.count_distinct("_h").alias("n_distinct_spans"),
-            F.min("start").alias("first_start"),
+        _spread(train, id_col)
+        .join(badarr, id_col)
+        .select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size("_bad").cast("long").alias("n_removed"),
+            F.array_join(
+                F.filter(
+                    toks,
+                    lambda t, i: ~F.array_contains(
+                        F.col("_bad"), i.cast("long")
+                    ),
+                ),
+                " ",
+            ).alias("clean_text"),
         )
     )
 

@@ -553,6 +553,46 @@ def test_exact_span_decontaminate_k_token_guarantee(spark):
     assert got[3] == (4, 4, 0)
 
 
+def test_excise_contaminated_spans_removes_covered_tokens(spark):
+    """Span excision (corpus.py::excise_contaminated_spans): every token
+    covered by ANY matched k-window is deleted, survivors re-join in
+    order, overlapping windows don't double-count, a fully-leaked doc
+    returns clean_text='' (not a missing row), and clean docs emit no
+    row (pipeline passes them through untouched)."""
+    from convml_data_spark.operators.corpus import (
+        exact_span_decontaminate,
+        excise_contaminated_spans,
+    )
+
+    evald = spark.createDataFrame(
+        [(100, "q w e r t y u i o p")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            # 8 shared tokens at offsets 2..9 -> two overlapping 7-windows
+            # covering positions 2..9; x1 x2 and x3 survive
+            (1, "x1 x2 w e r t y u i o x3"),
+            (2, "w e r t y u zzz"),            # 6 shared: clean
+            (3, "q w e r t y u i o p"),        # fully leaked
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in excise_contaminated_spans(train, evald, k=7).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[1] == (11, 8, "x1 x2 x3")
+    assert got[3] == (10, 10, "")
+    # the flag and excise operators agree on WHICH docs are contaminated
+    flagged = {
+        r["doc_id"]
+        for r in exact_span_decontaminate(train, evald, k=7).collect()
+    }
+    assert flagged == set(got)
+
+
 def test_incremental_sig_dedup_band_and_agreement_rules(spark):
     """Incremental index dedup (dedup.py::incremental_sig_dedup): a new
     doc drops only when BOTH a full band collides AND the agreement
