@@ -1503,6 +1503,20 @@ def q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bigram_backoff_score(scored, lm)
 
 
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (dedup.py::cdc_chunks /
+    cdc_dedup_stats — the LBFS/FastCDC storage-dedup primitive at token
+    granularity): boundaries where the rolling 4-token fingerprint
+    satisfies H % 8 == 0, so chunk edges re-synchronize across
+    insertions/deletions and near-identical document versions share
+    every chunk outside the edit neighborhood. Per doc: total chunks and
+    chunks whose hash occurs >1 time corpus-wide."""
+    from convml_data_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.cdc_dedup_stats(docs, window=4, mask_bits=3)
+
+
 def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs whose md5 bucket is 0 play the
     held-out eval suite; every train doc sharing a distinct word 7-gram
@@ -2662,6 +2676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_xent": q_bigram_xent,
         "decontam_substring": q_decontam_substring,
         "decontam_excise": q_decontam_excise,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
         # --- last driver row r7: three rounds stale (all 38) ---
         "f4_traj_snap": q_f4_traj_snap,
         "a3_min_spacing": q_a3_min_spacing,
@@ -5384,6 +5399,61 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT h) AS n_distinct_spans,
                    CAST(min(start) AS BIGINT) AS first_start
             FROM tspan JOIN espan USING (h)
+            GROUP BY doc_id
+        """,
+        # content-defined chunking replay: boundary predicate = 52-bit
+        # md5 prefix (the hash_uniform integer form) of the stride-1
+        # 4-token window, mod 8; chunks rebuilt from the sorted boundary
+        # list via inclusive list slicing (toks[a+1 : b] == Spark
+        # slice(toks, a+1, b-a)); sums cast BIGINT for width parity
+        "cdc_chunk_dedup": """
+            WITH base AS (
+                SELECT doc_id,
+                       COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != ''), []) AS toks
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, toks, len(toks) AS n
+                FROM base WHERE len(toks) > 0
+            ), wins AS (
+                SELECT doc_id, toks, n,
+                       unnest(range(0, greatest(n, 1), 1)) AS start
+                FROM sized
+            ), bposs AS (
+                SELECT doc_id, start FROM (
+                    SELECT doc_id, start, n,
+                           CAST('0x' || substr(md5(array_to_string(
+                                toks[start + 1 : start + 4], ' ')), 1, 13)
+                                AS BIGINT) AS h
+                    FROM wins
+                    WHERE (start = 0 OR start - 1 + 4 < n)
+                      AND least(start + 4, n) - start = 4
+                ) WHERE start > 0 AND h % 8 = 0
+            ), bounds AS (
+                SELECT doc_id, list_sort(list(start)) AS bs
+                FROM bposs GROUP BY doc_id
+            ), spans AS (
+                SELECT doc_id, toks,
+                       list_prepend(CAST(0 AS BIGINT), bs2) AS starts,
+                       list_append(bs2, n) AS ends
+                FROM (SELECT s.doc_id, s.toks, s.n,
+                             COALESCE(b.bs, CAST([] AS BIGINT[])) AS bs2
+                      FROM sized s LEFT JOIN bounds b USING (doc_id))
+            ), chunks AS (
+                SELECT doc_id,
+                       md5(array_to_string(
+                           toks[starts[i] + 1 : ends[i]], ' ')) AS ch
+                FROM (SELECT doc_id, toks, starts, ends,
+                             unnest(range(1, len(starts) + 1)) AS i
+                      FROM spans)
+            ), counts AS (
+                SELECT ch, count(*) AS cnt FROM chunks GROUP BY ch
+            )
+            SELECT doc_id,
+                   count(*) AS n_chunks,
+                   CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_chunks
+            FROM chunks JOIN counts USING (ch)
             GROUP BY doc_id
         """,
         # span-excision replay: same window/hash program as

@@ -786,3 +786,127 @@ def best_survivors(
         .select(F.col("id").alias(id_col))
     )
     return ids.join(drop, id_col, "left_anti")
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    window: int = 4,
+    mask_bits: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking over the token stream — the
+    storage-layer dedup primitive (Muthitacharoen et al. 2001 LBFS /
+    FastCDC family): a chunk boundary falls BEFORE token position s
+    whenever the rolling ``window``-token fingerprint at s satisfies
+    ``H(s) mod 2**mask_bits == 0``. Because the predicate depends only on
+    local content, boundaries RE-SYNCHRONIZE after an insertion or
+    deletion — near-identical document versions (crawl snapshots, edited
+    pages) share every chunk outside the edit neighborhood, which
+    position-based (fixed-size) chunking never does. Expected chunk
+    length ≈ ``2**mask_bits`` tokens; no min/max chunk clamp (the
+    classic min-size skip is a sequential fold — dropping it keeps every
+    position's verdict independent, fully parallel, and replayable in
+    any engine; the trade is occasional short chunks, documented here).
+
+    Returns the chunk table ``(id, start, end, chunk_hash)`` (token
+    offsets, ``end`` exclusive; md5 of the chunk's token string). Chunks
+    partition each non-empty doc exactly: starts/ends are contiguous
+    from 0 to n_tokens. Empty/NULL-text docs emit no chunks.
+
+    Scale design: boundary candidates ride the certified
+    :func:`~.corpus.sliding_token_windows` program (in-row explode, ≤ n
+    rows per doc, no text shuffled — windows project to their md5
+    immediately); per-doc boundary lists collapse in ONE hash
+    aggregation (state bounded by the doc's own token count); chunk
+    reconstruction is an in-row zip+explode+slice — plain column
+    expressions after the explode, no token-level shuffle.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if mask_bits < 0:
+        raise ValueError(f"mask_bits must be >= 0, got {mask_bits}")
+    from .corpus import sliding_token_windows
+
+    w = sliding_token_windows(
+        docs, size=window, stride=1, id_col=id_col, text_col=text_col
+    )
+    h = F.conv(F.substring(F.md5("win_text"), 1, 13), 16, 10).cast("long")
+    bounds = (
+        w.where(F.col("end") - F.col("start") == window)
+        .where(F.col("start") > 0)
+        .where(F.pmod(h, F.lit(1 << mask_bits)) == 0)
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("start")).alias("_bs"))
+    )
+    toks = tokens(F.lower(F.col(text_col)))
+    base = (
+        _spread(docs, id_col)
+        .select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .join(bounds, id_col, "left")
+        .select(
+            F.col(id_col),
+            "_toks",
+            F.coalesce("_bs", F.array().cast("array<long>")).alias("_bs"),
+        )
+    )
+    starts = F.concat(F.array(F.lit(0).cast("long")), F.col("_bs"))
+    ends = F.concat(
+        F.col("_bs"), F.array(F.size("_toks").cast("long"))
+    )
+    span = base.select(
+        F.col(id_col),
+        "_toks",
+        F.explode(
+            F.arrays_zip(starts.alias("start"), ends.alias("end"))
+        ).alias("_c"),
+    ).select(
+        F.col(id_col),
+        F.col("_c.start").alias("start"),
+        F.col("_c.end").alias("end"),
+        F.md5(
+            F.array_join(
+                F.slice(
+                    "_toks",
+                    F.col("_c.start") + F.lit(1),
+                    (F.col("_c.end") - F.col("_c.start")).cast("int"),
+                ),
+                " ",
+            )
+        ).alias("chunk_hash"),
+    )
+    return span
+
+
+def cdc_dedup_stats(
+    docs: DataFrame,
+    window: int = 4,
+    mask_bits: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc content-defined-chunk dedup statistics:
+    ``(id, n_chunks, n_dup_chunks)`` where a chunk is DUP when its hash
+    occurs more than once across the whole corpus (shared with another
+    doc OR repeated within this one) — the storage-dedup ratio a
+    chunk-store would achieve, and a shift-robust near-version signal
+    (an edited copy shares most chunks even though every byte offset
+    moved). One corpus-wide hash aggregation on chunk_hash (map-side
+    combined, broadcast nothing) + one per-doc aggregation.
+    """
+    ch = cdc_chunks(
+        docs, window=window, mask_bits=mask_bits,
+        id_col=id_col, text_col=text_col,
+    )
+    counts = ch.groupBy("chunk_hash").agg(F.count("*").alias("_n"))
+    return (
+        ch.join(counts, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("_n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
+    )

@@ -631,6 +631,55 @@ def test_incremental_sig_dedup_band_and_agreement_rules(spark):
     assert got2 == {1, 2, 3, 7}
 
 
+def test_cdc_chunks_partition_and_resync_after_insertion(spark):
+    """Content-defined chunking (dedup.py::cdc_chunks): chunks exactly
+    partition each doc (contiguous starts/ends from 0 to n_tokens); an
+    edited copy with tokens INSERTED AT THE FRONT re-synchronizes — the
+    two versions share chunk hashes even though every token offset
+    moved, which fixed-size chunking can never do; and the dedup stats
+    count those shared chunks corpus-wide."""
+    import random
+
+    from convml_data_spark.operators.dedup import cdc_chunks, cdc_dedup_stats
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(1000)}" for _ in range(120)]
+    doc_a = " ".join(words)
+    doc_b = " ".join(["ins1", "ins2", "ins3"] + words)  # front insertion
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, "tiny"), (4, None), (5, "")],
+        "doc_id long, text string",
+    )
+    ch = cdc_chunks(docs).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["start"], r["end"], r["chunk_hash"])
+        )
+    # empty/NULL docs emit nothing; a short doc is one whole-doc chunk
+    assert set(by_doc) == {1, 2, 3}
+    assert by_doc[3] == [(0, 1, by_doc[3][0][2])]
+    for doc_id, n in ((1, 120), (2, 123)):
+        spans = sorted(by_doc[doc_id])
+        assert spans[0][0] == 0 and spans[-1][1] == n
+        for (s1, e1, _), (s2, e2, _) in zip(spans, spans[1:]):
+            assert e1 == s2  # contiguous, no gaps or overlaps
+        assert all(e > s for s, e, _ in spans)
+    # boundaries actually fired (not one giant chunk), and the shifted
+    # copy shares chunks with the original
+    assert len(by_doc[1]) > 3
+    shared = {h for _, _, h in by_doc[1]} & {h for _, _, h in by_doc[2]}
+    assert shared, "CDC boundaries must re-sync after a front insertion"
+    stats = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"])
+        for r in cdc_dedup_stats(docs).collect()
+    }
+    assert stats[1][0] == len(by_doc[1])
+    assert stats[1][1] >= len(shared)
+    assert stats[2][1] >= len(shared)
+    assert stats[3] == (1, 0)
+
+
 def test_banded_slice_keys_rejects_bands_over_num_hashes(spark):
     """banded_slice_keys must refuse bands > num_hashes (and bands < 1):
     an out-of-range slice is empty, its bucket key collapses to '' for
