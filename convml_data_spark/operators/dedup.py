@@ -885,6 +885,7 @@ def cdc_dedup_stats(
     mask_bits: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    durable: bool | None = None,
 ) -> DataFrame:
     """Per-doc content-defined-chunk dedup statistics:
     ``(id, n_chunks, n_dup_chunks)`` where a chunk is DUP when its hash
@@ -893,12 +894,20 @@ def cdc_dedup_stats(
     chunk-store would achieve, and a shift-robust near-version signal
     (an edited copy shares most chunks even though every byte offset
     moved). One corpus-wide hash aggregation on chunk_hash (map-side
-    combined, broadcast nothing) + one per-doc aggregation.
+    combined, broadcast nothing) + one per-doc aggregation; the chunk
+    table is materialized once for its two consumers (``durable`` picks
+    the checkpoint kind, see :func:`~.persist.materialize_for_reuse`).
     """
+    from .persist import materialize_for_reuse
+
     ch = cdc_chunks(
         docs, window=window, mask_bits=mask_bits,
         id_col=id_col, text_col=text_col,
     )
+    # the chunk table feeds two consumers (corpus-wide counts + the
+    # per-doc join-back) — materialize once, lazily, instead of running
+    # the tokenize/window/rebuild program twice
+    ch = materialize_for_reuse(ch, durable=durable)
     counts = ch.groupBy("chunk_hash").agg(F.count("*").alias("_n"))
     return (
         ch.join(counts, "chunk_hash")
