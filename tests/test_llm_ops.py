@@ -1096,3 +1096,174 @@ def test_epsilon_grid_cell_skew_metric_fires_on_dense_cell(spark):
         per_level.setdefault(eps, set()).add(lab)
     labelsets = [frozenset(per_level[e]) for e in levels]
     assert len(set(labelsets)) >= 3
+
+
+def _random_corpus(seed, n_docs, vocab, max_len, null_every=11):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        if i % null_every == 7:
+            rows.append((i, None))
+        else:
+            n = rng.randrange(0, max_len)
+            rows.append(
+                (i, " ".join(f"t{rng.randrange(vocab)}" for _ in range(n)))
+            )
+    return rows
+
+
+def test_bigram_backoff_score_matches_python_reference(spark):
+    """Randomized cross-check: bigram_backoff_score equals a brute-force
+    Python Stupid-Backoff implementation on random corpora (short docs,
+    empty docs, NULL text, unseen words/bigrams all in the mix)."""
+    import math
+    from collections import Counter
+
+    from convml_data_spark.operators.corpus import bigram_backoff_score
+
+    lm_rows = _random_corpus(1, 30, vocab=25, max_len=30)
+    sc_rows = _random_corpus(2, 40, vocab=40, max_len=25)  # wider vocab
+    lm = spark.createDataFrame(lm_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(sc_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["xent_nats"])
+        for r in bigram_backoff_score(docs, lm).collect()
+    }
+    # python reference
+    def toks(t):
+        return [w for w in (t or "").lower().split() if w]
+
+    cu = Counter(w for _, t in lm_rows for w in toks(t))
+    cb = Counter(
+        (a, b)
+        for _, t in lm_rows
+        for a, b in zip(toks(t), toks(t)[1:])
+    )
+    N, V = sum(cu.values()), len(cu)
+    want = {}
+    for i, t in sc_rows:
+        ws = toks(t)
+        if len(ws) < 2:
+            continue
+        terms = []
+        for a, b in zip(ws, ws[1:]):
+            if (a, b) in cb:
+                terms.append(math.log(cb[(a, b)] / cu[a]))
+            else:
+                terms.append(math.log(0.4 * (cu.get(b, 0) + 1) / (N + V)))
+        want[i] = (len(terms), -sum(terms) / len(terms))
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], i
+        assert abs(got[i][1] - round(want[i][1], 6)) < 2e-6, i
+
+
+def test_exact_span_and_excision_match_python_reference(spark):
+    """Randomized cross-check: exact_span_decontaminate and
+    excise_contaminated_spans equal brute-force window-set Python on a
+    random corpus whose eval half is built by MUTATING train docs (so
+    real shared spans exist)."""
+    import random
+
+    from convml_data_spark.operators.corpus import (
+        exact_span_decontaminate,
+        excise_contaminated_spans,
+    )
+
+    rng = random.Random(5)
+    k = 5
+    train_rows = _random_corpus(3, 30, vocab=12, max_len=28)
+    # eval docs: mutated copies of some train docs + fresh ones
+    eval_rows = []
+    for j in range(12):
+        i, t = train_rows[rng.randrange(len(train_rows))]
+        ws = [w for w in (t or "").split()]
+        if ws and rng.random() < 0.7:
+            p = rng.randrange(len(ws))
+            ws = ws[:p] + ["zz%d" % j] + ws[p:]
+        eval_rows.append((1000 + j, " ".join(ws)))
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    evald = spark.createDataFrame(eval_rows, "doc_id long, text string")
+
+    def toks(t):
+        return [w for w in (t or "").lower().split() if w]
+
+    def wins(t):
+        ws = toks(t)
+        return {
+            (s, " ".join(ws[s : s + k]))
+            for s in range(0, max(len(ws) - k + 1, 0))
+        }
+
+    eval_set = {w for _, t in eval_rows for _, w in wins(t)}
+    want_flag, want_excise = {}, {}
+    for i, t in train_rows:
+        hits = {(s, w) for s, w in wins(t) if w in eval_set}
+        if not hits:
+            continue
+        spans = {w for _, w in hits}
+        starts = {s for s, _ in hits}
+        want_flag[i] = (len(hits), len(spans), min(starts))
+        ws = toks(t)
+        bad = {p for s in starts for p in range(s, s + k)}
+        want_excise[i] = (
+            len(ws),
+            len(bad),
+            " ".join(w for p, w in enumerate(ws) if p not in bad),
+        )
+    got_flag = {
+        r["doc_id"]: (
+            r["n_span_positions"], r["n_distinct_spans"], r["first_start"]
+        )
+        for r in exact_span_decontaminate(train, evald, k=k).collect()
+    }
+    got_excise = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in excise_contaminated_spans(train, evald, k=k).collect()
+    }
+    assert got_flag == want_flag
+    assert got_excise == want_excise
+    assert want_flag, "mutated eval docs must produce real contamination"
+
+
+def test_cdc_chunks_match_python_reference(spark):
+    """Randomized cross-check: cdc_chunks boundaries and chunk hashes
+    equal a brute-force Python replay of the rolling-fingerprint
+    predicate (md5 52-bit prefix mod 2^mask)."""
+    import hashlib
+
+    from convml_data_spark.operators.dedup import cdc_chunks
+
+    window, mask = 3, 2
+    rows = _random_corpus(9, 35, vocab=15, max_len=40)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in cdc_chunks(docs, window=window, mask_bits=mask).collect():
+        got.setdefault(r["doc_id"], set()).add(
+            (r["start"], r["end"], r["chunk_hash"])
+        )
+
+    def md5hex(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    want = {}
+    for i, t in rows:
+        ws = [w for w in (t or "").lower().split() if w]
+        if not ws:
+            continue
+        bounds = [
+            s
+            for s in range(1, len(ws) - window + 1)
+            if int(md5hex(" ".join(ws[s : s + window]))[:13], 16)
+            % (1 << mask)
+            == 0
+        ]
+        edges = [0] + bounds + [len(ws)]
+        want[i] = {
+            (a, b, md5hex(" ".join(ws[a:b])))
+            for a, b in zip(edges, edges[1:])
+        }
+    assert got == want
+    assert any(len(v) > 1 for v in want.values()), "boundaries must fire"
