@@ -348,6 +348,11 @@ def test_representative_queries_survive_ansi_mode(spark):
         "emb_transform_dbscan", "spec_tile_data", "spec_regridded_scenes",
         "spec_rect_embeddings", "spec_aux_derived", "g8_rgb_composite",
         "e7_json_map", "r1_split",
+        # round-11 expression families: log-of-division with broadcast
+        # scalars, stride-1 span hashing + indexed array filter, conv()
+        # hex parsing + zip/slice chunk rebuild, grid-cell occupancy agg
+        "bigram_xent", "decontam_excise", "cdc_chunk_dedup",
+        "dbscan_cell_stats",
     ]
     # restore by UNSET if it was unset: explicitly setting ansi false is
     # NOT the same session state as leaving it unset (size(NULL) flips
