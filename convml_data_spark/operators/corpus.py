@@ -830,6 +830,7 @@ def bigram_backoff_score(
     alpha: float = 0.4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    durable: bool | None = None,
 ) -> DataFrame:
     """Stupid-Backoff bigram cross-entropy (Brants et al. 2007, "Large
     Language Models in Machine Translation") — the standard CCNet/KenLM
@@ -854,12 +855,17 @@ def bigram_backoff_score(
     zipped — no window, no self-join); the LM tables are two corpus-wide
     map-side-combined hash aggregations; the per-doc pass is three hash
     equi-joins (bigram, w1-unigram, w2-unigram) + one aggregation; the
-    (N, V) scalars ride a broadcast 1-row relation. Float discipline as
-    the whole LM-score family: every ``ln`` term casts to DECIMAL(38,12)
-    before summing (exact, order-independent under AQE), final
-    ``round(6) + 0.0`` (−0.0 repr guard).
+    (N, V) scalars ride a broadcast 1-row relation. The unigram LM
+    relation feeds THREE consumers (both unigram joins + the scalars) —
+    it is vocabulary-bounded, so it is materialized once rather than
+    re-scanning the LM corpus per consumer (``durable`` picks the
+    checkpoint kind, :func:`~.persist.materialize_for_reuse`). Float
+    discipline as the whole LM-score family: every ``ln`` term casts to
+    DECIMAL(38,12) before summing (exact, order-independent under AQE),
+    final ``round(6) + 0.0`` (−0.0 repr guard).
     """
     from .dedup import _spread
+    from .persist import materialize_for_reuse
 
     inst = _bigram_instances(_spread(docs, id_col), [id_col], text_col)
     lm_big = _bigram_instances(lm_docs, [], text_col)
@@ -869,6 +875,7 @@ def bigram_backoff_score(
         .groupBy("w")
         .agg(F.count("*").alias("_cu"))
     )
+    cu = materialize_for_reuse(cu, durable=durable)
     nv = cu.agg(F.sum("_cu").alias("_N"), F.count("*").alias("_V"))
     scored = (
         inst.join(cb, ["w1", "w2"], "left")
