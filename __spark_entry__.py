@@ -1485,6 +1485,33 @@ def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    doc with the corpus unigram LM (corpus.py::unigram_logprob_score),
+    cut the score distribution at its exact global terciles
+    (binning.py::exact_quantiles — the certified distributed-selection
+    path, no driver digest), and label head/middle/tail (head = lowest
+    cross-entropy = most LM-like, the slice CCNet keeps). Cut values are
+    plan literals; bucket assignment is a pure CASE, so the program is
+    AQE-safe and engine-replayable. Tie safety: xent values are
+    round(6)-quantized, so the interpolated cuts (identical definition
+    to DuckDB quantile_cont, certified by a7_equidepth) sit strictly
+    between adjacent data values or exactly on an order statistic in
+    BOTH engines — a last-ulp cut difference can never cross a doc."""
+    from convml_data_spark.operators import corpus
+    from convml_data_spark.operators.binning import exact_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = corpus.unigram_logprob_score(docs)
+    c1, c2 = exact_quantiles(scores, "xent_nats", [1 / 3, 2 / 3])
+    bucket = (
+        F.when(F.col("xent_nats") < F.lit(float(c1)), "head")
+        .when(F.col("xent_nats") < F.lit(float(c2)), "middle")
+        .otherwise("tail")
+    )
+    return scores.select("doc_id", "xent_nats", bucket.alias("bucket"))
+
+
 def q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-Backoff bigram LM quality score (corpus.py::
     bigram_backoff_score, Brants et al. 2007) — the CCNet/KenLM-proxy
@@ -2677,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_substring": q_decontam_substring,
         "decontam_excise": q_decontam_excise,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        "quality_terciles": q_quality_terciles,
         # --- last driver row r7: three rounds stale (all 38) ---
         "f4_traj_snap": q_f4_traj_snap,
         "a3_min_spacing": q_a3_min_spacing,
@@ -5570,6 +5598,40 @@ def oracle_sql() -> dict[str, str]:
                    round(-CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE)
                          / count(*), 6) + 0.0 AS xent_nats
             FROM terms GROUP BY doc_id
+        """,
+        # CCNet perplexity bucketing replay: the unigram_xent program +
+        # exact terciles via quantile_cont (the a7-certified definition
+        # match for exact_quantiles) + the same strict-< CASE. Cut
+        # parity is interval-level, not bit-level: xent is
+        # round(6)-quantized, so an ulp difference in the interpolated
+        # cut cannot cross a data value.
+        "quality_terciles": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          x -> x != '')) AS token
+                FROM documents
+            ), tc AS (
+                SELECT token, count(*) AS c FROM tok GROUP BY token
+            ), n AS (
+                SELECT sum(c) AS N FROM tc
+            ), per AS (
+                SELECT doc_id,
+                       round(ln((SELECT N FROM n))
+                             - CAST(sum(CAST(ln(c) AS DECIMAL(38,12))) AS DOUBLE)
+                               / count(*), 6) AS xent_nats
+                FROM tok JOIN tc USING (token)
+                GROUP BY doc_id
+            ), cuts AS (
+                SELECT quantile_cont(xent_nats, 1.0/3.0) AS c1,
+                       quantile_cont(xent_nats, 2.0/3.0) AS c2
+                FROM per
+            )
+            SELECT doc_id, xent_nats,
+                   CASE WHEN xent_nats < c1 THEN 'head'
+                        WHEN xent_nats < c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM per CROSS JOIN cuts
         """,
         "unigram_xent": """
             WITH tok AS (
