@@ -1474,6 +1474,20 @@ def q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.dsir_logratio(docs, target)
 
 
+def q_dsir_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR in the paper's ACTUAL feature space (corpus.py::dsir_logratio
+    with n_buckets — Xie et al. 2023 hash n-grams into a fixed bucket
+    count): tokens hash to 1024 md5 buckets, both LMs fit over bucket
+    counts, so the frequency tables and the vocabulary outer join are
+    bounded by a CONSTANT regardless of corpus vocabulary — the
+    100 TB-safe form (a web corpus's raw vocabulary is unbounded)."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return corpus.dsir_logratio(docs, target, n_buckets=1024)
+
+
 def q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
@@ -2705,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_excise": q_decontam_excise,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "quality_terciles": q_quality_terciles,
+        "dsir_hashed": q_dsir_hashed,
         # --- last driver row r7: three rounds stale (all 38) ---
         "f4_traj_snap": q_f4_traj_snap,
         "a3_min_spacing": q_a3_min_spacing,
@@ -5373,6 +5388,43 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
                                           x -> x != '')) AS token
                 FROM documents WHERE lang = 'en'
+            ), cr AS (
+                SELECT token, count(*) AS cr FROM tok GROUP BY token
+            ), ct AS (
+                SELECT token, count(*) AS ct FROM ttok GROUP BY token
+            ), vocab AS (
+                SELECT token, coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+                FROM cr FULL OUTER JOIN ct USING (token)
+            ), scal AS (
+                SELECT sum(cr) AS Nr, sum(ct) AS Nt, count(*) AS V FROM vocab
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   round(CAST(sum(CAST(
+                           ln((ct + 1) / (Nt + V)) - ln((cr + 1) / (Nr + V))
+                         AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) + 0.0
+                       AS dsir_logratio
+            FROM tok JOIN vocab USING (token) CROSS JOIN scal
+            GROUP BY doc_id
+        """,
+        # hashed-feature DSIR replay (the paper's actual bucket space):
+        # token -> md5 52-bit integer mod 1024, same add-one math over
+        # bucket counts; V = observed buckets
+        "dsir_hashed": """
+            WITH tok AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(w), 1, 13) AS BIGINT) % 1024
+                           AS token
+                FROM (SELECT doc_id,
+                             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                                x -> x != '')) AS w
+                      FROM documents)
+            ), ttok AS (
+                SELECT CAST('0x' || substr(md5(w), 1, 13) AS BIGINT) % 1024
+                           AS token
+                FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                                x -> x != '')) AS w
+                      FROM documents WHERE lang = 'en')
             ), cr AS (
                 SELECT token, count(*) AS cr FROM tok GROUP BY token
             ), ct AS (

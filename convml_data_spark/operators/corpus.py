@@ -921,6 +921,7 @@ def dsir_logratio(
     target_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """DSIR-style importance score (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", unigram feature space):
@@ -938,15 +939,38 @@ def dsir_logratio(
     DECIMAL(38,12) before summing so the reduction is exact and
     order-independent under AQE (the :func:`unigram_logprob_score`
     discipline).
+
+    ``n_buckets`` (optional) switches to the paper's actual feature
+    space: tokens HASH into ``n_buckets`` buckets (Xie et al. 2023 use
+    10k hashed n-gram buckets) and the two LMs are fit over bucket
+    counts. This bounds BOTH frequency tables and the vocabulary outer
+    join by a constant of the caller's choosing — on a web-scale corpus
+    the raw-token vocabulary is itself unbounded, so the hashed form is
+    the 100 TB-safe one. The bucket function is the engine-replayable
+    md5 52-bit integer mod ``n_buckets``; V becomes the number of
+    OBSERVED buckets (same observed-support smoothing as the raw form).
     """
     from .dedup import _spread
 
-    tok = _spread(docs, id_col).select(
-        F.col(id_col), F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token")
+    def feat(col):
+        if n_buckets is None:
+            return col
+        return F.pmod(
+            F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long"),
+            F.lit(int(n_buckets)),
+        )
+
+    tok = (
+        _spread(docs, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(T.tokens(F.lower(F.col(text_col)))).alias("_w"),
+        )
+        .select(F.col(id_col), feat(F.col("_w")).alias("token"))
     )
     ttok = target_docs.select(
-        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token")
-    )
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("_w")
+    ).select(feat(F.col("_w")).alias("token"))
     cr = tok.groupBy("token").agg(F.count("*").alias("cr"))
     ct = ttok.groupBy("token").agg(F.count("*").alias("ct"))
     vocab = cr.join(ct, "token", "full_outer").select(

@@ -1267,3 +1267,31 @@ def test_cdc_chunks_match_python_reference(spark):
         }
     assert got == want
     assert any(len(v) > 1 for v in want.values()), "boundaries must fire"
+
+
+def test_dsir_hashed_buckets_reduce_to_raw_when_injective(spark):
+    """dsir_logratio(n_buckets): with bucket space vastly larger than
+    the vocabulary the hash is injective on this corpus and scores are
+    IDENTICAL to the raw-token form (bucket counts isomorphic to token
+    counts); with a tiny bucket space the LM state collapses but every
+    scored doc is still scored."""
+    from convml_data_spark.operators.corpus import dsir_logratio
+
+    rows = _random_corpus(21, 25, vocab=30, max_len=20)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where("doc_id % 3 = 0")
+    raw = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_logratio"])
+        for r in dsir_logratio(docs, target).collect()
+    }
+    wide = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_logratio"])
+        for r in dsir_logratio(docs, target, n_buckets=1_000_000).collect()
+    }
+    assert wide == raw
+    tiny = {
+        r["doc_id"]: r["dsir_logratio"]
+        for r in dsir_logratio(docs, target, n_buckets=2).collect()
+    }
+    assert set(tiny) == set(raw)
+    assert tiny != {k: v[1] for k, v in raw.items()}
