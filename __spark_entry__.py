@@ -2163,6 +2163,43 @@ def q_dbscan_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.epsilon_grid_cell_stats(pts, 0.02, id_col="vec_id")
 
 
+def q_dbscan_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dendrogram MERGE RECORD between two eps heights (the hdbscan
+    cluster-merge event the reference's dendrogram encodes,
+    embeddings/transforms.py:107-139): for every eps-0.04 cluster, how
+    many distinct eps-0.02 clusters it absorbed (n_children — >1 IS a
+    merge event), how many of its points were noise at the smaller
+    radius (n_born), and its smallest child label. Pure composition of
+    the certified dbscan_eps_ladder output: one self-alignment join on
+    point id + one hash agg."""
+    from convml_data_spark.operators import clustering
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    ladder = clustering.dbscan_eps_ladder(pts, [0.02, 0.04], 5, id_col="vec_id")
+    lo = ladder.where(
+        (F.col("eps") == 0.02) & F.col("label").isNotNull()
+    ).select("id", F.col("label").alias("label_lo"))
+    hi = ladder.where(
+        (F.col("eps") == 0.04) & F.col("label").isNotNull()
+    ).select("id", F.col("label").alias("label_hi"))
+    return (
+        hi.join(lo, "id", "left")
+        .groupBy("label_hi")
+        .agg(
+            F.count_distinct("label_lo").alias("n_children"),
+            F.sum(F.when(F.col("label_lo").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_born"),
+            F.min("label_lo").alias("min_child"),
+        )
+    )
+
+
 def q_emb_transform_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-transform registry (transforms.py:17-139): dispatch
     ``standard_scaler`` by type string, fit + apply as a Spark ML
@@ -2720,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "quality_terciles": q_quality_terciles,
         "dsir_hashed": q_dsir_hashed,
+        "dbscan_merge_events": q_dbscan_merge_events,
         # --- last driver row r7: three rounds stale (all 38) ---
         "f4_traj_snap": q_f4_traj_snap,
         "a3_min_spacing": q_a3_min_spacing,
@@ -5277,6 +5315,27 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _semantic_dedup_oracle_sql(),
         "g8_rayleigh": _g8_rayleigh_oracle_sql(),
         "dbscan_ladder": _dbscan_ladder_oracle_sql(),
+        # dendrogram merge record: the ladder replay aligned with itself
+        # across the two eps heights (label = -1 marks noise in the
+        # replay; the engine side filters NULL labels — same rows)
+        "dbscan_merge_events": f"""
+            WITH ladder AS ({_dbscan_ladder_oracle_sql()}),
+            lo AS (
+                SELECT vec_id, label AS label_lo FROM ladder
+                WHERE eps = 0.02 AND label <> -1
+            ),
+            hi AS (
+                SELECT vec_id, label AS label_hi FROM ladder
+                WHERE eps = 0.04 AND label <> -1
+            )
+            SELECT label_hi,
+                   count(DISTINCT label_lo) AS n_children,
+                   CAST(sum(CASE WHEN label_lo IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_born,
+                   min(label_lo) AS min_child
+            FROM hi LEFT JOIN lo USING (vec_id)
+            GROUP BY label_hi
+        """,
         # epsilon-grid occupancy diagnostic: same cell keys as the DBSCAN
         # candidate join (floor(x/eps) on double-cast coords — FLOAT ->
         # DOUBLE is exact, division/floor bit-identical); sums cast to
