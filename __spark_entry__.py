@@ -1511,12 +1511,19 @@ def q_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(6)-quantized, so the interpolated cuts (identical definition
     to DuckDB quantile_cont, certified by a7_equidepth) sit strictly
     between adjacent data values or exactly on an order statistic in
-    BOTH engines — a last-ulp cut difference can never cross a doc."""
+    BOTH engines — a last-ulp cut difference can never cross a doc.
+
+    NOTE: exact_quantiles runs driver jobs at query-CONSTRUCTION time
+    (the cut values become plan literals — same class as the documented
+    eager-checkpoint/explain() gotcha); the scores relation is
+    materialized first so the unigram-LM scoring plan executes once and
+    the selection jobs AND the returned query read the checkpoint."""
     from convml_data_spark.operators import corpus
     from convml_data_spark.operators.binning import exact_quantiles
+    from convml_data_spark.operators.persist import materialize_for_reuse
 
     docs = _t(spark, sf_dir, "documents")
-    scores = corpus.unigram_logprob_score(docs)
+    scores = materialize_for_reuse(corpus.unigram_logprob_score(docs))
     c1, c2 = exact_quantiles(scores, "xent_nats", [1 / 3, 2 / 3])
     bucket = (
         F.when(F.col("xent_nats") < F.lit(float(c1)), "head")
@@ -2737,81 +2744,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one in-window representative; keys certified green in earlier rounds
     # rotate behind position 50 and back in on later rounds.
     return {
-        # ROUND 11 WINDOW (first 50 = driver-certified this round).
+        # ROUND 12 WINDOW (first 50 = driver-certified this round).
         # Policy unchanged: never/longest-uncertified keys first; new keys
         # added this round insert at the dict head and displace the last
-        # fillers past 50. Composition per the r10 verdict: the new
-        # round-11 keys first, then ALL 38 keys whose last driver row is
-        # r7 (three rounds stale — the f4..r1 cohort below), then the
-        # oldest r8-certified fillers (each new key displaces the
-        # youngest filler past 50). After r11 no key's last driver row
-        # predates r8. Round 12 should lead with the remaining
-        # r8-certified keys (j10_interval_join onward plus any displaced
-        # fillers), then the oldest r10. Every key stays covered every
-        # round by tests/test_oracle_parity.py.
-        # --- new in round 11 (never certified) ---
-        "dbscan_cell_stats": q_dbscan_cell_stats,
-        "bigram_xent": q_bigram_xent,
-        "decontam_substring": q_decontam_substring,
-        "decontam_excise": q_decontam_excise,
-        "cdc_chunk_dedup": q_cdc_chunk_dedup,
-        "quality_terciles": q_quality_terciles,
-        "dsir_hashed": q_dsir_hashed,
-        "dbscan_merge_events": q_dbscan_merge_events,
-        # --- last driver row r7: three rounds stale (all 38) ---
-        "f4_traj_snap": q_f4_traj_snap,
-        "a3_min_spacing": q_a3_min_spacing,
-        "a7_equidepth": q_a7_equidepth,
-        "w6_sequential_scan": q_w6_sequential_scan,
-        "stream_seen_filter": q_stream_seen_filter,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_corpus_stats": q_text_corpus_stats,
-        "text_gopher_quality": q_text_gopher_quality,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "decontam_ngram_overlap": q_decontam_ngram_overlap,
-        "unigram_xent": q_unigram_xent,
-        "pack_chunks": q_pack_chunks,
-        "mixture_rates": q_mixture_rates,
-        "token_windows": q_token_windows,
-        "sample_quality_weighted": q_sample_quality_weighted,
-        "dedup_exact_prefix": q_dedup_exact_prefix,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "dedup_minhash": q_dedup_minhash,
-        "simhash": q_simhash,
-        "a4_binned_1d": q_a4_binned_1d,
-        "a5_binned_2d": q_a5_binned_2d,
-        "dedup_minhash_sigs": q_dedup_minhash_sigs,
-        "dedup_spans": q_dedup_spans,
-        "vocab_build": q_vocab_build,
-        "vocab_encode": q_vocab_encode,
-        "corpus_entropy": q_corpus_entropy,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "stream_daily_counts": q_stream_daily_counts,
-        "stream_dedup_watermark": q_stream_dedup_watermark,
-        "g1_nearest_regrid": q_g1_nearest_regrid,
-        "u1_union_by_name": q_u1_union_by_name,
-        "o3_distinct": q_o3_distinct,
-        "e5_array_roundtrip": q_e5_array_roundtrip,
-        "f2_datetime_components": q_f2_datetime_components,
-        "s5_calendar_offset_missing": q_s5_calendar_offset_missing,
-        "r1_split": q_r1_split,
-        # --- oldest r8-certified fillers (positions 39-50) ---
-        "spec_regridded_bilinear": q_spec_regridded_bilinear,
-        "spec_scene_filter": q_spec_scene_filter,
-        "s2_goes16_query": q_s2_goes16_query,
-        "s4_era5_manifest": q_s4_era5_manifest,
-        "s6_ceres_manifest": q_s6_ceres_manifest,
-        "emb_transform_scaler": q_emb_transform_scaler,
-        "pii_scrub": q_pii_scrub,
-        "similarity_ivf_topk": q_similarity_ivf_topk,
-        "similarity_pq_topk": q_similarity_pq_topk,
-        "w7_sessionize": q_w7_sessionize,
-        "a14_rollup": q_a14_rollup,
-        "sketch_quantiles": q_sketch_quantiles,
-        # ---------------- position 51+: rotated out this round ----------
-        # r8-certified remainder (leads the round-12 window)
+        # fillers past 50. Composition per the r11 verdict: the new
+        # round-12 keys first, then ALL 40 keys whose last driver row is
+        # r8 (three rounds stale — j10_interval_join..sketch_quantiles
+        # below), then the keys whose OPERATORS changed this round
+        # (terciles materialization, epsilon-grid dense-cell refinement,
+        # minhash width-probe deprecation), then the oldest r10-certified
+        # fillers. Round 13 should lead with the r10-certified remainder
+        # (gopher_repetition onward plus any displaced fillers), then the
+        # oldest r11. Every key stays covered every round by
+        # tests/test_oracle_parity.py.
+        # --- last driver row r8: three rounds stale (all 40) ---
         "j10_interval_join": q_j10_interval_join,
         "w5_sliding_tiles": q_w5_sliding_tiles,
         "r5_triplet_locations": q_r5_triplet_locations,
@@ -2844,12 +2790,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_transform_kmeans": q_emb_transform_kmeans,
         "multimodal_audio": q_multimodal_audio,
         "cap_per_source": q_cap_per_source,
-        # r10-certified (freshest; rotate back last)
+        "s6_ceres_manifest": q_s6_ceres_manifest,
+        "emb_transform_scaler": q_emb_transform_scaler,
+        "pii_scrub": q_pii_scrub,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "similarity_pq_topk": q_similarity_pq_topk,
+        "w7_sessionize": q_w7_sessionize,
+        "a14_rollup": q_a14_rollup,
+        "sketch_quantiles": q_sketch_quantiles,
+        # --- operators touched this round: re-certify ---
+        "quality_terciles": q_quality_terciles,
+        "dbscan_cell_stats": q_dbscan_cell_stats,
+        "dbscan_merge_events": q_dbscan_merge_events,
+        "dbscan_ladder": q_dbscan_ladder,
+        "emb_transform_dbscan": q_emb_transform_dbscan,
+        "dedup_minhash": q_dedup_minhash,
+        # --- oldest r10-certified fillers (displaced first by new keys) ---
         "g8_rayleigh": q_g8_rayleigh,
         "stream_parquet_drain": q_stream_parquet_drain,
-        "dbscan_ladder": q_dbscan_ladder,
         "dedup_best_survivors": q_dedup_best_survivors,
         "select_token_budget": q_select_token_budget,
+        # ---------------- position 51+: rotated out this round ----------
+        # r10-certified remainder (leads the round-13 window)
         "gopher_repetition": q_gopher_repetition,
         "incremental_dedup": q_incremental_dedup,
         "dsir_logratio": q_dsir_logratio,
@@ -2859,7 +2821,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "dedup_semantic": q_dedup_semantic,
         "dedup_components": q_dedup_components,
-        "emb_transform_dbscan": q_emb_transform_dbscan,
         "spec_scene_images": q_spec_scene_images,
         "a15_distinct_users": q_a15_distinct_users,
         "a6_ecdf": q_a6_ecdf,
@@ -2895,6 +2856,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": q_stream_stream_join,
         "j2_asof_single": q_j2_asof_single,
         "j3_asof_all_within": q_j3_asof_all_within,
+        # r11-certified (freshest; rotate back last)
+        "bigram_xent": q_bigram_xent,
+        "decontam_substring": q_decontam_substring,
+        "decontam_excise": q_decontam_excise,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        "dsir_hashed": q_dsir_hashed,
+        "f4_traj_snap": q_f4_traj_snap,
+        "a3_min_spacing": q_a3_min_spacing,
+        "a7_equidepth": q_a7_equidepth,
+        "w6_sequential_scan": q_w6_sequential_scan,
+        "stream_seen_filter": q_stream_seen_filter,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_corpus_stats": q_text_corpus_stats,
+        "text_gopher_quality": q_text_gopher_quality,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "decontam_ngram_overlap": q_decontam_ngram_overlap,
+        "unigram_xent": q_unigram_xent,
+        "pack_chunks": q_pack_chunks,
+        "mixture_rates": q_mixture_rates,
+        "token_windows": q_token_windows,
+        "sample_quality_weighted": q_sample_quality_weighted,
+        "dedup_exact_prefix": q_dedup_exact_prefix,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "simhash": q_simhash,
+        "a4_binned_1d": q_a4_binned_1d,
+        "a5_binned_2d": q_a5_binned_2d,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_spans": q_dedup_spans,
+        "vocab_build": q_vocab_build,
+        "vocab_encode": q_vocab_encode,
+        "corpus_entropy": q_corpus_entropy,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "stream_daily_counts": q_stream_daily_counts,
+        "stream_dedup_watermark": q_stream_dedup_watermark,
+        "g1_nearest_regrid": q_g1_nearest_regrid,
+        "u1_union_by_name": q_u1_union_by_name,
+        "o3_distinct": q_o3_distinct,
+        "e5_array_roundtrip": q_e5_array_roundtrip,
+        "f2_datetime_components": q_f2_datetime_components,
+        "s5_calendar_offset_missing": q_s5_calendar_offset_missing,
+        "r1_split": q_r1_split,
+        "spec_regridded_bilinear": q_spec_regridded_bilinear,
+        "spec_scene_filter": q_spec_scene_filter,
+        "s2_goes16_query": q_s2_goes16_query,
+        "s4_era5_manifest": q_s4_era5_manifest,
     }
 
 

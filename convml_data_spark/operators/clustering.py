@@ -381,19 +381,23 @@ def dbscan_eps_ladder(
     )
     outs = []
     prev_core_labels = None
-    for eps in eps_levels:
+    for lvl, eps in enumerate(eps_levels):
         level_edges = edges.where(F.col("_d2") <= F.lit(eps * eps)).select(
             "id_a", "id_b"
         )
+        # the core-label checkpoint pays for itself only when a NEXT level
+        # consumes it for contraction — the last level's consumers re-read
+        # CC's own final checkpoint, so skip the extra materialization there
+        last = lvl == len(eps_levels) - 1
         labeled, core_labels = _labels_from_edges(
             pts,
             level_edges,
             min_pts,
             durable,
             prev_core_labels=prev_core_labels,
-            materialize_core=warm_start,
+            materialize_core=warm_start and not last,
         )
-        if warm_start:
+        if warm_start and not last:
             prev_core_labels = core_labels
         outs.append(labeled.select("id", F.lit(eps).alias("eps"), "label", "is_core"))
     out = outs[0]

@@ -1057,6 +1057,9 @@ def test_epsilon_grid_cell_skew_metric_fires_on_dense_cell(spark):
     # each; neighbor-cell offsets add nothing (all other cells empty in
     # the 3x3 halo of every occupied cell)
     assert obs.get["candidate_pairs"] == 60 * 60 + 10
+
+
+def test_dbscan_eps_ladder_warm_start_matches_cold(spark):
     """The warm-started ladder (level k's core labels contract level
     k+1's CC graph into super-nodes) must be LABEL-IDENTICAL to running
     every level from scratch — on a random point cloud whose density
