@@ -85,6 +85,156 @@ def epsilon_grid_cell_stats(
     )
 
 
+#: Coarse-cell occupancy above which :func:`_eps_edges` refines the cell
+#: to eps/2 sub-cells before the neighbor join. At the threshold a single
+#: cell contributes ~T² same-cell candidate rows (~1.7e7 at 4096) — about
+#: the most one task should absorb before the grid splits the work.
+DENSE_CELL_THRESHOLD = 4096
+
+
+def _eps_edges(
+    pts: DataFrame,
+    eps: float,
+    durable: bool | None,
+    skew_observation: "Observation | None",
+    dense_cell_threshold: int | None,
+) -> DataFrame:
+    """Materialized DIRECTED eps-neighbor edge list ``(id_a, id_b, _d2)``
+    over ``pts(id, x, y)`` — every ordered pair with distinct ids and
+    distance ≤ eps appears exactly once. Shared by :func:`dbscan_labels`
+    and :func:`dbscan_eps_ladder`.
+
+    Two-level epsilon grid (the dense-cell mitigation): a coarse cell
+    holding more than ``dense_cell_threshold`` points would contribute
+    count² same-cell candidates AND count·neighbor-count cross-cell
+    candidates to the plain 3×3 join — the engine's one quadratic corner
+    (:func:`epsilon_grid_cell_stats` measures it). Points in such cells
+    are REFINED to eps/2 sub-cells and joined through a 5×5 sub-cell halo
+    (halo area 6.25·eps² vs the coarse 9·eps², and a dense blob stops
+    being paired against entire adjacent cells it cannot reach), while
+    sparse-cell points keep the cheap 3×3 coarse join. The ordered-pair
+    classes partition cleanly:
+
+    - sparse→sparse: coarse 3×3 join, sparse side both ends;
+    - dense→anything: fine 5×5 join, dense left vs ALL points keyed by
+      sub-cell (any point within eps of a dense-cell point is ≤ 2
+      sub-cells away on each axis, since eps = 2 sub-cell widths);
+    - sparse→dense: the FLIP of the filtered dense→sparse edges —
+      distance is symmetric, so no third join is needed.
+
+    ``dense_cell_threshold=None`` disables refinement (single-level 3×3
+    grid — the property-test baseline; labels are identical by
+    construction because the edge SET is). The refined path costs one
+    extra cell-count aggregation and one tag join over the points — both
+    hash-partitioned on the cell key, nothing driver-sized — and AQE
+    collapses the empty dense branch at runtime when no cell crosses the
+    threshold.
+
+    ``skew_observation`` rides the pre-filter candidate union
+    (``candidate_pairs`` = total grid-join output rows, the quantity the
+    refinement bounds) and forces the edge materialization EAGER so the
+    metric fires (a lazily checkpointed plan executes inside a consumer's
+    job and reports nothing).
+    """
+    from .persist import materialize_for_reuse
+
+    eps = float(eps)
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+
+    def halo_join(left_src, right_src, kx, ky, reach, flip_expr):
+        # left side explodes its (2·reach+1)² neighbor offsets -> equi-join
+        # on the target cell; each unordered eps-pair appears in BOTH
+        # directions (a's offset hits b's cell and vice versa) unless the
+        # pair straddles the dense/sparse split — the flip branch restores
+        # those (see the docstring)
+        off = F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx in range(-reach, reach + 1)
+                    for dy in range(-reach, reach + 1)
+                ]
+            )
+        ).alias("o")
+        left = left_src.select("id", "x", "y", kx, ky, off).select(
+            F.col("id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col(kx) + F.col("o.dx")).alias("tkx"),
+            (F.col(ky) + F.col("o.dy")).alias("tky"),
+        )
+        right = right_src.select(
+            F.col("id").alias("id_b"),
+            F.col("x").alias("xb"),
+            F.col("y").alias("yb"),
+            F.col(kx).alias("tkx"),
+            F.col(ky).alias("tky"),
+            flip_expr.alias("_flip"),
+        )
+        return left.join(right, ["tkx", "tky"]).select(
+            "id_a", "xa", "ya", "id_b", "xb", "yb", "_flip"
+        )
+
+    cx = F.floor(F.col("x") / F.lit(eps))
+    cy = F.floor(F.col("y") / F.lit(eps))
+    cells = pts.select("id", "x", "y", cx.alias("cx"), cy.alias("cy"))
+    if dense_cell_threshold is None:
+        cand = halo_join(cells, cells, "cx", "cy", 1, F.lit(False))
+    else:
+        half = eps / 2.0
+        dense_keys = (
+            cells.groupBy("cx", "cy")
+            .agg(F.count("*").alias("_cc"))
+            .where(F.col("_cc") > int(dense_cell_threshold))
+            .select("cx", "cy", F.lit(True).alias("_dense"))
+        )
+        tagged = cells.join(dense_keys, ["cx", "cy"], "left").select(
+            "id",
+            "x",
+            "y",
+            "cx",
+            "cy",
+            F.coalesce("_dense", F.lit(False)).alias("_dense"),
+            F.floor(F.col("x") / F.lit(half)).alias("fx"),
+            F.floor(F.col("y") / F.lit(half)).alias("fy"),
+        )
+        # four branch inputs read this relation — materialize the
+        # scan+count+tag work once (lazy: filled by the edge job)
+        tagged = materialize_for_reuse(tagged, durable=durable)
+        sparse = tagged.where(~F.col("_dense"))
+        dense = tagged.where(F.col("_dense"))
+        cand = halo_join(sparse, sparse, "cx", "cy", 1, F.lit(False)).unionByName(
+            # dense→sparse edges get flipped into the missing sparse→dense
+            # direction after the distance filter
+            halo_join(dense, tagged, "fx", "fy", 2, ~F.col("_dense"))
+        )
+    if skew_observation is not None:
+        cand = cand.observe(
+            skew_observation, F.count(F.lit(1)).alias("candidate_pairs")
+        )
+    kept = cand.where(
+        (F.col("id_a") != F.col("id_b")) & (d2 <= F.lit(eps * eps))
+    ).select("id_a", "id_b", d2.alias("_d2"), "_flip")
+    edges = kept.select("id_a", "id_b", "_d2").unionByName(
+        kept.where(F.col("_flip")).select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "_d2",
+        )
+    )
+    # the edge list feeds several consumers (core counts, CC, border
+    # assignment; every ladder level) — materialize it ONCE, lazily (an
+    # eager checkpoint would execute the full grid join at plan
+    # CONSTRUCTION time — every explain() of a dbscan query would run the
+    # job); durable=True swaps the executor-local blocks for a reliable
+    # checkpoint. The opt-in skew probe forces eager: see the docstring.
+    return materialize_for_reuse(
+        edges, durable=durable, eager=skew_observation is not None
+    )
+
+
 def dbscan_labels(
     points: DataFrame,
     eps: float,
@@ -94,6 +244,7 @@ def dbscan_labels(
     y_col: str = "y",
     durable: bool | None = None,
     skew_observation: "Observation | None" = None,
+    dense_cell_threshold: int | None = DENSE_CELL_THRESHOLD,
 ) -> DataFrame:
     """Exact 2-D DBSCAN: returns ``(id, label, is_core)`` with
     ``label`` = the minimum core id of the point's cluster (NULL = noise).
@@ -118,6 +269,12 @@ def dbscan_labels(
     checkpointed plan runs inside a consumer's job and reports nothing),
     so the grid join executes when the DataFrame is BUILT, exactly like
     the CC rounds' probes.
+
+    ``dense_cell_threshold`` arms the two-level grid (see
+    :func:`_eps_edges`): coarse cells holding more than this many points
+    are refined to eps/2 sub-cells before the neighbor join, bounding the
+    dense-cell candidate blow-up; ``None`` keeps the single-level 3×3
+    grid. The label output is identical either way (the edge set is).
     """
     eps = float(eps)
     pts = points.select(
@@ -125,58 +282,9 @@ def dbscan_labels(
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
     )
-    cx = F.floor(F.col("x") / F.lit(eps))
-    cy = F.floor(F.col("y") / F.lit(eps))
-    cells = pts.select("id", "x", "y", cx.alias("cx"), cy.alias("cy"))
-    # left side explodes its 9 neighbor offsets -> equi-join on the target
-    # cell; each unordered eps-pair appears in BOTH directions (a's offset
-    # hits b's cell and vice versa), which is exactly what the per-point
-    # neighbor count wants
-    off = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                for dx in (-1, 0, 1)
-                for dy in (-1, 0, 1)
-            ]
-        )
-    ).alias("o")
-    left = cells.select("id", "x", "y", "cx", "cy", off).select(
-        F.col("id").alias("id_a"),
-        F.col("x").alias("xa"),
-        F.col("y").alias("ya"),
-        (F.col("cx") + F.col("o.dx")).alias("tcx"),
-        (F.col("cy") + F.col("o.dy")).alias("tcy"),
-    )
-    right = cells.select(
-        F.col("id").alias("id_b"),
-        F.col("x").alias("xb"),
-        F.col("y").alias("yb"),
-        F.col("cx").alias("tcx"),
-        F.col("cy").alias("tcy"),
-    )
-    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
-        F.col("ya") - F.col("yb")
-    ) * (F.col("ya") - F.col("yb"))
-    cand = left.join(right, ["tcx", "tcy"])
-    if skew_observation is not None:
-        cand = cand.observe(
-            skew_observation, F.count(F.lit(1)).alias("candidate_pairs")
-        )
-    edges = cand.where(
-        (F.col("id_a") != F.col("id_b")) & (d2 <= F.lit(eps * eps))
+    edges = _eps_edges(
+        pts, eps, durable, skew_observation, dense_cell_threshold
     ).select("id_a", "id_b")
-    # the edge list feeds three consumers (core counts, CC, border
-    # assignment) — materialize it ONCE, lazily (an eager checkpoint
-    # would execute the full grid join at plan CONSTRUCTION time — every
-    # explain() of a dbscan query would run the job); durable=True swaps
-    # the executor-local blocks for a reliable checkpoint. The opt-in
-    # skew probe forces eager: see the docstring.
-    from .persist import materialize_for_reuse
-
-    edges = materialize_for_reuse(
-        edges, durable=durable, eager=skew_observation is not None
-    )
     return _labels_from_edges(pts, edges, min_pts, durable)[0]
 
 
@@ -297,6 +405,7 @@ def dbscan_eps_ladder(
     durable: bool | None = None,
     warm_start: bool = True,
     skew_observation: "Observation | None" = None,
+    dense_cell_threshold: int | None = DENSE_CELL_THRESHOLD,
 ) -> DataFrame:
     """HDBSCAN-style hierarchy SLICE: exact DBSCAN labels at every eps in
     a small ladder, from ONE candidate join — the relational analog of
@@ -325,9 +434,11 @@ def dbscan_eps_ladder(
     real ladder depths. ``warm_start=False`` runs every level from
     scratch (the property-test baseline; labels are identical by
     construction).
-    """
-    from .persist import materialize_for_reuse
 
+    ``dense_cell_threshold``: the two-level-grid dense-cell mitigation,
+    applied at ``eps_max`` (see :func:`_eps_edges`); ``None`` keeps the
+    single-level grid. Labels are identical either way.
+    """
     eps_levels = sorted({float(e) for e in eps_levels})
     if not eps_levels:
         raise ValueError("eps_levels must be non-empty")
@@ -337,47 +448,8 @@ def dbscan_eps_ladder(
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
     )
-    cx = F.floor(F.col("x") / F.lit(eps_max))
-    cy = F.floor(F.col("y") / F.lit(eps_max))
-    cells = pts.select("id", "x", "y", cx.alias("cx"), cy.alias("cy"))
-    off = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                for dx in (-1, 0, 1)
-                for dy in (-1, 0, 1)
-            ]
-        )
-    ).alias("o")
-    left = cells.select("id", "x", "y", "cx", "cy", off).select(
-        F.col("id").alias("id_a"),
-        F.col("x").alias("xa"),
-        F.col("y").alias("ya"),
-        (F.col("cx") + F.col("o.dx")).alias("tcx"),
-        (F.col("cy") + F.col("o.dy")).alias("tcy"),
-    )
-    right = cells.select(
-        F.col("id").alias("id_b"),
-        F.col("x").alias("xb"),
-        F.col("y").alias("yb"),
-        F.col("cx").alias("tcx"),
-        F.col("cy").alias("tcy"),
-    )
-    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
-        F.col("ya") - F.col("yb")
-    ) * (F.col("ya") - F.col("yb"))
-    cand = left.join(right, ["tcx", "tcy"])
-    if skew_observation is not None:
-        # in-flight skew probe: collects during the (then eager) edge
-        # checkpoint execution (see dbscan_labels)
-        cand = cand.observe(
-            skew_observation, F.count(F.lit(1)).alias("candidate_pairs")
-        )
-    edges = cand.where(
-        (F.col("id_a") != F.col("id_b")) & (d2 <= F.lit(eps_max * eps_max))
-    ).select("id_a", "id_b", d2.alias("_d2"))
-    edges = materialize_for_reuse(
-        edges, durable=durable, eager=skew_observation is not None
+    edges = _eps_edges(
+        pts, eps_max, durable, skew_observation, dense_cell_threshold
     )
     outs = []
     prev_core_labels = None

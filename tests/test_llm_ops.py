@@ -1059,6 +1059,113 @@ def test_epsilon_grid_cell_skew_metric_fires_on_dense_cell(spark):
     assert obs.get["candidate_pairs"] == 60 * 60 + 10
 
 
+def test_dense_cell_refinement_bounds_candidates(spark):
+    """The dense-cell MITIGATION (eps/2 two-level grid): a dense blob in
+    the corner of a coarse cell must stop being paired against an entire
+    adjacent cell it cannot reach. Unrefined, the corner blob (50 pts)
+    and the far-corner neighbor-cell group (30 pts) produce
+    50² + 30² + 2·50·30 = 6410 candidates although no cross pair is
+    within eps; refined (threshold 40 < 50), the blob's 5×5 eps/2
+    sub-cell halo excludes the group entirely and the join emits EXACTLY
+    the true same-ball candidate count 50² + 30² = 3400 (K = 1 × true
+    pairs). Labels must be identical either way."""
+    from pyspark.sql import Observation
+
+    from convml_data_spark.operators.clustering import dbscan_labels
+
+    rows = []
+    for k in range(50):  # tight blob in the (0, 0) corner of cell (0, 0)
+        rows.append((k, 0.04 + 0.0001 * k, 0.05))
+    for k in range(30):  # far corner of the adjacent cell (1, 1)
+        rows.append((100 + k, 1.95, 1.9 + 0.001 * k))
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+
+    obs_coarse = Observation()
+    lab_coarse = {
+        r["id"]: (r["label"], r["is_core"])
+        for r in dbscan_labels(
+            pts,
+            eps=1.0,
+            min_pts=4,
+            skew_observation=obs_coarse,
+            dense_cell_threshold=None,
+        ).collect()
+    }
+    assert obs_coarse.get["candidate_pairs"] == 50 * 50 + 30 * 30 + 2 * 50 * 30
+
+    obs_fine = Observation()
+    lab_fine = {
+        r["id"]: (r["label"], r["is_core"])
+        for r in dbscan_labels(
+            pts,
+            eps=1.0,
+            min_pts=4,
+            skew_observation=obs_fine,
+            dense_cell_threshold=40,
+        ).collect()
+    }
+    assert obs_fine.get["candidate_pairs"] == 50 * 50 + 30 * 30
+    assert lab_fine == lab_coarse
+    # both groups are fully mutually-in-range -> two clusters, min-id label
+    assert lab_fine[0] == (0, True)
+    assert lab_fine[129] == (100, True)
+
+
+def test_dbscan_refined_matches_unrefined_random(spark):
+    """Label-identity property: the two-level grid (tiny threshold, so
+    real data lands in BOTH the dense and sparse branches and the
+    sparse→dense flip carries real edges) must agree with the
+    single-level grid on random blobs+background, for the single-eps
+    operator and the ladder."""
+    import random
+
+    from convml_data_spark.operators.clustering import (
+        dbscan_eps_ladder,
+        dbscan_labels,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for b, (bx, by) in enumerate([(0.0, 0.0), (0.5, 0.1), (0.2, 0.6)]):
+        for k in range(50):
+            rows.append(
+                (b * 100 + k, bx + rng.gauss(0, 0.04), by + rng.gauss(0, 0.04))
+            )
+    for k in range(60):
+        rows.append((900 + k, rng.uniform(-0.5, 1.0), rng.uniform(-0.5, 1.0)))
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+
+    base = {
+        r["id"]: (r["label"], r["is_core"])
+        for r in dbscan_labels(
+            pts, eps=0.08, min_pts=5, dense_cell_threshold=None
+        ).collect()
+    }
+    fine = {
+        r["id"]: (r["label"], r["is_core"])
+        for r in dbscan_labels(
+            pts, eps=0.08, min_pts=5, dense_cell_threshold=8
+        ).collect()
+    }
+    assert fine == base
+    assert any(lab is not None for lab, _ in base.values())
+
+    levels = [0.04, 0.08, 0.16]
+    lad_base = {
+        (r["id"], r["eps"]): (r["label"], r["is_core"])
+        for r in dbscan_eps_ladder(
+            pts, levels, min_pts=5, dense_cell_threshold=None
+        ).collect()
+    }
+    lad_fine = {
+        (r["id"], r["eps"]): (r["label"], r["is_core"])
+        for r in dbscan_eps_ladder(
+            pts, levels, min_pts=5, dense_cell_threshold=8
+        ).collect()
+    }
+    assert lad_fine == lad_base
+
+
 def test_dbscan_eps_ladder_warm_start_matches_cold(spark):
     """The warm-started ladder (level k's core labels contract level
     k+1's CC graph into super-nodes) must be LABEL-IDENTICAL to running
