@@ -1618,6 +1618,22 @@ def q_decontam_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train×train exact-substring SELF-dedup (corpus.py::
+    exact_substring_self_dedup — the Lee et al. 2022 headline policy,
+    completing the decontam_substring/decontam_excise family): every
+    7-token span occurring in >=2 distinct docs survives only in its
+    minimum doc id; every other holder excises the covered tokens.
+    Stride-1 window hashes, unique spans pruned by a min!=max owner
+    aggregation BEFORE the hit join, excision via the same certified
+    in-row indexed array-filter rebuild — grouped by span hash, never
+    all-pairs."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.exact_substring_self_dedup(docs, k=7)
+
+
 def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gate (corpus.py::gopher_quality): word-count /
     word-length / repetition / stopword rules with per-rule flags."""
@@ -2757,6 +2773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (gopher_repetition onward plus any displaced fillers), then the
         # oldest r11. Every key stays covered every round by
         # tests/test_oracle_parity.py.
+        # --- new in round 12 (never certified) ---
+        "dedup_exact_substring": q_dedup_exact_substring,
         # --- last driver row r8: three rounds stale (all 40) ---
         "j10_interval_join": q_j10_interval_join,
         "w5_sliding_tiles": q_w5_sliding_tiles,
@@ -5648,6 +5666,69 @@ def oracle_sql() -> dict[str, str]:
                       FROM sized
                       WHERE NOT is_eval
                         AND doc_id IN (SELECT doc_id FROM badpos)) s
+            ), kept AS (
+                SELECT t.doc_id, t.pos, t.tok
+                FROM toks_pos t
+                LEFT JOIN badpos b
+                  ON t.doc_id = b.doc_id AND t.pos = b.pos
+                WHERE b.pos IS NULL
+            ), clean AS (
+                SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY pos) AS clean_text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   CAST(s.n AS BIGINT) AS n_tokens,
+                   c.n_removed,
+                   COALESCE(cl.clean_text, '') AS clean_text
+            FROM (SELECT doc_id, count(*) AS n_removed
+                  FROM badpos GROUP BY doc_id) c
+            JOIN sized s USING (doc_id)
+            LEFT JOIN clean cl USING (doc_id)
+        """,
+        # train×train self-dedup replay: same window/hash program as
+        # decontam_substring but the corpus on both sides — owners =
+        # per-span min(doc_id) kept only where min != max (cross-doc
+        # duplicates), hits = non-owner occurrences, excision identical
+        # to the decontam_excise rebuild
+        "dedup_exact_substring": """
+            WITH base AS (
+                SELECT doc_id,
+                       COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != ''), []) AS toks
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, toks, len(toks) AS n FROM base
+            ), wins AS (
+                SELECT doc_id, toks, n,
+                       unnest(range(0, greatest(n, 1), 1)) AS start
+                FROM sized
+            ), full_wins AS (
+                SELECT doc_id, start,
+                       md5(array_to_string(toks[start + 1 : start + 7], ' '))
+                           AS h
+                FROM wins
+                WHERE (start = 0 OR start - 1 + 7 < n)
+                  AND least(start + 7, n) - start = 7
+            ), own AS (
+                SELECT h, min(doc_id) AS owner FROM full_wins
+                GROUP BY h HAVING min(doc_id) != max(doc_id)
+            ), hits AS (
+                SELECT f.doc_id, f.start
+                FROM full_wins f JOIN own o USING (h)
+                WHERE f.doc_id != o.owner
+            ), badpos AS (
+                SELECT DISTINCT doc_id, pos FROM (
+                    SELECT doc_id,
+                           unnest(range(start, start + 7)) AS pos
+                    FROM hits
+                )
+            ), toks_pos AS (
+                SELECT s.doc_id, i AS pos, s.toks[i + 1] AS tok
+                FROM (SELECT doc_id, toks,
+                             unnest(range(0, len(toks))) AS i
+                      FROM sized
+                      WHERE doc_id IN (SELECT doc_id FROM badpos)) s
             ), kept AS (
                 SELECT t.doc_id, t.pos, t.tok
                 FROM toks_pos t

@@ -719,6 +719,24 @@ def excise_contaminated_spans(
     """
     tspan, espan = _span_hash_sides(train, eval_docs, k, id_col, text_col)
     hits = tspan.join(espan, "_h").select(F.col(id_col), F.col("start"))
+    return _excise_by_hits(train, hits, k, id_col, text_col)
+
+
+def _excise_by_hits(
+    docs: DataFrame,
+    hits: DataFrame,
+    k: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared excision tail of the exact-substring family: given the
+    matched k-window starts ``hits(id, start)``, delete every covered
+    token and rebuild — one row per AFFECTED doc
+    ``(id, n_tokens, n_removed, clean_text)``. Covered positions
+    collapse to ONE sorted distinct array per doc in a single hash
+    aggregation (state bounded by the doc's own token count); the
+    rebuild is a per-row array filter by index — token streams are never
+    exploded or shuffled token-by-token."""
     badarr = hits.groupBy(id_col).agg(
         F.array_sort(
             F.array_distinct(
@@ -736,7 +754,7 @@ def excise_contaminated_spans(
 
     toks = T.tokens(F.lower(F.col(text_col)))
     return (
-        _spread(train, id_col)
+        _spread(docs, id_col)
         .join(badarr, id_col)
         .select(
             F.col(id_col),
@@ -753,6 +771,67 @@ def excise_contaminated_spans(
             ).alias("clean_text"),
         )
     )
+
+
+def exact_substring_self_dedup(
+    docs: DataFrame,
+    k: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    durable: bool | None = None,
+) -> DataFrame:
+    """Train×train exact-substring SELF-deduplication — the headline use
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): :func:`exact_span_decontaminate` removes training
+    spans leaked from an EVAL suite; this operator removes spans the
+    training corpus duplicates WITHIN ITSELF. Any k-token span occurring
+    in ≥ 2 distinct docs keeps its occurrences only in the span's
+    MINIMUM doc id (the survivor — deterministic, engine-replayable);
+    every other doc holding the span deletes every covered token and
+    re-joins the remainder (the paper's remove-the-span policy, via the
+    same certified excision tail as :func:`excise_contaminated_spans`).
+    Spans repeated only WITHIN one doc are untouched (single-doc
+    repetition is :func:`gopher_repetition_ladder`'s subject, not
+    cross-doc duplication).
+
+    Returns one row per AFFECTED doc:
+    ``(id, n_tokens, n_removed, clean_text)`` over the lowercased/
+    whitespace-normalized token stream the matching runs on; a doc that
+    is one big duplicated span comes back with ``clean_text = ''``.
+
+    Scale design: stride-1 k-windows from :func:`sliding_token_windows`
+    (in-row explode) project IMMEDIATELY to ``(id, start, md5)`` — no
+    window text ever shuffles; the span relation feeds two consumers
+    (the owner aggregation and the hit join), so it is materialized once
+    (``durable`` as in :func:`~.persist.materialize_for_reuse`); owners
+    come from one map-side-combined hash aggregation KEPT ONLY where
+    ``min(id) != max(id)`` — unique spans (the overwhelming mass of a
+    real corpus) never enter the hit join; everything is grouped by span
+    hash — never all-pairs, no suffix array, no driver state.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from .persist import materialize_for_reuse
+
+    w = sliding_token_windows(
+        docs, size=k, stride=1, id_col=id_col, text_col=text_col
+    )
+    span = w.where(F.col("end") - F.col("start") == k).select(
+        F.col(id_col), F.col("start"), F.md5("win_text").alias("_h")
+    )
+    span = materialize_for_reuse(span, durable=durable)
+    dup = (
+        span.groupBy("_h")
+        .agg(F.min(id_col).alias("_owner"), F.max(id_col).alias("_mx"))
+        .where(F.col("_owner") != F.col("_mx"))
+        .select("_h", "_owner")
+    )
+    hits = (
+        span.join(dup, "_h")
+        .where(F.col(id_col) != F.col("_owner"))
+        .select(F.col(id_col), F.col("start"))
+    )
+    return _excise_by_hits(docs, hits, k, id_col, text_col)
 
 
 def unigram_logprob_score(

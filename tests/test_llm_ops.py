@@ -593,6 +593,68 @@ def test_excise_contaminated_spans_removes_covered_tokens(spark):
     assert flagged == set(got)
 
 
+def test_exact_substring_self_dedup_min_id_survivorship(spark):
+    """Train×train self-dedup (corpus.py::exact_substring_self_dedup):
+    a k-span shared by two docs survives only in the MIN doc id (the
+    other doc excises it); a span repeated only WITHIN one doc is
+    untouched; an exact-duplicate doc collapses to clean_text=''; the
+    owner doc and unaffected docs emit no row."""
+    from convml_data_spark.operators.corpus import exact_substring_self_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g x1 x2"),        # owner of the shared span
+            (2, "y1 a b c d e f g y2"),        # shares exactly one 7-span
+            (3, "p q r s t u v p q r s t u v"),  # within-doc repeat only
+            (4, "completely different tokens here now ok fine"),
+            (5, "a b c d e f g x1 x2"),        # exact duplicate of doc 1
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in exact_substring_self_dedup(docs, k=7).collect()
+    }
+    assert got == {2: (9, 7, "y1 y2"), 5: (9, 9, "")}
+
+
+def test_exact_substring_self_dedup_matches_python_reference(spark):
+    """Randomized cross-check: exact_substring_self_dedup equals a
+    brute-force Python implementation (all k-windows, min-id owners over
+    cross-doc spans, covered-position union, in-order rebuild) on random
+    small-vocab corpora with NULL/empty/short docs in the mix."""
+    from convml_data_spark.operators.corpus import exact_substring_self_dedup
+
+    k = 3
+    rows = _random_corpus(23, 30, 5, 14)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    toks = {i: (t or "").lower().split() for i, t in rows}
+    spans: dict[tuple, set] = {}
+    for i, ts in toks.items():
+        for s in range(len(ts) - k + 1):
+            spans.setdefault(tuple(ts[s : s + k]), set()).add(i)
+    owners = {sp: min(ds) for sp, ds in spans.items() if len(ds) >= 2}
+    want = {}
+    for i, ts in toks.items():
+        bad: set = set()
+        for s in range(len(ts) - k + 1):
+            sp = tuple(ts[s : s + k])
+            if sp in owners and owners[sp] != i:
+                bad.update(range(s, s + k))
+        if bad:
+            clean = " ".join(t for j, t in enumerate(ts) if j not in bad)
+            want[i] = (len(ts), len(bad), clean)
+    assert want, "vacuous corpus: no cross-doc duplicated spans generated"
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in exact_substring_self_dedup(docs, k=k).collect()
+    }
+    assert got == want
+
+
 def test_incremental_sig_dedup_band_and_agreement_rules(spark):
     """Incremental index dedup (dedup.py::incremental_sig_dedup): a new
     doc drops only when BOTH a full band collides AND the agreement
