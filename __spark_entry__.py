@@ -1551,6 +1551,23 @@ def q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bigram_backoff_score(scored, lm)
 
 
+def q_trigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff TRIGRAM LM score (corpus.py::trigram_backoff_score,
+    Brants et al. 2007) — the recursive backoff chain one order above
+    bigram_xent, same LM split (doc_id % 10 == 0 plays the curated
+    reference corpus) so all three branches fire at sf0.01 AND sf0.1:
+    S(w3|w1 w2) = c123/c12, backing off to α·c23/c2, then to
+    α²·add-one-unigram. In-row trigram construction (three shifted
+    slices zipped), three LM hash aggs, five equi-joins, DECIMAL(38,12)
+    log sums, round(6) + 0.0."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = docs.where(F.col("doc_id") % 10 == 0)
+    scored = docs.where(F.col("doc_id") % 10 != 0)
+    return corpus.trigram_backoff_score(scored, lm)
+
+
 def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup (dedup.py::cdc_chunks /
     cdc_dedup_stats — the LBFS/FastCDC storage-dedup primitive at token
@@ -2775,6 +2792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_oracle_parity.py.
         # --- new in round 12 (never certified) ---
         "dedup_exact_substring": q_dedup_exact_substring,
+        "trigram_xent": q_trigram_xent,
         # --- last driver row r8: three rounds stale (all 40) ---
         "j10_interval_join": q_j10_interval_join,
         "w5_sliding_tiles": q_w5_sliding_tiles,
@@ -5795,6 +5813,72 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    count(*) AS n_bigrams,
+                   round(-CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE)
+                         / count(*), 6) + 0.0 AS xent_nats
+            FROM terms GROUP BY doc_id
+        """,
+        # Stupid-Backoff TRIGRAM replay: the bigram_xent program one
+        # order up — trigrams via 1-based list indexing over
+        # unnest(range(1, len-1)); α forced to DOUBLE before any
+        # arithmetic so α and α·α are the identical IEEE values Spark
+        # computes (DuckDB would otherwise fold 0.4·0.4 as exact
+        # DECIMAL 0.16); a seen trigram implies a seen (w1,w2) bigram
+        # and a seen bigram a seen w2, so in-branch denominators are
+        # never NULL on either engine
+        "trigram_xent": """
+            WITH lmbase AS (
+                SELECT COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != ''), []) AS toks
+                FROM documents WHERE doc_id % 10 = 0
+            ), lmtok AS (
+                SELECT unnest(toks) AS w FROM lmbase
+            ), cu AS (
+                SELECT w, count(*) AS cu FROM lmtok GROUP BY w
+            ), nv AS (
+                SELECT sum(cu) AS n, count(*) AS v FROM cu
+            ), cb AS (
+                SELECT w1, w2, count(*) AS cb FROM (
+                    SELECT toks[i] AS w1, toks[i + 1] AS w2
+                    FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                          FROM lmbase)
+                ) GROUP BY w1, w2
+            ), ct AS (
+                SELECT w1, w2, w3, count(*) AS ct FROM (
+                    SELECT toks[i] AS w1, toks[i + 1] AS w2,
+                           toks[i + 2] AS w3
+                    FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i
+                          FROM lmbase)
+                ) GROUP BY w1, w2, w3
+            ), scbase AS (
+                SELECT doc_id,
+                       COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != ''), []) AS toks
+                FROM documents WHERE doc_id % 10 <> 0
+            ), inst AS (
+                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+                       toks[i + 2] AS w3
+                FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+                      FROM scbase)
+            ), terms AS (
+                SELECT doc_id,
+                       CASE WHEN ct.ct IS NOT NULL
+                            THEN ln(ct.ct / c12.cb)
+                            WHEN c23.cb IS NOT NULL
+                            THEN ln(CAST(0.4 AS DOUBLE) * c23.cb / cu2.cu)
+                            ELSE ln((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE))
+                                    * (COALESCE(cu3.cu, 0) + 1)
+                                    / (nv.n + nv.v))
+                       END AS term
+                FROM inst
+                LEFT JOIN ct USING (w1, w2, w3)
+                LEFT JOIN cb c12 ON inst.w1 = c12.w1 AND inst.w2 = c12.w2
+                LEFT JOIN cb c23 ON inst.w2 = c23.w1 AND inst.w3 = c23.w2
+                LEFT JOIN cu cu2 ON inst.w2 = cu2.w
+                LEFT JOIN cu cu3 ON inst.w3 = cu3.w
+                CROSS JOIN nv
+            )
+            SELECT doc_id,
+                   count(*) AS n_trigrams,
                    round(-CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE)
                          / count(*), 6) + 0.0 AS xent_nats
             FROM terms GROUP BY doc_id

@@ -995,6 +995,153 @@ def bigram_backoff_score(
     )
 
 
+def _trigram_instances(
+    docs: DataFrame, id_cols: list[str], text_col: str
+) -> DataFrame:
+    """(id_cols..., w1, w2, w3) — one row per ordered token triple, built
+    IN-ROW (three shifted slices zipped, the :func:`_bigram_instances`
+    construction one step up): no window, no self-join, no shuffle before
+    the explode."""
+    toks = T.tokens(F.lower(F.col(text_col)))
+    m = F.greatest(F.size("_t") - 2, F.lit(0))
+    return (
+        docs.select(*id_cols, toks.alias("_t"))
+        .select(
+            *id_cols,
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_t", 1, m).alias("w1"),
+                    F.slice("_t", 2, m).alias("w2"),
+                    F.slice("_t", 3, m).alias("w3"),
+                )
+            ).alias("_tg"),
+        )
+        .select(
+            *id_cols,
+            F.col("_tg.w1").alias("w1"),
+            F.col("_tg.w2").alias("w2"),
+            F.col("_tg.w3").alias("w3"),
+        )
+    )
+
+
+def trigram_backoff_score(
+    docs: DataFrame,
+    lm_docs: DataFrame,
+    alpha: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    durable: bool | None = None,
+) -> DataFrame:
+    """Stupid-Backoff TRIGRAM cross-entropy — the recursive backoff chain
+    of Brants et al. 2007 one level above :func:`bigram_backoff_score`
+    (the paper's recipe applies the same α-discounted relative-frequency
+    step at every order). Per token transition::
+
+        S(w3 | w1 w2) = c(w1 w2 w3) / c(w1 w2)          seen trigram
+                      = α · c(w2 w3) / c(w2)             seen bigram
+                      = α² · (c(w3) + 1) / (N + V)       add-one unigram
+
+    ``xent_nats = −(Σ ln S) / n_trigrams`` over the doc's
+    ``n_tokens − 2`` transitions; docs with < 3 tokens emit no row.
+    Lower = more LM-like. A seen trigram implies a seen (w1 w2) bigram
+    and a seen bigram implies a seen w2, so neither in-branch
+    denominator is ever NULL and every branch has S ≤ 1 except the
+    α-discounted ones (bounded by α, α²) — xent stays finite for any
+    input.
+
+    Scale design (the :func:`bigram_backoff_score` shape, one order up):
+    trigram instances are built in-row (three shifted slices zipped);
+    the LM tables are three corpus-wide map-side-combined hash
+    aggregations; the per-doc pass is five hash equi-joins (trigram,
+    both bigram roles, both unigram roles) + one aggregation; the (N, V)
+    scalars ride a broadcast 1-row relation. The bigram LM relation
+    feeds TWO consumers (the (w1 w2) denominator join and the (w2 w3)
+    backoff join) and the unigram relation THREE (both word roles + the
+    scalars) — both are vocabulary-bounded and materialized once
+    (``durable``: :func:`~.persist.materialize_for_reuse`). Float
+    discipline as the whole LM-score family: every ``ln`` term casts to
+    DECIMAL(38,12) before summing, final ``round(6) + 0.0``.
+    """
+    from .dedup import _spread
+    from .persist import materialize_for_reuse
+
+    inst = _trigram_instances(_spread(docs, id_col), [id_col], text_col)
+    c3 = (
+        _trigram_instances(lm_docs, [], text_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("_c3"))
+    )
+    c2 = (
+        _bigram_instances(lm_docs, [], text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("_c2"))
+    )
+    c2 = materialize_for_reuse(c2, durable=durable)
+    cu = (
+        lm_docs.select(F.explode(T.tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("_cu"))
+    )
+    cu = materialize_for_reuse(cu, durable=durable)
+    nv = cu.agg(F.sum("_cu").alias("_N"), F.count("*").alias("_V"))
+    scored = (
+        inst.join(c3, ["w1", "w2", "w3"], "left")
+        .join(
+            c2.select("w1", "w2", F.col("_c2").alias("_c12")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            c2.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("_c2").alias("_c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            cu.select(F.col("w").alias("w2"), F.col("_cu").alias("_cu2")),
+            "w2",
+            "left",
+        )
+        .join(
+            cu.select(F.col("w").alias("w3"), F.col("_cu").alias("_cu3")),
+            "w3",
+            "left",
+        )
+        .join(F.broadcast(nv))
+    )
+    a = F.lit(float(alpha))
+    term = (
+        F.when(F.col("_c3").isNotNull(), F.log(F.col("_c3") / F.col("_c12")))
+        .when(
+            F.col("_c23").isNotNull(),
+            F.log(a * F.col("_c23") / F.col("_cu2")),
+        )
+        .otherwise(
+            F.log(
+                (a * a)
+                * (F.coalesce("_cu3", F.lit(0)) + F.lit(1))
+                / (F.col("_N") + F.col("_V"))
+            )
+        )
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_trigrams"),
+        F.sum(term.cast("decimal(38,12)")).alias("_s"),
+    )
+    return per.select(
+        F.col(id_col),
+        F.col("n_trigrams"),
+        (
+            F.round(-F.col("_s").cast("double") / F.col("n_trigrams"), 6)
+            + F.lit(0.0)
+        ).alias("xent_nats"),
+    )
+
+
 def dsir_logratio(
     docs: DataFrame,
     target_docs: DataFrame,

@@ -1332,6 +1332,93 @@ def test_bigram_backoff_score_matches_python_reference(spark):
         assert abs(got[i][1] - round(want[i][1], 6)) < 2e-6, i
 
 
+def test_trigram_backoff_score_all_three_branches_hand_computed(spark):
+    """Hand-computed Stupid-Backoff trigram check: one doc whose three
+    transitions hit all three branches (seen trigram, trigram-miss →
+    seen bigram, both-miss → α²-discounted add-one unigram)."""
+    import math
+
+    from convml_data_spark.operators.corpus import trigram_backoff_score
+
+    # LM: tokens a b c a b d -> trigrams (a,b,c) (b,c,a) (c,a,b) (a,b,d)
+    # bigrams (a,b)x2 (b,c) (c,a) (b,d); unigrams a:2 b:2 c:1 d:1
+    # N = 6, V = 4
+    lm = spark.createDataFrame([(0, "a b c a b d")], "doc_id long, text string")
+    # scored: x a b c -> transitions
+    #   (x,a,b): trigram unseen, bigram (a,b) seen c=2, cu(a)=2
+    #            -> ln(0.4 * 2 / 2)
+    #   (a,b,c): trigram seen c=1, c12(a,b)=2 -> ln(1/2)
+    # and: c d z  -> (c,d,z): trigram unseen, bigram (d,z) unseen,
+    #            cu(z)=0 -> ln(0.4*0.4 * 1 / 10)
+    docs = spark.createDataFrame(
+        [(1, "x a b c"), (2, "c d z"), (3, "a b")],  # doc 3: no trigrams
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["xent_nats"])
+        for r in trigram_backoff_score(docs, lm).collect()
+    }
+    assert set(got) == {1, 2}
+    want1 = -(math.log(0.4 * 2 / 2) + math.log(1 / 2)) / 2
+    want2 = -math.log(0.4 * 0.4 * 1 / 10)
+    assert got[1] == (2, round(want1, 6))
+    assert got[2] == (1, round(want2, 6))
+
+
+def test_trigram_backoff_score_matches_python_reference(spark):
+    """Randomized cross-check: trigram_backoff_score equals a brute-force
+    Python Stupid-Backoff chain (trigram → α·bigram → α²·add-one
+    unigram) on random corpora with short/empty/NULL docs and unseen
+    words at every order in the mix."""
+    import math
+    from collections import Counter
+
+    from convml_data_spark.operators.corpus import trigram_backoff_score
+
+    lm_rows = _random_corpus(3, 30, vocab=20, max_len=30)
+    sc_rows = _random_corpus(4, 40, vocab=32, max_len=25)  # wider vocab
+    lm = spark.createDataFrame(lm_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(sc_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["xent_nats"])
+        for r in trigram_backoff_score(docs, lm).collect()
+    }
+
+    def toks(t):
+        return [w for w in (t or "").lower().split() if w]
+
+    cu = Counter(w for _, t in lm_rows for w in toks(t))
+    cb = Counter(
+        (a, b) for _, t in lm_rows for a, b in zip(toks(t), toks(t)[1:])
+    )
+    ct = Counter(
+        (a, b, c)
+        for _, t in lm_rows
+        for a, b, c in zip(toks(t), toks(t)[1:], toks(t)[2:])
+    )
+    N, V = sum(cu.values()), len(cu)
+    want = {}
+    for i, t in sc_rows:
+        ws = toks(t)
+        if len(ws) < 3:
+            continue
+        terms = []
+        for a, b, c in zip(ws, ws[1:], ws[2:]):
+            if (a, b, c) in ct:
+                terms.append(math.log(ct[(a, b, c)] / cb[(a, b)]))
+            elif (b, c) in cb:
+                terms.append(math.log(0.4 * cb[(b, c)] / cu[b]))
+            else:
+                terms.append(
+                    math.log(0.4 * 0.4 * (cu.get(c, 0) + 1) / (N + V))
+                )
+        want[i] = (len(terms), -sum(terms) / len(terms))
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], i
+        assert abs(got[i][1] - round(want[i][1], 6)) < 2e-6, i
+
+
 def test_exact_span_and_excision_match_python_reference(spark):
     """Randomized cross-check: exact_span_decontaminate and
     excise_contaminated_spans equal brute-force window-set Python on a
