@@ -1551,6 +1551,21 @@ def q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bigram_backoff_score(scored, lm)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE pair-merge training (corpus.py::bpe_train_merges, Sennrich et
+    al. 2016 — the tokenizer-training loop vocab_build/vocab_encode are
+    the precursor to): 8 plan-time merge rounds, each one vocab-bounded
+    pair aggregation + a deterministic TakeOrdered-1 argmax broadcast
+    into a single literal-replace re-segmentation (segmentations live as
+    double-space-delimited strings, so the merge IS engine-portable
+    string replace — no HOF lambdas, no corpus re-scans after the one
+    word-count aggregation)."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.bpe_train_merges(docs, num_merges=8)
+
+
 def q_trigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-Backoff TRIGRAM LM score (corpus.py::trigram_backoff_score,
     Brants et al. 2007) — the recursive backoff chain one order above
@@ -2793,6 +2808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 12 (never certified) ---
         "dedup_exact_substring": q_dedup_exact_substring,
         "trigram_xent": q_trigram_xent,
+        "bpe_train": q_bpe_train,
         # --- last driver row r8: three rounds stale (all 40) ---
         "j10_interval_join": q_j10_interval_join,
         "w5_sliding_tiles": q_w5_sliding_tiles,
@@ -2940,6 +2956,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_goes16_query": q_s2_goes16_query,
         "s4_era5_manifest": q_s4_era5_manifest,
     }
+
+
+def _bpe_oracle_sql(num_merges: int = 8) -> str:
+    """bpe_train replay: the K merge rounds unrolled as chained CTEs —
+    same double-space segmentation strings, same literal ``replace``
+    (identical greedy left-to-right non-overlapping scan in both
+    engines), same (count DESC, s1, s2) LIMIT 1 argmax; pair counts and
+    rank cast for driver width parity."""
+    parts = [
+        """
+            WITH words AS (
+                SELECT w, count(*) AS c FROM (
+                    SELECT unnest(COALESCE(list_filter(
+                        string_split_regex(lower(text), '\\s+'),
+                        x -> x != ''), [])) AS w
+                    FROM documents)
+                GROUP BY w
+            ), state0 AS (
+                SELECT w, c, regexp_replace(w, '(.)', ' \\1 ', 'g') AS seg
+                FROM words
+            )"""
+    ]
+    for k in range(num_merges):
+        parts.append(
+            f""", pairs{k} AS (
+                SELECT s1, s2, CAST(sum(c) AS BIGINT) AS pair_count FROM (
+                    SELECT c, syms[i] AS s1, syms[i + 1] AS s2
+                    FROM (SELECT c, syms, unnest(range(1, len(syms))) AS i
+                          FROM (SELECT c,
+                                       string_split(trim(seg), '  ') AS syms
+                                FROM state{k})))
+                GROUP BY s1, s2
+            ), best{k} AS (
+                SELECT {k} AS merge_rank, s1, s2, pair_count
+                FROM pairs{k}
+                ORDER BY pair_count DESC, s1, s2 LIMIT 1
+            ), state{k + 1} AS (
+                SELECT w, c,
+                       replace(seg, ' ' || b.s1 || '  ' || b.s2 || ' ',
+                               ' ' || b.s1 || b.s2 || ' ') AS seg
+                FROM state{k}, best{k} b
+            )"""
+        )
+    sel = "\n            UNION ALL ".join(
+        f"SELECT CAST(merge_rank AS INTEGER) AS merge_rank, s1, s2, "
+        f"pair_count FROM best{k}"
+        for k in range(num_merges)
+    )
+    parts.append("\n            " + sel)
+    return "".join(parts)
 
 
 def _g8_rayleigh_oracle_sql() -> str:
@@ -5817,6 +5883,7 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) + 0.0 AS xent_nats
             FROM terms GROUP BY doc_id
         """,
+        "bpe_train": _bpe_oracle_sql(),
         # Stupid-Backoff TRIGRAM replay: the bigram_xent program one
         # order up — trigrams via 1-based list indexing over
         # unnest(range(1, len-1)); α forced to DOUBLE before any

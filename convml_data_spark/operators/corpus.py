@@ -288,6 +288,112 @@ def build_vocab(
     )
 
 
+def bpe_train_merges(
+    docs: DataFrame,
+    num_merges: int = 8,
+    text_col: str = "text",
+    durable: bool | None = None,
+) -> DataFrame:
+    """BPE pair-merge TRAINING (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units") — the actual
+    tokenizer-training loop for which :func:`build_vocab` /
+    :func:`encode_tokens` are the precursor. Words start as character
+    sequences; each round counts adjacent symbol pairs weighted by word
+    frequency, merges the most frequent pair corpus-wide, and
+    re-segments. Returns the learned merge table — one row per round:
+    ``(merge_rank, s1, s2, pair_count)``, deterministic via the
+    ``(count DESC, s1 ASC, s2 ASC)`` tie-break. If the corpus runs out
+    of mergeable pairs early, later rounds emit no row.
+
+    Segmentations are kept as STRINGS, not symbol arrays: a word's
+    segmentation is its symbols joined with TWO spaces, bounded by one
+    space each side (``'low' → ' l  o  w '``). Merging pair ``(s1, s2)``
+    is then a single literal ``replace(' s1  s2 ' → ' s1s2 ')`` — the
+    scan-left-to-right non-overlapping semantics of ``replace`` IS the
+    greedy single-pass BPE merge, the double-space delimiter keeps
+    consecutive matches from stealing each other's boundary space
+    (``' a  a  a  a '`` merges to ``' aa  aa '``, not ``' aa  a a '``),
+    and the space-bounded invariant is restored by the replacement
+    itself. No higher-order-function lambdas, no per-symbol explode of
+    the corpus, and the identical expression replays in any engine with
+    a literal ``replace``.
+
+    Scale design: the corpus is touched ONCE (one map-side-combined word
+    count); everything after is VOCABULARY-bounded. Each of the
+    ``num_merges`` plan-time rounds (the CC-rounds pattern) is one pair
+    aggregation over the vocab (in-row shifted-slice zip → explode,
+    ≤ word_len rows per word), one deterministic TakeOrdered-1 for the
+    argmax, and one broadcast of that single row into the re-segmenting
+    projection; the evolving state is materialized per round
+    (``durable``: :func:`~.persist.materialize_for_reuse`) so round k+1
+    re-reads a checkpoint, not the whole chain. Web-scale corpora with
+    unbounded raw vocabularies should pre-cap ``docs`` (e.g. feed the
+    :func:`build_vocab` min-count survivors as pseudo-docs) — the loop
+    itself adds no corpus-scale work per round.
+    """
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    from .persist import materialize_for_reuse
+
+    words = (
+        docs.select(F.explode(T.tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    state = words.select(
+        "w", "c", F.regexp_replace(F.col("w"), "(.)", " $1 ").alias("seg")
+    )
+    merges = []
+    for k in range(num_merges):
+        state = materialize_for_reuse(state, durable=durable)
+        syms = F.split(F.trim(F.col("seg")), "  ")
+        m = F.greatest(F.size("_sy") - 1, F.lit(0))
+        pairs = (
+            state.select("c", syms.alias("_sy"))
+            .select(
+                "c",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("_sy", 1, m).alias("s1"),
+                        F.slice("_sy", 2, m).alias("s2"),
+                    )
+                ).alias("_p"),
+            )
+            .groupBy(
+                F.col("_p.s1").alias("s1"), F.col("_p.s2").alias("s2")
+            )
+            .agg(F.sum("c").alias("pair_count"))
+        )
+        best = materialize_for_reuse(
+            pairs.orderBy(
+                F.col("pair_count").desc(), F.col("s1"), F.col("s2")
+            ).limit(1),
+            durable=durable,
+        )
+        merges.append(
+            best.select(
+                F.lit(k).alias("merge_rank"), "s1", "s2", "pair_count"
+            )
+        )
+        state = state.crossJoin(
+            F.broadcast(best.select(F.col("s1").alias("_m1"), F.col("s2").alias("_m2")))
+        ).select(
+            "w",
+            "c",
+            F.replace(
+                F.col("seg"),
+                F.concat(
+                    F.lit(" "), F.col("_m1"), F.lit("  "), F.col("_m2"), F.lit(" ")
+                ),
+                F.concat(F.lit(" "), F.col("_m1"), F.col("_m2"), F.lit(" ")),
+            ).alias("seg"),
+        )
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionByName(mdf)
+    return out
+
+
 def encode_tokens(
     docs: DataFrame,
     vocab: DataFrame,

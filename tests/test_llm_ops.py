@@ -1332,6 +1332,87 @@ def test_bigram_backoff_score_matches_python_reference(spark):
         assert abs(got[i][1] - round(want[i][1], 6)) < 2e-6, i
 
 
+def test_bpe_train_merges_hand_computed(spark):
+    """BPE training (corpus.py::bpe_train_merges) on the classic
+    low/lower/lowest corpus: merge order and weighted pair counts match
+    the hand computation, including the lexicographic tie-breaks at
+    rounds 0 ((l,o) vs (o,w) at 7), 2 ((e,r) vs (low,e) at 3) and
+    3/4 (three-way and two-way ties at 2)."""
+    from convml_data_spark.operators.corpus import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "low lower newer new"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["merge_rank"], r["s1"], r["s2"], r["pair_count"])
+        for r in bpe_train_merges(docs, num_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == [
+        (0, "l", "o", 7),
+        (1, "lo", "w", 7),
+        (2, "e", "r", 3),
+        (3, "e", "w", 2),
+        (4, "low", "er", 2),
+        (5, "n", "ew", 2),
+    ]
+
+
+def test_bpe_train_merges_matches_python_and_partitioning_free(spark):
+    """Randomized cross-check: bpe_train_merges equals a brute-force
+    Python BPE trainer (greedy single-pass merge application, count-then
+    -lexicographic argmax) on a random corpus, and the learned merge
+    list is identical under different input partitionings."""
+    from collections import Counter
+
+    from convml_data_spark.operators.corpus import bpe_train_merges
+
+    rows = _random_corpus(31, 25, vocab=9, max_len=12)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    K = 7
+
+    words = Counter(
+        w for _, t in rows for w in (t or "").lower().split() if w
+    )
+    segs = {w: list(w) for w in words}
+    want = []
+    for k in range(K):
+        pc: Counter = Counter()
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += words[w]
+        if not pc:
+            break
+        (s1, s2), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((k, s1, s2, c))
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == s1
+                    and syms[i + 1] == s2
+                ):
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    assert len(want) == K, "vacuous corpus: ran out of pairs"
+
+    for parts in (1, 13):
+        got = [
+            (r["merge_rank"], r["s1"], r["s2"], r["pair_count"])
+            for r in bpe_train_merges(docs.repartition(parts), num_merges=K)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got == want, parts
+
+
 def test_trigram_backoff_score_all_three_branches_hand_computed(spark):
     """Hand-computed Stupid-Backoff trigram check: one doc whose three
     transitions hit all three branches (seen trigram, trigram-miss →
