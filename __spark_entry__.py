@@ -1551,6 +1551,25 @@ def q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bigram_backoff_score(scored, lm)
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier — SCORING path
+    (corpus.py::quality_classifier_score; CCNet pairs this linear
+    signal with its LM perplexity): tokens hash into 1024 md5 buckets
+    (the dsir_hashed feature space), bucket weights are the
+    deterministic seeded md5-uniform relation (broadcast, replayable in
+    any engine), score = sigmoid(mean-pooled bucket weights). One
+    in-row explode + one broadcast join + one map-side-combined agg —
+    pure JVM. The FIT path (Spark ML LogisticRegression over the SAME
+    md5-bucket count features, vectors built JVM-side via
+    array_to_vector) is property-tested: its scores equal the fitted
+    model's sigmoid margin and separate synthetic data at AUC ≈ 1."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    w = corpus.seeded_bucket_weights(spark, 1024)
+    return corpus.quality_classifier_score(docs, w, n_buckets=1024)
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE pair-merge training (corpus.py::bpe_train_merges, Sennrich et
     al. 2016 — the tokenizer-training loop vocab_build/vocab_encode are
@@ -2809,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_substring": q_dedup_exact_substring,
         "trigram_xent": q_trigram_xent,
         "bpe_train": q_bpe_train,
+        "quality_classifier": q_quality_classifier,
         # --- last driver row r8: three rounds stale (all 40) ---
         "j10_interval_join": q_j10_interval_join,
         "w5_sliding_tiles": q_w5_sliding_tiles,
@@ -5884,6 +5904,41 @@ def oracle_sql() -> dict[str, str]:
             FROM terms GROUP BY doc_id
         """,
         "bpe_train": _bpe_oracle_sql(),
+        # hashed-linear-classifier scoring replay: md5 52-bit bucket
+        # (the dsir_hashed feature space), inline seeded weight
+        # expression (identical association to the Spark side:
+        # ((u*2-1)*0.0625)), DECIMAL(38,12) weight sums, mean pooling,
+        # sigmoid, round(6); exp agrees at round(6) (<=1 ulp libm/JVM)
+        "quality_classifier": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(COALESCE(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x != ''), [])) AS w
+                FROM documents
+            ), bkt AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(w), 1, 13) AS BIGINT)
+                           % 1024 AS bucket
+                FROM tok
+            ), wtd AS (
+                SELECT doc_id,
+                       ((CAST('0x' || substr(md5('qw:' ||
+                             CAST(bucket AS VARCHAR)), 1, 13) AS BIGINT)
+                         / 2^52) * 2.0 - 1.0) * 0.0625 AS weight
+                FROM bkt
+            ), per AS (
+                SELECT doc_id,
+                       count(*) AS n_tokens,
+                       CAST(sum(CAST(weight AS DECIMAL(38,12)))
+                            AS DOUBLE) AS s
+                FROM wtd GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens,
+                   round(1.0 / (1.0 + exp(-(s / n_tokens + 0.0))), 6)
+                       AS quality_score
+            FROM per
+        """,
         # Stupid-Backoff TRIGRAM replay: the bigram_xent program one
         # order up — trigrams via 1-based list indexing over
         # unnest(range(1, len-1)); α forced to DOUBLE before any

@@ -1336,6 +1336,189 @@ def dsir_logratio(
     )
 
 
+def seeded_bucket_weights(
+    spark,
+    n_buckets: int,
+    scale: float = 0.0625,
+    prefix: str = "qw",
+) -> DataFrame:
+    """Deterministic pseudo-weights for the hashed linear classifier's
+    SCORING path: one row per bucket, ``weight = (2u − 1) · scale`` with
+    ``u`` the md5 52-bit uniform of ``prefix:bucket`` — the engine's
+    standard replayable randomness (any SQL engine reproduces it from
+    the same md5 expression). The default scale keeps mean-pooled
+    margins well inside the sigmoid's linear region so scores stay
+    diverse rather than saturating at 0/1."""
+    b = F.col("id").cast("long")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(prefix + ":"), b.cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long") / F.lit(2.0**52)
+    return spark.range(int(n_buckets)).select(
+        b.alias("bucket"),
+        ((u * F.lit(2.0) - F.lit(1.0)) * F.lit(float(scale))).alias("weight"),
+    )
+
+
+def _md5_bucket(col, n_buckets: int):
+    """The engine-replayable hashed feature space shared by
+    :func:`dsir_logratio` and the quality classifier: md5 52-bit uniform
+    integer mod ``n_buckets``."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long"),
+        F.lit(int(n_buckets)),
+    )
+
+
+def quality_classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    intercept: float = 0.0,
+    n_buckets: int = 1024,
+    pooling: str = "mean",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style hashed linear quality classifier — SCORING path
+    (Joulin et al. 2016 "Bag of Tricks for Efficient Text
+    Classification"; CCNet pairs exactly this kind of linear classifier
+    with its LM perplexity signal). Tokens hash into ``n_buckets`` md5
+    buckets (the :func:`dsir_logratio` feature space — engine-replayable
+    by construction), each bucket carries a learned or seeded weight,
+    and the doc scores ``sigmoid(pool(Σ w_bucket(t)) + intercept)`` —
+    ``pooling="mean"`` is fastText's average pooling; ``pooling="sum"``
+    is the raw count-feature margin (use with
+    :func:`fit_quality_classifier` output so scores equal the fitted
+    model's probabilities). Returns ``(id, n_tokens, quality_score)``;
+    docs with no tokens emit no row; buckets absent from ``weights``
+    contribute weight 0.
+
+    Scale design: scoring is one in-row explode + ONE broadcast
+    equi-join against the bucket-bounded weights relation (constant
+    size by construction) + one map-side-combined per-doc aggregation —
+    pure JVM expressions, no UDFs, no driver state. Weight terms cast
+    to DECIMAL(38,12) before summing (exact, order-independent under
+    AQE); final ``round(6)``.
+    """
+    if pooling not in ("mean", "sum"):
+        raise ValueError(f"pooling must be 'mean' or 'sum', got {pooling!r}")
+    from .dedup import _spread
+
+    tok = _spread(docs, id_col).select(
+        F.col(id_col),
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("_w"),
+    )
+    bexpr = _md5_bucket(F.col("_w"), n_buckets)
+    per = (
+        tok.select(F.col(id_col), bexpr.alias("bucket"))
+        .join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.coalesce("weight", F.lit(0.0)).cast("decimal(38,12)")
+            ).alias("_s"),
+        )
+    )
+    margin = F.col("_s").cast("double")
+    if pooling == "mean":
+        margin = margin / F.col("n_tokens")
+    margin = margin + F.lit(float(intercept))
+    return per.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+def fit_quality_classifier(
+    labeled_docs: DataFrame,
+    n_buckets: int = 1024,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    reg_param: float = 0.01,
+    max_iter: int = 50,
+) -> tuple[DataFrame, float]:
+    """Fit the hashed linear quality classifier on a LABELED sample with
+    Spark ML ``LogisticRegression`` over md5-bucket count features — the
+    public-API realization of the fastText/CCNet linear quality model,
+    in the SAME engine-replayable feature space the scoring path uses
+    (Spark ML's ``HashingTF`` is deliberately avoided: its Murmur3
+    variant, ``hashUnsafeBytes2``, has no SQL-expression twin, so its
+    indices could never be replayed engine-side). Returns
+    ``(weights, intercept)``: the ``(bucket, weight)`` relation
+    (non-zero coefficients only, ≤ ``n_buckets`` rows) and the bias —
+    score new corpora with :func:`quality_classifier_score`
+    ``(pooling="sum")`` and the scores equal the fitted model's
+    ``sigmoid(coef·counts + intercept)``.
+
+    The feature vectors are built WITHOUT Python UDFs: per-doc bucket
+    counts (one hash agg) collapse to a bucket→count map, a ``transform``
+    over ``sequence(0, B−1)`` densifies it in-row, and
+    ``pyspark.ml.functions.array_to_vector`` converts JVM-side.
+
+    NOTE: fitting executes driver jobs at CALL time (the ML optimizer
+    iterates); the model state is bounded by ``n_buckets`` coefficients
+    — a constant of the caller's choosing, never corpus-scale. The
+    labeled sample is the small relation here (human/LLM labels are the
+    scarce resource); the SCORING path is the corpus-scale one and
+    stays a broadcast join.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    B = int(n_buckets)
+    spark = labeled_docs.sparkSession
+    tok = labeled_docs.select(
+        F.col(id_col),
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("_w"),
+    )
+    cnt = (
+        tok.select(F.col(id_col), _md5_bucket(F.col("_w"), B).alias("_b"))
+        .groupBy(id_col, "_b")
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(B - 1)).cast("array<bigint>"),
+        lambda b: F.coalesce(F.element_at(F.col("_m"), b), F.lit(0.0)),
+    )
+    feat = (
+        cnt.groupBy(id_col)
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("_b", "_c"))).alias(
+                "_m"
+            )
+        )
+        .join(
+            labeled_docs.select(
+                F.col(id_col), F.col(label_col).cast("double").alias("label")
+            ),
+            id_col,
+        )
+        .select("label", array_to_vector(dense).alias("features"))
+    )
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        regParam=float(reg_param),
+        maxIter=int(max_iter),
+    )
+    model = lr.fit(feat)
+    rows = [
+        (int(i), float(v))
+        for i, v in enumerate(model.coefficients.toArray())
+        if v != 0.0
+    ]
+    weights = spark.createDataFrame(rows, "bucket long, weight double")
+    return weights, float(model.intercept)
+
+
 def mixture_rates(
     docs: DataFrame,
     weights: dict[str, float],

@@ -1332,6 +1332,108 @@ def test_bigram_backoff_score_matches_python_reference(spark):
         assert abs(got[i][1] - round(want[i][1], 6)) < 2e-6, i
 
 
+def test_quality_classifier_fit_separates_and_matches_model_margin(spark):
+    """Hashed linear quality classifier: (a) scoring with the fitted
+    weights reproduces sigmoid(coef·counts + intercept) recomputed
+    independently in Python over the same md5 buckets, (b) the fitted
+    classifier separates a synthetic good/bad corpus at AUC ~ 1."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from convml_data_spark.operators.corpus import (
+        _md5_bucket,
+        fit_quality_classifier,
+        quality_classifier_score,
+    )
+
+    rng = random.Random(5)
+    good = [f"good{i}" for i in range(20)]
+    bad = [f"bad{i}" for i in range(20)]
+    common = [f"c{i}" for i in range(10)]
+    rows = []
+    for i in range(120):
+        label = i % 2
+        pool = good if label else bad
+        words = [
+            rng.choice(pool if rng.random() < 0.7 else common)
+            for _ in range(rng.randrange(5, 15))
+        ]
+        rows.append((i, float(label), " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, label double, text string")
+
+    B = 256
+    weights, b0 = fit_quality_classifier(df, n_buckets=B)
+    scored = quality_classifier_score(
+        df, weights, intercept=b0, n_buckets=B, pooling="sum"
+    )
+    got = {r["doc_id"]: r["quality_score"] for r in scored.collect()}
+
+    # (a) score == sigmoid(coef . counts + intercept), python-recomputed
+    vocab = sorted({w for _, _, t in rows for w in t.split()})
+    spark_buckets = {
+        r["w"]: r["b"]
+        for r in spark.createDataFrame([(w,) for w in vocab], "w string")
+        .select("w", _md5_bucket(F.col("w"), B).alias("b"))
+        .collect()
+    }
+    wmap = {r["bucket"]: r["weight"] for r in weights.collect()}
+    for i, _, t in rows:
+        margin = b0 + sum(wmap.get(spark_buckets[w], 0.0) for w in t.split())
+        want = 1.0 / (1.0 + math.exp(-margin))
+        assert abs(got[i] - want) < 2e-6, i
+
+    # (b) AUC ~ 1 on the separable corpus
+    pos = sorted(got[i] for i, lab, _ in rows if lab == 1.0)
+    neg = sorted(got[i] for i, lab, _ in rows if lab == 0.0)
+    wins = sum(
+        (p > n) + 0.5 * (p == n) for p in pos for n in neg
+    )
+    auc = wins / (len(pos) * len(neg))
+    assert auc > 0.98, auc
+
+
+def test_quality_classifier_score_edge_cases(spark):
+    """Scoring-path contract: NULL/empty docs emit no row; tokens whose
+    bucket is absent from the weights relation contribute weight 0;
+    mean vs sum pooling differ exactly by the n_tokens divisor."""
+    import math
+
+    from convml_data_spark.operators.corpus import quality_classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    # weights keyed by the md5 buckets of 'aa' only; 'bb' falls through
+    from pyspark.sql import functions as F
+
+    b_aa, b_bb = [
+        r["b"]
+        for r in spark.createDataFrame([("aa",), ("bb",)], "w string")
+        .select(
+            F.pmod(
+                F.conv(F.substring(F.md5("w"), 1, 13), 16, 10).cast("long"),
+                F.lit(64),
+            ).alias("b")
+        )
+        .collect()
+    ]
+    assert b_aa != b_bb  # fix the vocab if these ever collide
+    weights = spark.createDataFrame([(b_aa, 0.3)], "bucket long, weight double")
+    for pooling, margin in (("sum", 0.6), ("mean", 0.2)):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["quality_score"])
+            for r in quality_classifier_score(
+                docs, weights, n_buckets=64, pooling=pooling
+            ).collect()
+        }
+        assert set(got) == {1}, pooling
+        want = round(1.0 / (1.0 + math.exp(-margin)), 6)
+        assert got[1] == (3, want), pooling
+
+
 def test_bpe_train_merges_hand_computed(spark):
     """BPE training (corpus.py::bpe_train_merges) on the classic
     low/lower/lowest corpus: merge order and weighted pair counts match
