@@ -291,7 +291,7 @@ def minhash_signatures_stateless(
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 16, num_hashes: int | None = None
+    sigs: DataFrame, num_hashes: int, bands: int = 16
 ) -> DataFrame:
     """Band signatures and bucket-join: (id_a, id_b) candidate pairs.
 
@@ -300,15 +300,17 @@ def minhash_lsh_candidates(
     → ~0.25, so j≥0.5 pairs are caught w.p. ≥ 1-(1-0.25)^16 ≈ 0.99;
     8 bands (r=4) → ~0.59, which silently drops pairs near j=0.5.
 
-    Pass ``num_hashes`` when known (every composed pipeline knows it): the
-    sampling fallback costs a full extra job — ``limit(1)`` cannot
-    short-circuit through the upstream repartition + groupBy, so it
-    recomputes the entire signature pipeline once just to read an array
-    length."""
+    ``num_hashes`` is REQUIRED (the :func:`incremental_sig_dedup`
+    contract): every composed pipeline knows its signature width, and
+    the old sample-a-row fallback was a silent construction-time driver
+    job — ``limit(1)`` cannot short-circuit through the upstream
+    repartition + groupBy, so it re-executed the entire signature
+    pipeline once just to read an array length."""
     # band b covers sig[b*r : (b+1)*r]
-    if num_hashes is None:
-        sample = sigs.select(F.size("sig").alias("n")).limit(1).collect()
-        num_hashes = sample[0]["n"] if sample else 0
+    if bands < 1 or bands > num_hashes:
+        raise ValueError(
+            f"bands must be in [1, num_hashes={num_hashes}], got {bands}"
+        )
     rows_per_band = max(num_hashes // bands, 1)
     banded = sigs.select(
         "id",
@@ -357,7 +359,7 @@ def minhash_dedup(
         StorageLevel.MEMORY_AND_DISK
     )
     sigs = _minhash_signatures_from_shingles(sh, num_hashes=num_hashes)
-    cands = minhash_lsh_candidates(sigs, bands=bands, num_hashes=num_hashes)
+    cands = minhash_lsh_candidates(sigs, num_hashes=num_hashes, bands=bands)
     pairs = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

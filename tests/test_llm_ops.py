@@ -765,6 +765,33 @@ def test_banded_slice_keys_rejects_bands_over_num_hashes(spark):
     assert all(r["bucket"] != "" for r in rows)
 
 
+def test_minhash_lsh_candidates_requires_width_and_bounds_bands(spark):
+    """minhash_lsh_candidates: num_hashes is REQUIRED (the silent
+    sample-a-row width probe — a construction-time driver job that
+    re-executed the whole signature pipeline — is gone), and bands
+    outside [1, num_hashes] raise instead of degenerating."""
+    import pytest
+
+    from convml_data_spark.operators.dedup import minhash_lsh_candidates
+
+    sigs = spark.createDataFrame(
+        [(1, [1, 2, 3, 4]), (2, [1, 2, 9, 9]), (3, [7, 8, 9, 9])],
+        "id long, sig array<long>",
+    )
+    with pytest.raises(TypeError):
+        minhash_lsh_candidates(sigs)  # width no longer inferred
+    with pytest.raises(ValueError, match="bands must be in"):
+        minhash_lsh_candidates(sigs, num_hashes=4, bands=8)
+    with pytest.raises(ValueError, match="bands must be in"):
+        minhash_lsh_candidates(sigs, num_hashes=4, bands=0)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(sigs, num_hashes=4, bands=2).collect()
+    }
+    # band (1,2) pairs 1-2; band (9,9) pairs 2-3; 1-3 shares no band
+    assert pairs == {(1, 2), (2, 3)}
+
+
 def test_select_to_token_budget_all_null_quality(spark):
     """select_to_token_budget with an all-NULL quality column: the
     bounded cut sample is empty (cuts = []), every row lands in the NULL
