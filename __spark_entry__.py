@@ -1585,6 +1585,21 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bpe_train_merges(docs, num_merges=8)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION (corpus.py::bpe_encode): train the
+    8-merge list on the corpus (q_bpe_train's program) and re-apply it
+    in rank order, reporting per doc the tokenizer-level size
+    (n_symbols — the unit an LM context window consumes) next to word
+    and char counts. Merges fold over ONE broadcast sorted array onto
+    the DISTINCT-word relation (vocabulary-bounded), then join back to
+    the exploded tokens — the corpus never re-segments per instance."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = corpus.bpe_train_merges(docs, num_merges=8)
+    return corpus.bpe_encode(docs, merges)
+
+
 def q_trigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-Backoff TRIGRAM LM score (corpus.py::trigram_backoff_score,
     Brants et al. 2007) — the recursive backoff chain one order above
@@ -2828,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_substring": q_dedup_exact_substring,
         "trigram_xent": q_trigram_xent,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "quality_classifier": q_quality_classifier,
         # --- last driver row r8: three rounds stale (all 40) ---
         "j10_interval_join": q_j10_interval_join,
@@ -2978,12 +2994,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _bpe_oracle_sql(num_merges: int = 8) -> str:
-    """bpe_train replay: the K merge rounds unrolled as chained CTEs —
+def _bpe_cte_prefix(num_merges: int) -> str:
+    """Shared CTE chain of the BPE oracles: word counts, character
+    segmentation, and the K unrolled (pairs, best, state) merge rounds —
     same double-space segmentation strings, same literal ``replace``
     (identical greedy left-to-right non-overlapping scan in both
-    engines), same (count DESC, s1, s2) LIMIT 1 argmax; pair counts and
-    rank cast for driver width parity."""
+    engines), same (count DESC, s1, s2) LIMIT 1 argmax."""
     parts = [
         """
             WITH words AS (
@@ -3019,12 +3035,66 @@ def _bpe_oracle_sql(num_merges: int = 8) -> str:
                 FROM state{k}, best{k} b
             )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle_sql(num_merges: int = 8) -> str:
+    """bpe_train replay: the learned merge list — pair counts and rank
+    cast for driver width parity."""
     sel = "\n            UNION ALL ".join(
         f"SELECT CAST(merge_rank AS INTEGER) AS merge_rank, s1, s2, "
         f"pair_count FROM best{k}"
         for k in range(num_merges)
     )
-    parts.append("\n            " + sel)
+    return _bpe_cte_prefix(num_merges) + "\n            " + sel
+
+
+def _bpe_encode_oracle_sql(num_merges: int = 8) -> str:
+    """bpe_encode replay: train the K merges (shared CTE prefix), then
+    re-apply them in rank order to the DISTINCT-word relation and
+    aggregate per doc. Each application LEFT-joins its best{k} row (ON
+    TRUE) so a dried-up merge supply degrades to a no-op exactly like
+    the Spark fold over the collected merge array, instead of
+    annihilating the cross join."""
+    parts = [_bpe_cte_prefix(num_merges)]
+    parts.append(
+        """, doctok AS (
+                SELECT doc_id, unnest(COALESCE(list_filter(
+                    string_split_regex(lower(text), '\\s+'),
+                    x -> x != ''), [])) AS w
+                FROM documents
+            ), enc0 AS (
+                SELECT DISTINCT w, regexp_replace(w, '(.)', ' \\1 ', 'g')
+                    AS seg
+                FROM doctok
+            )"""
+    )
+    for k in range(num_merges):
+        parts.append(
+            f""", enc{k + 1} AS (
+                SELECT w,
+                       CASE WHEN b.s1 IS NULL THEN seg
+                            ELSE replace(seg,
+                                         ' ' || b.s1 || '  ' || b.s2 || ' ',
+                                         ' ' || b.s1 || b.s2 || ' ')
+                       END AS seg
+                FROM enc{k} LEFT JOIN best{k} b ON TRUE
+            )"""
+        )
+    parts.append(
+        f""", encw AS (
+                SELECT w, CAST(length(w) AS BIGINT) AS chars,
+                       CAST(len(string_split(trim(seg), '  ')) AS BIGINT)
+                           AS syms
+                FROM enc{num_merges}
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(chars) AS BIGINT) AS n_chars,
+                   CAST(sum(syms) AS BIGINT) AS n_symbols
+            FROM doctok JOIN encw USING (w)
+            GROUP BY doc_id"""
+    )
     return "".join(parts)
 
 
@@ -5904,6 +5974,7 @@ def oracle_sql() -> dict[str, str]:
             FROM terms GROUP BY doc_id
         """,
         "bpe_train": _bpe_oracle_sql(),
+        "bpe_encode": _bpe_encode_oracle_sql(),
         # hashed-linear-classifier scoring replay: md5 52-bit bucket
         # (the dsir_hashed feature space), inline seeded weight
         # expression (identical association to the Spark side:

@@ -394,6 +394,80 @@ def bpe_train_merges(
     return out
 
 
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge list (:func:`bpe_train_merges` output —
+    ``(merge_rank, s1, s2, ...)``) to a corpus: each word re-segments by
+    replaying the merges IN RANK ORDER, and each doc reports its
+    tokenizer-level size. Returns ``(id, n_tokens, n_chars, n_symbols)``
+    — words, characters, and post-merge BPE symbols (the unit an LM's
+    context window actually consumes; n_symbols/n_chars is the learned
+    compression). Docs with no tokens emit no row.
+
+    Scale design: merges apply to the DISTINCT-WORD relation
+    (vocabulary-bounded), not per token instance — one distinct, one
+    fold over the broadcast ≤K-row merge array (``aggregate`` with the
+    same double-space literal-replace trick as training; the lambda
+    touches only its own variables, no outer refs), then one equi-join
+    back to the exploded tokens and one per-doc aggregation. The merge
+    table rides ONE broadcast row (``array_sort(collect_list(...))`` —
+    sorted by rank, so application order is deterministic regardless of
+    partitioning)."""
+    from .dedup import _spread
+
+    marr = merges.agg(
+        F.array_sort(
+            F.collect_list(F.struct("merge_rank", "s1", "s2"))
+        ).alias("_ms")
+    )
+    tok = _spread(docs, id_col).select(
+        F.col(id_col),
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("w"),
+    )
+    seg0 = F.regexp_replace(F.col("w"), "(.)", " $1 ")
+    enc = (
+        tok.select("w")
+        .distinct()
+        .crossJoin(F.broadcast(marr))
+        .select(
+            "w",
+            F.aggregate(
+                "_ms",
+                seg0,
+                lambda acc, m: F.replace(
+                    acc,
+                    F.concat(
+                        F.lit(" "),
+                        m["s1"],
+                        F.lit("  "),
+                        m["s2"],
+                        F.lit(" "),
+                    ),
+                    F.concat(F.lit(" "), m["s1"], m["s2"], F.lit(" ")),
+                ),
+            ).alias("_seg"),
+        )
+        .select(
+            "w",
+            F.length("w").alias("_chars"),
+            F.size(F.split(F.trim("_seg"), "  ")).alias("_syms"),
+        )
+    )
+    return (
+        tok.join(enc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("_chars").alias("n_chars"),
+            F.sum("_syms").alias("n_symbols"),
+        )
+    )
+
+
 def encode_tokens(
     docs: DataFrame,
     vocab: DataFrame,

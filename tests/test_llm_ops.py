@@ -1542,6 +1542,86 @@ def test_bpe_train_merges_matches_python_and_partitioning_free(spark):
         assert got == want, parts
 
 
+def test_bpe_encode_hand_computed_and_matches_python(spark):
+    """BPE application (corpus.py::bpe_encode): per-doc symbol counts
+    after replaying the learned merges in rank order — hand-checked on
+    the classic corpus (3 merges: l+o, lo+w, e+r), then cross-checked
+    against a brute-force Python encoder on a random corpus with the
+    full 7-merge list (an empty merge table must be a no-op, not an
+    annihilating join)."""
+    from collections import Counter
+
+    from convml_data_spark.operators.corpus import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "low lower newer new"), (3, None)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train_merges(docs, num_merges=3)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_chars"], r["n_symbols"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    # merges: (l,o) (lo,w) (e,r) -> low:1 sym, lower:[low,er]=2,
+    # lowest:[low,e,s,t]=4, newer:[n,e,w,er]=4, new:[n,e,w]=3
+    assert got == {1: (5, 20, 3 * 1 + 2 + 4), 2: (4, 16, 1 + 2 + 4 + 3)}
+
+    # empty merge table -> identity segmentation (chars == symbols)
+    ident = {
+        r["doc_id"]: (r["n_chars"], r["n_symbols"])
+        for r in bpe_encode(docs, merges.where("merge_rank < 0")).collect()
+    }
+    assert all(c == s for c, s in ident.values())
+
+    # randomized cross-check against a python trainer+encoder
+    rows = _random_corpus(37, 25, vocab=9, max_len=12)
+    rdocs = spark.createDataFrame(rows, "doc_id long, text string")
+    K = 7
+    words = Counter(
+        w for _, t in rows for w in (t or "").lower().split() if w
+    )
+    segs = {w: list(w) for w in words}
+
+    def apply_merge(syms, s1, s2):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
+                out.append(s1 + s2)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    for _ in range(K):
+        pc: Counter = Counter()
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += words[w]
+        (s1, s2), _c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        segs = {w: apply_merge(syms, s1, s2) for w, syms in segs.items()}
+    want = {}
+    for i, t in rows:
+        ws = [w for w in (t or "").lower().split() if w]
+        if not ws:
+            continue
+        want[i] = (
+            len(ws),
+            sum(len(w) for w in ws),
+            sum(len(segs[w]) for w in ws),
+        )
+    got2 = {
+        r["doc_id"]: (r["n_tokens"], r["n_chars"], r["n_symbols"])
+        for r in bpe_encode(
+            rdocs, bpe_train_merges(rdocs, num_merges=K)
+        ).collect()
+    }
+    assert got2 == want
+
+
 def test_trigram_backoff_score_all_three_branches_hand_computed(spark):
     """Hand-computed Stupid-Backoff trigram check: one doc whose three
     transitions hit all three branches (seen trigram, trigram-miss →
