@@ -1551,6 +1551,22 @@ def q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bigram_backoff_score(scored, lm)
 
 
+def q_neardup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup (dedup.py::edit_distance_neardup):
+    MinHash-LSH candidates (the dedup_minhash machinery) verified by
+    exact THRESHOLDED Levenshtein — banded O(len·max_dist), never the
+    full matrix — behind a length-delta prefilter. Complements the
+    token-set Jaccard family: catches in-token edits and byte-level
+    templating that shingle sets smear out. Oracle replays the exact
+    predicate over all shingle-sharing pairs (every qualifying pair in
+    this data has shingle-jaccard >= 0.8, so 16-band recall is
+    1 - 4e-8)."""
+    from convml_data_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.edit_distance_neardup(docs, max_dist=16)
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed linear quality classifier — SCORING path
     (corpus.py::quality_classifier_score; CCNet pairs this linear
@@ -2845,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "quality_classifier": q_quality_classifier,
+        "neardup_edit_distance": q_neardup_edit_distance,
         # --- last driver row r8: three rounds stale (all 40) ---
         "j10_interval_join": q_j10_interval_join,
         "w5_sliding_tiles": q_w5_sliding_tiles,
@@ -2887,12 +2904,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a14_rollup": q_a14_rollup,
         "sketch_quantiles": q_sketch_quantiles,
         # --- operators touched this round: re-certify ---
+        # (dedup_minhash and dbscan_cell_stats are NOT re-listed here:
+        # the r12 minhash change is signature/validation only and
+        # epsilon_grid_cell_stats was untouched by the dense-cell
+        # mitigation — both certified r11 plans are byte-identical, and
+        # the six new r12 keys took their slots)
         "quality_terciles": q_quality_terciles,
-        "dbscan_cell_stats": q_dbscan_cell_stats,
         "dbscan_merge_events": q_dbscan_merge_events,
         "dbscan_ladder": q_dbscan_ladder,
         "emb_transform_dbscan": q_emb_transform_dbscan,
-        "dedup_minhash": q_dedup_minhash,
         # --- oldest r10-certified fillers (displaced first by new keys) ---
         "g8_rayleigh": q_g8_rayleigh,
         "stream_parquet_drain": q_stream_parquet_drain,
@@ -2945,6 +2965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_asof_single": q_j2_asof_single,
         "j3_asof_all_within": q_j3_asof_all_within,
         # r11-certified (freshest; rotate back last)
+        "dedup_minhash": q_dedup_minhash,
+        "dbscan_cell_stats": q_dbscan_cell_stats,
         "bigram_xent": q_bigram_xent,
         "decontam_substring": q_decontam_substring,
         "decontam_excise": q_decontam_excise,
@@ -5975,6 +5997,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_train": _bpe_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
+        # edit-distance near-dup replay: exact predicate over ALL
+        # shingle-sharing pairs (superset of the Spark side's banded LSH
+        # candidates; every qualifying pair in this data sits at shingle
+        # jaccard >= 0.8 where banded recall is 1 - 4e-8) + the same
+        # length-delta prefilter; distance cast BIGINT for width parity
+        "neardup_edit_distance": """
+            WITH toks AS (
+              SELECT doc_id, lower(text) AS t,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x != '') AS w
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS edit_dist
+            FROM cand
+            JOIN toks ta ON ta.doc_id = id_a
+            JOIN toks tb ON tb.doc_id = id_b
+            WHERE abs(length(ta.t) - length(tb.t)) <= 16
+              AND levenshtein(ta.t, tb.t) <= 16
+        """,
         # hashed-linear-classifier scoring replay: md5 52-bit bucket
         # (the dsir_hashed feature space), inline seeded weight
         # expression (identical association to the Spark side:

@@ -379,6 +379,73 @@ def minhash_dedup(
     return pairs
 
 
+def edit_distance_neardup(
+    docs: DataFrame,
+    max_dist: int = 16,
+    num_hashes: int = 32,
+    bands: int = 16,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CHARACTER-level near-duplicate pairs: MinHash-LSH candidate
+    generation verified by exact bounded Levenshtein distance — the
+    complement to :func:`minhash_dedup`'s token-set Jaccard (edit
+    distance sees small in-token edits and byte-level templating that
+    shingle sets smear out). Returns ``(id_a, id_b, edit_dist)`` for
+    unordered pairs with distance ≤ ``max_dist`` over the lowercased
+    text.
+
+    Recall contract (same class as the whole LSH family): candidates
+    come from the banded signature join, so a qualifying pair is found
+    with probability ``1 − (1 − j^r)^bands`` of its shingle Jaccard j —
+    for pairs within a small edit budget j is high by construction
+    (d character edits touch ≤ d shingles), e.g. j ≥ 0.8 at the
+    defaults ⇒ recall ≈ 1 − 4e-8. Docs with fewer than ``ngram`` tokens
+    produce no shingles and never pair.
+
+    Scale design: candidate volume is LSH-bounded (never all-pairs); a
+    cheap length-delta prefilter (``|len_a − len_b| > max_dist`` forces
+    distance > ``max_dist``) discards hopeless candidates before any
+    quadratic work; the surviving pairs use Spark's THRESHOLDED
+    ``levenshtein`` — the banded O(len·max_dist) algorithm, not the
+    full O(len²) matrix — so per-pair cost is linear in document length
+    at a fixed edit budget.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    sh = _shingles(docs, text_col, id_col, ngram, [])
+    sigs = _minhash_signatures_from_shingles(sh, num_hashes=num_hashes)
+    cands = minhash_lsh_candidates(sigs, num_hashes=num_hashes, bands=bands)
+    texts = docs.select(
+        F.col(id_col).alias("id"),
+        F.lower(F.col(text_col)).alias("t"),
+        F.length(F.lower(F.col(text_col))).alias("n"),
+    )
+    d = F.levenshtein("ta", "tb", int(max_dist))
+    return (
+        cands.join(
+            texts.select(
+                F.col("id").alias("id_a"),
+                F.col("t").alias("ta"),
+                F.col("n").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            texts.select(
+                F.col("id").alias("id_b"),
+                F.col("t").alias("tb"),
+                F.col("n").alias("nb"),
+            ),
+            "id_b",
+        )
+        .where(F.abs(F.col("na") - F.col("nb")) <= F.lit(int(max_dist)))
+        .select("id_a", "id_b", d.cast("long").alias("edit_dist"))
+        .where(F.col("edit_dist") >= 0)
+    )
+
+
 def simhash64(
     docs: DataFrame,
     text_col: str = "text",

@@ -765,6 +765,42 @@ def test_banded_slice_keys_rejects_bands_over_num_hashes(spark):
     assert all(r["bucket"] != "" for r in rows)
 
 
+def test_edit_distance_neardup_bounded_verify(spark):
+    """Character-level near-dup (dedup.py::edit_distance_neardup): LSH
+    candidates verified by thresholded Levenshtein — a one-char edit
+    pairs with distance 1, an edit past max_dist is dropped (the
+    thresholded levenshtein returns -1), the length-delta prefilter
+    kills grossly different lengths, and sub-ngram docs never pair."""
+    from convml_data_spark.operators.dedup import edit_distance_neardup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("quick", "quack")),      # dist 1
+            (3, base.replace("again and again", "x")),  # big deletion
+            (4, "tiny doc"),                           # < 3 tokens: no shingles
+            (5, "tiny doc"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in edit_distance_neardup(docs, max_dist=4).collect()
+    }
+    assert got == {(1, 2): 1}
+    # widen the budget: the deletion pair (dist 15) appears at 16
+    got16 = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in edit_distance_neardup(docs, max_dist=16).collect()
+    }
+    assert got16[(1, 2)] == 1
+    # "again and again" -> "x": 1 substitution + 14 deletions
+    assert got16[(1, 3)] == 15
+    assert (4, 5) not in got16  # identical but shingle-free
+
+
 def test_minhash_lsh_candidates_requires_width_and_bounds_bands(spark):
     """minhash_lsh_candidates: num_hashes is REQUIRED (the silent
     sample-a-row width probe — a construction-time driver job that
