@@ -2834,6 +2834,70 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (corpus.py::bloom_decontaminate —
+    the fixed-memory form of ngram_overlap, the Dolma/GPT-3 appendix-C
+    shape): same eval split as the decontam family (md5 bucket 0); the
+    eval suite compresses to a 262144-bit / 4-hash Bloom filter (≤ m
+    rows of broadcast state at ANY eval size), and every train doc
+    reports how many of its distinct 7-grams the filter claims.
+    Deterministic md5 hash family → the false positives themselves
+    replay in DuckDB: a FULL value oracle over an approximate data
+    structure."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    return corpus.bloom_decontaminate(
+        docs.where(~is_eval), docs.where(is_eval),
+        n=7, m_bits=262_144, k_hashes=4, flag_threshold=0.5,
+    )
+
+
+def q_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters (corpus.py::countmin_sketch/
+    countmin_heavy_hitters — Cormode & Muthukrishnan 2005): corpus
+    token frequencies compress into a 3×16 counter matrix (mergeable
+    bounded state, the HLL/GK sketch contract); tokens whose CM
+    estimate reaches 1% of the corpus report (est, true). width=16
+    forces collisions so the est ≥ true overestimate bound is visible
+    in the output, and the md5 row hashes make the whole sketch a FULL
+    DuckDB value oracle."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.countmin_heavy_hitters(docs, depth=3, width=16, min_frac=0.01)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (corpus.py::bm25_topk — Robertson &
+    Zaragoza 2009, Lucene idf): top-20 documents for a 4-term query.
+    One corpus scan with the explode pre-filtered to the query
+    vocabulary; df/N/avgdl ride broadcast relations; per-term scores
+    sum as DECIMAL(38,12) (the LM-key float discipline) before the
+    final round(6)."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.bm25_topk(
+        docs, ["spark", "shuffle", "window", "merge"], k=20
+    )
+
+
+def q_similarity_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (similarity.py::sq_bounds/sq_topk — the
+    FAISS SQ8 path, completing the exact/LSH/IVF/PQ family): per-dim
+    min/max bounds from ONE exact aggregation (no sampled fit), 8-bit
+    codes, asymmetric-distance compressed scan shortlists 100, exact L2
+    reranks to 10. Because the 'training' is an exact aggregate, the
+    ENTIRE path — fit, encode, scan, rerank — replays as one DuckDB
+    query: a full value oracle where IVF/PQ certify recall bounds."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").collect()
+    qv = [float(v) for v in qrow[0]["embedding"]]
+    return similarity.sq_topk(emb, qv, k=10, shortlist=100, levels=255)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver certifies the FIRST 50 entries in insertion order
     # (established round 2: CORRECTNESS keys == dict positions 1-50).
@@ -2845,16 +2909,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ROUND 12 WINDOW (first 50 = driver-certified this round).
         # Policy unchanged: never/longest-uncertified keys first; new keys
         # added this round insert at the dict head and displace the last
-        # fillers past 50. Composition per the r11 verdict: the new
+        # fillers past 50. Composition per the r11 verdict: the TEN new
         # round-12 keys first, then ALL 40 keys whose last driver row is
         # r8 (three rounds stale — j10_interval_join..sketch_quantiles
-        # below), then the keys whose OPERATORS changed this round
-        # (terciles materialization, epsilon-grid dense-cell refinement,
-        # minhash width-probe deprecation), then the oldest r10-certified
-        # fillers. Round 13 should lead with the r10-certified remainder
-        # (gopher_repetition onward plus any displaced fillers), then the
-        # oldest r11. Every key stays covered every round by
-        # tests/test_oracle_parity.py.
+        # below) — 10 + 40 fills the window exactly. Round 13 should lead
+        # with the four touched-this-round keys at position 51+, then the
+        # r10-certified remainder, then the oldest r11. Every key stays
+        # covered every round by tests/test_oracle_parity.py.
         # --- new in round 12 (never certified) ---
         "dedup_exact_substring": q_dedup_exact_substring,
         "trigram_xent": q_trigram_xent,
@@ -2862,6 +2923,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "quality_classifier": q_quality_classifier,
         "neardup_edit_distance": q_neardup_edit_distance,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "countmin_heavy": q_countmin_heavy,
+        "bm25_topk": q_bm25_topk,
+        "similarity_sq_topk": q_similarity_sq_topk,
         # --- last driver row r8: three rounds stale (all 40) ---
         "j10_interval_join": q_j10_interval_join,
         "w5_sliding_tiles": q_w5_sliding_tiles,
@@ -2903,23 +2968,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_sessionize": q_w7_sessionize,
         "a14_rollup": q_a14_rollup,
         "sketch_quantiles": q_sketch_quantiles,
-        # --- operators touched this round: re-certify ---
-        # (dedup_minhash and dbscan_cell_stats are NOT re-listed here:
-        # the r12 minhash change is signature/validation only and
-        # epsilon_grid_cell_stats was untouched by the dense-cell
-        # mitigation — both certified r11 plans are byte-identical, and
-        # the six new r12 keys took their slots)
+        # ---------------- position 51+: rotated out this round ----------
+        # The 10 new keys + 40 r8-stale keys fill the window exactly, so
+        # the four operators TOUCHED this round (terciles materialization;
+        # the dense-cell eps/2 refinement behind the dbscan keys) sit just
+        # past 50 — they hold r10/r11 driver rows and every key is still
+        # replayed at sf0.01 each round by tests/test_oracle_parity.py.
+        # ROUND 13 WINDOW should lead with these four, then the
+        # r10-certified remainder (g8_rayleigh onward).
         "quality_terciles": q_quality_terciles,
         "dbscan_merge_events": q_dbscan_merge_events,
         "dbscan_ladder": q_dbscan_ladder,
         "emb_transform_dbscan": q_emb_transform_dbscan,
-        # --- oldest r10-certified fillers (displaced first by new keys) ---
         "g8_rayleigh": q_g8_rayleigh,
         "stream_parquet_drain": q_stream_parquet_drain,
         "dedup_best_survivors": q_dedup_best_survivors,
         "select_token_budget": q_select_token_budget,
-        # ---------------- position 51+: rotated out this round ----------
-        # r10-certified remainder (leads the round-13 window)
+        # r10-certified remainder (round-13 window continues here)
         "gopher_repetition": q_gopher_repetition,
         "incremental_dedup": q_incremental_dedup,
         "dsir_logratio": q_dsir_logratio,
@@ -6059,6 +6124,160 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / (1.0 + exp(-(s / n_tokens + 0.0))), 6)
                        AS quality_score
             FROM per
+        """,
+        # Bloom-filter replay: the filter IS its set-bit relation
+        # (distinct md5 positions), so membership = "all 4 probed
+        # positions found" — the false positives replay exactly
+        "bloom_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x != ''), []) AS w,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval
+              FROM documents
+            ), g AS (
+              SELECT DISTINCT doc_id, is_eval,
+                     array_to_string(w[i:i+6], ' ') AS ng
+              FROM toks, UNNEST(range(1, len(w) - 6 + 1)) AS t(i)
+              WHERE len(w) >= 7
+            ), bits AS (
+              SELECT DISTINCT
+                     CAST('0x' || substr(md5(ng || h), 1, 13) AS BIGINT)
+                         % 262144 AS bit
+              FROM g, UNNEST(['#0','#1','#2','#3']) AS t(h)
+              WHERE is_eval
+            ), probe AS (
+              SELECT doc_id, ng, h,
+                     CAST('0x' || substr(md5(ng || h), 1, 13) AS BIGINT)
+                         % 262144 AS bit
+              FROM g, UNNEST(['#0','#1','#2','#3']) AS t(h)
+              WHERE NOT is_eval
+            ), per AS (
+              SELECT p.doc_id, p.ng, count(b.bit) = 4 AS hit
+              FROM probe p LEFT JOIN bits b ON b.bit = p.bit
+              GROUP BY p.doc_id, p.ng
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_ngrams,
+                   CAST(sum(CAST(hit AS INT)) AS BIGINT) AS n_bloom_hits,
+                   round(sum(CAST(hit AS INT)) / count(*), 6) AS hit_frac,
+                   round(sum(CAST(hit AS INT)) / count(*), 6) >= 0.5 AS flagged
+            FROM per GROUP BY doc_id
+        """,
+        # Count-Min replay: one vocab agg, d x w counter cells, point
+        # query = min over the 3 row hashes; est >= true by construction
+        "countmin_heavy": """
+            WITH tok AS (
+              SELECT unnest(COALESCE(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x != ''), [])) AS token
+              FROM documents
+            ), vocab AS (
+              SELECT token, count(*) AS cnt FROM tok GROUP BY token
+            ), cells AS (
+              SELECT token, cnt, r,
+                     CAST('0x' || substr(md5(token || r), 1, 13) AS BIGINT)
+                         % 16 AS c
+              FROM vocab, UNNEST(['#0','#1','#2']) AS t(r)
+            ), sketch AS (
+              SELECT r, c, sum(cnt) AS counter FROM cells GROUP BY r, c
+            ), est AS (
+              SELECT cells.token,
+                     CAST(min(sketch.counter) AS BIGINT) AS est_count,
+                     CAST(min(cells.cnt) AS BIGINT) AS true_count
+              FROM cells JOIN sketch
+                ON sketch.r = cells.r AND sketch.c = cells.c
+              GROUP BY cells.token
+            ), total AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vocab
+            )
+            SELECT token, est_count, true_count
+            FROM est, total
+            WHERE est_count >= n * 0.01
+        """,
+        # BM25 replay: Lucene idf, DECIMAL(38,12) per-term score sums
+        # (the LM-key float discipline), avgdl as sumdl/ndocs explicitly
+        # so both engines run the identical IEEE division
+        "bm25_topk": """
+            WITH base AS (
+              SELECT doc_id,
+                     COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x != ''), []) AS w
+              FROM documents
+            ), st AS (
+              SELECT CAST(count(*) AS BIGINT) AS ndocs,
+                     CAST(sum(len(w)) AS BIGINT) AS sumdl
+              FROM base
+            ), occ AS (
+              SELECT doc_id, len(w) AS dl,
+                     unnest(list_filter(w,
+                       x -> x IN ('merge','shuffle','spark','window'))) AS token
+              FROM base
+            ), tf AS (
+              SELECT doc_id, token, count(*) AS tf, min(dl) AS dl
+              FROM occ GROUP BY doc_id, token
+            ), dft AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS dft
+              FROM tf GROUP BY token
+            ), scored AS (
+              SELECT tf.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_matched_terms,
+                     sum(CAST(
+                       ln(1.0 + (st.ndocs - dft.dft + 0.5) / (dft.dft + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                            / (CAST(st.sumdl AS DOUBLE) / st.ndocs)))
+                     AS DECIMAL(38,12))) AS s
+              FROM tf JOIN dft ON dft.token = tf.token, st
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, n_matched_terms,
+                   round(CAST(s AS DOUBLE), 6) AS score
+            FROM scored ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        # SQ replay: exact per-dim min/max "fit", floor(x + 0.5)
+        # quantizer (identical IEEE rounding on both sides — the
+        # derived_dag lesson), asymmetric-distance shortlist of 100 by
+        # (round6, id), exact L2 rerank to 10
+        "similarity_sq_topk": """
+            WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+            d AS (
+              SELECT t.i AS i,
+                     min(CAST(v.embedding[t.i] AS DOUBLE)) AS mn,
+                     max(CAST(v.embedding[t.i] AS DOUBLE)) AS mx
+              FROM embeddings v,
+                   UNNEST(range(1, len(v.embedding) + 1)) AS t(i)
+              GROUP BY t.i
+            ), b AS (
+              SELECT list(mn ORDER BY i) AS mins,
+                     list(mx ORDER BY i) AS maxs
+              FROM d
+            ), scored AS (
+              SELECT v.vec_id,
+                     round(list_sum(list_transform(range(1, len(v.embedding) + 1), i ->
+                       CASE WHEN b.maxs[i] = b.mins[i]
+                            THEN (CAST(q.e[i] AS DOUBLE) - b.mins[i])
+                               * (CAST(q.e[i] AS DOUBLE) - b.mins[i])
+                            ELSE (CAST(q.e[i] AS DOUBLE)
+                                  - (b.mins[i]
+                                     + floor((CAST(v.embedding[i] AS DOUBLE) - b.mins[i])
+                                             / (b.maxs[i] - b.mins[i]) * 255.0 + 0.5)
+                                       * (b.maxs[i] - b.mins[i]) / 255.0))
+                               * (CAST(q.e[i] AS DOUBLE)
+                                  - (b.mins[i]
+                                     + floor((CAST(v.embedding[i] AS DOUBLE) - b.mins[i])
+                                             / (b.maxs[i] - b.mins[i]) * 255.0 + 0.5)
+                                       * (b.maxs[i] - b.mins[i]) / 255.0))
+                       END)), 6) AS approx_d2,
+                     round(list_sum(list_transform(range(1, len(v.embedding) + 1), i ->
+                       (CAST(v.embedding[i] AS DOUBLE) - CAST(q.e[i] AS DOUBLE))
+                       * (CAST(v.embedding[i] AS DOUBLE) - CAST(q.e[i] AS DOUBLE)))), 6) AS d2
+              FROM embeddings v, q, b
+            ), short AS (
+              SELECT * FROM scored ORDER BY approx_d2, vec_id LIMIT 100
+            )
+            SELECT vec_id, d2, approx_d2
+            FROM short ORDER BY d2, vec_id LIMIT 10
         """,
         # Stupid-Backoff TRIGRAM replay: the bigram_xent program one
         # order up — trigrams via 1-based list indexing over

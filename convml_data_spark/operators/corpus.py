@@ -1722,3 +1722,326 @@ def sliding_token_windows(
             F.slice(F.col("_toks"), F.col("start") + 1, F.lit(size)), " "
         ).alias("win_text"),
     )
+
+
+def _doc_ngrams(
+    df: DataFrame, n: int, id_col: str, text_col: str, out_id: str
+) -> DataFrame:
+    """Distinct lowercase word n-grams per document — the shared probe
+    shape of :func:`ngram_overlap` and the Bloom decontamination pair."""
+    toks = T.tokens(F.lower(F.col(text_col)))
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(F.array_distinct(T.ngrams_from_tokens(toks, n))).alias("ng"),
+    )
+
+
+def bloom_bits(
+    eval_docs: DataFrame,
+    n: int = 7,
+    m_bits: int = 262_144,
+    k_hashes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Build a Bloom filter over an eval/benchmark set's word n-grams,
+    represented as its SET-BIT relation: one ``bit`` column, distinct
+    positions in ``[0, m_bits)`` (Bloom 1970). Each n-gram sets
+    ``k_hashes`` positions ``md5(ng || '#j') mod m_bits`` — the
+    engine-replayable hash family shared with :func:`_md5_bucket`.
+
+    The set-bit relation is semantically the filter (membership =
+    "every probed position present") and is bounded by ``m_bits`` rows
+    regardless of eval-set size — fixed-size, broadcastable state, and
+    mergeable across shards by plain set union (``unionByName`` +
+    ``distinct``), exactly like the HLL/GK sketches. A packed
+    ``m_bits/64``-long bitmap is a constant-factor encoding of the same
+    relation; the relational form keeps the membership test a hash join
+    the oracle can replay.
+    """
+    if m_bits <= 0 or k_hashes <= 0:
+        raise ValueError("m_bits and k_hashes must be positive")
+    grams = _doc_ngrams(eval_docs, n, id_col, text_col, "eval_id")
+    pos = F.array(
+        *[
+            _md5_bucket(F.concat(F.col("ng"), F.lit(f"#{j}")), m_bits)
+            for j in range(k_hashes)
+        ]
+    )
+    return grams.select(F.explode(pos).alias("bit")).distinct()
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 7,
+    m_bits: int = 262_144,
+    k_hashes: int = 4,
+    flag_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the fixed-memory form of
+    :func:`ngram_overlap` (the shape Brown et al. 2020 appendix C and
+    Soldaini et al. 2024 (Dolma) use at corpus scale: the eval side
+    compresses to a bitmap, never a joinable n-gram table).
+
+    Per train document: how many of its distinct word ``n``-grams the
+    eval-set Bloom filter claims to contain. Returns ``(doc_id,
+    n_ngrams, n_bloom_hits, hit_frac, flagged)`` for every train doc
+    with at least one n-gram; ``flagged`` compares the ROUNDED fraction
+    to ``flag_threshold`` so engine and oracle agree at the boundary.
+
+    False positives are part of the (deterministic) semantics: a hit
+    means "all k md5 positions set", which the md5 family replays
+    exactly in the DuckDB oracle — there is no RNG and no approximation
+    drift, just the documented Bloom FP rate ≈ (1 − e^{−kN/m})^k.
+
+    Scale design: the filter is ≤ ``m_bits`` rows of bounded state
+    (broadcast), so the train side — the 100 TB side — is ONE scan:
+    tokenize in-row, probe via a broadcast hash join, collapse with one
+    per-doc aggregation. Nothing eval-sized ever shuffles with the
+    corpus, which is the whole point of the Bloom form over
+    :func:`ngram_overlap`'s n-gram equi-join when the eval suite is
+    large.
+    """
+    from .dedup import _spread
+
+    bits = F.broadcast(
+        bloom_bits(eval_docs, n, m_bits, k_hashes, id_col, text_col)
+        .withColumn("_in", F.lit(1))
+    )
+    probe = _doc_ngrams(_spread(train, id_col), n, id_col, text_col, "doc_id")
+    probed = probe.select(
+        "doc_id",
+        "ng",
+        F.explode(
+            F.array(
+                *[
+                    _md5_bucket(F.concat(F.col("ng"), F.lit(f"#{j}")), m_bits)
+                    for j in range(k_hashes)
+                ]
+            )
+        ).alias("bit"),
+    )
+    per_gram = (
+        probed.join(bits, "bit", "left")
+        .groupBy("doc_id", "ng")
+        .agg((F.count("_in") == k_hashes).alias("hit"))
+    )
+    frac = F.round(
+        F.sum(F.col("hit").cast("int")) / F.count("*"), 6
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.count("*").alias("n_ngrams"),
+        F.sum(F.col("hit").cast("int")).cast("bigint").alias("n_bloom_hits"),
+        frac.alias("hit_frac"),
+        (frac >= F.lit(float(flag_threshold))).alias("flagged"),
+    )
+
+
+def countmin_sketch(
+    docs: DataFrame,
+    depth: int = 3,
+    width: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-Min sketch of corpus token frequencies (Cormode &
+    Muthukrishnan 2005): ``depth`` hash rows × ``width`` counters;
+    every token occurrence adds its count to cell ``(r, md5(token ||
+    '#r') mod width)``. Returns the counter relation ``(r, c, counter)``
+    — ≤ ``depth·width`` rows of bounded state, mergeable across corpus
+    shards by summing matching cells (the defining sketch property,
+    same contract as the HLL/GK keys).
+
+    Build cost: ONE corpus-scale hash aggregation (token counts,
+    map-side combined — the :func:`build_vocab` agg), then the
+    ``depth``-way fan-out and cell aggregation run on the vocab-bounded
+    relation only. The md5 hash family replays in DuckDB, so estimates
+    are deterministic and fully oracle-checkable.
+    """
+    if depth <= 0 or width <= 0:
+        raise ValueError("depth and width must be positive")
+    from .dedup import _spread
+
+    tok = _spread(docs, id_col).select(
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    cells = vocab.select(
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _md5_bucket(
+                            F.concat(F.col("token"), F.lit(f"#{r}")), width
+                        ).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_cell"),
+    )
+    return cells.groupBy(
+        F.col("_cell.r").alias("r"), F.col("_cell.c").alias("c")
+    ).agg(F.sum("cnt").cast("bigint").alias("counter"))
+
+
+def countmin_heavy_hitters(
+    docs: DataFrame,
+    depth: int = 3,
+    width: int = 1024,
+    min_frac: float = 0.01,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heavy hitters by Count-Min estimate: tokens whose sketch estimate
+    (``min_r counter[r, h_r(token)]``) reaches ``min_frac`` of the total
+    token count — the classic CM point-query pass (Cormode &
+    Muthukrishnan 2005 §4.1). Returns ``(token, est_count, true_count)``;
+    the CM guarantee ``est ≥ true`` (never undercounts) is asserted by
+    the unit tests and visible in the output columns.
+
+    The probe pass re-uses the ONE corpus-scale token aggregation that
+    built the sketch (Catalyst CSEs the shared subtree when composed
+    lazily; at 100 TB you'd materialize the vocab relation once) — the
+    sketch and probe joins are all vocab- or ``depth·width``-bounded.
+    ``true_count`` rides along from the vocab relation; a pure
+    sketch-only deployment would drop it, the estimate needs no second
+    corpus pass either way.
+    """
+    if not 0.0 < min_frac <= 1.0:
+        raise ValueError("min_frac must be in (0, 1]")
+    from .dedup import _spread
+
+    tok = _spread(docs, id_col).select(
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    sketch = F.broadcast(countmin_sketch(docs, depth, width, id_col, text_col))
+    total = F.broadcast(vocab.agg(F.sum("cnt").cast("bigint").alias("_N")))
+    probes = vocab.select(
+        "token",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _md5_bucket(
+                            F.concat(F.col("token"), F.lit(f"#{r}")), width
+                        ).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_cell"),
+    ).select("token", "cnt", F.col("_cell.r").alias("r"), F.col("_cell.c").alias("c"))
+    est = (
+        probes.join(sketch, ["r", "c"])
+        .groupBy("token")
+        .agg(
+            F.min("counter").cast("bigint").alias("est_count"),
+            F.min("cnt").cast("bigint").alias("true_count"),
+        )
+    )
+    return est.join(total).where(
+        F.col("est_count") >= F.col("_N") * F.lit(float(min_frac))
+    ).select("token", "est_count", "true_count")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 lexical retrieval (Robertson & Zaragoza 2009, the Okapi/Lucene
+    form): score every document against a literal bag of query terms and
+    return the top ``k`` — the classic sparse-retrieval twin of the
+    embedding ANN keys (``similarity.cosine_topk``), and the lexical half
+    of a hybrid RAG retriever.
+
+    ``score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))``
+    with the Lucene idf ``ln(1 + (N−df+0.5)/(df+0.5))`` (always
+    positive). Returns ``(doc_id, n_matched_terms, score)`` ordered
+    score-desc / id-asc, score rounded to 6 dp.
+
+    Scale design: TWO corpus scans — one computes the (N, Σ|D|) scalars,
+    one explodes tokens in-row PRE-FILTERED to the query vocabulary (a
+    few literals), so the exploded relation is bounded by matching
+    occurrences, not corpus tokens. The (doc, term, tf) relation
+    materializes once (lazy checkpoint) for its two consumers — the
+    document-frequency agg and the scoring join — which is what keeps
+    the plan at two scans instead of three. df and the scalars ride
+    tiny broadcast relations; per-term scores sum as DECIMAL(38,12)
+    (exact, AQE-order-independent — the unigram/bigram LM discipline)
+    before the final round.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    from .dedup import _spread
+
+    toks = T.tokens(F.lower(F.col(text_col)))
+    base = _spread(docs, id_col).select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_dl")
+    )
+    stats = F.broadcast(
+        base.agg(
+            F.count("*").cast("bigint").alias("_ndocs"),
+            F.sum("_dl").cast("bigint").alias("_sumdl"),
+        )
+    )
+    occ = base.select(
+        F.col(id_col),
+        F.col("_dl"),
+        F.explode(
+            F.filter(F.col("_toks"), lambda t: t.isin(terms))
+        ).alias("token"),
+    )
+    # tf feeds BOTH the document-frequency agg and the scoring join;
+    # without a materialization Catalyst plans two independent subtrees,
+    # i.e. a second full corpus scan just to count df. Lazy checkpoint:
+    # computed once inside the final job, no construction-time work
+    # (operators/persist.py on durability).
+    from .persist import materialize_for_reuse
+
+    tf = materialize_for_reuse(
+        occ.groupBy(id_col, "token").agg(
+            F.count("*").alias("_tf"), F.min("_dl").alias("_dl")
+        )
+    )
+    dft = F.broadcast(
+        tf.groupBy("token").agg(F.count("*").cast("bigint").alias("_dft"))
+    )
+    avgdl = F.col("_sumdl").cast("double") / F.col("_ndocs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_ndocs") - F.col("_dft") + 0.5) / (F.col("_dft") + 0.5)
+    )
+    denom = F.col("_tf") + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b)) + F.lit(float(b)) * F.col("_dl") / avgdl
+    )
+    term_score = idf * F.col("_tf") * F.lit(float(k1) + 1.0) / denom
+    scored = (
+        tf.join(dft, "token")
+        .join(stats)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_matched_terms"),
+            F.sum(term_score.cast("decimal(38,12)")).alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            "n_matched_terms",
+            F.round(F.col("_s").cast("double"), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -939,3 +939,156 @@ def semantic_dedup(
         id_b="id_b",
         durable=durable,
     )
+
+
+def sq_bounds(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension [min, max] bounds for scalar quantization — ONE
+    exact aggregation (posexplode → per-dim min/max → re-assembled into
+    two ordered arrays), returned as a 1-row relation ``(_mins
+    ARRAY<DOUBLE>, _maxs ARRAY<DOUBLE>)``.
+
+    Unlike the IVF/PQ fits (sampled Lloyd iterations, driver-side), SQ
+    training is a pure relational aggregate: exact, deterministic, fully
+    DuckDB-replayable, and mergeable across shards (min of mins / max of
+    maxs) — so the whole SQ path gets a FULL value oracle where PQ gets
+    a recall bound."""
+    per_dim = (
+        embeddings.select(F.posexplode(F.col(vec_col)).alias("_i", "_v"))
+        .groupBy("_i")
+        .agg(
+            F.min(F.col("_v").cast("double")).alias("_mn"),
+            F.max(F.col("_v").cast("double")).alias("_mx"),
+        )
+    )
+    packed = per_dim.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_i"), F.col("_mn"), F.col("_mx")))
+        ).alias("_a")
+    )
+    return packed.select(
+        F.transform(F.col("_a"), lambda s: s["_mn"]).alias("_mins"),
+        F.transform(F.col("_a"), lambda s: s["_mx"]).alias("_maxs"),
+    )
+
+
+def _sq_codes(vec_col: str, levels: int):
+    """In-row SQ encode expression: ``floor((v − mn)/(mx − mn)·levels +
+    0.5)`` per dimension (0 where the dimension is constant). Expects
+    ``_mins``/``_maxs`` columns from a broadcast :func:`sq_bounds` join;
+    everything rides ``arrays_zip`` so no lambda captures an outer
+    column (the Catalyst outer-ref-in-HOF trap)."""
+    z = F.arrays_zip(
+        F.col(vec_col).alias("_v"), F.col("_mins").alias("_mn"),
+        F.col("_maxs").alias("_mx"),
+    )
+    return F.transform(
+        z,
+        lambda s: F.when(s["_mx"] == s["_mn"], F.lit(0)).otherwise(
+            F.floor(
+                (s["_v"].cast("double") - s["_mn"])
+                / (s["_mx"] - s["_mn"]) * F.lit(float(levels))
+                + F.lit(0.5)
+            )
+        ).cast("int"),
+    )
+
+
+def sq_encode(
+    embeddings: DataFrame,
+    levels: int = 255,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scalar-quantize every vector to ``(id, codes ARRAY<INT>)`` — the
+    FAISS ``SQ8`` compression path (8-bit per dimension at
+    ``levels=255``): a 64-dim float32 vector stores in 64 bytes, so a
+    100 TB embedding table scans from ~¼ the bytes with NO codebook
+    training. Bounds ride a broadcast 1-row join; the encode is pure
+    in-row Column math."""
+    bounds = F.broadcast(sq_bounds(embeddings, vec_col))
+    return embeddings.join(bounds).select(
+        F.col(id_col), _sq_codes(vec_col, levels).alias("codes")
+    )
+
+
+def sq_topk(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    levels: int = 255,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate L2 top-k via scalar quantization with exact rerank —
+    the SQ member of the quantized-ANN family (exact / LSH / IVF / PQ
+    already certified): the compressed scan computes the asymmetric
+    distance ``Σ (q_i − dequant(code_i))²`` per row, shortlists the
+    ``shortlist`` nearest by rounded approx distance, and exact L2
+    reranks the shortlist to ``k``. Returns ``(id, d2, approx_d2)``
+    ascending by exact distance, both rounded to 6 dp, deterministic
+    tie-break on id.
+
+    Scale design: bounds are one exact aggregation broadcast back; the
+    scan is in-row expression math (no UDF); the shortlist is a
+    TakeOrdered (per-partition top-S + driver merge, no full sort) that
+    carries the row's vector along, so the rerank is in-row on ≤
+    ``shortlist`` rows — no second join. (A deployed compressed scan
+    would read a pre-encoded :func:`sq_encode` codes table — ¼ the
+    bytes — and broadcast-join the shortlist back to the vectors; this
+    single-table composition keeps the whole path one lazy program.)
+    Every stage is deterministic, so fit + encode + scan + rerank
+    replay as one DuckDB query — a FULL value oracle, unlike the
+    sampled-fit IVF/PQ paths.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vector])
+    bounds = F.broadcast(sq_bounds(embeddings, vec_col))
+    coded = embeddings.join(bounds).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _sq_codes(vec_col, levels).alias("_codes"),
+        F.col("_mins"),
+        F.col("_maxs"),
+    )
+    zq = F.arrays_zip(
+        F.col("_codes").alias("_c"), F.col("_mins").alias("_mn"),
+        F.col("_maxs").alias("_mx"), q.alias("_q"),
+    )
+    approx = F.aggregate(
+        F.transform(
+            zq,
+            lambda s: (
+                s["_q"]
+                - (s["_mn"] + s["_c"].cast("double")
+                   * (s["_mx"] - s["_mn"]) / F.lit(float(levels)))
+            )
+            * (
+                s["_q"]
+                - (s["_mn"] + s["_c"].cast("double")
+                   * (s["_mx"] - s["_mn"]) / F.lit(float(levels)))
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    short = (
+        coded.select(F.col(id_col), F.col(vec_col), F.round(approx, 6).alias("approx_d2"))
+        .orderBy(F.col("approx_d2").asc(), F.col(id_col))
+        .limit(int(shortlist))
+    )
+    exact = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), q,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        short.select(F.col(id_col), F.round(exact, 6).alias("d2"), "approx_d2")
+        .orderBy(F.col("d2").asc(), F.col(id_col))
+        .limit(int(k))
+    )

@@ -1880,3 +1880,297 @@ def test_dsir_hashed_buckets_reduce_to_raw_when_injective(spark):
     }
     assert set(tiny) == set(raw)
     assert tiny != {k: v[1] for k, v in raw.items()}
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_decontaminate_no_false_negatives_and_true_hit(spark):
+    """A train doc containing an eval doc's exact 7-gram ALWAYS hits
+    (Bloom filters have no false negatives); with a filter big enough
+    that FPs are improbable for 5 docs, disjoint-vocab docs score 0."""
+    from convml_data_spark.operators import corpus
+
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains eval 7-gram "alpha beta ... eta" verbatim
+            # (10 tokens -> 4 distinct 7-grams, exactly 1 contaminated)
+            (0, "prefix words alpha beta gamma delta epsilon zeta eta suffix"),
+            # disjoint vocabulary
+            (1, "one two three four five six seven eight nine ten eleven"),
+            # verbatim copy of the eval doc: every 7-gram hits
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus.bloom_decontaminate(
+            train, eval_docs, n=7, m_bits=1 << 20, k_hashes=4,
+            flag_threshold=0.3,
+        ).collect()
+    }
+    assert out[0]["n_bloom_hits"] == 1  # no false negatives, ever
+    assert out[0]["hit_frac"] == 0.25 and out[0]["flagged"] is False
+    assert out[1]["n_bloom_hits"] == 0  # 2^20 bits, few grams: no FP
+    assert out[1]["flagged"] is False
+    assert out[2]["hit_frac"] == 1.0 and out[2]["flagged"] is True
+
+
+def test_bloom_bits_bounded_and_mergeable(spark):
+    """The set-bit relation is bounded by m_bits and merges across
+    shards by plain set union — the sketch contract."""
+    from convml_data_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j k l"),
+            (1, "m n o p q r s t u v w x"),
+        ],
+        "doc_id long, text string",
+    )
+    m = 64
+    full = {
+        r["bit"]
+        for r in corpus.bloom_bits(docs, n=7, m_bits=m, k_hashes=3).collect()
+    }
+    part0 = {
+        r["bit"]
+        for r in corpus.bloom_bits(
+            docs.where(F.col("doc_id") == 0), n=7, m_bits=m, k_hashes=3
+        ).collect()
+    }
+    part1 = {
+        r["bit"]
+        for r in corpus.bloom_bits(
+            docs.where(F.col("doc_id") == 1), n=7, m_bits=m, k_hashes=3
+        ).collect()
+    }
+    assert full == part0 | part1
+    assert all(0 <= b < m for b in full)
+
+
+def test_bloom_decontaminate_small_filter_false_positives_flagged(spark):
+    """With a deliberately tiny filter the FP rate saturates — the
+    deterministic md5 family means even the false positives are stable
+    across runs/partitionings."""
+    from convml_data_spark.operators import corpus
+
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(0, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    kw = dict(n=7, m_bits=4, k_hashes=2, flag_threshold=0.5)
+    a = corpus.bloom_decontaminate(train, eval_docs, **kw).collect()
+    b = corpus.bloom_decontaminate(
+        train.repartition(5), eval_docs, **kw
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # 4 bits, 4 eval grams x 2 hashes: filter saturates, everything hits
+    assert a[0]["hit_frac"] == 1.0 and a[0]["flagged"] is True
+
+
+def test_bloom_param_validation(spark):
+    import pytest
+
+    from convml_data_spark.operators import corpus
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        corpus.bloom_bits(docs, m_bits=0)
+    with pytest.raises(ValueError):
+        corpus.bloom_bits(docs, k_hashes=0)
+
+
+# ---------------------------------------------------------------- count-min
+
+
+def test_countmin_never_undercounts_and_exact_alone(spark):
+    """CM point queries satisfy est >= true always (the defining
+    guarantee); a token alone in its cells estimates exactly."""
+    from convml_data_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(i, "x " * (i + 1)) for i in range(20)], "doc_id long, text string"
+    )
+    # width 2: massive collisions; est >= true must still hold
+    rows = corpus.countmin_heavy_hitters(
+        docs, depth=2, width=2, min_frac=0.0001
+    ).collect()
+    assert rows and all(r["est_count"] >= r["true_count"] for r in rows)
+    # single-token corpus: no collisions possible -> exact
+    solo = spark.createDataFrame([(0, "y y y y y")], "doc_id long, text string")
+    got = corpus.countmin_heavy_hitters(
+        solo, depth=3, width=8, min_frac=0.5
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["est_count"] == got[0]["true_count"] == 5
+
+
+def test_countmin_sketch_mergeable_across_shards(spark):
+    """sketch(A union B) == cellwise-sum(sketch(A), sketch(B)) — the
+    property that lets 100 TB shards sketch independently."""
+    from convml_data_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [
+            (0, "red green blue red"),
+            (1, "green blue blue cyan"),
+            (2, "red cyan cyan magenta"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(depth=3, width=4)
+    full = {
+        (r["r"], r["c"]): r["counter"]
+        for r in corpus.countmin_sketch(docs, **kw).collect()
+    }
+    a = corpus.countmin_sketch(docs.where(F.col("doc_id") <= 0), **kw)
+    bdf = corpus.countmin_sketch(docs.where(F.col("doc_id") > 0), **kw)
+    merged = {}
+    for r in a.unionByName(bdf).collect():
+        merged[(r["r"], r["c"])] = merged.get((r["r"], r["c"]), 0) + r["counter"]
+    assert merged == full
+
+
+def test_countmin_param_validation(spark):
+    import pytest
+
+    from convml_data_spark.operators import corpus
+
+    docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        corpus.countmin_sketch(docs, depth=0)
+    with pytest.raises(ValueError):
+        corpus.countmin_heavy_hitters(docs, min_frac=0.0)
+    with pytest.raises(ValueError):
+        corpus.countmin_heavy_hitters(docs, min_frac=1.5)
+
+
+# ---------------------------------------------------------------- bm25
+
+
+def test_bm25_matches_python_reference(spark):
+    """Hand-check the full BM25 formula (Lucene idf) on a 4-doc corpus
+    against an independent python computation at round(6)."""
+    import math
+
+    from convml_data_spark.operators import corpus
+
+    texts = {
+        0: "spark shuffle spark join",
+        1: "spark map reduce filter",
+        2: "window agg sort merge window",
+        3: "totally unrelated words here",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    terms = ["spark", "window"]
+    got = {
+        r["doc_id"]: (r["n_matched_terms"], r["score"])
+        for r in corpus.bm25_topk(docs, terms, k=10).collect()
+    }
+
+    k1, b = 1.2, 0.75
+    toks = {d: t.split() for d, t in texts.items()}
+    N = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    exp = {}
+    for d, t in toks.items():
+        s, nm = 0.0, 0
+        for q in terms:
+            tf = t.count(q)
+            if not tf:
+                continue
+            nm += 1
+            df = sum(1 for tt in toks.values() if q in tt)
+            idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        if nm:
+            exp[d] = (nm, round(s, 6))
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d][0] == exp[d][0]
+        assert abs(got[d][1] - exp[d][1]) < 2e-6
+    # doc 3 matches nothing and must be absent
+    assert 3 not in got
+
+
+def test_bm25_topk_cut_and_validation(spark):
+    import pytest
+
+    from convml_data_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(i, "common term") for i in range(30)], "doc_id long, text string"
+    )
+    out = corpus.bm25_topk(docs, ["term"], k=5).collect()
+    assert len(out) == 5
+    # identical scores -> deterministic id tiebreak
+    assert [r["doc_id"] for r in out] == [0, 1, 2, 3, 4]
+    with pytest.raises(ValueError):
+        corpus.bm25_topk(docs, [], k=5)
+
+
+# ---------------------------------------------------------------- SQ ANN
+
+
+def test_sq_bounds_exact_and_codes_in_range(spark):
+    from convml_data_spark.operators import similarity
+
+    rows = [
+        (0, [0.0, -1.0, 5.0]),
+        (1, [1.0, 3.0, 5.0]),
+        (2, [0.5, 1.0, 5.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = similarity.sq_bounds(emb).collect()[0]
+    assert b["_mins"] == [0.0, -1.0, 5.0]
+    assert b["_maxs"] == [1.0, 3.0, 5.0]
+    codes = {
+        r["vec_id"]: r["codes"]
+        for r in similarity.sq_encode(emb, levels=255).collect()
+    }
+    for c in codes.values():
+        assert all(0 <= x <= 255 for x in c)
+    # constant dimension (index 2) encodes 0 everywhere
+    assert all(c[2] == 0 for c in codes.values())
+    # extremes map to the extreme codes
+    assert codes[0][0] == 0 and codes[1][0] == 255
+    assert codes[0][1] == 0 and codes[1][1] == 255
+
+
+def test_sq_topk_exact_when_shortlist_covers_table(spark):
+    """With shortlist >= n the exact rerank is exhaustive, so SQ top-k
+    EQUALS the exact L2 top-k regardless of quantization error — and
+    with a tight shortlist the 8-bit codes still recover the true
+    neighbors on smooth data."""
+    import random
+
+    from convml_data_spark.operators import similarity
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[5][1]
+    exact = [
+        (r["vec_id"], r["score"])
+        for r in similarity.l2_topk_batch(emb, [(0, q)], k=10).collect()
+    ]
+    full = similarity.sq_topk(emb, q, k=10, shortlist=200).collect()
+    assert [r["vec_id"] for r in full] == [i for i, _ in exact]
+    assert all(abs(r["d2"] + s) < 2e-6 for r, (_, s) in zip(full, exact))
+    tight = similarity.sq_topk(emb, q, k=10, shortlist=20).collect()
+    hits = len({r["vec_id"] for r in tight} & {i for i, _ in exact})
+    assert hits >= 8  # 8-bit codes on [-1,1]^8: near-perfect recall
