@@ -2898,6 +2898,30 @@ def q_similarity_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.sq_topk(emb, qv, k=10, shortlist=100, levels=255)
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (similarity.py::
+    rrf_fuse — Cormack et al. SIGIR 2009): the BM25 lexical top-30 and
+    the exact-cosine semantic top-30 fuse by Σ 1/(60 + rank) with NO
+    score calibration — the standard production hybrid-RAG ranker.
+    Both retrievers carry their own scale designs; the fusion itself is
+    a per-list rank window + hash agg over |lists|·k bounded rows."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = corpus.bm25_topk(
+        docs, ["spark", "shuffle", "window", "merge"], k=30
+    ).select(
+        F.lit("lex").alias("list_id"), F.col("doc_id").alias("id"), "score"
+    )
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").collect()
+    qv = [float(v) for v in qrow[0]["embedding"]]
+    sem = similarity.cosine_topk(emb, qv, k=30).select(
+        F.lit("sem").alias("list_id"), F.col("vec_id").alias("id"), "score"
+    )
+    return similarity.rrf_fuse(lex.unionByName(sem), k_rrf=60, topk=15)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver certifies the FIRST 50 entries in insertion order
     # (established round 2: CORRECTNESS keys == dict positions 1-50).
@@ -2970,12 +2994,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantiles": q_sketch_quantiles,
         # ---------------- position 51+: rotated out this round ----------
         # The 10 new keys + 40 r8-stale keys fill the window exactly, so
-        # the four operators TOUCHED this round (terciles materialization;
-        # the dense-cell eps/2 refinement behind the dbscan keys) sit just
-        # past 50 — they hold r10/r11 driver rows and every key is still
-        # replayed at sf0.01 each round by tests/test_oracle_parity.py.
-        # ROUND 13 WINDOW should lead with these four, then the
-        # r10-certified remainder (g8_rayleigh onward).
+        # hybrid_rrf (also new this round, never certified) and the four
+        # operators TOUCHED this round (terciles materialization; the
+        # dense-cell eps/2 refinement behind the dbscan keys) sit just
+        # past 50 — every key is still replayed at sf0.01 each round by
+        # tests/test_oracle_parity.py. ROUND 13 WINDOW must lead with
+        # hybrid_rrf, then these four, then the r10-certified remainder
+        # (g8_rayleigh onward).
+        "hybrid_rrf": q_hybrid_rrf,
         "quality_terciles": q_quality_terciles,
         "dbscan_merge_events": q_dbscan_merge_events,
         "dbscan_ladder": q_dbscan_ladder,
@@ -6278,6 +6304,73 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, d2, approx_d2
             FROM short ORDER BY d2, vec_id LIMIT 10
+        """,
+        # RRF hybrid replay: both retrievers' CTEs verbatim (bm25 program
+        # + the ann_cosine program at k=30), per-list rank windows, then
+        # the 1/(60+rank) DECIMAL(38,12) fusion sum
+        "hybrid_rrf": """
+            WITH base AS (
+              SELECT doc_id,
+                     COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x != ''), []) AS w
+              FROM documents
+            ), st AS (
+              SELECT CAST(count(*) AS BIGINT) AS ndocs,
+                     CAST(sum(len(w)) AS BIGINT) AS sumdl
+              FROM base
+            ), occ AS (
+              SELECT doc_id, len(w) AS dl,
+                     unnest(list_filter(w,
+                       x -> x IN ('merge','shuffle','spark','window'))) AS token
+              FROM base
+            ), tf AS (
+              SELECT doc_id, token, count(*) AS tf, min(dl) AS dl
+              FROM occ GROUP BY doc_id, token
+            ), dft AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS dft
+              FROM tf GROUP BY token
+            ), bmscored AS (
+              SELECT tf.doc_id,
+                     sum(CAST(
+                       ln(1.0 + (st.ndocs - dft.dft + 0.5) / (dft.dft + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                            / (CAST(st.sumdl AS DOUBLE) / st.ndocs)))
+                     AS DECIMAL(38,12))) AS s
+              FROM tf JOIN dft ON dft.token = tf.token, st
+              GROUP BY tf.doc_id
+            ), bm AS (
+              SELECT doc_id, round(CAST(s AS DOUBLE), 6) AS score
+              FROM bmscored ORDER BY score DESC, doc_id LIMIT 30
+            ), q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+            ann AS (
+              SELECT vec_id,
+                     round(
+                       list_sum(list_transform(range(1, len(v.embedding) + 1),
+                                i -> CAST(v.embedding[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(range(1, len(v.embedding) + 1),
+                                i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(range(1, len(q.e) + 1),
+                                i -> CAST(q.e[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE))))), 6) AS score
+              FROM embeddings v, q
+              ORDER BY score DESC, vec_id LIMIT 30
+            ), un AS (
+              SELECT 'lex' AS list_id, doc_id AS id, score FROM bm
+              UNION ALL
+              SELECT 'sem' AS list_id, vec_id AS id, score FROM ann
+            ), rk AS (
+              SELECT list_id, id,
+                     row_number() OVER (PARTITION BY list_id
+                                        ORDER BY score DESC, id) AS rnk
+              FROM un
+            ), fused AS (
+              SELECT id,
+                     CAST(count(DISTINCT list_id) AS BIGINT) AS n_lists,
+                     sum(CAST(1.0 / (60.0 + rnk) AS DECIMAL(38,12))) AS s
+              FROM rk GROUP BY id
+            )
+            SELECT id, n_lists, round(CAST(s AS DOUBLE), 6) AS rrf_score
+            FROM fused ORDER BY rrf_score DESC, id LIMIT 15
         """,
         # Stupid-Backoff TRIGRAM replay: the bigram_xent program one
         # order up — trigrams via 1-based list indexing over

@@ -1092,3 +1092,135 @@ def sq_topk(
         .orderBy(F.col("d2").asc(), F.col(id_col))
         .limit(int(k))
     )
+
+
+def sq_topk_batch(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    shortlist: int = 100,
+    levels: int = 255,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch SQ scan: serve a whole query batch in ONE pass over the
+    table (the `*_topk_batch` contract shared by the cosine/LSH/IVF/PQ
+    tiers). The probe relation (qid, query vector) rides a tiny
+    broadcast join; every row scores every query with the asymmetric
+    SQ distance; the per-query shortlist prunes through the salted
+    two-phase rank (no single-partition window over the table); the
+    exact rerank then runs on the ≤ |queries|·shortlist survivors —
+    bounded by construction, so its per-qid window and broadcast joins
+    are safe at any table size. Returns ``(qid, id, d2, approx_d2)``
+    ascending by exact distance per query, ordering identical to
+    :func:`sq_topk`."""
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    probe = F.broadcast(
+        spark.createDataFrame(
+            [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+            "qid int, _qv array<double>",
+        )
+    )
+    bounds = F.broadcast(sq_bounds(embeddings, vec_col))
+    coded = embeddings.join(bounds).select(
+        F.col(id_col),
+        _sq_codes(vec_col, levels).alias("_codes"),
+        F.col("_mins"),
+        F.col("_maxs"),
+    )
+    zq = F.arrays_zip(
+        F.col("_codes").alias("_c"), F.col("_mins").alias("_mn"),
+        F.col("_maxs").alias("_mx"), F.col("_qv").alias("_q"),
+    )
+    dq = lambda s: (  # noqa: E731 — shared sub-expression of the squared term
+        s["_q"]
+        - (s["_mn"] + s["_c"].cast("double")
+           * (s["_mx"] - s["_mn"]) / F.lit(float(levels)))
+    )
+    approx = F.aggregate(
+        F.transform(zq, lambda s: dq(s) * dq(s)), F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = coded.join(probe).select(
+        "qid", F.col(id_col), (-F.round(approx, 6)).alias("score")
+    )
+    shortl = _topk_per_query(scored, int(shortlist), id_col).select(
+        "qid", id_col, (-F.col("score")).alias("approx_d2")
+    )
+    exact = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("_qv"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rer = (
+        F.broadcast(shortl)
+        .join(embeddings.select(id_col, vec_col), id_col)
+        .join(probe, "qid")
+        .select(
+            "qid", F.col(id_col), F.round(exact, 6).alias("d2"), "approx_d2"
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col(id_col))
+    return (
+        rer.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= int(k))
+        .select("qid", id_col, "d2", "approx_d2")
+    )
+
+
+def rrf_fuse(
+    scored_lists: DataFrame,
+    k_rrf: int = 60,
+    topk: int = 10,
+    id_col: str = "id",
+    list_col: str = "list_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR 2009)
+    — the standard way to combine a lexical (:func:`~convml_data_spark.
+    operators.corpus.bm25_topk`) and a semantic (:func:`cosine_topk`)
+    retriever into one hybrid ranking without score calibration:
+    ``rrf(d) = Σ_lists 1/(k_rrf + rank_d)`` over the lists that contain
+    ``d``, with 1-based per-list ranks by (score desc, id asc).
+
+    Input is the UNION of the retrievers\' top-k outputs as
+    ``(list_id, id, score)`` rows; returns ``(id, n_lists, rrf_score)``
+    ordered score-desc / id-asc, limited to ``topk``. Per-list terms
+    sum as DECIMAL(38,12) (exact, order-independent) before the final
+    round(6).
+
+    Scale shape: the inputs are top-k lists — bounded by construction
+    (|lists|·k rows) — so the per-list rank window (partitioned by
+    ``list_id``, never keyless) and the fusion hash agg + TakeOrdered
+    are all over tiny relations; the heavy lifting happened inside the
+    retrievers, which carry their own scale designs.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(list_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    ranked = scored_lists.select(
+        list_col, id_col, F.row_number().over(w).alias("_rank")
+    )
+    term = (F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("_rank"))).cast(
+        "decimal(38,12)"
+    )
+    fused = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.countDistinct(list_col).cast("bigint").alias("n_lists"),
+            F.sum(term).alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            "n_lists",
+            F.round(F.col("_s").cast("double"), 6).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(int(topk))

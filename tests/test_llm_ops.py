@@ -2174,3 +2174,253 @@ def test_sq_topk_exact_when_shortlist_covers_table(spark):
     tight = similarity.sq_topk(emb, q, k=10, shortlist=20).collect()
     hits = len({r["vec_id"] for r in tight} & {i for i, _ in exact})
     assert hits >= 8  # 8-bit codes on [-1,1]^8: near-perfect recall
+
+
+def test_sq_topk_batch_matches_single(spark):
+    """Batch SQ serving returns EXACTLY the single-query results for
+    every query in the batch (the *_topk_batch contract)."""
+    import random
+
+    from convml_data_spark.operators import similarity
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(150)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = [(0, rows[3][1]), (1, rows[77][1]), (2, [0.1] * 8)]
+    batch = similarity.sq_topk_batch(emb, qs, k=7, shortlist=30)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append((r["vec_id"], r["d2"], r["approx_d2"]))
+    for qid, qv in qs:
+        single = [
+            (r["vec_id"], r["d2"], r["approx_d2"])
+            for r in similarity.sq_topk(emb, qv, k=7, shortlist=30).collect()
+        ]
+        assert got[qid] == single, qid
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on two 3-item lists with one shared doc — fusion scores and
+    ordering checked against the formula by hand."""
+    from convml_data_spark.operators import similarity
+
+    rows = [
+        ("lex", 10, 5.0), ("lex", 11, 4.0), ("lex", 12, 3.0),
+        ("sem", 12, 0.9), ("sem", 20, 0.8), ("sem", 21, 0.7),
+    ]
+    lists = spark.createDataFrame(rows, "list_id string, id long, score double")
+    got = [
+        (r["id"], r["n_lists"], r["rrf_score"])
+        for r in similarity.rrf_fuse(lists, k_rrf=60, topk=10).collect()
+    ]
+    # ranks: lex 10->1 11->2 12->3 ; sem 12->1 20->2 21->3
+    exp = {
+        10: (1, round(1 / 61, 6)),
+        11: (1, round(1 / 62, 6)),
+        12: (2, round(1 / 63 + 1 / 61, 6)),
+        20: (1, round(1 / 62, 6)),
+        21: (1, round(1 / 63, 6)),
+    }
+    assert {i: (n, s) for i, n, s in got} == exp
+    # doc 12 (in both lists) must rank first; 11/20 tie resolves by id
+    assert [i for i, _, _ in got] == [12, 10, 11, 20, 21]
+
+
+def test_rrf_fuse_rank_from_scores_not_input_order(spark):
+    """Ranks derive from (score desc, id) inside the fusion — shuffled
+    input rows or partitioning cannot change the result."""
+    from convml_data_spark.operators import similarity
+
+    rows = [
+        ("a", 1, 0.2), ("a", 2, 0.9), ("a", 3, 0.5),
+        ("b", 3, 0.1), ("b", 1, 0.3),
+    ]
+    lists = spark.createDataFrame(rows, "list_id string, id long, score double")
+    one = [tuple(r) for r in similarity.rrf_fuse(lists, topk=5).collect()]
+    two = [
+        tuple(r)
+        for r in similarity.rrf_fuse(lists.repartition(7), topk=5).collect()
+    ]
+    assert one == two
+    # list a ranks: 2,3,1 ; list b ranks: 1,3
+    exp_first = 3  # 1/(60+2) + 1/(60+2) beats 2's 1/61 and 1's 1/63+1/61?
+    # compute: id1 = 1/63 + 1/61 = .032264, id2 = 1/61 = .016393,
+    #          id3 = 1/62 + 1/62 = .032258 -> id1 first, then id3
+    assert [r[0] for r in one][:2] == [1, 3]
+
+
+def _py_md5_bucket(s: str, n: int) -> int:
+    """Independent python twin of corpus._md5_bucket (hashlib, not Spark)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:13], 16) % n
+
+
+def test_bloom_decontaminate_matches_python_bruteforce(spark):
+    """Randomized third-implementation cross-check: a pure-python Bloom
+    (hashlib md5, set arithmetic) must agree with the Spark+md5 pipeline
+    on every count, including the false positives."""
+    import random
+
+    from convml_data_spark.operators import corpus
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(30)]
+    mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))  # noqa: E731
+    eval_rows = [(100 + i, mk(rng.randint(5, 15))) for i in range(5)]
+    train_rows = [(i, mk(rng.randint(5, 25))) for i in range(20)]
+    n, m, kh = 5, 64, 3
+    eval_docs = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_bloom_hits"])
+        for r in corpus.bloom_decontaminate(
+            train, eval_docs, n=n, m_bits=m, k_hashes=kh
+        ).collect()
+    }
+
+    def grams(text):
+        t = text.lower().split()
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    bits = {
+        _py_md5_bucket(f"{g}#{j}", m)
+        for _, txt in eval_rows
+        for g in grams(txt)
+        for j in range(kh)
+    }
+    exp = {}
+    for did, txt in train_rows:
+        gs = grams(txt)
+        if not gs:
+            continue
+        hits = sum(
+            1
+            for g in gs
+            if all(_py_md5_bucket(f"{g}#{j}", m) in bits for j in range(kh))
+        )
+        exp[did] = (len(gs), hits)
+    assert got == exp
+
+
+def test_countmin_matches_python_bruteforce(spark):
+    """Randomized cross-check of the full sketch+probe path against a
+    python dict-of-counters Count-Min."""
+    import random
+
+    from convml_data_spark.operators import corpus
+
+    rng = random.Random(17)
+    vocab = [f"t{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(15)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d, w = 3, 4
+    got = {
+        r["token"]: (r["est_count"], r["true_count"])
+        for r in corpus.countmin_heavy_hitters(
+            docs, depth=d, width=w, min_frac=0.0001
+        ).collect()
+    }
+    counts = {}
+    for _, txt in rows:
+        for t in txt.split():
+            counts[t] = counts.get(t, 0) + 1
+    cells = {}
+    for t, c in counts.items():
+        for r in range(d):
+            key = (r, _py_md5_bucket(f"{t}#{r}", w))
+            cells[key] = cells.get(key, 0) + c
+    exp = {
+        t: (
+            min(cells[(r, _py_md5_bucket(f"{t}#{r}", w))] for r in range(d)),
+            c,
+        )
+        for t, c in counts.items()
+    }
+    assert got == exp
+
+
+def test_bm25_matches_python_on_random_corpus(spark):
+    """Randomized corpus (40 docs) BM25 cross-check at round(6)."""
+    import math
+    import random
+
+    from convml_data_spark.operators import corpus
+
+    rng = random.Random(5)
+    vocab = [f"v{i}" for i in range(25)] + ["query", "terms"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 40))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["query", "terms", "v3"]
+    got = {
+        r["doc_id"]: r["score"]
+        for r in corpus.bm25_topk(docs, terms, k=100).collect()
+    }
+    toks = {d: t.split() for d, t in rows}
+    N = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    k1, b = 1.2, 0.75
+    for d, t in toks.items():
+        s, any_hit = 0.0, False
+        for q in terms:
+            tf = t.count(q)
+            if not tf:
+                continue
+            any_hit = True
+            df = sum(1 for tt in toks.values() if q in tt)
+            idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        if any_hit:
+            assert d in got and abs(got[d] - round(s, 6)) < 2e-6, d
+        else:
+            assert d not in got
+
+
+def test_sq_matches_numpy_quantizer(spark):
+    """Randomized cross-check: codes and asymmetric distances against a
+    numpy reimplementation of the SQ8 quantizer."""
+    import random
+
+    import numpy as np
+
+    from convml_data_spark.operators import similarity
+
+    rng = random.Random(23)
+    X = np.array(
+        [[rng.uniform(-2, 2) for _ in range(6)] for _ in range(60)],
+        dtype=np.float32,
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    levels = 255
+    mn = X.astype(np.float64).min(axis=0)
+    mx = X.astype(np.float64).max(axis=0)
+    codes_np = np.floor(
+        (X.astype(np.float64) - mn) / (mx - mn) * levels + 0.5
+    ).astype(int)
+    got_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.sq_encode(emb, levels=levels).collect()
+    }
+    for i in range(len(X)):
+        assert got_codes[i] == list(codes_np[i]), i
+    q = X[7].astype(np.float64)
+    deq = mn + codes_np * (mx - mn) / levels
+    approx = ((q - deq) ** 2).sum(axis=1)
+    exact = ((q - X.astype(np.float64)) ** 2).sum(axis=1)
+    order = sorted(range(len(X)), key=lambda i: (round(exact[i], 6), i))[:5]
+    got = similarity.sq_topk(
+        emb, [float(v) for v in X[7]], k=5, shortlist=60, levels=levels
+    ).collect()
+    assert [r["vec_id"] for r in got] == order
+    for r in got:
+        assert abs(r["approx_d2"] - round(approx[r["vec_id"]], 6)) < 2e-6
+        assert abs(r["d2"] - round(exact[r["vec_id"]], 6)) < 2e-6

@@ -353,6 +353,12 @@ def test_representative_queries_survive_ansi_mode(spark):
         # hex parsing + zip/slice chunk rebuild, grid-cell occupancy agg
         "bigram_xent", "decontam_excise", "cdc_chunk_dedup",
         "dbscan_cell_stats",
+        # round-12 expression families: backoff chain + merge replace,
+        # thresholded Levenshtein, md5-bit membership join, CM min-agg,
+        # log-of-ratio DECIMAL sums, floor-quantizer + zipped folds
+        "trigram_xent", "bpe_encode", "neardup_edit_distance",
+        "quality_classifier", "bloom_decontaminate", "countmin_heavy",
+        "bm25_topk", "similarity_sq_topk", "hybrid_rrf",
     ]
     # restore by UNSET if it was unset: explicitly setting ansi false is
     # NOT the same session state as leaving it unset (size(NULL) flips
