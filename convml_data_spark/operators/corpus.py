@@ -1863,28 +1863,40 @@ def countmin_sketch(
     """
     if depth <= 0 or width <= 0:
         raise ValueError("depth and width must be positive")
+    return _cm_cells(_token_counts(docs, id_col, text_col), depth, width)
+
+
+def _token_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The ONE corpus-scale aggregation behind the CM sketch: lowercase
+    token -> occurrence count (map-side combined; layout-decoupled)."""
     from .dedup import _spread
 
     tok = _spread(docs, id_col).select(
         F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token")
     )
-    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
-    cells = vocab.select(
-        "cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        _md5_bucket(
-                            F.concat(F.col("token"), F.lit(f"#{r}")), width
-                        ).alias("c"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("_cell"),
-    )
+    return tok.groupBy("token").agg(F.count("*").alias("cnt"))
+
+
+def _cm_hash_cells(depth: int, width: int):
+    """The depth (r, c) cell coordinates of a token — shared verbatim by
+    the sketch build and the point-query probe so they can never drift."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    _md5_bucket(
+                        F.concat(F.col("token"), F.lit(f"#{r}")), width
+                    ).alias("c"),
+                )
+                for r in range(depth)
+            ]
+        )
+    ).alias("_cell")
+
+
+def _cm_cells(vocab: DataFrame, depth: int, width: int) -> DataFrame:
+    cells = vocab.select("cnt", _cm_hash_cells(depth, width))
     return cells.groupBy(
         F.col("_cell.r").alias("r"), F.col("_cell.c").alias("c")
     ).agg(F.sum("cnt").cast("bigint").alias("counter"))
@@ -1906,39 +1918,25 @@ def countmin_heavy_hitters(
     the unit tests and visible in the output columns.
 
     The probe pass re-uses the ONE corpus-scale token aggregation that
-    built the sketch (Catalyst CSEs the shared subtree when composed
-    lazily; at 100 TB you'd materialize the vocab relation once) — the
-    sketch and probe joins are all vocab- or ``depth·width``-bounded.
-    ``true_count`` rides along from the vocab relation; a pure
-    sketch-only deployment would drop it, the estimate needs no second
-    corpus pass either way.
+    built the sketch: the vocab relation is materialized once (lazy
+    checkpoint — Catalyst plans multi-consumer subtrees independently,
+    so without it the sketch build, the probe, and the total would each
+    re-scan the corpus); everything downstream is vocab- or
+    ``depth·width``-bounded. ``true_count`` rides along from the vocab
+    relation; a pure sketch-only deployment would drop it, the estimate
+    needs no second corpus pass either way.
     """
     if not 0.0 < min_frac <= 1.0:
         raise ValueError("min_frac must be in (0, 1]")
-    from .dedup import _spread
+    if depth <= 0 or width <= 0:
+        raise ValueError("depth and width must be positive")
+    from .persist import materialize_for_reuse
 
-    tok = _spread(docs, id_col).select(
-        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token")
-    )
-    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
-    sketch = F.broadcast(countmin_sketch(docs, depth, width, id_col, text_col))
+    vocab = materialize_for_reuse(_token_counts(docs, id_col, text_col))
+    sketch = F.broadcast(_cm_cells(vocab, depth, width))
     total = F.broadcast(vocab.agg(F.sum("cnt").cast("bigint").alias("_N")))
     probes = vocab.select(
-        "token",
-        "cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        _md5_bucket(
-                            F.concat(F.col("token"), F.lit(f"#{r}")), width
-                        ).alias("c"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("_cell"),
+        "token", "cnt", _cm_hash_cells(depth, width)
     ).select("token", "cnt", F.col("_cell.r").alias("r"), F.col("_cell.c").alias("c"))
     est = (
         probes.join(sketch, ["r", "c"])
