@@ -193,11 +193,17 @@ def tfidf_top_terms(
     one global sort). Deterministic: ties rank by rounded score then
     term.
     """
+    from .persist import materialize_for_reuse
+
     terms = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(T.tokens(F.lower(F.col(text_col)))).alias("term"),
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the document-frequency agg and the scoring join —
+    # materialize once (lazy) instead of tokenizing the corpus twice
+    tf = materialize_for_reuse(
+        terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.select(
         F.countDistinct(id_col).alias("n_docs")
@@ -263,8 +269,13 @@ def build_vocab(
     tail), and the within-class ranks are windows PARTITIONED by count,
     so parallelism follows the class structure; the min-count tail class
     is the widest single partition and bounds the critical path."""
+    from .persist import materialize_for_reuse
+
     toks = docs.select(F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token"))
-    counts = (
+    # the count relation feeds BOTH the histogram and the final rank join;
+    # un-materialized, Catalyst plans two independent subtrees = two full
+    # corpus tokenization scans (lazy checkpoint: runs once, in-job)
+    counts = materialize_for_reuse(
         toks.groupBy("token")
         .agg(F.count("*").alias("n"))
         .where(F.col("n") >= F.lit(min_count))
@@ -1036,10 +1047,14 @@ def unigram_logprob_score(
     """
     from .dedup import _spread
 
+    from .persist import materialize_for_reuse
+
     tok = _spread(docs, id_col).select(
         F.col(id_col), F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token")
     )
-    tc = tok.groupBy("token").agg(F.count("*").alias("c"))
+    # the (vocab-bounded) frequency table feeds the per-doc join AND the
+    # corpus total — materialize once or each consumer re-scans the corpus
+    tc = materialize_for_reuse(tok.groupBy("token").agg(F.count("*").alias("c")))
     n_total = tc.agg(F.sum("c").alias("_N"))
     per = (
         tok.join(tc, "token")
@@ -1379,10 +1394,17 @@ def dsir_logratio(
     ).select(feat(F.col("_w")).alias("token"))
     cr = tok.groupBy("token").agg(F.count("*").alias("cr"))
     ct = ttok.groupBy("token").agg(F.count("*").alias("ct"))
-    vocab = cr.join(ct, "token", "full_outer").select(
-        "token",
-        F.coalesce("cr", F.lit(0)).alias("cr"),
-        F.coalesce("ct", F.lit(0)).alias("ct"),
+    from .persist import materialize_for_reuse
+
+    # the (vocabulary-bounded) LM table feeds the scalar agg AND the
+    # per-doc join — materialize once or both full frequency
+    # aggregations (raw + target corpus scans) re-run per consumer
+    vocab = materialize_for_reuse(
+        cr.join(ct, "token", "full_outer").select(
+            "token",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
     )
     scal = vocab.agg(
         F.sum("cr").alias("_Nr"), F.sum("ct").alias("_Nt"), F.count("*").alias("_V")
