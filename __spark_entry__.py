@@ -2922,6 +2922,21 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rrf_fuse(lex.unionByName(sem), k_rrf=60, topk=15)
 
 
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture planning (corpus.py::
+    mixture_temperature_rates — the T5/XLM-R ``share^alpha`` up-sampling
+    knob, alpha=0.3 over a 50k-token budget): target fractions derive
+    from OBSERVED per-source token shares instead of hand weights. One
+    corpus agg; the per-source relation materializes once for its three
+    consumers; alpha-power weights sum as DECIMAL(38,12)."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.mixture_temperature_rates(
+        docs, alpha=0.3, token_budget=50_000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver certifies the FIRST 50 entries in insertion order
     # (established round 2: CORRECTNESS keys == dict positions 1-50).
@@ -2999,9 +3014,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dense-cell eps/2 refinement behind the dbscan keys) sit just
         # past 50 — every key is still replayed at sf0.01 each round by
         # tests/test_oracle_parity.py. ROUND 13 WINDOW must lead with
-        # hybrid_rrf, then these four, then the r10-certified remainder
-        # (g8_rayleigh onward).
+        # hybrid_rrf and mixture_temperature (never certified), then
+        # these four, then the r10-certified remainder (g8_rayleigh
+        # onward).
         "hybrid_rrf": q_hybrid_rrf,
+        "mixture_temperature": q_mixture_temperature,
         "quality_terciles": q_quality_terciles,
         "dbscan_merge_events": q_dbscan_merge_events,
         "dbscan_ladder": q_dbscan_ladder,
@@ -6304,6 +6321,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, d2, approx_d2
             FROM short ORDER BY d2, vec_id LIMIT 10
+        """,
+        # temperature-mixture replay: observed share^alpha weights,
+        # DECIMAL(38,12) normalizer sum, explicit double promotion so
+        # both engines run the identical IEEE division chain
+        "mixture_temperature": """
+            WITH base AS (
+              SELECT source,
+                     len(COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x != ''), [])) AS ntok
+              FROM documents
+            ), per AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(ntok) AS BIGINT) AS n_tokens
+              FROM base GROUP BY source
+            ), t AS (
+              SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per
+            ), w AS (
+              SELECT source, n_docs, n_tokens,
+                     pow(n_tokens / CAST(tot AS DOUBLE), 0.3) AS pw
+              FROM per, t
+            ), ws AS (
+              SELECT CAST(sum(CAST(pw AS DECIMAL(38,12))) AS DOUBLE) AS s FROM w
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(pw / s, 6) AS target_frac,
+                   round(CASE WHEN n_tokens > 0
+                         THEN least(1.0, 50000.0 * (pw / s) / n_tokens)
+                         ELSE 0.0 END, 6) AS rate,
+                   round(CASE WHEN n_tokens > 0
+                         THEN least(1.0, 50000.0 * (pw / s) / n_tokens)
+                         ELSE 0.0 END * n_tokens, 6) AS expected_tokens
+            FROM w, ws
         """,
         # RRF hybrid replay: both retrievers' CTEs verbatim (bm25 program
         # + the ann_cosine program at k=30), per-list rank windows, then

@@ -2065,3 +2065,70 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def mixture_temperature_rates(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    token_budget: int = 100_000,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based mixture planning (the multilingual/multi-source
+    standard: T5's examples-proportional mixing and XLM-R's
+    ``p_s ∝ share_s^alpha`` with α≈0.3): instead of hand-written weights
+    (:func:`mixture_rates`), the target fraction of each source is its
+    OBSERVED token share raised to ``alpha`` and renormalized —
+    α=1 reproduces natural proportions, α→0 approaches uniform, the
+    usual knob for up-sampling low-resource sources.
+
+    Returns the :func:`mixture_rates` shape ``(source, n_docs, n_tokens,
+    target_frac, rate, expected_tokens)`` with ``rate = min(1,
+    budget·target_frac / T_s)``.
+
+    Scale design: ONE corpus-scale map-side-combined aggregation; the
+    per-source relation (bounded by the number of sources) materializes
+    once for its three consumers (total, weight normalizer, final
+    projection) — un-materialized, each would re-run the corpus agg.
+    The α-power weights sum as DECIMAL(38,12) so the normalizer is
+    order-independent under AQE.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    from .persist import materialize_for_reuse
+
+    per = materialize_for_reuse(
+        docs.groupBy(group_col).agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(T.tokens(F.lower(F.col(text_col)))))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    tot = F.broadcast(per.agg(F.sum("n_tokens").cast("bigint").alias("_T")))
+    w = per.join(tot).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.pow(F.col("n_tokens") / F.col("_T"), F.lit(float(alpha))).alias("_w"),
+    )
+    wsum = F.broadcast(
+        w.agg(
+            F.sum(F.col("_w").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("_ws")
+        )
+    )
+    tf = F.col("_w") / F.col("_ws")
+    rate = F.when(
+        F.col("n_tokens") > 0,
+        F.least(F.lit(1.0), F.lit(float(token_budget)) * tf / F.col("n_tokens")),
+    ).otherwise(F.lit(0.0))
+    return w.join(wsum).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round(tf, 6).alias("target_frac"),
+        F.round(rate, 6).alias("rate"),
+        F.round(rate * F.col("n_tokens"), 6).alias("expected_tokens"),
+    )

@@ -2424,3 +2424,42 @@ def test_sq_matches_numpy_quantizer(spark):
     for r in got:
         assert abs(r["approx_d2"] - round(approx[r["vec_id"]], 6)) < 2e-6
         assert abs(r["d2"] - round(exact[r["vec_id"]], 6)) < 2e-6
+
+
+def test_mixture_temperature_matches_python_and_limits(spark):
+    """share^alpha weights cross-checked in python; alpha=1 reproduces
+    natural proportions; alpha=0 is uniform."""
+    from convml_data_spark.operators import corpus
+
+    rows = [
+        (0, "a " * 80, "big"), (1, "b " * 20, "big"),
+        (2, "c " * 10, "small"), (3, "d " * 40, "mid"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    toks = {"big": 100, "small": 10, "mid": 40}
+    tot = sum(toks.values())
+    for alpha in (0.3, 1.0, 0.0):
+        got = {
+            r["source"]: (r["n_tokens"], r["target_frac"], r["rate"])
+            for r in corpus.mixture_temperature_rates(
+                docs, alpha=alpha, token_budget=60
+            ).collect()
+        }
+        pw = {s: (t / tot) ** alpha for s, t in toks.items()}
+        s = sum(pw.values())
+        for src, t in toks.items():
+            tf = pw[src] / s
+            rate = min(1.0, 60 * tf / t)
+            assert got[src][0] == t
+            assert abs(got[src][1] - round(tf, 6)) < 2e-6, (alpha, src)
+            assert abs(got[src][2] - round(rate, 6)) < 2e-6, (alpha, src)
+    # alpha=0: uniform target fractions
+    got0 = {
+        r["source"]: r["target_frac"]
+        for r in corpus.mixture_temperature_rates(docs, alpha=0.0).collect()
+    }
+    assert all(abs(v - round(1 / 3, 6)) < 2e-6 for v in got0.values())
+    import pytest
+
+    with pytest.raises(ValueError):
+        corpus.mixture_temperature_rates(docs, alpha=-0.1)
