@@ -554,15 +554,21 @@ def duplicate_span_dedup(
     input document, including documents whose every span was dropped
     (``clean_text = ''``).
 
-    Scale design: explode → two hash aggregations. The span-frequency
-    count is a partial-aggregated groupBy on the span string (Spark's
-    map-side combine collapses repeats before the shuffle); the drop is a
-    shuffle anti-join on the same key, and the reassembly is one groupBy
-    per document with an in-row sort of (position, span) structs — no
-    window over a global order, no driver state, so the plan is three
-    shuffles end-to-end regardless of corpus size. C4 does exactly this
-    at the line level over its 156B-token crawl; span granularity is a
-    parameter here because the synthetic corpus has no newlines.
+    Scale design: explode → two hash aggregations, and the corpus TEXT
+    is tokenized exactly twice (the find pass and the rebuild pass —
+    the policy minimum: caching the exploded span relation would spill
+    a copy of the corpus to executor storage). The span-frequency count
+    is a partial-aggregated groupBy on the span string (Spark's
+    map-side combine collapses repeats before the shuffle); the drop is
+    a LEFT join + flag on the same key (one pass computes totals,
+    drops, and the reassembly together — `posexplode_outer` keeps
+    zero-span documents in the relation), and the reassembly is one
+    groupBy per document with an in-row sort of (position, span)
+    structs — no window over a global order, no driver state, so the
+    plan is three shuffles end-to-end regardless of corpus size. C4
+    does exactly this at the line level over its 156B-token crawl; span
+    granularity is a parameter here because the synthetic corpus has no
+    newlines.
     """
     toks = T.tokens(F.col(text_col))
     n_spans = F.ceil(F.size(toks) / F.lit(span_words)).cast("int")
@@ -572,39 +578,42 @@ def duplicate_span_dedup(
             F.slice(toks, i * span_words + 1, span_words), " "
         ),
     )).otherwise(F.array().cast("array<string>"))
+    # _outer: a zero-span doc keeps one (NULL-span) row, so the single
+    # rebuild aggregation below covers EVERY document — no third scan
+    # for a totals relation
     spans = docs.select(
-        F.col(id_col).alias("_id"), F.posexplode(span_arr).alias("_si", "_span")
+        F.col(id_col).alias("_id"),
+        F.posexplode_outer(span_arr).alias("_si", "_span"),
     )
     dup = (
-        spans.groupBy("_span")
+        spans.where(F.col("_span").isNotNull())
+        .groupBy("_span")
         .agg(F.count_distinct("_id").alias("_nd"))
         .where(F.col("_nd") >= F.lit(min_docs))
-        .select("_span")
+        .select("_span", F.lit(True).alias("_dup"))
     )
-    kept = spans.join(dup, "_span", "left_anti")
-    rebuilt = kept.groupBy("_id").agg(
-        F.count("*").alias("_n_kept"),
+    flagged = spans.join(dup, "_span", "left")
+    kept_struct = F.when(
+        F.col("_dup").isNull() & F.col("_span").isNotNull(),
+        F.struct("_si", "_span"),
+    )
+    # collect_list SKIPS the NULLs the `when` emits for dropped/padding
+    # rows, so the rebuild shuffle carries only the kept spans
+    rebuilt = flagged.groupBy("_id").agg(
+        F.count("_span").cast("int").alias("n_spans"),
+        F.sum(F.coalesce(F.col("_dup").cast("int"), F.lit(0)))
+        .cast("int")
+        .alias("n_dropped"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_si", "_span"))),
+                F.array_sort(F.collect_list(kept_struct)),
                 lambda s: s["_span"],
             ),
             " ",
         ).alias("clean_text"),
     )
-    totals = docs.select(
-        F.col(id_col).alias("_id"), n_spans.alias("n_spans")
-    )
-    return (
-        totals.join(rebuilt, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            "n_spans",
-            (F.col("n_spans") - F.coalesce(F.col("_n_kept"), F.lit(0)))
-            .cast("int")
-            .alias("n_dropped"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        )
+    return rebuilt.select(
+        F.col("_id").alias(id_col), "n_spans", "n_dropped", "clean_text"
     )
 
 

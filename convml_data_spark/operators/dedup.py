@@ -783,12 +783,20 @@ def incremental_sig_dedup(
     silent probe.
     """
 
+    from .persist import materialize_for_reuse
+
     def banded(sigs: DataFrame, out_id: str) -> DataFrame:
         return banded_slice_keys(sigs, bands, num_hashes, id_col=id_col, out_id=out_id)
 
     def agreement(a: str, b: str):
         return sig_agreement(a, b, num_hashes)
 
+    # the new-batch sig relation is consumed by the cross-drop banding
+    # AND the anti-join (and `rem` again by the within-batch banding and
+    # the survivor collapse): un-materialized, Catalyst re-plans the
+    # whole upstream signature build — re-shingling the batch text 3x —
+    # per consumer. Sigs are num_hashes ints per doc, tiny vs the text.
+    new_sigs = materialize_for_reuse(new_sigs)
     nb = banded(new_sigs, "nid")
     ob = banded(old_sigs, "oid")
     cross_drop = (
@@ -797,7 +805,7 @@ def incremental_sig_dedup(
         .select(F.col("nid").alias(id_col))
         .distinct()
     )
-    rem = new_sigs.join(cross_drop, id_col, "left_anti")
+    rem = materialize_for_reuse(new_sigs.join(cross_drop, id_col, "left_anti"))
     rb = banded(rem, "id_a")
     rb2 = rb.select(
         F.col("id_a").alias("id_b"), F.col("sig_id_a").alias("sig_id_b"),
