@@ -2463,3 +2463,20 @@ def test_mixture_temperature_matches_python_and_limits(spark):
 
     with pytest.raises(ValueError):
         corpus.mixture_temperature_rates(docs, alpha=-0.1)
+
+
+def test_rrf_fuse_single_list_and_empty(spark):
+    """One list: fusion reduces to a monotone transform of its ranking
+    (ordering preserved); empty input: empty output, stable schema."""
+    from convml_data_spark.operators import similarity
+
+    one = spark.createDataFrame(
+        [("l", 5, 0.9), ("l", 9, 0.7), ("l", 2, 0.8)],
+        "list_id string, id long, score double",
+    )
+    got = [r["id"] for r in similarity.rrf_fuse(one, topk=10).collect()]
+    assert got == [5, 2, 9]  # score order, not insertion order
+    empty = one.where(F.col("id") < 0)
+    out = similarity.rrf_fuse(empty, topk=10)
+    assert out.count() == 0
+    assert out.columns == ["id", "n_lists", "rrf_score"]
