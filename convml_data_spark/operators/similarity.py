@@ -66,12 +66,22 @@ def blocked_cosine_pairs(
     blocks that actually exceed the cap — a healthy workload pays no
     per-row sort.
     """
+    from .persist import materialize_for_reuse
+
     n = embeddings.sparkSession.sparkContext.defaultParallelism
-    base = embeddings.repartition(n, id_col).select(
-        block_col,
-        F.col(id_col),
-        F.col(vec_col),
-        l2_norm(F.col(vec_col)).alias("_nrm"),
+    # the normed/blocked working set is consumed by BOTH self-join sides
+    # (and, under max_block, by the count/cap relations too): without a
+    # materialization Catalyst re-plans the scan + norm fold (and, for
+    # the LSH callers, the whole hyperplane-signature fold) per consumer
+    # — up to 8 table scans. One lazy checkpoint of the projected table
+    # (id, vec, norm, block) replaces them all.
+    base = materialize_for_reuse(
+        embeddings.repartition(n, id_col).select(
+            block_col,
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("_nrm"),
+        )
     )
     if max_block is not None:
         from pyspark.sql import Window
@@ -87,7 +97,9 @@ def blocked_cosine_pairs(
             .where(F.col("_bn") <= cap)
             .drop("_bn")
         )
-        base = healthy.unionByName(capped).drop("_bc")
+        base = materialize_for_reuse(
+            healthy.unionByName(capped).drop("_bc")
+        )
     a = base.select(
         block_col,
         F.col(id_col).alias("id_a"),
