@@ -277,10 +277,19 @@ def dbscan_labels(
     grid. The label output is identical either way (the edge set is).
     """
     eps = float(eps)
-    pts = points.select(
-        F.col(id_col).alias("id"),
-        F.col(x_col).cast("double").alias("x"),
-        F.col(y_col).cast("double").alias("y"),
+    from .persist import materialize_for_reuse
+
+    # (id, x, y) is consumed by the grid join, the core filter, the
+    # border anti-join and the final output join — materialized once
+    # (24 bytes/row) so none of them re-plans the caller's upstream
+    # (for the embedding path: the whole PCA projection + table scan)
+    pts = materialize_for_reuse(
+        points.select(
+            F.col(id_col).alias("id"),
+            F.col(x_col).cast("double").alias("x"),
+            F.col(y_col).cast("double").alias("y"),
+        ),
+        durable=durable,
     )
     edges = _eps_edges(
         pts, eps, durable, skew_observation, dense_cell_threshold
@@ -443,10 +452,18 @@ def dbscan_eps_ladder(
     if not eps_levels:
         raise ValueError("eps_levels must be non-empty")
     eps_max = eps_levels[-1]
-    pts = points.select(
-        F.col(id_col).alias("id"),
-        F.col(x_col).cast("double").alias("x"),
-        F.col(y_col).cast("double").alias("y"),
+    from .persist import materialize_for_reuse
+
+    # three consumers PER LEVEL (core/border/output joins) plus the grid
+    # join: one tiny checkpoint replaces ~3·levels re-plans of the
+    # caller's upstream projection
+    pts = materialize_for_reuse(
+        points.select(
+            F.col(id_col).alias("id"),
+            F.col(x_col).cast("double").alias("x"),
+            F.col(y_col).cast("double").alias("y"),
+        ),
+        durable=durable,
     )
     edges = _eps_edges(
         pts, eps_max, durable, skew_observation, dense_cell_threshold
