@@ -2937,6 +2937,42 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 × sketches: Count-Min ingestion under continuous arrival
+    (streaming/scene_stream.py::drain_partial_to_parquet +
+    corpus.countmin_sketch). Each micro-batch of the documents stream
+    contributes an INDEPENDENT partial sketch (3×16 cells) appended to
+    a parquet cell store — NO streaming state store, because a
+    mergeable summary makes aggregation state redundant — and the
+    reader merges partials by cellwise sum. Additivity means the
+    result is EXACTLY the batch sketch under any batch split, so the
+    oracle is the plain batch Count-Min cell program (no single-batch
+    pin needed — the one stream key whose batch-equivalence holds for
+    free)."""
+    import os
+    import shutil
+    import tempfile
+
+    from convml_data_spark import streaming
+    from convml_data_spark.operators import corpus
+
+    _prep(spark)
+    _, stream = streaming.stream_table(spark, sf_dir, "documents")
+    root = os.path.join(tempfile.gettempdir(), f"stream_countmin_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    streaming.drain_partial_to_parquet(
+        stream,
+        lambda b: corpus.countmin_sketch(b, depth=3, width=16),
+        checkpoint=os.path.join(root, "ckpt"),
+        out_path=os.path.join(root, "cells"),
+    )
+    return (
+        spark.read.parquet(os.path.join(root, "cells"))
+        .groupBy("r", "c")
+        .agg(F.sum("counter").cast("bigint").alias("counter"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver certifies the FIRST 50 entries in insertion order
     # (established round 2: CORRECTNESS keys == dict positions 1-50).
@@ -3014,11 +3050,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dense-cell eps/2 refinement behind the dbscan keys) sit just
         # past 50 — every key is still replayed at sf0.01 each round by
         # tests/test_oracle_parity.py. ROUND 13 WINDOW must lead with
-        # hybrid_rrf and mixture_temperature (never certified), then
-        # these four, then the r10-certified remainder (g8_rayleigh
-        # onward).
+        # hybrid_rrf, mixture_temperature and stream_countmin (never
+        # certified), then these four, then the r10-certified remainder
+        # (g8_rayleigh onward).
         "hybrid_rrf": q_hybrid_rrf,
         "mixture_temperature": q_mixture_temperature,
+        "stream_countmin": q_stream_countmin,
         "quality_terciles": q_quality_terciles,
         "dbscan_merge_events": q_dbscan_merge_events,
         "dbscan_ladder": q_dbscan_ladder,
@@ -6321,6 +6358,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, d2, approx_d2
             FROM short ORDER BY d2, vec_id LIMIT 10
+        """,
+        # streaming CM replay: additivity makes the drained sketch equal
+        # the batch sketch under ANY micro-batch split, so the oracle is
+        # the plain batch cell program
+        "stream_countmin": """
+            WITH tok AS (
+              SELECT unnest(COALESCE(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x != ''), [])) AS token
+              FROM documents
+            ), vocab AS (
+              SELECT token, count(*) AS cnt FROM tok GROUP BY token
+            )
+            SELECT ri AS r,
+                   CAST('0x' || substr(md5(token || '#' || CAST(ri AS VARCHAR)), 1, 13) AS BIGINT)
+                       % 16 AS c,
+                   CAST(sum(cnt) AS BIGINT) AS counter
+            FROM vocab, UNNEST([0, 1, 2]) AS t(ri)
+            GROUP BY r, c
         """,
         # temperature-mixture replay: observed share^alpha weights,
         # DECIMAL(38,12) normalizer sum, explicit double promotion so

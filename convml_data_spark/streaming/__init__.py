@@ -2,6 +2,7 @@
 
 from .scene_stream import (
     drain_available_now,
+    drain_partial_to_parquet,
     drain_to_parquet,
     run_available_now,
     stream_sessionize,
@@ -13,6 +14,7 @@ from .scene_stream import (
 
 __all__ = [
     "drain_available_now",
+    "drain_partial_to_parquet",
     "drain_to_parquet",
     "run_available_now",
     "stream_sessionize",

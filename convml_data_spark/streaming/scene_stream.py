@@ -238,6 +238,44 @@ def drain_to_parquet(
         q.awaitTermination()
 
 
+def drain_partial_to_parquet(
+    stream_df: DataFrame,
+    transform,
+    checkpoint: str,
+    out_path: str,
+) -> None:
+    """Per-micro-batch PARTIAL-SUMMARY drain — mergeable-sketch ingestion
+    under continuous arrival. ``transform`` maps each micro-batch (a
+    plain batch DataFrame inside ``foreachBatch``) to its BOUNDED partial
+    summary (Count-Min cells, Bloom set bits, HLL registers …), which
+    appends to parquet tagged with the batch id; readers MERGE partials
+    with the sketch's merge operation (cellwise sum / set union / max).
+
+    The streaming side carries NO state store at all: a mergeable
+    summary makes streaming aggregation state redundant — each batch
+    contributes an independent partial and merge order never matters.
+    That is the same contract that lets 100 TB batch shards sketch
+    independently, applied to time instead of space; checkpoint-chained
+    like :func:`drain_to_parquet`, so a restart processes only new
+    files and the already-written partials stand.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        transform(batch_df).withColumn(
+            "_batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(out_path)
+
+    with _clamped_stream_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 def stream_sessionize(
     stream: DataFrame,
     key_col: str,

@@ -273,3 +273,73 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in batch.select(F.col("l.id"), F.col("r.id")).collect()
     }
     assert got == expect and len(got) == 3 * (6 + 5)
+
+
+def test_stream_countmin_partials_merge_to_batch_sketch(spark, tmp_path):
+    """Mergeable-sketch ingestion (drain_partial_to_parquet): a 3-file
+    stream drained one file per micro-batch leaves three independent
+    partial Count-Min sketches whose cellwise sum EQUALS the batch
+    sketch over the union — the sketch contract under continuous
+    arrival, with zero streaming state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from convml_data_spark import streaming
+    from convml_data_spark.operators import corpus
+
+    src = tmp_path / "docs"
+    rows = [(i, f"w{i % 5} w{i % 3} common") for i in range(30)]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in range(3):
+        full.where(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    batch = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "cells"
+    streaming.drain_partial_to_parquet(
+        stream,
+        lambda b: corpus.countmin_sketch(b, depth=2, width=4),
+        checkpoint=str(tmp_path / "ckpt"),
+        out_path=str(out),
+    )
+    part_files = spark.read.parquet(str(out))
+    # genuinely multi-batch: >1 distinct batch id wrote partials
+    n_batches = part_files.select("_batch_id").distinct().count()
+    assert n_batches >= 2
+    merged = {
+        (r["r"], r["c"]): r["s"]
+        for r in part_files.groupBy("r", "c")
+        .agg(F.sum("counter").alias("s"))
+        .collect()
+    }
+    expect = {
+        (r["r"], r["c"]): r["counter"]
+        for r in corpus.countmin_sketch(batch, depth=2, width=4).collect()
+    }
+    assert merged == expect
+    # restart with the same checkpoint: nothing new arrives, partials stand
+    stream2 = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    streaming.drain_partial_to_parquet(
+        stream2,
+        lambda b: corpus.countmin_sketch(b, depth=2, width=4),
+        checkpoint=str(tmp_path / "ckpt"),
+        out_path=str(out),
+    )
+    again = {
+        (r["r"], r["c"]): r["s"]
+        for r in spark.read.parquet(str(out))
+        .groupBy("r", "c")
+        .agg(F.sum("counter").alias("s"))
+        .collect()
+    }
+    assert again == expect
