@@ -2973,6 +2973,22 @@ def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination (similarity.py::semantic_decontaminate
+    — the embedding-space member of the decontam family, catching the
+    paraphrased leakage the lexical detectors miss): the md5-bucket-0
+    slice of embeddings plays the eval suite; train vectors sharing an
+    LSH bucket with any eval vector verify by exact cosine and flag at
+    >= 0.35. Same seed-42 planes as the semantic-dedup keys; eval side
+    broadcast; full DuckDB replay with inlined planes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    is_eval = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) == "0"
+    return similarity.semantic_decontaminate(
+        emb.where(~is_eval), emb.where(is_eval),
+        threshold=0.35, n_planes=6, dim=64,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver certifies the FIRST 50 entries in insertion order
     # (established round 2: CORRECTNESS keys == dict positions 1-50).
@@ -3050,12 +3066,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dense-cell eps/2 refinement behind the dbscan keys) sit just
         # past 50 — every key is still replayed at sf0.01 each round by
         # tests/test_oracle_parity.py. ROUND 13 WINDOW must lead with
-        # hybrid_rrf, mixture_temperature and stream_countmin (never
-        # certified), then these four, then the r10-certified remainder
-        # (g8_rayleigh onward).
+        # hybrid_rrf, mixture_temperature, stream_countmin and
+        # decontam_semantic (never certified), then these four, then the
+        # r10-certified remainder (g8_rayleigh onward).
         "hybrid_rrf": q_hybrid_rrf,
         "mixture_temperature": q_mixture_temperature,
         "stream_countmin": q_stream_countmin,
+        "decontam_semantic": q_decontam_semantic,
         "quality_terciles": q_quality_terciles,
         "dbscan_merge_events": q_dbscan_merge_events,
         "dbscan_ladder": q_dbscan_ladder,
@@ -3417,6 +3434,49 @@ def _neardup_lsh_oracle_sql() -> str:
               FROM cand
             )
             SELECT id_a, id_b, score FROM scored WHERE score >= 0.35
+        """
+
+
+def _semantic_decontam_oracle_sql(threshold: float = 0.35, n_planes: int = 6) -> str:
+    """semantic_decontaminate replay: the _semantic_dedup_oracle_sql
+    plane pipeline, cross-set (train x eval on shared buckets) instead
+    of self-join, reduced per train vector."""
+    import random as _random
+
+    rng = _random.Random(42)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(n_planes)]
+    bits = []
+    for i, plane in enumerate(planes):
+        pl = ", ".join(repr(v) for v in plane)
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{pl}])[i])) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = "\n                     + ".join(bits)
+    return f"""
+            WITH sig AS (
+              SELECT vec_id, embedding,
+                     {bucket} AS bucket,
+                     substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0' AS is_eval
+              FROM embeddings
+            ), scored AS (
+              SELECT t.vec_id, e.vec_id AS eid,
+                     round(
+                       list_sum(list_transform(range(1, len(t.embedding) + 1),
+                                i -> CAST(t.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(range(1, len(t.embedding) + 1),
+                                i -> CAST(t.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))), 6) AS s
+              FROM sig t JOIN sig e
+                ON t.bucket = e.bucket AND e.is_eval AND NOT t.is_eval
+            )
+            SELECT vec_id,
+                   CAST(count(DISTINCT eid) AS BIGINT) AS n_eval_matches,
+                   max(s) AS best_score
+            FROM scored WHERE s >= {threshold}
+            GROUP BY vec_id
         """
 
 
@@ -5680,6 +5740,7 @@ def oracle_sql() -> dict[str, str]:
         "x3_batch_embed": _x3_oracle_sql(),
         "neardup_lsh_pairs": _neardup_lsh_oracle_sql(),
         "dedup_semantic": _semantic_dedup_oracle_sql(),
+        "decontam_semantic": _semantic_decontam_oracle_sql(),
         "g8_rayleigh": _g8_rayleigh_oracle_sql(),
         "dbscan_ladder": _dbscan_ladder_oracle_sql(),
         # dendrogram merge record: the ladder replay aligned with itself

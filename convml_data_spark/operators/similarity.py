@@ -1236,3 +1236,69 @@ def rrf_fuse(
         )
     )
     return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(int(topk))
+
+
+def semantic_decontaminate(
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space member of the
+    decontamination family (lexical n-gram overlap, exact token spans,
+    Bloom membership are the others): flag every train vector whose
+    cosine against ANY eval/benchmark vector reaches ``threshold``.
+    Paraphrased or re-templated eval leakage defeats the lexical
+    detectors; it is exactly what survives into embedding space.
+
+    Candidates come from shared random-hyperplane LSH buckets (the
+    :func:`semantic_dedup` machinery, cross-set instead of self-join):
+    both sides bucket with the SAME seed-fixed planes, the eval side —
+    benchmark suites are small at any train scale — broadcasts, and the
+    exact cosine verifies within-bucket pairs only. Per-row L2 norms
+    hoist before the join (the :func:`blocked_cosine_pairs` shape, same
+    fold order as :func:`~..functions.vectors.cosine_similarity` so
+    scores replay exactly). Returns ``(vec_id, n_eval_matches,
+    best_score)`` for flagged train vectors, deterministic and fully
+    DuckDB-replayable (inlined planes) like the other decontam keys.
+
+    LSH recall caveat (the :func:`lsh_neardup_pairs` contract): a true
+    near-match in a different bucket is missed w.p.
+    ``1 − (1 − acos(s)/π)^n_planes``; pick ``n_planes`` for the S-curve
+    your threshold needs, or union several plane seeds.
+    """
+    st = hyperplane_signatures(
+        train_emb, n_planes=n_planes, dim=dim, seed=seed,
+        vec_col=vec_col, id_col=id_col,
+    ).select(
+        F.col(id_col),
+        F.col(vec_col).alias("_vt"),
+        l2_norm(F.col(vec_col)).alias("_nt"),
+        "bucket",
+    )
+    se = hyperplane_signatures(
+        eval_emb, n_planes=n_planes, dim=dim, seed=seed,
+        vec_col=vec_col, id_col=id_col,
+    ).select(
+        F.col(id_col).alias("_eid"),
+        F.col(vec_col).alias("_ve"),
+        l2_norm(F.col(vec_col)).alias("_ne"),
+        "bucket",
+    )
+    score = F.round(
+        dot(F.col("_vt"), F.col("_ve")) / (F.col("_nt") * F.col("_ne")), 6
+    )
+    return (
+        st.join(F.broadcast(se), "bucket")
+        .select(id_col, "_eid", score.alias("_s"))
+        .where(F.col("_s") >= F.lit(float(threshold)))
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("_eid").cast("bigint").alias("n_eval_matches"),
+            F.max("_s").alias("best_score"),
+        )
+    )

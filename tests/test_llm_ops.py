@@ -2480,3 +2480,36 @@ def test_rrf_fuse_single_list_and_empty(spark):
     out = similarity.rrf_fuse(empty, topk=10)
     assert out.count() == 0
     assert out.columns == ["id", "n_lists", "rrf_score"]
+
+
+def test_semantic_decontaminate_flags_planted_near_dup(spark):
+    """A train vector planted as a near-copy of an eval vector is
+    flagged (same LSH bucket by construction at tiny perturbation);
+    an orthogonal vector is not. Scores cross-checked in numpy."""
+    import numpy as np
+
+    from convml_data_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    ev = rng.normal(size=8).astype(np.float32)
+    near = (ev + rng.normal(scale=0.01, size=8).astype(np.float32))
+    # orthogonalize a random vector against ev
+    other = rng.normal(size=8).astype(np.float32)
+    other = other - (other @ ev) / (ev @ ev) * ev
+    eval_df = spark.createDataFrame(
+        [(100, [float(v) for v in ev])], "vec_id long, embedding array<float>"
+    )
+    train_df = spark.createDataFrame(
+        [(0, [float(v) for v in near]), (1, [float(v) for v in other])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["n_eval_matches"], r["best_score"])
+        for r in similarity.semantic_decontaminate(
+            train_df, eval_df, threshold=0.9, n_planes=4, dim=8
+        ).collect()
+    }
+    assert 0 in got and got[0][0] == 1
+    cos = float(near @ ev / (np.linalg.norm(near) * np.linalg.norm(ev)))
+    assert abs(got[0][1] - round(cos, 6)) < 2e-6
+    assert 1 not in got  # orthogonal: cosine ~0, below any threshold

@@ -359,7 +359,7 @@ def test_representative_queries_survive_ansi_mode(spark):
         "trigram_xent", "bpe_encode", "neardup_edit_distance",
         "quality_classifier", "bloom_decontaminate", "countmin_heavy",
         "bm25_topk", "similarity_sq_topk", "hybrid_rrf",
-        "mixture_temperature", "stream_countmin",
+        "mixture_temperature", "stream_countmin", "decontam_semantic",
     ]
     # restore by UNSET if it was unset: explicitly setting ansi false is
     # NOT the same session state as leaving it unset (size(NULL) flips
