@@ -2101,6 +2101,13 @@ def mixture_temperature_rates(
     projection) — un-materialized, each would re-run the corpus agg.
     The α-power weights sum as DECIMAL(38,12) so the normalizer is
     order-independent under AQE.
+
+    Zero-token sources are excluded from the weight normalizer (with
+    α=0, ``pow(0/T, 0)`` would otherwise evaluate to 1 and silently
+    deflate every real source's ``target_frac`` while the empty source's
+    own rate is forced to 0 — lost target mass); they are still emitted,
+    with ``target_frac = rate = 0``. An all-empty corpus yields all-zero
+    fractions rather than NULLs.
     """
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
@@ -2119,7 +2126,12 @@ def mixture_temperature_rates(
         group_col,
         "n_docs",
         "n_tokens",
-        F.pow(F.col("n_tokens") / F.col("_T"), F.lit(float(alpha))).alias("_w"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.pow(F.col("n_tokens") / F.col("_T"), F.lit(float(alpha))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_w"),
     )
     wsum = F.broadcast(
         w.agg(
@@ -2128,7 +2140,7 @@ def mixture_temperature_rates(
             .alias("_ws")
         )
     )
-    tf = F.col("_w") / F.col("_ws")
+    tf = F.when(F.col("_ws") > 0, F.col("_w") / F.col("_ws")).otherwise(F.lit(0.0))
     rate = F.when(
         F.col("n_tokens") > 0,
         F.least(F.lit(1.0), F.lit(float(token_budget)) * tf / F.col("n_tokens")),

@@ -796,7 +796,7 @@ def incremental_sig_dedup(
     # the survivor collapse): un-materialized, Catalyst re-plans the
     # whole upstream signature build — re-shingling the batch text 3x —
     # per consumer. Sigs are num_hashes ints per doc, tiny vs the text.
-    new_sigs = materialize_for_reuse(new_sigs)
+    new_sigs = materialize_for_reuse(new_sigs, durable=durable)
     nb = banded(new_sigs, "nid")
     ob = banded(old_sigs, "oid")
     cross_drop = (
@@ -805,7 +805,9 @@ def incremental_sig_dedup(
         .select(F.col("nid").alias(id_col))
         .distinct()
     )
-    rem = materialize_for_reuse(new_sigs.join(cross_drop, id_col, "left_anti"))
+    rem = materialize_for_reuse(
+        new_sigs.join(cross_drop, id_col, "left_anti"), durable=durable
+    )
     rb = banded(rem, "id_a")
     rb2 = rb.select(
         F.col("id_a").alias("id_b"), F.col("sig_id_a").alias("sig_id_b"),

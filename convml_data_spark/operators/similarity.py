@@ -1182,6 +1182,10 @@ def sq_topk_batch(
         rer.withColumn("_r", F.row_number().over(w))
         .where(F.col("_r") <= int(k))
         .select("qid", id_col, "d2", "approx_d2")
+        # the window above picks membership; this global sort delivers the
+        # (qid, d2, id) row ORDER the docstring promises — without it the
+        # output order is partition/AQE-dependent. Bounded: ≤ |queries|·k.
+        .orderBy("qid", F.col("d2").asc(), F.col(id_col))
     )
 
 

@@ -10,6 +10,7 @@ from .scene_stream import (
     stream_stream_interval_join,
     stream_table,
     stream_windowed_counts,
+    write_batch_partial,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "stream_stream_interval_join",
     "stream_table",
     "stream_windowed_counts",
+    "write_batch_partial",
 ]

@@ -257,13 +257,19 @@ def drain_partial_to_parquet(
     That is the same contract that lets 100 TB batch shards sketch
     independently, applied to time instead of space; checkpoint-chained
     like :func:`drain_to_parquet`, so a restart processes only new
-    files and the already-written partials stand.
+    files and partials of COMMITTED batches stand.
+
+    foreachBatch is at-least-once: a crash after the parquet write but
+    before the checkpoint commit replays the batch on restart. A blind
+    append would then store two partials with the same ``_batch_id`` and
+    the cellwise-sum merge would double-count that batch — so the sink
+    writes partitioned by ``_batch_id`` under DYNAMIC partition
+    overwrite: a replay overwrites exactly its own batch partition
+    (idempotent), committed partitions are untouched.
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        transform(batch_df).withColumn(
-            "_batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(out_path)
+        write_batch_partial(transform(batch_df), batch_id, out_path)
 
     with _clamped_stream_partitions(stream_df.sparkSession):
         q = (
@@ -274,6 +280,22 @@ def drain_partial_to_parquet(
             .start()
         )
         q.awaitTermination()
+
+
+def write_batch_partial(partial: DataFrame, batch_id: int, out_path: str) -> None:
+    """The idempotent per-batch write used by
+    :func:`drain_partial_to_parquet` (module-level so the replay contract
+    is directly testable): the partial lands in its own ``_batch_id``
+    partition under dynamic partition overwrite, so an at-least-once
+    replay of the same batch replaces its partition instead of appending
+    a duplicate partial."""
+    (
+        partial.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(out_path)
+    )
 
 
 def stream_sessionize(

@@ -2188,8 +2188,13 @@ def test_sq_topk_batch_matches_single(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     qs = [(0, rows[3][1]), (1, rows[77][1]), (2, [0.1] * 8)]
     batch = similarity.sq_topk_batch(emb, qs, k=7, shortlist=30)
+    collected = batch.collect()
+    # row ORDER is part of the contract: globally (qid, d2, vec_id)-sorted,
+    # not partition/AQE-dependent
+    keys = [(r["qid"], r["d2"], r["vec_id"]) for r in collected]
+    assert keys == sorted(keys)
     got = {}
-    for r in batch.collect():
+    for r in collected:
         got.setdefault(r["qid"], []).append((r["vec_id"], r["d2"], r["approx_d2"]))
     for qid, qv in qs:
         single = [
@@ -2463,6 +2468,36 @@ def test_mixture_temperature_matches_python_and_limits(spark):
 
     with pytest.raises(ValueError):
         corpus.mixture_temperature_rates(docs, alpha=-0.1)
+
+
+def test_mixture_temperature_zero_token_sources_excluded(spark):
+    """A zero-token source must not absorb target mass: with alpha=0 a
+    naive pow(0/T, 0)=1 weight would deflate every real source's
+    target_frac while the empty source's own rate stays 0 (lost mass).
+    Empty sources emit target_frac=rate=0 and the real sources'
+    fractions sum to 1; an all-empty corpus yields all zeros, not NULL."""
+    from convml_data_spark.operators import corpus
+
+    rows = [
+        (0, "a " * 30, "real_a"), (1, "b " * 10, "real_b"),
+        (2, "", "empty"), (3, None, "empty2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    for alpha in (0.0, 0.3, 1.0):
+        got = {
+            r["source"]: (r["target_frac"], r["rate"])
+            for r in corpus.mixture_temperature_rates(
+                docs, alpha=alpha, token_budget=20
+            ).collect()
+        }
+        assert got["empty"] == (0.0, 0.0) and got["empty2"] == (0.0, 0.0)
+        assert abs(got["real_a"][0] + got["real_b"][0] - 1.0) < 2e-6, alpha
+    # all-empty corpus: zero fractions/rates everywhere, no NULLs
+    empty = spark.createDataFrame(
+        [(0, "", "s1"), (1, None, "s2")], "doc_id long, text string, source string"
+    )
+    rows0 = corpus.mixture_temperature_rates(empty, alpha=0.3).collect()
+    assert {(r["target_frac"], r["rate"]) for r in rows0} == {(0.0, 0.0)}
 
 
 def test_rrf_fuse_single_list_and_empty(spark):

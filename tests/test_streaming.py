@@ -343,3 +343,27 @@ def test_stream_countmin_partials_merge_to_batch_sketch(spark, tmp_path):
         .collect()
     }
     assert again == expect
+    # at-least-once REPLAY of an already-written batch (crash between the
+    # parquet write and the checkpoint commit): the idempotent per-batch
+    # write overwrites exactly its own _batch_id partition, so the merged
+    # sketch is unchanged — a blind append would double-count the batch
+    some_bid = spark.read.parquet(str(out)).agg(F.min("_batch_id")).first()[0]
+    replay_partial = (
+        spark.read.parquet(str(out))
+        .where(F.col("_batch_id") == some_bid)
+        .drop("_batch_id")
+        # snapshot driver-side: the write below overwrites the very
+        # partition this plan would lazily re-read
+        .collect()
+    )
+    streaming.write_batch_partial(
+        spark.createDataFrame(replay_partial), int(some_bid), str(out)
+    )
+    replayed = {
+        (r["r"], r["c"]): r["s"]
+        for r in spark.read.parquet(str(out))
+        .groupBy("r", "c")
+        .agg(F.sum("counter").alias("s"))
+        .collect()
+    }
+    assert replayed == expect
