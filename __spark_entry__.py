@@ -2997,17 +2997,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one in-window representative; keys certified green in earlier rounds
     # rotate behind position 50 and back in on later rounds.
     return {
-        # ROUND 12 WINDOW (first 50 = driver-certified this round).
-        # Policy unchanged: never/longest-uncertified keys first; new keys
-        # added this round insert at the dict head and displace the last
-        # fillers past 50. Composition per the r11 verdict: the TEN new
-        # round-12 keys first, then ALL 40 keys whose last driver row is
-        # r8 (three rounds stale — j10_interval_join..sketch_quantiles
-        # below) — 10 + 40 fills the window exactly. Round 13 should lead
-        # with the four touched-this-round keys at position 51+, then the
-        # r10-certified remainder, then the oldest r11. Every key stays
-        # covered every round by tests/test_oracle_parity.py.
-        # --- new in round 12 (never certified) ---
+        # ROUND 13 WINDOW (first 50 = driver-certified this round).
+        # Policy unchanged (never/longest-uncertified first). Composition
+        # per the r12 verdict: the FOUR keys added after the r12 window was
+        # fixed (never driver-certified), then the four operators TOUCHED
+        # in round 12 (terciles materialization; dense-cell eps/2
+        # refinement behind the dbscan keys), then the oldest-certified
+        # r10 cohort. New round-13 keys insert at the dict head and
+        # displace the last r10 fillers past 50 (those certify in r14;
+        # window arithmetic is recorded in BASELINE.md).
+        # --- never driver-certified (added post-r12-window) ---
+        "hybrid_rrf": q_hybrid_rrf,
+        "mixture_temperature": q_mixture_temperature,
+        "stream_countmin": q_stream_countmin,
+        "decontam_semantic": q_decontam_semantic,
+        # --- operators touched in round 12 ---
+        "quality_terciles": q_quality_terciles,
+        "dbscan_merge_events": q_dbscan_merge_events,
+        "dbscan_ladder": q_dbscan_ladder,
+        "emb_transform_dbscan": q_emb_transform_dbscan,
+        # --- oldest certified: r10 cohort (alphabetical tail slips to r14) ---
+        "g8_rayleigh": q_g8_rayleigh,
+        "stream_parquet_drain": q_stream_parquet_drain,
+        "dedup_best_survivors": q_dedup_best_survivors,
+        "select_token_budget": q_select_token_budget,
+        "gopher_repetition": q_gopher_repetition,
+        "incremental_dedup": q_incremental_dedup,
+        "dsir_logratio": q_dsir_logratio,
+        "stream_incremental_dedup": q_stream_incremental_dedup,
+        "r2_scene_pairs": q_r2_scene_pairs,
+        "spec_triplet_pipeline": q_spec_triplet_pipeline,
+        "dedup_survivors": q_dedup_survivors,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_components": q_dedup_components,
+        "spec_scene_images": q_spec_scene_images,
+        "a15_distinct_users": q_a15_distinct_users,
+        "a6_ecdf": q_a6_ecdf,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "derived_dag": q_derived_dag,
+        "doc_fingerprint": q_doc_fingerprint,
+        "e2_string_ops": q_e2_string_ops,
+        "e7_json_map": q_e7_json_map,
+        "f6_filter_dsl": q_f6_filter_dsl,
+        "f8_dropna_slice": q_f8_dropna_slice,
+        "g2_tile_pixel_slice": q_g2_tile_pixel_slice,
+        "g9_optical_flow": q_g9_optical_flow,
+        "hll_user_counts": q_hll_user_counts,
+        "j6_emb_aux_join": q_j6_emb_aux_join,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "neardup_cosine_pairs": q_neardup_cosine_pairs,
+        "o4_topk": q_o4_topk,
+        "s3_calendar_scan": q_s3_calendar_scan,
+        "scene_table": q_scene_table,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
+        "traj_tiles": q_traj_tiles,
+        "u3_anti_join": q_u3_anti_join,
+        "w2_argmin_per_group": q_w2_argmin_per_group,
+        "w3_local_peaks": q_w3_local_peaks,
+        "x1_user_function": q_x1_user_function,
+        "x2_dotted_udaf": q_x2_dotted_udaf,
+        "x3_batch_embed": q_x3_batch_embed,
+        "x4_pca": q_x4_pca,
+        # ---------------- position 51+: rotated out this round ----------
+        # r10-certified remainder that did not fit — MUST lead the r14
+        # window (they reach the 4-round staleness bound there), together
+        # with any never-certified r13 additions; then the r12 cohort.
+        "spec_aux_derived": q_spec_aux_derived,
+        "spec_regridded_scenes": q_spec_regridded_scenes,
+        "stream_static_join": q_stream_static_join,
+        "stream_stream_join": q_stream_stream_join,
+        "j2_asof_single": q_j2_asof_single,
+        "j3_asof_all_within": q_j3_asof_all_within,
+        # r12-certified (fresh; rotate back in r15)
         "dedup_exact_substring": q_dedup_exact_substring,
         "trigram_xent": q_trigram_xent,
         "bpe_train": q_bpe_train,
@@ -3018,7 +3080,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_heavy": q_countmin_heavy,
         "bm25_topk": q_bm25_topk,
         "similarity_sq_topk": q_similarity_sq_topk,
-        # --- last driver row r8: three rounds stale (all 40) ---
         "j10_interval_join": q_j10_interval_join,
         "w5_sliding_tiles": q_w5_sliding_tiles,
         "r5_triplet_locations": q_r5_triplet_locations,
@@ -3059,74 +3120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_sessionize": q_w7_sessionize,
         "a14_rollup": q_a14_rollup,
         "sketch_quantiles": q_sketch_quantiles,
-        # ---------------- position 51+: rotated out this round ----------
-        # The 10 new keys + 40 r8-stale keys fill the window exactly, so
-        # hybrid_rrf (also new this round, never certified) and the four
-        # operators TOUCHED this round (terciles materialization; the
-        # dense-cell eps/2 refinement behind the dbscan keys) sit just
-        # past 50 — every key is still replayed at sf0.01 each round by
-        # tests/test_oracle_parity.py. ROUND 13 WINDOW must lead with
-        # hybrid_rrf, mixture_temperature, stream_countmin and
-        # decontam_semantic (never certified), then these four, then the
-        # r10-certified remainder (g8_rayleigh onward).
-        "hybrid_rrf": q_hybrid_rrf,
-        "mixture_temperature": q_mixture_temperature,
-        "stream_countmin": q_stream_countmin,
-        "decontam_semantic": q_decontam_semantic,
-        "quality_terciles": q_quality_terciles,
-        "dbscan_merge_events": q_dbscan_merge_events,
-        "dbscan_ladder": q_dbscan_ladder,
-        "emb_transform_dbscan": q_emb_transform_dbscan,
-        "g8_rayleigh": q_g8_rayleigh,
-        "stream_parquet_drain": q_stream_parquet_drain,
-        "dedup_best_survivors": q_dedup_best_survivors,
-        "select_token_budget": q_select_token_budget,
-        # r10-certified remainder (round-13 window continues here)
-        "gopher_repetition": q_gopher_repetition,
-        "incremental_dedup": q_incremental_dedup,
-        "dsir_logratio": q_dsir_logratio,
-        "stream_incremental_dedup": q_stream_incremental_dedup,
-        "r2_scene_pairs": q_r2_scene_pairs,
-        "spec_triplet_pipeline": q_spec_triplet_pipeline,
-        "dedup_survivors": q_dedup_survivors,
-        "dedup_semantic": q_dedup_semantic,
-        "dedup_components": q_dedup_components,
-        "spec_scene_images": q_spec_scene_images,
-        "a15_distinct_users": q_a15_distinct_users,
-        "a6_ecdf": q_a6_ecdf,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "derived_dag": q_derived_dag,
-        "doc_fingerprint": q_doc_fingerprint,
-        "e2_string_ops": q_e2_string_ops,
-        "e7_json_map": q_e7_json_map,
-        "f6_filter_dsl": q_f6_filter_dsl,
-        "f8_dropna_slice": q_f8_dropna_slice,
-        "g2_tile_pixel_slice": q_g2_tile_pixel_slice,
-        "g9_optical_flow": q_g9_optical_flow,
-        "hll_user_counts": q_hll_user_counts,
-        "j6_emb_aux_join": q_j6_emb_aux_join,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "neardup_cosine_pairs": q_neardup_cosine_pairs,
-        "o4_topk": q_o4_topk,
-        "s3_calendar_scan": q_s3_calendar_scan,
-        "scene_table": q_scene_table,
-        "similarity_lsh_topk": q_similarity_lsh_topk,
-        "traj_tiles": q_traj_tiles,
-        "u3_anti_join": q_u3_anti_join,
-        "w2_argmin_per_group": q_w2_argmin_per_group,
-        "w3_local_peaks": q_w3_local_peaks,
-        "x1_user_function": q_x1_user_function,
-        "x2_dotted_udaf": q_x2_dotted_udaf,
-        "x3_batch_embed": q_x3_batch_embed,
-        "x4_pca": q_x4_pca,
-        "spec_aux_derived": q_spec_aux_derived,
-        "spec_regridded_scenes": q_spec_regridded_scenes,
-        "stream_static_join": q_stream_static_join,
-        "stream_stream_join": q_stream_stream_join,
-        "j2_asof_single": q_j2_asof_single,
-        "j3_asof_all_within": q_j3_asof_all_within,
-        # r11-certified (freshest; rotate back last)
+        # r11-certified (freshest of the pre-r12 cohorts)
         "dedup_minhash": q_dedup_minhash,
         "dbscan_cell_stats": q_dbscan_cell_stats,
         "bigram_xent": q_bigram_xent,
