@@ -466,3 +466,93 @@ def test_rect_analytics_aux_join_is_shuffle_hash_not_broadcast(spark):
     assert "ShuffledHashJoin" in p
     # and the rect plumbing actually computes: one row per (bin, dim)
     assert stats.limit(1).count() == 1
+
+
+# Per-query FileScan-count ceilings, measured by the round-12/13 scan
+# audits (simple-mode explain at sf0.001). The multi-consumer trap —
+# Catalyst plans each reference to a DataFrame as its own subtree, so a
+# relation feeding two consumers re-runs its full upstream scan chain —
+# is invisible to correctness tests and was found twice by manual audit
+# (BASELINE.md "Scan audit"); this table makes the audited state a CI
+# invariant. Counts are TOTAL "Scan parquet" nodes in the plan, so
+# multi-TABLE queries legitimately exceed 1 (q3 joins 3 tables), and
+# .persist()ed relations re-print their cached child's scan once per
+# reference without re-executing it (dedup_minhash "4" = 1 real scan;
+# the InMemoryTableScan false positive the audit methodology recorded)
+# — the ceiling encodes the audited-and-accepted number, not "1".
+SCAN_CEILINGS = {
+    "a10_column_integral": 1, "a11_minmax_norm": 1, "a14_rollup": 1, "a15_distinct_users": 1,
+    "a1_pricing_summary": 1, "a2_udaf_pandas": 1, "a3_min_spacing": 1, "a4_binned_1d": 1,
+    "a5_binned_2d": 1, "a6_ecdf": 1, "a6_ecdf_global": 2, "a7_equidepth": 0,
+    "a8_daily_counts": 1, "a9_layer_mean": 1, "ann_cosine_topk": 1, "bigram_xent": 2,
+    "bloom_decontaminate": 2, "bm25_topk": 1, "bpe_encode": 2, "bpe_train": 0,
+    "cap_per_source": 1, "cdc_chunk_dedup": 0, "corpus_entropy": 1, "countmin_heavy": 0,
+    "dbscan_cell_stats": 1, "dbscan_ladder": 0, "dbscan_merge_events": 0, "decontam_excise": 3,
+    "decontam_ngram_overlap": 2, "decontam_semantic": 2, "decontam_substring": 2, "dedup_best_survivors": 4,
+    "dedup_components": 0, "dedup_exact_prefix": 1, "dedup_exact_substring": 1, "dedup_jaccard": 2,
+    "dedup_jaccard_prefix": 8, "dedup_minhash": 4, "dedup_minhash_sigs": 1, "dedup_semantic": 1,
+    "dedup_spans": 2, "dedup_survivors": 1, "derived_dag": 1, "doc_fingerprint": 1,
+    "dsir_hashed": 1, "dsir_logratio": 1, "e2_string_ops": 1, "e5_array_roundtrip": 1,
+    "e7_json_map": 1, "emb_transform_dbscan": 0, "emb_transform_kmeans": 1, "emb_transform_scaler": 1,
+    "f11_nonempty": 1, "f1_time_intervals": 1, "f2_datetime_components": 1, "f3_solar_zenith": 1,
+    "f4_traj_snap": 2, "f5_regex_filter": 1, "f6_filter_dsl": 1, "f7_percentile_filter": 1,
+    "f8_dropna_slice": 1, "f9_lon_wrap": 1, "g1_bilinear_regrid": 1, "g1_nearest_regrid": 1,
+    "g2_tile_pixel_slice": 0, "g4_crop_pad": 2, "g6_spanning_domain": 1, "g7_tangent_projection": 1,
+    "g8_rayleigh": 1, "g8_rgb_composite": 1, "g9_optical_flow": 0, "gopher_repetition": 1,
+    "hll_user_counts": 1, "hybrid_rrf": 2, "incremental_dedup": 0, "j10_interval_join": 2,
+    "j2_asof_single": 2, "j3_asof_all_within": 2, "j5_semi_join": 2, "j6_emb_aux_join": 2,
+    "j7_positional_coords": 1, "mixture_rates": 1, "mixture_temperature": 0, "multimodal_audio": 1,
+    "multimodal_features": 1, "multimodal_frames": 1, "neardup_cosine_pairs": 0, "neardup_edit_distance": 6,
+    "neardup_lsh_pairs": 0, "o3_distinct": 1, "o4_topk": 1, "pack_chunks": 1,
+    "pii_scrub": 1, "q3_shipping_priority": 3, "quality_classifier": 1, "quality_terciles": 0,
+    "r1_split": 1, "r2_scene_pairs": 5, "r5_triplet_locations": 0, "s2_goes16_query": 0,
+    "s3_calendar_scan": 0, "s4_era5_manifest": 0, "s5_calendar_offset_missing": 0, "s6_ceres_manifest": 0,
+    "sample_quality_weighted": 1, "scene_table": 1, "select_token_budget": 2, "simhash": 1,
+    "similarity_ivf_topk": 2, "similarity_lsh_topk": 2, "similarity_pq_topk": 3, "similarity_sq_topk": 2,
+    "sketch_quantiles": 2, "spec_analytics_pipeline": 0, "spec_aux_derived": 0, "spec_rect_embeddings": 0,
+    "spec_regridded_bilinear": 0, "spec_regridded_scenes": 0, "spec_scene_filter": 0, "spec_scene_images": 0,
+    "spec_tile_data": 0, "spec_triplet_pipeline": 0, "stratified_split": 2, "stream_countmin": 1,
+    "stream_daily_counts": 0, "stream_dedup_watermark": 0, "stream_incremental_dedup": 0, "stream_parquet_drain": 1,
+    "stream_seen_filter": 0, "stream_static_join": 0, "stream_stream_join": 0, "text_bpe_tokens": 1,
+    "text_corpus_stats": 1, "text_gopher_quality": 1, "text_langid": 1, "text_quality": 1,
+    "tfidf_top_terms": 1, "token_windows": 1, "traj_tiles": 3, "trigram_xent": 2,
+    "u1_union_by_name": 2, "u3_anti_join": 2, "unigram_xent": 1, "vocab_build": 0,
+    "vocab_encode": 1, "w2_argmin_per_group": 1, "w3_local_peaks": 1, "w5_sliding_tiles": 0,
+    "w6_sequential_scan": 1, "w7_sessionize": 1, "x1_user_function": 1, "x2_dotted_udaf": 1,
+    "x3_batch_embed": 1, "x4_pca": 1,
+}
+
+
+def test_per_query_parquet_scan_counts_do_not_regress(spark):
+    """Regression gate on the r12 multi-consumer scan audit: every
+    registered query's physical plan must not contain more parquet
+    FileScan nodes than its audited ceiling — a new consumer added to a
+    shared relation without `materialize_for_reuse` trips HERE, not in a
+    next-round manual audit. Simple-mode explain (formatted prints every
+    node twice); a NEW queries() key must be audited (check its plan for
+    redundant corpus passes, see BASELINE.md methodology) and added to
+    SCAN_CEILINGS. A count BELOW ceiling is reported as a ratchet
+    opportunity in the assertion message but does not fail."""
+    buf = io.StringIO()
+    missing, over = [], []
+    for name in QUERIES:
+        if name not in SCAN_CEILINGS:
+            missing.append(name)
+            continue
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            QUERIES[name](spark, SF_DIR).explain()  # simple mode, once per node
+        n = sum(1 for ln in buf.getvalue().splitlines() if "Scan parquet" in ln)
+        if n > SCAN_CEILINGS[name]:
+            over.append((name, n, SCAN_CEILINGS[name]))
+    assert not missing, (
+        f"queries() keys with no audited scan ceiling (run the BASELINE.md "
+        f"scan-audit methodology on them, then add entries): {missing}"
+    )
+    assert not over, (
+        f"parquet scan-count regressions (query, got, ceiling): {over} — "
+        f"a relation with multiple consumers is being re-planned; collapse "
+        f"with materialize_for_reuse or, if the extra pass is deliberate "
+        f"(two-sided text fetch, id-only narrow scan), raise the ceiling "
+        f"with a comment"
+    )
