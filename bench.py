@@ -3,10 +3,19 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "runs": {name: [sec, ...]}, "sf": <sf>}
 
 Each query executes its full plan via a noop-style action (count on the
 final plan) — no driver-side collect of large results.
+
+Timings are MIN-OF-N (N = $SPARK_GRAFT_BENCH_RUNS, default 3, same
+session): single-run wall-clock swings ±25% with machine state and JIT
+warmth (BASELINE.md "Ratchet refresh"; the round-12 bench showed two
+phantom 1.3x "regressions" that were pure noise), and a real plan
+regression reproduces across back-to-back runs while a cold-start
+artifact does not — the same policy sweep.py already applies to
+would-trip keys. "queries" carries the min; "runs" carries every
+measurement so a reader can judge the spread.
 """
 
 from __future__ import annotations
@@ -22,6 +31,7 @@ import __spark_entry__ as entrymod  # noqa: E402
 from convml_data_spark import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 HEADLINE = [
     "scene_table",
@@ -47,6 +57,13 @@ HEADLINE = [
     "doc_fingerprint",
     "text_langid",
     "stream_daily_counts",
+    # round 13: one headline key per LLM-pipeline north-star family —
+    # dedup (MinHash-LSH end-to-end), retrieval (BM25), ANN (SQ8 top-k) —
+    # so the round-over-round bench covers that surface, not just the
+    # SURVEY §2 relational core (workload change noted in BASELINE.md)
+    "dedup_minhash",
+    "bm25_topk",
+    "similarity_sq_topk",
 ]
 
 
@@ -71,16 +88,22 @@ def main() -> None:
         _tables.load_table(spark, SF_DIR, t).count()
 
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        runs: list[float] = []
+        n = 0
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            runs.append(round(time.perf_counter() - t0, 3))
+        best = min(runs)
+        timings[name] = best
+        all_runs[name] = runs
+        total += best
+        print(f"# {name}: min {best:.3f}s of {runs} ({n} rows)", file=sys.stderr)
 
     print(
         json.dumps(
@@ -89,6 +112,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "runs": all_runs,
                 "sf": sf_from_dir(SF_DIR),
             }
         )

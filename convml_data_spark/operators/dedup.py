@@ -100,6 +100,13 @@ def jaccard_dedup_blocked(
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     The shingle self-join runs per block; distinct-shingle sets are
     pre-aggregated so |pairs| cost is ∝ shared shingles within a block.
+
+    BLOCKS MUST BE BOUNDED: within a block this is all-pairs by design
+    (the exact-verification member of the dedup family), so a
+    low-cardinality ``block_cols`` makes the largest block O(B²). If no
+    natural bounded blocking key exists, use
+    :func:`minhash_lsh_candidates` / :func:`jaccard_dedup_prefix` —
+    their banded/prefix candidate generation is the 100 TB route.
     """
     sh = _shingles(docs, text_col, id_col, ngram, block_cols)
     a = sh.select(*block_cols, F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
