@@ -1616,6 +1616,50 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bpe_encode(docs, merges)
 
 
+def q_spm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (spm.py::unigram_train — the
+    SentencePiece model, Kudo 2018), completing the tokenizer family
+    next to bpe_train: char ∪ top-24 substring seed vocabulary, two
+    hard-EM rounds (Viterbi E-step, count-normalize M-step, zero-count
+    pieces prune out), micro-nat-quantized integer scores so every DP
+    comparison is exact in both engines. Corpus touched once; the EM
+    folds over the distinct-word relation against a one-row packed
+    vocabulary broadcast — the DP is a plan-time-unrolled projection
+    pyramid, no HOF recursion, no Python."""
+    from convml_data_spark.operators import spm
+
+    docs = _t(spark, sf_dir, "documents")
+    return spm.unigram_train(
+        docs,
+        vocab_top=_SPM_TOP,
+        piece_max_len=_SPM_K,
+        em_rounds=_SPM_R,
+        word_max_len=_SPM_L,
+    )
+
+
+def q_spm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer APPLICATION (spm.py::unigram_encode): train the
+    vocabulary (q_spm_train's program), then Viterbi-segment the
+    DISTINCT-word relation against it and aggregate per doc — words,
+    chars, subword pieces, and UNK words (unsegmentable/over-long; zero
+    here since training saw the same corpus). Same
+    segment-distinct-then-join-back shape as bpe_encode."""
+    from convml_data_spark.operators import spm
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = spm.unigram_train(
+        docs,
+        vocab_top=_SPM_TOP,
+        piece_max_len=_SPM_K,
+        em_rounds=_SPM_R,
+        word_max_len=_SPM_L,
+    )
+    return spm.unigram_encode(
+        docs, vocab, word_max_len=_SPM_L, piece_max_len=_SPM_K
+    )
+
+
 def q_trigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-Backoff TRIGRAM LM score (corpus.py::trigram_backoff_score,
     Brants et al. 2007) — the recursive backoff chain one order above
@@ -3006,6 +3050,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 cohort. New round-13 keys insert at the dict head and
         # displace the last r10 fillers past 50 (those certify in r14;
         # window arithmetic is recorded in BASELINE.md).
+        # --- new in round 13 (never certified) ---
+        "spm_train": q_spm_train,
+        "spm_encode": q_spm_encode,
         # --- never driver-certified (added post-r12-window) ---
         "hybrid_rrf": q_hybrid_rrf,
         "mixture_temperature": q_mixture_temperature,
@@ -3060,9 +3107,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_batch_embed": q_x3_batch_embed,
         "x4_pca": q_x4_pca,
         # ---------------- position 51+: rotated out this round ----------
-        # r10-certified remainder that did not fit — MUST lead the r14
-        # window (they reach the 4-round staleness bound there), together
-        # with any never-certified r13 additions; then the r12 cohort.
+        # r10-certified remainder that did not fit (x3_batch_embed and
+        # x4_pca just above were displaced past 50 by the two new spm
+        # keys) — MUST lead the r14 window (they reach the 4-round
+        # staleness bound there), together with any never-certified r14
+        # additions; then the r12 cohort.
         "spec_aux_derived": q_spec_aux_derived,
         "spec_regridded_scenes": q_spec_regridded_scenes,
         "stream_static_join": q_stream_static_join,
@@ -3274,6 +3323,191 @@ def _bpe_encode_oracle_sql(num_merges: int = 8) -> str:
             GROUP BY doc_id"""
     )
     return "".join(parts)
+
+
+# defaults of the registered spm_train / spm_encode keys (operators/spm.py)
+_SPM_L = 10  # word_max_len (corpus words top out at 8)
+_SPM_K = 4  # piece_max_len
+_SPM_TOP = 24  # vocab_top multi-char seed pieces
+_SPM_R = 2  # em_rounds
+
+
+def _spm_viterbi_recursive(
+    name: str, source: str, packed: str, K: int
+) -> str:
+    """The unigram Viterbi DP as a RECURSIVE CTE pair — the SQL twin of
+    spm.viterbi_segment. DuckDB inlines lateral/projection aliases
+    textually, so the Spark-side projection pyramid transliterated 1:1
+    blows up exponentially at plan time (measured: L=3 plans in 9 s,
+    L=4 never); the recursive form iterates a working table instead —
+    one row per word per position carrying a rolling K-window of best
+    scores and best paths, linear plan size, same integer-unit scores,
+    same smallest-k tie-break, same absent-piece NULL semantics.
+    Emits ``dp{name}`` (the recursion) and ``seg{name}``
+    ``(w, c, _score, _pieces)``."""
+    bs_init = ", ".join(["CAST(0 AS BIGINT)"] + ["NULL"] * (K - 1))
+    paths_init = ", ".join(["CAST([] AS VARCHAR[])"] + ["NULL"] * (K - 1))
+    cands = ",\n                       ".join(
+        f"bs[{k}] + _us[list_position(_ps, "
+        f"substr(w, i + {2 - k}, {k}))] AS c{k}"
+        for k in range(1, K + 1)
+    )
+    call = ", ".join(f"c{k}" for k in range(1, K + 1))
+    kstar = " ".join(
+        f"WHEN c{k} = b_new THEN {k}" for k in range(1, K + 1)
+    )
+    bs_shift = ", ".join(f"bs[{k}]" for k in range(1, K))
+    paths_shift = ", ".join(f"paths[{k}]" for k in range(1, K))
+    return f""", dp{name} AS (
+                SELECT w, c, 0 AS i,
+                       [{bs_init}] AS bs,
+                       [{paths_init}] AS paths
+                FROM {source}
+                UNION ALL
+                SELECT w, c, i + 1,
+                       [b_new, {bs_shift}],
+                       [CASE WHEN kstar IS NOT NULL THEN list_append(
+                            paths[kstar],
+                            substr(w, CAST(i - kstar + 2 AS INT),
+                                   CAST(kstar AS INT)))
+                        END, {paths_shift}]
+                FROM (
+                  SELECT *, CASE {kstar} END AS kstar
+                  FROM (
+                    SELECT *, greatest({call}) AS b_new
+                    FROM (
+                      SELECT w, c, i, bs, paths,
+                       {cands}
+                      FROM dp{name}, {packed}
+                      WHERE i < length(w))))
+            ), seg{name} AS (
+                SELECT w, c, bs[1] AS _score, paths[1] AS _pieces
+                FROM dp{name} WHERE i = length(w)
+            )"""
+
+
+def _spm_cte_prefix(
+    vocab_top: int = _SPM_TOP,
+    K: int = _SPM_K,
+    R: int = _SPM_R,
+    L: int = _SPM_L,
+) -> str:
+    """Shared CTE chain of the spm oracles: distinct <=L-char words, the
+    substring seed grid, the char + top-M seed vocabulary, micro-nat
+    quantized units, and the R (pack, recursive-Viterbi, count,
+    re-quantize) EM rounds. Bounded CTEs are MATERIALIZED — the packed
+    vocabulary is referenced on every recursion step and the count
+    relations feed both a scalar-subquery total and a projection."""
+    parts = [
+        f"""
+            WITH RECURSIVE words AS MATERIALIZED (
+                SELECT w, count(*) AS c FROM (
+                    SELECT unnest(COALESCE(list_filter(
+                        string_split_regex(lower(text), '\\s+'),
+                        x -> x != ''), [])) AS w
+                    FROM documents)
+                WHERE length(w) <= {L}
+                GROUP BY w
+            ), seeds AS MATERIALIZED (
+                SELECT piece, CAST(sum(c) AS BIGINT) AS cnt FROM (
+                    SELECT unnest(flatten(list_transform(
+                        generate_series(1, length(w)),
+                        i -> list_transform(
+                            generate_series(1, least({K}, length(w) - i + 1)),
+                            k -> substr(w, CAST(i AS INT), CAST(k AS INT))))))
+                        AS piece, c
+                    FROM words)
+                GROUP BY piece
+            ), v0 AS MATERIALIZED (
+                SELECT piece, cnt FROM seeds WHERE length(piece) = 1
+                UNION ALL
+                SELECT piece, cnt FROM (
+                    SELECT piece, cnt FROM seeds WHERE length(piece) >= 2
+                    ORDER BY cnt DESC, piece LIMIT {vocab_top})
+            ), u0 AS MATERIALIZED (
+                SELECT piece, CAST(cnt AS BIGINT) AS n,
+                       CAST(floor(ln(CAST(cnt AS DOUBLE) /
+                            (SELECT CAST(sum(cnt) AS DOUBLE) FROM v0))
+                            * 1e6 + 0.5) AS BIGINT) AS units
+                FROM v0
+            )"""
+    ]
+    for r in range(1, R + 1):
+        parts.append(
+            f""", p{r - 1} AS MATERIALIZED (
+                SELECT list(piece ORDER BY piece) AS _ps,
+                       list(units ORDER BY piece) AS _us
+                FROM u{r - 1}
+            )"""
+        )
+        parts.append(_spm_viterbi_recursive(str(r), "words", f"p{r - 1}", K))
+        parts.append(
+            f""", n{r} AS MATERIALIZED (
+                SELECT piece, CAST(sum(c) AS BIGINT) AS n FROM (
+                    SELECT unnest(_pieces) AS piece, c FROM seg{r})
+                GROUP BY piece
+            ), u{r} AS MATERIALIZED (
+                SELECT piece, n,
+                       CAST(floor(ln(CAST(n AS DOUBLE) /
+                            (SELECT CAST(sum(n) AS DOUBLE) FROM n{r}))
+                            * 1e6 + 0.5) AS BIGINT) AS units
+                FROM n{r}
+            )"""
+        )
+    return "".join(parts)
+
+
+def _spm_train_oracle_sql() -> str:
+    """spm_train replay: the final EM round's surviving pieces with their
+    Viterbi counts and quantized log-probabilities."""
+    return (
+        _spm_cte_prefix()
+        + f"""
+            SELECT piece, n, CAST(units AS DOUBLE) / 1e6 AS logp
+            FROM u{_SPM_R}"""
+    )
+
+
+def _spm_encode_oracle_sql() -> str:
+    """spm_encode replay: train (shared CTE prefix), then Viterbi-encode
+    the distinct-word relation against the final vocabulary and
+    aggregate per doc. Over-long words never enter the recursion and
+    unsegmentable words carry a NULL score — both surface as UNK
+    (0 pieces) through the LEFT join."""
+    return (
+        _spm_cte_prefix()
+        + f""", pF AS MATERIALIZED (
+                SELECT list(piece ORDER BY piece) AS _ps,
+                       list(units ORDER BY piece) AS _us
+                FROM u{_SPM_R}
+            ), doctok AS MATERIALIZED (
+                SELECT doc_id, unnest(COALESCE(list_filter(
+                    string_split_regex(lower(text), '\\s+'),
+                    x -> x != ''), [])) AS w
+                FROM documents
+            ), dwords AS MATERIALIZED (
+                SELECT w, CAST(1 AS BIGINT) AS c
+                FROM (SELECT DISTINCT w FROM doctok)
+                WHERE length(w) <= {_SPM_L}
+            )"""
+        + _spm_viterbi_recursive("E", "dwords", "pF", _SPM_K)
+        + f""", encw AS MATERIALIZED (
+                SELECT d.w, CAST(length(d.w) AS BIGINT) AS chars,
+                       CASE WHEN s._score IS NOT NULL
+                            THEN CAST(len(s._pieces) AS BIGINT)
+                            ELSE CAST(0 AS BIGINT) END AS np,
+                       CASE WHEN s._score IS NULL THEN 1 ELSE 0 END AS unk
+                FROM (SELECT DISTINCT w FROM doctok) d
+                LEFT JOIN segE s USING (w)
+            )
+            SELECT doc_id,
+                   count(*) AS n_words,
+                   CAST(sum(chars) AS BIGINT) AS n_chars,
+                   CAST(sum(np) AS BIGINT) AS n_pieces,
+                   CAST(sum(unk) AS BIGINT) AS n_unk_words
+            FROM doctok JOIN encw USING (w)
+            GROUP BY doc_id"""
+    )
 
 
 def _g8_rayleigh_oracle_sql() -> str:
@@ -6197,6 +6431,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_train": _bpe_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
+        "spm_train": _spm_train_oracle_sql(),
+        "spm_encode": _spm_encode_oracle_sql(),
         # edit-distance near-dup replay: exact predicate over ALL
         # shingle-sharing pairs (superset of the Spark side's banded LSH
         # candidates; every qualifying pair in this data sits at shingle

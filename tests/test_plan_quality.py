@@ -360,6 +360,10 @@ def test_representative_queries_survive_ansi_mode(spark):
         "quality_classifier", "bloom_decontaminate", "countmin_heavy",
         "bm25_topk", "similarity_sq_topk", "hybrid_rrf",
         "mixture_temperature", "stream_countmin", "decontam_semantic",
+        # round-13 expression families: guarded element_at vocabulary
+        # lookups inside the unrolled Viterbi projection pyramid
+        # (element_at(_, 0) THROWS under ANSI when the guard is wrong)
+        "spm_train", "spm_encode",
     ]
     # restore by UNSET if it was unset: explicitly setting ansi false is
     # NOT the same session state as leaving it unset (size(NULL) flips
@@ -520,6 +524,10 @@ SCAN_CEILINGS = {
     "vocab_encode": 1, "w2_argmin_per_group": 1, "w3_local_peaks": 1, "w5_sliding_tiles": 0,
     "w6_sequential_scan": 1, "w7_sessionize": 1, "x1_user_function": 1, "x2_dotted_udaf": 1,
     "x3_batch_embed": 1, "x4_pca": 1,
+    # round 13: spm_train's one corpus scan hides behind the words
+    # materialization; spm_encode mirrors bpe_encode's distinct+join-back
+    # (2 = tok twice; the train chain is checkpoint-hidden)
+    "spm_train": 0, "spm_encode": 2,
 }
 
 
@@ -532,10 +540,19 @@ def test_per_query_parquet_scan_counts_do_not_regress(spark):
     node twice); a NEW queries() key must be audited (check its plan for
     redundant corpus passes, see BASELINE.md methodology) and added to
     SCAN_CEILINGS. A count BELOW ceiling is reported as a ratchet
-    opportunity in the assertion message but does not fail."""
+    opportunity in the assertion message but does not fail.
+
+    Cache-state normalization: a .persist()ed relation that an EARLIER
+    test already materialized prints its cached child's FileScan once
+    per reference (the audit's false-positive class), doubling counts
+    for the persist-family keys vs the fresh-session ceilings — so the
+    gate clears the cache first and measures in the same sorted order
+    the ceilings were taken in (registration order changes what later
+    plans share)."""
+    spark.catalog.clearCache()
     buf = io.StringIO()
     missing, over = [], []
-    for name in QUERIES:
+    for name in sorted(QUERIES):
         if name not in SCAN_CEILINGS:
             missing.append(name)
             continue
