@@ -2498,6 +2498,21 @@ def q_emb_transform_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 centroid clustering with a FULL value oracle
+    (clustering.py::relational_kmeans): deterministic fixed-round Lloyd —
+    DECIMAL(12,6)-quantized coordinates, exact-decimal d² argmin,
+    identically-IEEE-rounded mean updates — so the exact (id, label)
+    relation replays in DuckDB, closing the gap where the Spark ML
+    kmeans key (emb_transform_kmeans) certifies only structurally."""
+    from convml_data_spark.operators.clustering import relational_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return relational_kmeans(emb, k=8, rounds=2).select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    )
+
+
 def q_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.13: file-stream scene discovery → watermarked 1-day windowed
     counts, drained with Trigger.AvailableNow (batch-equivalent result, so
@@ -2698,6 +2713,123 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synthetic_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic messy-URL column for the URL-dedup key (documents
+    carries no URL): scheme/www/port/query/fragment/trailing-slash
+    variants keyed on md5 bits of doc_id (replayable), host from
+    ``source``, path from ``doc_id % 37`` so canonical collisions form
+    real duplicate groups."""
+    def bits(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"url{tag}:"), F.col("doc_id").cast("string"))),
+                1, 13,
+            ), 16, 10,
+        ).cast("long")
+
+    url = F.concat(
+        F.when(bits("s") % 3 == 0, F.lit("HTTPS://"))
+        .when(bits("s") % 3 == 1, F.lit("https://"))
+        .otherwise(F.lit("http://")),
+        F.when(bits("w") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(bits("p") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.when(bits("t") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(bits("q") % 3 == 0, F.lit("?utm_source=feed&ref=rss")).otherwise(F.lit("")),
+        F.when(bits("f") % 5 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/host-level dedup + per-host cap (dedup.py::dedup_url — the
+    CCNet/RefinedWeb fetch-stage preprocessing): canonical-URL expression
+    (strip scheme/userinfo/query/fragment/default port/www/trailing
+    slash, lowercase host) → min-id survivor per canonical URL → ≤20
+    rows/host via the cap_per_group two-phase salted rank. One hash agg
+    + the bounded cap; the messy-URL synthesis is md5-deterministic so
+    the whole pipeline value-replays in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_url(_synthetic_urls(docs), max_per_host=20)
+
+
+def _synthetic_pages(docs: DataFrame) -> DataFrame:
+    """Deterministic newline-structured 'web page' per document for the
+    C4-filter key (documents carries flat token text): 6-token lines
+    with an md5-chosen terminator per (doc_id, line) — '.', '!', '?',
+    none, or a trailing ' javascript.' — plus md5-flagged 'lorem ipsum'
+    and '{' boilerplate lines, so every C4 rule fires on real rows."""
+    toks = T.tokens(F.lower(F.col("text")))
+    nl = F.ceil(F.greatest(F.size(toks), F.lit(0)) / F.lit(6)).cast("int")
+    terms = F.array(
+        F.lit("."), F.lit("!"), F.lit("?"), F.lit(""), F.lit(" javascript.")
+    )
+    line = lambda i: F.concat(
+        F.array_join(F.slice(toks, i * 6 + 1, 6), " "),
+        F.element_at(
+            terms,
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(":"),
+                                i.cast("string"),
+                            )
+                        ),
+                        1, 13,
+                    ), 16, 10,
+                ).cast("long") % 5
+            ).cast("int") + 1,
+        ),
+    )
+    flag = lambda tag, m: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{tag}:"), F.col("doc_id").cast("string"))),
+                1, 13,
+            ), 16, 10,
+        ).cast("long") % m == 0
+    )
+    page = F.concat(
+        F.array_join(F.transform(F.sequence(F.lit(0), nl - 1), line), "\n"),
+        F.when(flag("li", 13), F.lit("\nlorem ipsum dolor sit.")).otherwise(F.lit("")),
+        F.when(flag("br", 11), F.lit("\nif (x) { return y; }")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", page.alias("text"))
+
+
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic page cleaning (corpus.py::c4_line_filters, Raffel et
+    al. 2020 §2.2): terminal-punctuation + min-words + no-javascript
+    line rules, lorem-ipsum/brace/min-sentences page rules — pure in-row
+    Column string math, one map pass at any corpus scale. Pages are the
+    md5-deterministic newline synthesis so every rule value-replays."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.c4_line_filters(_synthetic_pages(docs))
+
+
+def q_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-classifier language ID (corpus.py::langid_classifier —
+    fastText langid shape, Joulin et al. 2016, the production standard
+    CCNet runs): the quality_classifier md5-bucket machinery with
+    per-LANGUAGE weight columns and an argmax head. Weights here are the
+    deterministic LANG_STOPWORDS lexicon-count model
+    (langid_lexicon_weights), so prediction AND margin replay in DuckDB;
+    agreement with the stopword-ratio heuristic is property-tested."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    w = corpus.langid_lexicon_weights(spark, n_buckets=1024)
+    return corpus.langid_classifier(docs, w, n_buckets=1024)
+
+
 def q_neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (the exact
     baseline; LSH-bucketed variant is the scale path in similarity.py).
@@ -2734,6 +2866,22 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay (inlined gaussian planes + recursive-CTE closure)."""
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.semantic_dedup(emb, threshold=0.35, n_planes=6, dim=64)
+    return out.select("vec_id")
+
+
+def q_dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the PAPER's own cluster proxy (Abbas et al. 2023 §2
+    clusters with k-means before within-cluster cosine pruning):
+    deterministic relational Lloyd k-means labels as the blocking key
+    (clustering.py::relational_kmeans — decimal-exact assignment, so the
+    WHOLE survivor set replays in DuckDB, unlike a Spark ML fit) → exact
+    within-cluster cosine pairs → alternating-star collapse → min-id
+    survivors. Fit state is k·dim decimals (bounded, the ivf_index
+    precedent); the returned plan is a single map pass + the pair join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(
+        emb, threshold=0.35, cluster="kmeans", kmeans_k=8, kmeans_rounds=2
+    )
     return out.select("vec_id")
 
 
@@ -3053,6 +3201,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 13 (never certified) ---
         "spm_train": q_spm_train,
         "spm_encode": q_spm_encode,
+        "dedup_semantic_kmeans": q_dedup_semantic_kmeans,
+        "langid_classifier": q_langid_classifier,
+        "dedup_url": q_dedup_url,
+        "kmeans_labels": q_kmeans_labels,
         # --- never driver-certified (added post-r12-window) ---
         "hybrid_rrf": q_hybrid_rrf,
         "mixture_temperature": q_mixture_temperature,
@@ -3100,18 +3252,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "traj_tiles": q_traj_tiles,
         "u3_anti_join": q_u3_anti_join,
+        # ---------------- position 51+: rotated out this round ----------
+        # First: round-13 additions beyond the ~6-new-keys-per-window
+        # budget (BASELINE.md policy: split certification into driver
+        # batches) — never driver-certified, MUST lead the r14 window.
+        "c4_filters": q_c4_filters,
+        # Then the r10-certified remainder that did not fit
+        # (w2_argmin_per_group, w3_local_peaks, x1_user_function,
+        # x2_dotted_udaf, x3_batch_embed, x4_pca were displaced past 50
+        # by the six new round-13 window keys) — they reach the 4-round
+        # staleness bound in r14 and follow the never-certified keys
+        # there; then the r12 cohort.
         "w2_argmin_per_group": q_w2_argmin_per_group,
         "w3_local_peaks": q_w3_local_peaks,
         "x1_user_function": q_x1_user_function,
         "x2_dotted_udaf": q_x2_dotted_udaf,
         "x3_batch_embed": q_x3_batch_embed,
         "x4_pca": q_x4_pca,
-        # ---------------- position 51+: rotated out this round ----------
-        # r10-certified remainder that did not fit (x3_batch_embed and
-        # x4_pca just above were displaced past 50 by the two new spm
-        # keys) — MUST lead the r14 window (they reach the 4-round
-        # staleness bound there), together with any never-certified r14
-        # additions; then the r12 cohort.
         "spec_aux_derived": q_spec_aux_derived,
         "spec_regridded_scenes": q_spec_regridded_scenes,
         "stream_static_join": q_stream_static_join,
@@ -3770,6 +3927,300 @@ def _semantic_dedup_oracle_sql(threshold: float = 0.35, n_planes: int = 6) -> st
             SELECT v.vec_id
             FROM embeddings v LEFT JOIN comp ON v.vec_id = comp.id
             WHERE comp.id IS NULL OR comp.component = v.vec_id
+        """
+
+
+def _kmeans_cte_chain(k: int, rounds: int, seed: int) -> tuple[str, str]:
+    """The deterministic Lloyd fit (clustering.py::relational_kmeans) as
+    a per-round CTE chain over ``embeddings`` — every step is exact
+    DECIMAL arithmetic or an identically-IEEE-rounded round(·, 6), so
+    assignments match Spark bit-for-bit. Returns (chain, final_assign):
+    the comma-joined CTE text and the name of the final (vec_id, cid)
+    assignment CTE."""
+    u = (
+        f"CAST(('0x' || substr(md5('{seed}|' || vec_id), 1, 13)) AS BIGINT)"
+        " / 4503599627370496.0"
+    )
+    ctes = [
+        f"""xq AS (
+              SELECT vec_id, embedding,
+                     list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6))) AS q
+              FROM embeddings
+            ), dims AS (
+              SELECT unnest(generate_series(1, 64)) AS i
+            ), c0 AS (
+              -- seeds: k lowest rows by (md5-uniform, id); cid = rank
+              SELECT row_number() OVER (ORDER BY {u}, vec_id) - 1 AS cid, q AS c
+              FROM xq ORDER BY {u}, vec_id LIMIT {k}
+            )"""
+    ]
+    for r in range(1, rounds + 2):
+        cent = f"c{r - 1}"
+        ctes.append(
+            f"""d{r} AS (
+              SELECT p.vec_id, c.cid,
+                     SUM((p.q[i] - c.c[i]) * (p.q[i] - c.c[i])) AS d2
+              FROM xq p CROSS JOIN {cent} c CROSS JOIN dims
+              GROUP BY p.vec_id, c.cid
+            ), a{r} AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM d{r}
+              ) WHERE rn = 1
+            )"""
+        )
+        if r > rounds:  # final pass assigns only — no further update
+            break
+        ctes.append(
+            f"""u{r} AS (
+              SELECT cid, list(m ORDER BY i) AS c FROM (
+                SELECT a.cid, i,
+                       CAST(round(CAST(SUM(p.q[i]) AS DOUBLE) / COUNT(*), 6)
+                            AS DECIMAL(12,6)) AS m
+                FROM a{r} a JOIN xq p USING (vec_id) CROSS JOIN dims
+                GROUP BY a.cid, i
+              ) GROUP BY cid
+            ), c{r} AS (
+              -- an emptied cluster keeps its previous centroid
+              SELECT s.cid, COALESCE(u.c, s.c) AS c
+              FROM {cent} s LEFT JOIN u{r} u USING (cid)
+            )"""
+        )
+    return ",\n            ".join(ctes), f"a{rounds + 1}"
+
+
+def _semantic_dedup_kmeans_oracle_sql(
+    threshold: float = 0.35, k: int = 8, rounds: int = 2, seed: int = 42
+) -> str:
+    """dedup_semantic_kmeans FULL replay: the :func:`_kmeans_cte_chain`
+    Lloyd fit, then the _semantic_dedup_oracle_sql pair/closure/survivor
+    tail with the cluster id as the block."""
+    from convml_data_spark.operators.similarity import LSH_MAX_BUCKET
+
+    chain, final_a = _kmeans_cte_chain(k, rounds, seed)
+    return f"""
+            WITH RECURSIVE {chain}, sig0 AS (
+              SELECT p.vec_id, p.embedding, a.cid AS bucket
+              FROM xq p JOIN {final_a} a USING (vec_id)
+            ), sig AS (
+              SELECT vec_id, embedding, bucket FROM (
+                SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS _bn
+                FROM sig0
+              ) WHERE _bn <= {LSH_MAX_BUCKET}
+            ), cand AS (
+              SELECT a.vec_id AS id_a, a.embedding AS va,
+                     b.vec_id AS id_b, b.embedding AS vb
+              FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ), scored AS (
+              SELECT DISTINCT id_a, id_b,
+                     round(
+                       list_sum(list_transform(range(1, len(va) + 1),
+                                i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(range(1, len(va) + 1),
+                                i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(range(1, len(vb) + 1),
+                                i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))))), 6) AS score
+              FROM cand
+            ), pr AS (
+              SELECT id_a, id_b FROM scored WHERE score >= {threshold}
+            ), e AS (
+              SELECT id_a AS s, id_b AS d FROM pr
+              UNION
+              SELECT id_b, id_a FROM pr
+            ), nodes AS (
+              SELECT DISTINCT s AS id FROM e
+            ), reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s
+            ), comp AS (
+              SELECT id, min(r) AS component FROM reach GROUP BY id
+            )
+            SELECT v.vec_id
+            FROM embeddings v LEFT JOIN comp ON v.vec_id = comp.id
+            WHERE comp.id IS NULL OR comp.component = v.vec_id
+        """
+
+
+def _kmeans_labels_oracle_sql(k: int = 8, rounds: int = 2, seed: int = 42) -> str:
+    """kmeans_labels FULL replay: the :func:`_kmeans_cte_chain` Lloyd fit,
+    final assignment CTE selected directly."""
+    chain, final_a = _kmeans_cte_chain(k, rounds, seed)
+    return f"""
+            WITH {chain}
+            SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM {final_a}
+        """
+
+
+def _c4_filters_oracle_sql(min_words: int = 5, min_sentences: int = 3) -> str:
+    """c4_filters replay at the LINE level (the page string is never
+    materialized): md5-terminator body lines + flagged boilerplate lines
+    UNION'd, the three line rules and two page rules re-evaluated, and
+    clean_chars recovered as Σ kept-line lengths + (n_kept − 1) newline
+    separators — identical to length(array_join(kept, '\\n'))."""
+    kept = (
+        "regexp_matches(ln, '[.!?\"]$') "
+        "AND len(string_split_regex(trim(ln), ' +')) >= " + str(min_words) + " "
+        "AND NOT contains(lower(ln), 'javascript')"
+    )
+    return f"""
+            WITH base AS (
+              SELECT doc_id,
+                     COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x != ''), []) AS w,
+                     CAST('0x' || substr(md5('li:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                         % 13 = 0 AS lorem,
+                     CAST('0x' || substr(md5('br:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                         % 11 = 0 AS brace
+              FROM documents
+            ), sized AS (
+              SELECT *, CAST(ceil(len(w) / 6.0) AS INT) AS nl FROM base
+            ), body AS (
+              SELECT doc_id,
+                     array_to_string(w[i*6+1 : i*6+6], ' ')
+                     || (['.', '!', '?', '', ' javascript.'])[
+                          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                               || CAST(i AS VARCHAR)), 1, 13) AS BIGINT) % 5 AS INT) + 1]
+                       AS ln
+              FROM sized, UNNEST(range(0, greatest(nl, 0))) AS t(i)
+            ), lines AS (
+              SELECT doc_id, ln FROM body
+              UNION ALL
+              SELECT doc_id, 'lorem ipsum dolor sit.' FROM base WHERE lorem
+              UNION ALL
+              SELECT doc_id, 'if (x) {{ return y; }}' FROM base WHERE brace
+            ), per AS (
+              SELECT doc_id,
+                     count(*) AS n_lines,
+                     count(*) FILTER ({kept}) AS n_kept,
+                     COALESCE(SUM(len(ln)) FILTER ({kept}), 0) AS kept_chars
+              FROM lines GROUP BY doc_id
+            )
+            SELECT p.doc_id, p.n_lines, p.n_kept,
+                   (NOT (b.lorem OR b.brace)) AND p.n_kept >= {min_sentences} AS passed,
+                   -- BIGINT cast: SUM(len) is HUGEINT, which the driver
+                   -- renders float64 against Spark's bigint (gotcha)
+                   CAST(CASE WHEN (NOT (b.lorem OR b.brace)) AND p.n_kept >= {min_sentences}
+                        THEN p.kept_chars + p.n_kept - 1 ELSE 0 END AS BIGINT) AS clean_chars
+            FROM per p JOIN base b USING (doc_id)
+        """
+
+
+def _dedup_url_oracle_sql(max_per_host: int = 20, seed: int = 42) -> str:
+    """dedup_url replay: md5-bit URL synthesis, the canonical_url regex
+    chain (anchored single-occurrence patterns, so DuckDB's
+    replace-first regexp_replace matches Spark's replace-all), min-id
+    survivor per canonical URL, cap_per_group's md5-rank QUALIFY."""
+    bits = lambda tag: (
+        f"CAST('0x' || substr(md5('url{tag}:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)"
+    )
+    return f"""
+            WITH raw AS (
+              SELECT doc_id,
+                     (CASE WHEN {bits("s")} % 3 = 0 THEN 'HTTPS://'
+                           WHEN {bits("s")} % 3 = 1 THEN 'https://'
+                           ELSE 'http://' END)
+                     || (CASE WHEN {bits("w")} % 2 = 0 THEN 'www.' ELSE '' END)
+                     || source || '.Example.COM'
+                     || (CASE WHEN {bits("p")} % 4 = 0 THEN ':443' ELSE '' END)
+                     || '/Docs/' || CAST(doc_id % 37 AS VARCHAR)
+                     || (CASE WHEN {bits("t")} % 2 = 0 THEN '/' ELSE '' END)
+                     || (CASE WHEN {bits("q")} % 3 = 0 THEN '?utm_source=feed&ref=rss' ELSE '' END)
+                     || (CASE WHEN {bits("f")} % 5 = 0 THEN '#section-2' ELSE '' END)
+                       AS url
+              FROM documents
+            ), stripped AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                         trim(url),
+                         '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                         '^[^/?#@]*@', ''),
+                         '#.*$', ''),
+                         '\\?.*$', '') AS u
+              FROM raw
+            ), canon AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(
+                         lower(regexp_extract(u, '^([^/]*)', 1)),
+                         ':(80|443)$', ''), '^www\\.', '')
+                     || regexp_replace(regexp_replace(u, '^[^/]*', ''), '/+$', '')
+                       AS canonical_url
+              FROM stripped
+            ), surv AS (
+              SELECT canonical_url, min(doc_id) AS doc_id
+              FROM canon GROUP BY canonical_url
+            ), hosted AS (
+              SELECT doc_id, canonical_url,
+                     regexp_extract(canonical_url, '^([^/]*)', 1) AS host
+              FROM surv
+            )
+            SELECT doc_id, canonical_url, host FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY host
+                  ORDER BY md5('{seed}_' || CAST(doc_id AS VARCHAR)), doc_id
+              ) AS r
+              FROM hosted
+            ) WHERE r <= {max_per_host}
+        """
+
+
+def _langid_classifier_oracle_sql(n_buckets: int = 1024) -> str:
+    """langid_classifier replay: the lexicon weight relation inlined as
+    VALUES (same Python construction as langid_lexicon_weights), then
+    the quality_classifier tokenize/bucket replay with a per-(doc, lang)
+    DECIMAL sum and a (margin DESC, priority) argmax window."""
+    from convml_data_spark.operators.corpus import (
+        LANGID_PRIORITY,
+        _md5_bucket_py,
+    )
+    from convml_data_spark.functions.text import LANG_STOPWORDS
+
+    counts: dict = {}
+    for lang in LANGID_PRIORITY:
+        for word in LANG_STOPWORDS[lang]:
+            key = (_md5_bucket_py(word, n_buckets), lang)
+            counts[key] = counts.get(key, 0) + 1
+    vals = ", ".join(
+        f"({b}, '{lang}', {float(c)!r})" for (b, lang), c in sorted(counts.items())
+    )
+    prio = " ".join(
+        f"WHEN '{lang}' THEN {i + 1}" for i, lang in enumerate(LANGID_PRIORITY)
+    )
+    return f"""
+            WITH w(bucket, lang, weight) AS (VALUES {vals}),
+            tok AS (
+                SELECT doc_id,
+                       unnest(COALESCE(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x != ''), [])) AS t
+                FROM documents
+            ), cnt AS (
+                SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id
+            ), hits AS (
+                SELECT doc_id, lang,
+                       SUM(CAST(weight AS DECIMAL(38,12))) AS s
+                FROM (
+                    SELECT doc_id,
+                           CAST('0x' || substr(md5(t), 1, 13) AS BIGINT)
+                               % {n_buckets} AS bucket
+                    FROM tok
+                ) b JOIN w USING (bucket)
+                GROUP BY doc_id, lang
+            ), best AS (
+                SELECT doc_id, lang, s FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY s DESC, CASE lang {prio} END
+                    ) AS rn FROM hits
+                ) WHERE rn = 1
+            )
+            SELECT c.doc_id, c.n_tokens,
+                   COALESCE(b.lang, '{LANGID_PRIORITY[0]}') AS lang_pred,
+                   round(COALESCE(CAST(b.s AS DOUBLE), 0.0) / c.n_tokens, 6)
+                       AS margin
+            FROM cnt c LEFT JOIN best b USING (doc_id)
         """
 
 
@@ -5968,6 +6419,11 @@ def oracle_sql() -> dict[str, str]:
         "x3_batch_embed": _x3_oracle_sql(),
         "neardup_lsh_pairs": _neardup_lsh_oracle_sql(),
         "dedup_semantic": _semantic_dedup_oracle_sql(),
+        "dedup_semantic_kmeans": _semantic_dedup_kmeans_oracle_sql(),
+        "langid_classifier": _langid_classifier_oracle_sql(),
+        "dedup_url": _dedup_url_oracle_sql(),
+        "kmeans_labels": _kmeans_labels_oracle_sql(),
+        "c4_filters": _c4_filters_oracle_sql(),
         "decontam_semantic": _semantic_decontam_oracle_sql(),
         "g8_rayleigh": _g8_rayleigh_oracle_sql(),
         "dbscan_ladder": _dbscan_ladder_oracle_sql(),

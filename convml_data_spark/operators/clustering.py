@@ -493,3 +493,152 @@ def dbscan_eps_ladder(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Centroid clustering: deterministic fixed-round Lloyd k-means as relational
+# algebra. The §2.12 X4 family's CENTROID member already exists twice in
+# approximate form (Spark ML KMeans behind apply_transform — solver-defined
+# labels, structurally certified only; the numpy sample-fit behind ivf_index
+# — recall-bounded). This is the third, EXACT form: every arithmetic step is
+# decimal-exact or identically-IEEE-rounded in Spark and DuckDB, so the full
+# label assignment (and anything built on it, e.g. kmeans-blocked SemDeDup)
+# gets a value oracle — the same reason DBSCAN above replaced hdbscan.
+
+
+KMEANS_DEC = "decimal(12,6)"  # quantized coordinate type (6 dp, exact)
+_KMEANS_ACC = "decimal(25,12)"  # d² accumulator: 64·(2e3)² fits 13 int digits
+
+
+def _kmeans_quantized(vec_col):
+    """In-row coordinate quantization: round(x, 6) → DECIMAL(12,6) per
+    dimension. Everything downstream is exact decimal arithmetic, so
+    assignments/centroids are partition-, AQE- and engine-independent.
+    round(6) of a float32-derived double never lands on a decimal
+    rounding tie (x.5e-6 has no exact binary representation), so Spark's
+    BigDecimal round and DuckDB's multiply-based round agree."""
+    return F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double"), 6).cast(KMEANS_DEC)
+    )
+
+
+def _kmeans_d2(xq_col, centroid: list) -> "F.Column":
+    """Exact squared distance between a quantized vector column and one
+    centroid literal: (12,6) diffs → (27,12) squares → (25,12) running
+    sum, every step exact (ANSI mode would raise on overflow rather than
+    round — coordinates beyond ~1e6 need a wider KMEANS_DEC)."""
+    arr = F.array(*[F.lit(str(c)) for c in centroid]).cast(
+        f"array<{KMEANS_DEC}>"
+    )
+    return F.aggregate(
+        F.zip_with(xq_col, arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast(_KMEANS_ACC),
+        lambda acc, v: (acc + v).cast(_KMEANS_ACC),
+    )
+
+
+def _kmeans_assign_expr(xq_col, centroids: list[list]) -> "F.Column":
+    """Argmin-by-(d², cid) over the centroid literals — pure in-row Column
+    math (array_min over (d, i) structs; decimal d² exact, so the min and
+    its id tie-break are deterministic), the ivf_index assignment shape."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(_kmeans_d2(xq_col, c).alias("d"), F.lit(i).alias("i"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )["i"]
+
+
+def relational_kmeans(
+    points: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Deterministic fixed-round Lloyd k-means, fully engine-replayable.
+
+    Reference parity: ``embeddings/transforms.py:17-139`` dispatches
+    clustering transforms by name; this is the centroid member with an
+    EXACT cross-engine contract (labels are a pure function of the data),
+    unlike Spark ML KMeans whose solver/init make labels engine-internal.
+    ``rounds`` is a plan-time constant — this is a BLOCKING/partitioning
+    clusterer (SemDeDup cluster proxy, IVF-style list keys), not a
+    convergence-chasing fit; 1-3 rounds is the intended range.
+
+    Algorithm (all steps deterministic):
+    - quantize coordinates to DECIMAL(12,6) (:func:`_kmeans_quantized`);
+    - seeds = the k lowest rows by (md5-uniform(seed, id), id) — the
+      :func:`~.similarity._collect_fit_sample` selection rule; centroid
+      id = rank in that order;
+    - ``rounds`` Lloyd updates: assign every row to the nearest centroid
+      (exact decimal d², ties to the lowest cid), recompute each
+      centroid as the per-dimension mean round(Σxq/n, 6) → DECIMAL(12,6)
+      (Σxq is an exact scale-6 decimal sum, so the double cast is exact
+      below 2^53 and the division/round are identically IEEE-rounded in
+      Spark and DuckDB); an emptied cluster keeps its previous centroid;
+    - final label = assignment against the post-update centroids.
+
+    Scale design: per round ONE job over the materialized quantized
+    projection — a map-side-combined (cid, dim) aggregate whose exchange
+    carries ≤ partitions·k·dim rows, then a k·dim-bounded collect (the
+    ivf_index precedent: centroids are driver state bounded by the
+    caller's k, never by the table). The returned plan is a single map
+    pass (broadcast-literal argmin, no shuffle, no UDF); fit jobs run at
+    call time like :func:`~.corpus.fit_quality_classifier`.
+    """
+    from .persist import materialize_for_reuse
+    from .sampling import hash_uniform
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    base = materialize_for_reuse(
+        points.select(
+            F.col(id_col).alias("_id"), _kmeans_quantized(vec_col).alias("_xq")
+        )
+    )
+    seed_rows = (
+        base.select(
+            hash_uniform(seed, F.col("_id")).alias("_h"), "_id", "_xq"
+        )
+        .orderBy("_h", "_id")
+        .limit(int(k))
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("cannot fit k-means on an empty table")
+    centroids = [list(r["_xq"]) for r in seed_rows]
+    for _ in range(int(rounds)):
+        assign = _kmeans_assign_expr(F.col("_xq"), centroids)
+        # two selects: getField on an aliased struct resolves to col1/col2
+        # when a generator (posexplode) shares its select (analyzer quirk)
+        sums = (
+            base.select(assign.alias("_cid"), "_xq")
+            .select("_cid", F.posexplode("_xq").alias("_d", "_x"))
+            .groupBy("_cid", "_d")
+            .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+            .select(
+                "_cid",
+                "_d",
+                F.round(F.col("_s").cast("double") / F.col("_n"), 6)
+                .cast(KMEANS_DEC)
+                .alias("_c"),
+            )
+            .collect()
+        )
+        new = {}
+        for r in sums:
+            new.setdefault(r["_cid"], {})[r["_d"]] = r["_c"]
+        centroids = [
+            [new[i][d] for d in sorted(new[i])] if i in new else old
+            for i, old in enumerate(centroids)
+        ]
+    return points.withColumn(
+        out_col, _kmeans_assign_expr(_kmeans_quantized(vec_col), centroids)
+    )

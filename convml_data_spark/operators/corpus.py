@@ -2153,3 +2153,162 @@ def mixture_temperature_rates(
         F.round(rate, 6).alias("rate"),
         F.round(rate * F.col("n_tokens"), 6).alias("expected_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-classifier language ID (fastText langid, Joulin et al. 2016 — the
+# production langid standard; CCNet runs exactly this model for its lang
+# split). Reuses the quality_classifier machinery: the SAME md5 feature
+# buckets, per-LANGUAGE weight columns instead of one, argmax instead of
+# sigmoid. functions/text.py::lang_guess is the zero-parameter heuristic
+# twin; this is the model-driven form a user swaps real fastText weights
+# into.
+
+LANGID_PRIORITY = ("en", "de", "fr", "es")
+
+
+def _md5_bucket_py(word: str, n_buckets: int) -> int:
+    """Python twin of :func:`_md5_bucket` — MUST track it bit-for-bit
+    (md5 hex → first 13 nibbles → int → mod)."""
+    import hashlib
+
+    return int(hashlib.md5(word.encode()).hexdigest()[:13], 16) % int(n_buckets)
+
+
+def langid_lexicon_weights(
+    spark,
+    langs: tuple[str, ...] = LANGID_PRIORITY,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Seeded per-language weights from the ``LANG_STOPWORDS`` lexicons:
+    ``weight(bucket, lang)`` = how many of that language's lexicon words
+    hash into the bucket (a naive-Bayes-style indicator model —
+    deterministic, so the whole classifier replays engine-side). Bounded
+    by construction: ≤ langs·lexicon rows, built driver-side as
+    literals like the IVF centroids. Real fastText weights drop in as
+    any (bucket, lang, weight) relation."""
+    counts: dict[tuple[int, str], int] = {}
+    for lang in langs:
+        for word in T.LANG_STOPWORDS[lang]:
+            key = (_md5_bucket_py(word, n_buckets), lang)
+            counts[key] = counts.get(key, 0) + 1
+    rows = [(b, lang, float(c)) for (b, lang), c in sorted(counts.items())]
+    return spark.createDataFrame(rows, "bucket long, lang string, weight double")
+
+
+def langid_classifier(
+    docs: DataFrame,
+    weights: DataFrame,
+    langs: tuple[str, ...] = LANGID_PRIORITY,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multiclass hashed linear language-ID — the scoring path of a
+    fastText-style langid model over the md5-bucket feature space.
+
+    Per doc: tokens hash to buckets, each bucket contributes its
+    per-language weights, prediction = argmax of the mean-pooled
+    per-language margin with ties (and zero-hit docs) resolved by the
+    ``langs`` priority order — the same order
+    :func:`~..functions.text.lang_guess` uses, so the two agree where
+    both are confident. Returns ``(id, n_tokens, lang_pred, margin)``;
+    docs with no tokens emit no row (the quality_classifier contract).
+
+    Scale design: one in-row explode + ONE broadcast equi-join against
+    the bucket-bounded weights + two map-side-combined aggregations —
+    pure JVM expressions. Weight sums ride DECIMAL(38,12) (exact,
+    order-independent under AQE); the per-(doc, lang) argmax is a
+    ``min_by`` over (−margin, priority) with no possible ties (lang is
+    the group key). The tokenized relation feeds the count AND the hit
+    join: materialized once."""
+    from .dedup import _spread
+    from .persist import materialize_for_reuse
+
+    tok = materialize_for_reuse(
+        _spread(docs, id_col).select(
+            F.col(id_col),
+            F.explode(T.tokens(F.lower(F.col(text_col)))).alias("_w"),
+        )
+    )
+    cnt = tok.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
+    pr = F.array_position(
+        F.array(*[F.lit(l) for l in langs]), F.col("lang")
+    )
+    hits = (
+        tok.select(F.col(id_col), _md5_bucket(F.col("_w"), n_buckets).alias("bucket"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy(id_col, "lang")
+        .agg(F.sum(F.col("weight").cast("decimal(38,12)")).alias("_s"))
+    )
+    best = hits.groupBy(id_col).agg(
+        F.min_by(F.struct("lang", "_s"), F.struct((-F.col("_s")).alias("_n"), pr.alias("_p"))).alias("_b")
+    )
+    return (
+        cnt.join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce(F.col("_b")["lang"], F.lit(langs[0])).alias("lang_pred"),
+            F.round(
+                F.coalesce(F.col("_b")["_s"].cast("double"), F.lit(0.0))
+                / F.col("n_tokens"),
+                6,
+            ).alias("margin"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic page cleaning (Raffel et al. 2020 §2.2 — the canonical web
+# cleaning stage every C4-descended corpus runs before dedup/quality):
+# line-level keep rules + page-level discard rules, as pure in-row Column
+# expressions (no explode, no shuffle, no UDF — a 100 TB page table cleans
+# in one map pass).
+
+C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_line_filters(
+    docs: DataFrame,
+    min_words: int = 5,
+    min_sentences: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4's cleaning heuristics over newline-delimited page text:
+
+    - keep a line iff it ends in terminal punctuation (``.!?"``), has at
+      least ``min_words`` whitespace words, and does not mention
+      "javascript" (all three are Raffel et al. 2020's line rules);
+    - discard the page iff it contains "lorem ipsum" or a ``{`` (the
+      code/boilerplate page rules), or fewer than ``min_sentences``
+      lines survive.
+
+    Returns ``(id, n_lines, n_kept, passed, clean_chars)`` where
+    ``clean_chars`` is the length of the kept lines re-joined with
+    newlines (0 for discarded pages) — the size the page contributes to
+    the cleaned corpus. Line predicates reference only their own lambda
+    var, so the filter is safe in every plan shape (the outer-ref-in-HOF
+    caveat); everything is engine-replayable string math.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(C4_TERMINAL_RE)
+        & (F.size(F.split(F.trim(ln), " +")) >= int(min_words))
+        & ~F.lower(ln).contains("javascript"),
+    )
+    n_kept = F.greatest(F.size(kept), F.lit(0))
+    doc_bad = F.lower(F.col(text_col)).contains("lorem ipsum") | F.col(
+        text_col
+    ).contains("{")
+    passed = (~doc_bad) & (n_kept >= int(min_sentences))
+    clean = F.when(passed, F.array_join(kept, "\n")).otherwise(F.lit(""))
+    return docs.select(
+        F.col(id_col),
+        F.greatest(F.size(lines), F.lit(0)).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        passed.alias("passed"),
+        F.length(clean).cast("long").alias("clean_chars"),
+    )

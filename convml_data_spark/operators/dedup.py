@@ -1005,3 +1005,73 @@ def cdc_dedup_stats(
             .alias("n_dup_chunks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL/host-level dedup (CCNet / RefinedWeb preprocessing: Wenzek et al. 2019,
+# Penedo et al. 2023 §3.1 both dedup fetched pages by normalized URL and cap
+# per-host page counts BEFORE any content-level stage — it is the cheapest
+# dedup a web corpus runs, and removes the trivially-refetched duplicates
+# content hashing would pay full tokenization for).
+
+
+def canonical_url(url):
+    """Canonical form of a URL as a pure Column expression: trim, strip
+    scheme and userinfo, drop query string and fragment, lowercase the
+    host, strip a leading ``www.`` and an explicit default port
+    (:80/:443), strip trailing slashes from the path. The path's case is
+    preserved (paths are case-sensitive; hosts are not).
+
+    Every pattern is anchored and in the RE2∩Java-safe subset
+    (functions/text.py::redact_pii's rule), and single-occurrence by
+    anchoring — so Spark's replace-all and DuckDB's replace-first
+    regexp_replace agree and the expression replays engine-side.
+    """
+    u = F.trim(url)
+    u = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    u = F.regexp_replace(u, r"^[^/?#@]*@", "")
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"\?.*$", "")
+    host = F.lower(F.regexp_extract(u, r"^([^/]*)", 1))
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_replace(F.regexp_replace(u, r"^[^/]*", ""), r"/+$", "")
+    return F.concat(host, path)
+
+
+def url_host(canonical):
+    """Host component of a :func:`canonical_url` value."""
+    return F.regexp_extract(canonical, r"^([^/]*)", 1)
+
+
+def dedup_url(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_per_host: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """URL-level dedup + optional per-host cap: one row per distinct
+    canonical URL (the minimum-``id_col`` fetch survives — the standing
+    survivorship rule), then at most ``max_per_host`` rows per host via
+    the two-phase salted ranking of :func:`~.corpus.cap_per_group` (a
+    billion-page host never hits a single-task window). Returns
+    ``(id, canonical_url, host)``.
+
+    Scale: ONE map-side-combined hash aggregation on the canonical-URL
+    key (the same shape as :func:`exact_duplicates`) + the cap's bounded
+    two-phase rank — no windows over unbounded groups, no text shuffled.
+    """
+    from .corpus import cap_per_group
+
+    surv = (
+        docs.select(
+            F.col(id_col), canonical_url(F.col(url_col)).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(F.min(id_col).alias(id_col))
+        .withColumn("host", url_host(F.col("canonical_url")))
+    )
+    if max_per_host is not None:
+        surv = cap_per_group(surv, "host", int(max_per_host), id_col=id_col, seed=seed)
+    return surv.select(id_col, "canonical_url", "host")

@@ -912,6 +912,9 @@ def semantic_dedup(
     id_col: str = "vec_id",
     max_bucket: int | None = LSH_MAX_BUCKET,
     durable: bool | None = None,
+    cluster: str = "lsh",
+    kmeans_k: int = 8,
+    kmeans_rounds: int = 2,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): remove documents that are semantically (not
@@ -919,30 +922,64 @@ def semantic_dedup(
     representative per semantic duplicate group.
 
     The paper clusters the embedding space (k-means) and prunes
-    within-cluster pairs above a cosine threshold; here the cheap
-    partition is the hyperplane-LSH bucket (deterministic, replayable —
-    a k-means fit is engine-internal and couldn't be oracle-checked),
-    within-bucket pairs are EXACT-cosine verified
-    (:func:`lsh_neardup_pairs`), transitive groups collapse via the
+    within-cluster pairs above a cosine threshold. Two cluster proxies:
+
+    - ``cluster="lsh"`` (default): the hyperplane-LSH bucket — no fit
+      pass at all, and collision probability tracks the cosine being
+      thresholded (``n_planes`` tunes the recall/cost trade);
+    - ``cluster="kmeans"``: the paper's own blocking, via the
+      deterministic :func:`~.clustering.relational_kmeans`
+      (``kmeans_k``/``kmeans_rounds``/``seed``) — exact-centroid
+      partitions like SemDeDup's FAISS fit, but engine-replayable, so
+      the whole survivor set keeps a full value oracle. Costs
+      ``kmeans_rounds`` extra fit passes; recall fails differently
+      (near-dups split across a centroid boundary vs. across a random
+      hyperplane).
+
+    Either way, within-block pairs are EXACT-cosine verified
+    (:func:`blocked_cosine_pairs`), transitive groups collapse via the
     alternating-star connected components, and the survivor per group is
     the minimum id (:func:`~.dedup.canonical_survivors`).
 
-    Scale: bucket self-join (never all-pairs, ``max_bucket``-guarded
-    against degenerate-bucket O(B²) blow-up) → hash-partitioned CC
+    Scale: block self-join (never all-pairs, ``max_bucket``-guarded
+    against degenerate-block O(B²) blow-up) → hash-partitioned CC
     rounds → one anti join. Returns the surviving id relation.
     """
     from .dedup import canonical_survivors
 
-    pairs = lsh_neardup_pairs(
-        embeddings,
-        threshold=threshold,
-        n_planes=n_planes,
-        seed=seed,
-        dim=dim,
-        vec_col=vec_col,
-        id_col=id_col,
-        max_bucket=max_bucket,
-    )
+    if cluster == "lsh":
+        pairs = lsh_neardup_pairs(
+            embeddings,
+            threshold=threshold,
+            n_planes=n_planes,
+            seed=seed,
+            dim=dim,
+            vec_col=vec_col,
+            id_col=id_col,
+            max_bucket=max_bucket,
+        )
+    elif cluster == "kmeans":
+        from .clustering import relational_kmeans
+
+        labeled = relational_kmeans(
+            embeddings,
+            k=kmeans_k,
+            rounds=kmeans_rounds,
+            seed=seed,
+            vec_col=vec_col,
+            id_col=id_col,
+            out_col="_sem_cluster",
+        )
+        pairs = blocked_cosine_pairs(
+            labeled,
+            threshold,
+            block_col="_sem_cluster",
+            vec_col=vec_col,
+            id_col=id_col,
+            max_block=max_bucket,
+        ).distinct()
+    else:
+        raise ValueError(f"cluster must be 'lsh' or 'kmeans', got {cluster!r}")
     return canonical_survivors(
         embeddings.select(id_col),
         pairs,

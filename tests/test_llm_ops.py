@@ -2548,3 +2548,281 @@ def test_semantic_decontaminate_flags_planted_near_dup(spark):
     cos = float(near @ ev / (np.linalg.norm(near) * np.linalg.norm(ev)))
     assert abs(got[0][1] - round(cos, 6)) < 2e-6
     assert 1 not in got  # orthogonal: cosine ~0, below any threshold
+
+
+# ---------------------------------------------------------------------------
+# relational_kmeans (deterministic Lloyd) + kmeans-blocked SemDeDup
+
+
+def _kmeans_python(pts: dict, k: int, rounds: int, seed: int):
+    """Plain-Python replica of clustering.relational_kmeans on exact
+    Fractions (the decimal arithmetic is exact, so Fractions reproduce it;
+    the mean round(·, 6) is re-applied on the Fraction as Python round of
+    the double — same IEEE value off rounding ties)."""
+    import hashlib
+    from fractions import Fraction as Fr
+
+    def quant(v):
+        return [Fr(round(float(x), 6)).limit_denominator(10**7) for x in v]
+
+    def uni(i):
+        h = hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:13]
+        return int(h, 16) / 2.0**52
+
+    q = {i: quant(v) for i, v in pts.items()}
+    order = sorted(q, key=lambda i: (uni(i), i))
+    cents = [q[i] for i in order[:k]]
+
+    def assign():
+        lab = {}
+        for i, v in q.items():
+            d2 = [sum((a - b) * (a - b) for a, b in zip(v, c)) for c in cents]
+            lab[i] = min(range(len(cents)), key=lambda j: (d2[j], j))
+        return lab
+
+    for _ in range(rounds):
+        lab = assign()
+        for j in range(len(cents)):
+            mem = [q[i] for i in q if lab[i] == j]
+            if mem:
+                cents[j] = [
+                    Fr(round(float(sum(col)) / len(mem), 6)).limit_denominator(10**7)
+                    for col in zip(*mem)
+                ]
+    return assign()
+
+
+def test_relational_kmeans_matches_python_replica(spark):
+    from convml_data_spark.operators.clustering import relational_kmeans
+
+    rng = np.random.default_rng(7)
+    pts = {i: [float(v) for v in rng.normal(0, 2, 4)] for i in range(60)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in relational_kmeans(df, k=4, rounds=2, seed=11, out_col="cluster").collect()
+    }
+    assert got == _kmeans_python(pts, k=4, rounds=2, seed=11)
+
+
+def test_relational_kmeans_partitioning_independent(spark):
+    from convml_data_spark.operators.clustering import relational_kmeans
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(v) for v in rng.normal(0, 1, 8)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in relational_kmeans(df, k=5, rounds=2).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in relational_kmeans(df.repartition(13), k=5, rounds=2).collect()
+    )
+    assert a == b
+
+
+def test_relational_kmeans_separated_clusters_and_empty_cluster(spark):
+    from convml_data_spark.operators.clustering import relational_kmeans
+
+    # two tight, far-apart blobs: any 1-round fit must split them cleanly
+    rows = [(i, [0.0 + i * 0.001, 0.0]) for i in range(10)] + [
+        (100 + i, [50.0 + i * 0.001, 50.0]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lab = {
+        r["vec_id"]: r["cluster"]
+        for r in relational_kmeans(df, k=2, rounds=1).collect()
+    }
+    lo = {lab[i] for i in range(10)}
+    hi = {lab[100 + i] for i in range(10)}
+    assert len(lo) == 1 and len(hi) == 1 and lo != hi
+    # k > distinct points: emptied clusters keep their seed centroid, no crash
+    tiny = spark.createDataFrame(rows[:3], "vec_id long, embedding array<double>")
+    out = relational_kmeans(tiny, k=8, rounds=2).collect()
+    assert len(out) == 3
+
+
+def test_semantic_dedup_kmeans_closure_and_survivorship(spark):
+    """Every dropped row must be ≥-threshold cosine-reachable (within the
+    kmeans blocks) from its group's surviving min-id — the SemDeDup
+    contract, checked against a Python brute force over the same blocks."""
+    from convml_data_spark.operators import similarity
+    from convml_data_spark.operators.clustering import relational_kmeans
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(0, 1, (12, 6))
+    rows = []
+    for i in range(12):
+        rows.append((i, [float(v) for v in base[i]]))
+        rows.append((100 + i, [float(v) for v in base[i] * 1.001]))  # near-dup
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    survivors = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            df, threshold=0.9, cluster="kmeans", kmeans_k=3, kmeans_rounds=1
+        ).collect()
+    }
+    lab = {
+        r["vec_id"]: r["cluster"]
+        for r in relational_kmeans(df, k=3, rounds=1).collect()
+    }
+    # Python brute force: within-block cosine graph -> components -> min ids
+    vec = dict(rows)
+
+    def cos(a, b):
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return round(sum(x * y for x, y in zip(a, b)) / (na * nb), 6)
+
+    ids = sorted(vec)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in ids:
+        for j in ids:
+            if i < j and lab[i] == lab[j] and cos(vec[i], vec[j]) >= 0.9:
+                parent[find(j)] = find(i)
+    comps = {}
+    for i in ids:
+        comps.setdefault(find(i), set()).add(i)
+    expect = {min(c) for c in comps.values()}
+    assert survivors == expect
+
+
+# ---------------------------------------------------------------------------
+# langid_classifier (hashed multiclass language ID)
+
+
+def test_langid_classifier_agrees_with_stopword_heuristic(spark):
+    """On synthetic docs dominated by one language's lexicon, the hashed
+    classifier and the stopword-ratio heuristic must pick the same
+    language wherever the heuristic is CONFIDENT (strictly more hits for
+    its winner than any runner-up)."""
+    from convml_data_spark.functions import text as T
+    from convml_data_spark.operators.corpus import (
+        langid_classifier,
+        langid_lexicon_weights,
+    )
+
+    rows = [
+        (0, "the cat sat of the mat and it is a thing to see in it"),
+        (1, "der hund ist nicht ein tier und das ist zu sagen"),
+        (2, "le chat est dans la maison et les oiseaux est un une"),
+        (3, "el gato es un animal y los perros que es una cosa en casa"),
+        (4, "zzz qqq www unrelated tokens only"),  # zero-hit -> priority 'en'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w = langid_lexicon_weights(spark)
+    got = {
+        r["doc_id"]: r["lang_pred"] for r in langid_classifier(df, w).collect()
+    }
+    heur = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", T.lang_guess(F.col("text")).alias("g")).collect()
+    }
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "en"}
+    assert all(got[i] == heur[i] for i in range(4))
+
+
+def test_langid_classifier_margin_and_zero_hit_docs(spark):
+    from convml_data_spark.operators.corpus import (
+        langid_classifier,
+        langid_lexicon_weights,
+    )
+
+    # tok0/tok1 verified to hash into buckets NO lexicon word occupies
+    # (prediction for hit-free docs is the priority fallback; arbitrary
+    # unknown words may collide into an occupied bucket by design)
+    df = spark.createDataFrame(
+        [(0, "der die das"), (1, "tok0 tok1"), (2, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in langid_classifier(df, langid_lexicon_weights(spark)).collect()}
+    # 3 tokens, every one a 'de' lexicon hit with weight 1 -> margin 1.0
+    assert out[0]["lang_pred"] == "de" and out[0]["margin"] == 1.0
+    # zero-hit doc: priority fallback, margin 0
+    assert out[1]["lang_pred"] == "en" and out[1]["margin"] == 0.0
+    # empty doc emits no row (quality_classifier contract)
+    assert 2 not in out
+
+
+# ---------------------------------------------------------------------------
+# URL/host dedup (canonical_url + dedup_url)
+
+
+def test_canonical_url_edge_cases(spark):
+    from convml_data_spark.operators.dedup import canonical_url
+
+    cases = [
+        ("https://www.Example.COM/a/b/?q=1#f", "example.com/a/b"),
+        ("HTTP://user:pw@example.com:443/a", "example.com/a"),
+        ("http://example.com:80", "example.com"),
+        ("example.com/path/", "example.com/path"),  # schemeless
+        ("https://example.com///", "example.com"),
+        ("ftp://Files.example.com/X", "files.example.com/X"),  # path case kept
+        ("  https://example.com/a  ", "example.com/a"),  # trimmed
+        ("https://example.com:8080/a", "example.com:8080/a"),  # non-default port kept
+        ("https://example.com/a?x=1&y=2", "example.com/a"),
+        ("https://example.com/#frag", "example.com"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {cases[i][0]!r} -> {got[i]!r}, want {want!r}"
+
+
+def test_dedup_url_min_id_survivor_and_host_cap(spark):
+    from convml_data_spark.operators.dedup import dedup_url
+
+    rows = [
+        (5, "https://www.a.com/x"),
+        (3, "http://A.com/x/"),      # same canonical as 5 -> 3 survives
+        (9, "https://a.com/x?utm=1"),  # same canonical -> dropped
+        (7, "https://b.com/y"),
+        (8, "https://b.com/z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: (r["canonical_url"], r["host"]) for r in dedup_url(df).collect()}
+    assert set(out) == {3, 7, 8}
+    assert out[3] == ("a.com/x", "a.com")
+    # per-host cap: b.com capped to 1 keeps exactly one of {7, 8}
+    capped = [r["doc_id"] for r in dedup_url(df, max_per_host=1).collect()]
+    assert len(capped) == 2 and 3 in capped and len({7, 8} & set(capped)) == 1
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic page cleaning
+
+
+def test_c4_line_filters_rules(spark):
+    from convml_data_spark.operators.corpus import c4_line_filters
+
+    good = "one two three four five.\nsix seven eight nine ten!\na b c d e f?"
+    rows = [
+        (0, good),                                        # 3 kept -> passed
+        (1, good + "\nno terminal punctuation here"),     # extra line dropped
+        (2, good + "\nenable javascript to view this."),  # js line dropped
+        (3, good.replace("!", "")),                       # 2 kept -> fails min_sentences
+        (4, good + "\nlorem ipsum dolor."),               # page rule
+        (5, good + "\nvar f = { x: 1 };"),                # brace page rule
+        (6, "too few.\nwords here."),                     # short lines dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_filters(df).collect()}
+    assert [out[i]["passed"] for i in range(7)] == [
+        True, True, True, False, False, False, False
+    ]
+    assert out[0]["n_lines"] == 3 and out[0]["n_kept"] == 3
+    assert out[1]["n_lines"] == 4 and out[1]["n_kept"] == 3
+    assert out[2]["n_kept"] == 3  # javascript line filtered despite punct
+    assert out[0]["clean_chars"] == len(good)
+    assert out[4]["clean_chars"] == 0 and out[4]["passed"] is False
+    assert out[6]["n_kept"] == 0

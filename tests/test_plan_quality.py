@@ -528,6 +528,21 @@ SCAN_CEILINGS = {
     # materialization; spm_encode mirrors bpe_encode's distinct+join-back
     # (2 = tok twice; the train chain is checkpoint-hidden)
     "spm_train": 0, "spm_encode": 2,
+    # round 13: kmeans-blocked SemDeDup — 1 = the survivors anti join's
+    # id-only narrow scan; the pair/CC chain hides behind the
+    # blocked_cosine_pairs + CC materializations (audited like
+    # dedup_semantic); the Lloyd fit scans run at call time, not in plan
+    "dedup_semantic_kmeans": 1,
+    # round 13: langid — the one corpus scan hides behind the tokenized
+    # relation's materialization (cnt + hit-join consumers)
+    "langid_classifier": 0,
+    # round 13: URL dedup — one scan into the canonical-URL hash agg
+    "dedup_url": 1,
+    # round 13: exact-Lloyd labels — one scan into the broadcast-literal
+    # argmin map pass (fit jobs run at call time, not in this plan)
+    "kmeans_labels": 1,
+    # round 13: C4 page cleaning — single in-row map pass
+    "c4_filters": 1,
 }
 
 
