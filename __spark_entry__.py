@@ -2815,6 +2815,47 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.c4_line_filters(_synthetic_pages(docs))
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (dedup.py::winnow_fingerprints;
+    Schleimer et al. 2003 — the MOSS local-fingerprint selection): char
+    8-gram md5 hashes, 4-hash windows, rightmost-min robust rule. The
+    full (doc, pos, fp) relation is the joinable index; certified here
+    as per-doc (count, min, position-weighted modular checksum) so the
+    driver compares ~n docs instead of collecting every fingerprint —
+    the checksum is order/position-exact, so a single mis-selected
+    fingerprint flips the row."""
+    docs = _t(spark, sf_dir, "documents")
+    wf = dedup.winnow_fingerprints(docs, k=8, w=4)
+    return wf.groupBy("doc_id").agg(
+        F.count("*").alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+        F.sum((F.col("fp") % 1000003) * (F.col("pos") + 1)).alias("fp_checksum"),
+    )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (similarity.py::hard_negative_mining, the DPR/SimCLR
+    negatives-matter recipe): for each of 8 md5-sampled anchors, the 5
+    most-cosine-similar rows BELOW the 0.95 duplicate band — similar
+    enough to be hard, with true duplicates band-stopped out. One
+    broadcast join over one scan + the salted two-phase top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_mining(
+        emb, n_anchors=8, k=5, dup_threshold=0.95
+    )
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT directed shingle-containment pairs ≥ 0.5
+    (dedup.py::containment_pairs): the asymmetric PPJoin — catches a
+    document quoted INSIDE a larger one, where Jaccard (and so MinHash
+    recall) collapses with the size ratio. A-side prefix filter against
+    the full inverted index; exact intersection verify."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, threshold=0.5)
+
+
 def q_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-classifier language ID (corpus.py::langid_classifier —
     fastText langid shape, Joulin et al. 2016, the production standard
@@ -3257,6 +3298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # budget (BASELINE.md policy: split certification into driver
         # batches) — never driver-certified, MUST lead the r14 window.
         "c4_filters": q_c4_filters,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "hard_negatives": q_hard_negatives,
+        "dedup_containment": q_dedup_containment,
         # Then the r10-certified remainder that did not fit
         # (w2_argmin_per_group, w3_local_peaks, x1_user_function,
         # x2_dotted_udaf, x3_batch_embed, x4_pca were displaced past 50
@@ -4051,6 +4095,101 @@ def _kmeans_labels_oracle_sql(k: int = 8, rounds: int = 2, seed: int = 42) -> st
     return f"""
             WITH {chain}
             SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM {final_a}
+        """
+
+
+def _winnow_oracle_sql(k: int = 8, w: int = 4) -> str:
+    """winnow_fingerprints replay: the doc_fingerprint k-gram hash
+    array, window starts exploded, rightmost-min per window via
+    row_number (h ASC, j DESC), DISTINCT selections, then the same
+    count/min/position-weighted-checksum aggregate."""
+    return f"""
+            WITH g AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, greatest(len(text) - {k - 1}, 0) + 1),
+                       i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), {k})), 1, 13)) AS BIGINT)
+                     ) AS hs
+              FROM documents
+            ), st AS (
+              SELECT doc_id, hs, unnest(range(0, greatest(len(hs) - {w} + 1, 0))) AS s
+              FROM g
+            ), win AS (
+              SELECT doc_id, s, j, hs[CAST(j AS INT)] AS h
+              FROM st, UNNEST(range(s + 1, s + {w} + 1)) AS t(j)
+            ), pick AS (
+              SELECT doc_id, j - 1 AS pos, h AS fp,
+                     row_number() OVER (
+                       PARTITION BY doc_id, s ORDER BY h ASC, j DESC
+                     ) AS rn
+              FROM win
+            ), sel AS (
+              SELECT DISTINCT doc_id, pos, fp FROM pick WHERE rn = 1
+            )
+            SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp,
+                   CAST(SUM((fp % 1000003) * (pos + 1)) AS BIGINT) AS fp_checksum
+            FROM sel GROUP BY doc_id
+        """
+
+
+def _hard_negatives_oracle_sql(
+    n_anchors: int = 8, k: int = 5, dup_threshold: float = 0.95, seed: int = 42
+) -> str:
+    """hard_negative_mining replay: md5-uniform anchor selection, exact
+    cosine vs every row, band-stop at the ROUNDED score (mirroring the
+    Spark filter on the rounded column), top-k per anchor."""
+    u = (
+        f"CAST(('0x' || substr(md5('{seed}|' || vec_id), 1, 13)) AS BIGINT)"
+        " / 4503599627370496.0"
+    )
+    return f"""
+            WITH a AS (
+              SELECT vec_id AS qid, embedding AS qv
+              FROM embeddings ORDER BY {u}, vec_id LIMIT {n_anchors}
+            ), sc AS (
+              SELECT a.qid, e.vec_id,
+                     round(
+                       list_sum(list_transform(range(1, len(e.embedding) + 1),
+                                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.qv[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(range(1, len(a.qv) + 1),
+                                i -> CAST(a.qv[i] AS DOUBLE) * CAST(a.qv[i] AS DOUBLE))))), 6) AS score
+              FROM embeddings e CROSS JOIN a
+              WHERE e.vec_id != a.qid
+            )
+            SELECT qid, vec_id, score FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY score DESC, vec_id
+              ) AS rn
+              FROM sc WHERE score < {dup_threshold}
+            ) WHERE rn <= {k}
+        """
+
+
+def _containment_oracle_sql(threshold: float = 0.5, ngram: int = 3) -> str:
+    """containment_pairs replay: the dedup_jaccard_prefix shingle-join
+    skeleton with the DIRECTED containment ratio |A∩B|/|A| (a ≠ b, both
+    directions), raw-compared at the threshold and rounded on output —
+    exactly the Spark filter/round order."""
+    return f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(n_common / sa.n_sh, 6) AS containment
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a
+            WHERE n_common / sa.n_sh >= {threshold}
         """
 
 
@@ -6424,6 +6563,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_url": _dedup_url_oracle_sql(),
         "kmeans_labels": _kmeans_labels_oracle_sql(),
         "c4_filters": _c4_filters_oracle_sql(),
+        "winnow_fingerprints": _winnow_oracle_sql(),
+        "hard_negatives": _hard_negatives_oracle_sql(),
+        "dedup_containment": _containment_oracle_sql(),
         "decontam_semantic": _semantic_decontam_oracle_sql(),
         "g8_rayleigh": _g8_rayleigh_oracle_sql(),
         "dbscan_ladder": _dbscan_ladder_oracle_sql(),

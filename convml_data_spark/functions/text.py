@@ -220,3 +220,48 @@ def kgram_hashes(text: Column, k: int = 8) -> Column:
         char_ngrams(text, k),
         lambda g: F.conv(F.substring(F.md5(g), 1, 13), 16, 10).cast("long"),
     )
+
+
+def winnow_select(hashes: Column, w: int = 4) -> Column:
+    """Robust winnowing selection (Schleimer et al. 2003, "Winnowing:
+    Local Algorithms for Document Fingerprinting", SIGMOD): over a
+    per-position hash array, slide a ``w``-hash window and select each
+    window's minimum, ties to the RIGHTMOST occurrence — consecutive
+    windows sharing a minimum then select the SAME position, which is
+    what shrinks the fingerprint set (the "robust" rule). Guarantee:
+    any two documents sharing a substring of length ≥ w + k − 1 (k =
+    the n-gram width behind ``hashes``) share at least one selected
+    fingerprint — the local-match property MOSS builds on, and the gap
+    shingle-set dedup leaves for partial overlaps.
+
+    Returns the DISTINCT selected ``(pos, fp)`` structs as an in-row
+    array: no explode, no shuffle — selection is a transform over
+    window starts with a constant-``w`` fold per window. Pass a COLUMN
+    REFERENCE (project :func:`kgram_hashes` first), not the raw
+    expression: each of the fold's array lookups embeds its input
+    subtree, so an inline expression would re-derive the hash array
+    per reference.
+    """
+    n = F.greatest(F.size(hashes), F.lit(0))
+    starts = F.when(
+        n >= w, F.sequence(F.lit(0), n - F.lit(int(w)))
+    ).otherwise(F.array().cast("array<int>"))
+    pick = F.transform(
+        starts,
+        lambda i: F.aggregate(
+            F.sequence(i + 1, i + F.lit(int(w))),  # 1-based positions
+            F.struct(
+                F.lit(-1).cast("int").alias("pos"),
+                F.lit(None).cast("long").alias("fp"),
+            ),
+            lambda acc, j: F.when(
+                acc["fp"].isNull()
+                | (F.element_at(hashes, j.cast("int")) <= acc["fp"]),
+                F.struct(
+                    (j - 1).cast("int").alias("pos"),
+                    F.element_at(hashes, j.cast("int")).alias("fp"),
+                ),
+            ).otherwise(acc),
+        ),
+    )
+    return F.array_distinct(pick)

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import ngrams_from_tokens, tokens
+from ..functions.text import kgram_hashes, ngrams_from_tokens, tokens, winnow_select
 
 # Affine minhash parameters: h_i(x) = (a_i * x + b_i) mod p over a 61-bit
 # Mersenne prime; a/b fixed (seeded) so signatures are reproducible across
@@ -1075,3 +1075,121 @@ def dedup_url(
     if max_per_host is not None:
         surv = cap_per_group(surv, "host", int(max_per_host), id_col=id_col, seed=seed)
     return surv.select(id_col, "canonical_url", "host")
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints as a JOINABLE relation
+    ``(id, pos, fp)``: char-k-gram md5 hashes
+    (:func:`~..functions.text.kgram_hashes`) winnowed per row
+    (:func:`~..functions.text.winnow_select`), then exploded — the
+    fingerprint index two corpora equi-join on ``fp`` to find partial
+    overlaps of length ≥ w + k − 1 (MOSS-style), where
+    :func:`exact_duplicates` needs whole-text equality and shingle
+    Jaccard needs near-global overlap.
+
+    Scale: selection is in-row (one map pass); the explode fans out
+    only the SELECTED fingerprints (≈ 2/(w+1) of positions — the paper's
+    expected density), so the index relation is a fraction of the
+    token-level explode every shingle path already pays."""
+    # two selects, load-bearing: winnow_select's fold references its input
+    # array TWICE PER WINDOW STEP — handing it the raw kgram_hashes
+    # EXPRESSION re-derives the whole md5 array per lookup (O(n²·w) md5
+    # calls; measured 275 s vs ~2 s at sf0.1). Project the array into a
+    # bound column first so lookups are O(1) attribute reads.
+    base = _spread(docs, id_col).select(
+        F.col(id_col), kgram_hashes(F.col(text_col), k).alias("_hs")
+    ).select(
+        F.col(id_col), winnow_select(F.col("_hs"), w).alias("_fps")
+    )
+    # getField on the aliased struct must live one select AFTER the
+    # generator (struct-alias + generator analyzer gotcha)
+    ex = base.select(F.col(id_col), F.explode("_fps").alias("_s"))
+    return ex.select(
+        F.col(id_col),
+        F.col("_s")["pos"].cast("long").alias("pos"),
+        F.col("_s")["fp"].alias("fp"),
+    )
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT all-pairs shingle CONTAINMENT ≥ t: the asymmetric twin of
+    :func:`jaccard_dedup_prefix` for partial-overlap detection —
+    C(A→B) = |A∩B| / |A| is high when A is quoted/embedded inside a
+    larger B even though Jaccard (and hence MinHash recall) collapses
+    with the size ratio (the Lee et al. 2022 argument for substring-level
+    dedup, at shingle-set granularity).
+
+    Prefix filter, asymmetric form: C(A→B) ≥ t implies A∩B is non-empty
+    within A's rarity-first prefix of length |A| − ⌈t·|A|⌉ + 1, with NO
+    bound available on the B side — so candidates come from A-prefix
+    tokens joined against the FULL inverted index (rarity-first ordering
+    keeps the joined lists short: prefix tokens are the rarest). Pairs
+    are verified with the exact intersection; both directions emerge
+    from one candidate join since candidates are unordered. Returns
+    ``(id_a, id_b, containment)`` with id_a ≠ id_b, containment =
+    round(|A∩B|/|A|, 6) ≥ t (A = id_a's shingles; the relation is
+    DIRECTED — a contained quote lists (quote, host) but not the
+    reverse unless the host is also mostly covered).
+
+    Scale: shuffle ∝ Σ prefix-token inverted-list lengths (the PPJoin
+    economics), one exact verify join; shingle relation persisted once
+    (jaccard_dedup_prefix lifecycle: caller clears cache when done).
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    sh = _shingles(docs, text_col, id_col, ngram, []).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ex = sh.select("id", F.explode("sh").alias("shingle"))
+    df_counts = ex.groupBy("shingle").agg(F.count("*").alias("_df"))
+    ranked = ex.join(df_counts, "shingle").join(
+        sh.select("id", F.size("sh").alias("_n")), "id"
+    )
+    w = Window.partitionBy("id").orderBy("_df", "shingle")
+    pre = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .where(
+            F.col("_rn")
+            <= F.col("_n") - F.ceil(F.lit(float(threshold)) * F.col("_n")) + 1
+        )
+        .where(F.col("_df") >= 2)  # df=1 tokens cannot produce a pair
+        .select("id", "shingle")
+    )
+    cands = (
+        pre.select(F.col("id").alias("id_a"), "shingle")
+        .join(ex.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pairs = (
+        cands.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size("sh_a"), F.lit(1))
+            ).alias("_c"),
+        )
+        .where(F.col("_c") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", F.round(F.col("_c"), 6).alias("containment"))
+    )
+    return pairs

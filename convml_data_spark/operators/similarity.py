@@ -1343,3 +1343,52 @@ def semantic_decontaminate(
             F.max("_s").alias("best_score"),
         )
     )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    n_anchors: int = 8,
+    k: int = 5,
+    dup_threshold: float = 0.95,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the negatives-matter
+    lesson of SimCLR/DPR: Karpukhin et al. 2020 mine in-batch + BM25 hard
+    negatives; embedding-space mining is the standard refinement): for
+    each of ``n_anchors`` md5-deterministically sampled anchor rows,
+    return the ``k`` MOST similar rows whose cosine stays BELOW
+    ``dup_threshold`` — similar enough to be hard, but with likely
+    duplicates/augmented copies band-stopped out (those are positives,
+    not negatives). Returns (qid = anchor id, id, score), hardest first.
+
+    Scale: anchors are a bounded broadcast relation (TakeOrdered over
+    the md5 key, the _collect_fit_sample selection rule, kept as a
+    RELATION — no driver collect); scoring is one broadcast join over
+    ONE table scan; ranking is the salted two-phase _topk_per_query.
+    """
+    from .sampling import hash_uniform
+
+    anchors = F.broadcast(
+        embeddings.select(
+            hash_uniform(seed, F.col(id_col)).alias("_h"),
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("_qv"),
+        )
+        .orderBy("_h", "qid")
+        .limit(int(n_anchors))
+        .select("qid", "_qv")
+    )
+    scored = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .join(anchors)
+        .where(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), F.col("_qv")), 6).alias("score"),
+        )
+        .where(F.col("score") < F.lit(float(dup_threshold)))
+    )
+    return _topk_per_query(scored, int(k), id_col)

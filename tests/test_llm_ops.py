@@ -2826,3 +2826,95 @@ def test_c4_line_filters_rules(spark):
     assert out[0]["clean_chars"] == len(good)
     assert out[4]["clean_chars"] == 0 and out[4]["passed"] is False
     assert out[6]["n_kept"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints / hard negatives / containment
+
+
+def test_winnow_select_rightmost_min_rule(spark):
+    from convml_data_spark.functions.text import winnow_select
+
+    df = spark.createDataFrame([(1, [5, 3, 3, 7, 2, 9])], "id int, hs array<long>")
+    out = df.select(winnow_select(F.col("hs"), w=3).alias("fps")).collect()[0]["fps"]
+    # windows [5,3,3]->pos2 (rightmost tie), [3,3,7]->pos2, [3,7,2]->pos4,
+    # [7,2,9]->pos4; distinct -> {(2,3),(4,2)}
+    assert [(r["pos"], r["fp"]) for r in out] == [(2, 3), (4, 2)]
+    # shorter than w -> no windows -> empty
+    short = spark.createDataFrame([(1, [5, 3])], "id int, hs array<long>")
+    assert short.select(winnow_select(F.col("hs"), w=3).alias("f")).collect()[0]["f"] == []
+
+
+def test_winnow_fingerprints_local_match_guarantee(spark):
+    """Schleimer guarantee: substring matches of length >= w + k - 1 share
+    at least one selected fingerprint."""
+    from convml_data_spark.operators import dedup
+
+    shared = "abcdefghijklmnopq"  # 17 chars >= w + k - 1 = 11
+    rows = [
+        (0, "xxxx" + shared + "yyyyyyy"),
+        (1, "zzzzzzzzz" + shared + "qqqq"),
+        (2, "totally unrelated text with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dedup.winnow_fingerprints(df, k=8, w=4)
+    sets = {
+        r["doc_id"]: r["s"]
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("s")).collect()
+    }
+    assert set(sets[0]) & set(sets[1])
+    assert not (set(sets[0]) & set(sets[2]))
+
+
+def test_hard_negative_mining_band_stop(spark):
+    from convml_data_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    base = [float(v) for v in rng.normal(0, 1, 8)]
+    rows = [(0, base)]
+    rows.append((1, [v * 1.0001 for v in base]))  # near-duplicate of 0
+    for i in range(2, 30):
+        v = rng.normal(0, 1, 8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.hard_negative_mining(
+        df, n_anchors=30, k=3, dup_threshold=0.99
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append((r["vec_id"], r["score"]))
+    # anchor 0's near-duplicate 1 is band-stopped out of its negatives
+    assert all(v != 1 for v, _ in by_q[0])
+    assert all(s < 0.99 for v, s in by_q[0])
+    # scores sorted hardest-first and self excluded
+    for q, lst in by_q.items():
+        assert all(v != q for v, _ in lst)
+        assert [s for _, s in lst] == sorted((s for _, s in lst), reverse=True)
+
+
+def test_containment_pairs_directed_quote_detection(spark):
+    """A short doc quoted inside a much larger one: containment flags the
+    (quote -> host) direction even though Jaccard is far below any usable
+    threshold (the MinHash/Jaccard blind spot this operator exists for)."""
+    from convml_data_spark.operators import dedup
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"filler{i} word{i} extra{i}" for i in range(40))
+    rows = [
+        (0, quote),
+        (1, filler + " " + quote + " " + filler.replace("filler", "pad")),
+        (2, "entirely different content with nothing shared at all okay"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(df, threshold=0.8).collect()
+    }
+    spark.catalog.clearCache()
+    assert (0, 1) in out and out[(0, 1)] >= 0.99  # quote fully contained
+    assert (1, 0) not in out                      # host not contained in quote
+    assert not any(2 in p for p in out)
+    # and the symmetric-Jaccard path would have missed it at 0.5
+    jac = dedup.jaccard_dedup_prefix(df, threshold=0.5).collect()
+    spark.catalog.clearCache()
+    assert not any({r["id_a"], r["id_b"]} == {0, 1} for r in jac)

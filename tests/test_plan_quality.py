@@ -543,6 +543,11 @@ SCAN_CEILINGS = {
     "kmeans_labels": 1,
     # round 13: C4 page cleaning — single in-row map pass
     "c4_filters": 1,
+    # round 13: winnowing = one in-row map pass; hard_negatives = anchor
+    # TakeOrdered side + main scan (two-sided, like select_token_budget);
+    # dedup_containment = persisted-shingle reprints (the dedup_minhash /
+    # dedup_jaccard_prefix false-positive class — 1 real tokenization)
+    "winnow_fingerprints": 1, "hard_negatives": 2, "dedup_containment": 6,
 }
 
 
