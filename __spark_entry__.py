@@ -1992,6 +1992,52 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(deduped, output_mode="append")
 
 
+def q_stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 × URL dedup: INGEST-TIME canonical-URL deduplication — the
+    streaming form of dedup_url's fetch-stage preprocessing (a crawl
+    frontier deduping refetches as pages arrive). Events stream in as
+    'fetches' with an md5-deterministic messy URL (scheme/www/port/
+    query/fragment variants keyed on event_id, host from event_type,
+    path from user_id); the canonical_url EXPRESSION is streaming-safe
+    (pure in-row string ops), and dropDuplicatesWithinWatermark keeps
+    one fetch per canonical URL with state expiring at the watermark
+    horizon. WHICH fetch survives is arrival-order-defined, so the
+    certified contract is the surviving KEY SET (≡ SELECT DISTINCT
+    canonical) — the stream_dedup_watermark recipe, single-batch pin
+    for batch-equivalence."""
+    from convml_data_spark import streaming
+
+    _prep(spark)
+    _, stream = streaming.stream_table(spark, sf_dir, "events", single_batch=True)
+
+    def bits(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"su{tag}:"), F.col("event_id").cast("string"))),
+                1, 13,
+            ), 16, 10,
+        ).cast("long")
+
+    url = F.concat(
+        F.when(bits("s") % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://")),
+        F.when(bits("w") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lower(F.col("event_type")),
+        F.lit(".Crawl.NET"),
+        F.when(bits("p") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"),
+        (F.col("user_id") % 97).cast("string"),
+        F.when(bits("t") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(bits("q") % 3 == 0, F.lit("?ref=feed")).otherwise(F.lit("")),
+    )
+    deduped = (
+        stream.select("ts", dedup.canonical_url(url).alias("canonical_url"))
+        .withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+        .select("canonical_url", dedup.url_host(F.col("canonical_url")).alias("host"))
+    )
+    return streaming.run_available_now(deduped, output_mode="append")
+
+
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (approx_percentile, rank error ≤ n/acc)
     per group — the fixed-state path that replaces exact sorts at 100 TB.
@@ -2815,6 +2861,33 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.c4_line_filters(_synthetic_pages(docs))
 
 
+def q_wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece vocabulary construction (wordpiece.py::wordpiece_vocab —
+    Wu et al. 2016 §3.1, the BERT tokenizer family next to BPE and
+    unigram-LM): every single character in both positional forms (raw /
+    ##-continuation) plus the top-24 multi-character pieces by
+    positional corpus count. One grid explode over the bounded
+    distinct-word relation + one hash agg + a bounded TakeOrdered."""
+    from convml_data_spark.operators import wordpiece as WP
+
+    docs = _t(spark, sf_dir, "documents")
+    return WP.wordpiece_vocab(docs)
+
+
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match-first encoding against the corpus
+    vocabulary (wordpiece.py::wordpiece_encode): per-doc (n_words,
+    n_chars, n_pieces, n_unk_words) — the same contract as spm_encode,
+    so the three tokenizer families compare row-for-row. Segmentation
+    runs once per DISTINCT word against a one-row packed vocabulary
+    broadcast, unrolled to plan-time steps (no UDF), then joins back."""
+    from convml_data_spark.operators import wordpiece as WP
+
+    docs = _t(spark, sf_dir, "documents")
+    v = WP.wordpiece_vocab(docs)
+    return WP.wordpiece_encode(docs, v)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (dedup.py::winnow_fingerprints;
     Schleimer et al. 2003 — the MOSS local-fingerprint selection): char
@@ -3301,6 +3374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "hard_negatives": q_hard_negatives,
         "dedup_containment": q_dedup_containment,
+        "wordpiece_vocab": q_wordpiece_vocab,
+        "wordpiece_encode": q_wordpiece_encode,
+        "stream_url_dedup": q_stream_url_dedup,
         # Then the r10-certified remainder that did not fit
         # (w2_argmin_per_group, w3_local_peaks, x1_user_function,
         # x2_dotted_udaf, x3_batch_embed, x4_pca were displaced past 50
@@ -4095,6 +4171,141 @@ def _kmeans_labels_oracle_sql(k: int = 8, rounds: int = 2, seed: int = 42) -> st
     return f"""
             WITH {chain}
             SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM {final_a}
+        """
+
+
+def _wp_vocab_cte(vocab_top: int = 24, piece_max_len: int = 4, word_max_len: int = 10) -> str:
+    """Shared WordPiece vocab replay (wordpiece.py::wordpiece_vocab):
+    distinct ≤L words with corpus counts, positional-form substring grid
+    (raw at i=1, ##-prefixed after), mandatory single-body chars +
+    top-M multis by (cnt DESC, piece). Ends with CTE ``wpv (piece,
+    cnt)``; callers must open WITH RECURSIVE themselves."""
+    return f"""doctok AS MATERIALIZED (
+              SELECT doc_id, unnest(COALESCE(list_filter(
+                  string_split_regex(lower(text), '\\s+'),
+                  x -> x != ''), [])) AS w
+              FROM documents
+            ), dwords AS MATERIALIZED (
+              SELECT w, count(*) AS c FROM doctok
+              WHERE length(w) <= {word_max_len} GROUP BY w
+            ), grid AS (
+              SELECT CASE WHEN i = 1 THEN substr(w, CAST(i AS INT), CAST(k AS INT))
+                          ELSE '##' || substr(w, CAST(i AS INT), CAST(k AS INT)) END AS piece,
+                     c
+              FROM dwords, UNNEST(range(1, length(w) + 1)) AS t1(i),
+                   UNNEST(range(1, least({piece_max_len}, length(w) - i + 1) + 1)) AS t2(k)
+            ), seeds AS MATERIALIZED (
+              SELECT piece, SUM(c) AS cnt FROM grid GROUP BY piece
+            ), wpv AS MATERIALIZED (
+              SELECT piece, cnt FROM seeds
+              WHERE length(piece) - CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END = 1
+              UNION ALL
+              SELECT piece, cnt FROM (
+                SELECT piece, cnt FROM seeds
+                WHERE length(piece) - CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END >= 2
+                ORDER BY cnt DESC, piece LIMIT {vocab_top}
+              )
+            )"""
+
+
+def _wordpiece_vocab_oracle_sql() -> str:
+    """wordpiece_vocab replay: the shared vocab CTE, cnt cast BIGINT
+    (SUM is HUGEINT, which the driver renders float64)."""
+    return f"""
+            WITH {_wp_vocab_cte()}
+            SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM wpv
+        """
+
+
+def _wordpiece_encode_oracle_sql(
+    word_max_len: int = 10, piece_max_len: int = 4
+) -> str:
+    """wordpiece_encode replay: shared vocab CTE, per-(word, pos)
+    longest-match relation, recursive greedy walk (one deterministic
+    path per word; a matchless position strands the walk short of
+    len+1 → UNK, as does length > word_max_len, which never enters the
+    walk), per-doc aggregation (the spm_encode tail)."""
+    L = int(word_max_len)
+    return f"""
+            WITH RECURSIVE {_wp_vocab_cte(piece_max_len=piece_max_len, word_max_len=L)},
+            wl AS MATERIALIZED (
+              SELECT w, length(w) AS len FROM (SELECT DISTINCT w FROM doctok)
+            ), m AS MATERIALIZED (
+              SELECT x.w, x.p,
+                     max(CASE WHEN v.piece LIKE '##%' THEN length(v.piece) - 2
+                              ELSE length(v.piece) END) AS k
+              FROM (SELECT w, len, unnest(range(1, len + 1)) AS p
+                    FROM wl WHERE len <= {L}) x
+              JOIN wpv v ON
+                   (x.p = 1 AND v.piece NOT LIKE '##%'
+                    AND substr(x.w, CAST(x.p AS INT), length(v.piece)) = v.piece)
+                OR (x.p > 1 AND v.piece LIKE '##%'
+                    AND substr(x.w, CAST(x.p AS INT), length(v.piece) - 2) = substr(v.piece, 3))
+              GROUP BY x.w, x.p
+            ), walk(w, len, p, np) AS (
+              SELECT w, len, CAST(1 AS BIGINT), 0 FROM wl WHERE len <= {L}
+              UNION ALL
+              SELECT walk.w, walk.len, walk.p + m.k, walk.np + 1
+              FROM walk JOIN m ON m.w = walk.w AND m.p = walk.p
+              WHERE walk.p <= walk.len
+            ), fin AS (
+              SELECT w, max(p) AS fp, max(np) AS np FROM walk GROUP BY w
+            ), encw AS (
+              SELECT wl.w, CAST(wl.len AS BIGINT) AS chars,
+                     CASE WHEN fin.fp = wl.len + 1 THEN CAST(fin.np AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END AS np,
+                     CASE WHEN fin.fp = wl.len + 1 THEN 0 ELSE 1 END AS unk
+              FROM wl LEFT JOIN fin USING (w)
+            )
+            SELECT doc_id,
+                   count(*) AS n_words,
+                   CAST(sum(chars) AS BIGINT) AS n_chars,
+                   CAST(sum(np) AS BIGINT) AS n_pieces,
+                   CAST(sum(unk) AS BIGINT) AS n_unk_words
+            FROM doctok JOIN encw USING (w)
+            GROUP BY doc_id
+        """
+
+
+def _stream_url_dedup_oracle_sql() -> str:
+    """stream_url_dedup replay (key-set contract): the md5-bit URL
+    synthesis over events + the canonical_url regex chain, then
+    SELECT DISTINCT — the batch equivalent of the single-batch
+    dropDuplicatesWithinWatermark drain."""
+    bits = lambda tag: (
+        f"CAST('0x' || substr(md5('su{tag}:' || CAST(event_id AS VARCHAR)), 1, 13) AS BIGINT)"
+    )
+    return f"""
+            WITH raw AS (
+              SELECT (CASE WHEN {bits("s")} % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+                     || (CASE WHEN {bits("w")} % 2 = 0 THEN 'www.' ELSE '' END)
+                     || lower(event_type) || '.Crawl.NET'
+                     || (CASE WHEN {bits("p")} % 4 = 0 THEN ':443' ELSE '' END)
+                     || '/page/' || CAST(user_id % 97 AS VARCHAR)
+                     || (CASE WHEN {bits("t")} % 2 = 0 THEN '/' ELSE '' END)
+                     || (CASE WHEN {bits("q")} % 3 = 0 THEN '?ref=feed' ELSE '' END)
+                       AS url
+              FROM events
+            ), stripped AS (
+              SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                         trim(url),
+                         '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                         '^[^/?#@]*@', ''),
+                         '#.*$', ''),
+                         '\\?.*$', '') AS u
+              FROM raw
+            ), canon AS (
+              SELECT DISTINCT
+                     regexp_replace(regexp_replace(
+                         lower(regexp_extract(u, '^([^/]*)', 1)),
+                         ':(80|443)$', ''), '^www\\.', '')
+                     || regexp_replace(regexp_replace(u, '^[^/]*', ''), '/+$', '')
+                       AS canonical_url
+              FROM stripped
+            )
+            SELECT canonical_url,
+                   regexp_extract(canonical_url, '^([^/]*)', 1) AS host
+            FROM canon
         """
 
 
@@ -6566,6 +6777,9 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_oracle_sql(),
         "hard_negatives": _hard_negatives_oracle_sql(),
         "dedup_containment": _containment_oracle_sql(),
+        "wordpiece_vocab": _wordpiece_vocab_oracle_sql(),
+        "wordpiece_encode": _wordpiece_encode_oracle_sql(),
+        "stream_url_dedup": _stream_url_dedup_oracle_sql(),
         "decontam_semantic": _semantic_decontam_oracle_sql(),
         "g8_rayleigh": _g8_rayleigh_oracle_sql(),
         "dbscan_ladder": _dbscan_ladder_oracle_sql(),

@@ -548,6 +548,11 @@ SCAN_CEILINGS = {
     # dedup_containment = persisted-shingle reprints (the dedup_minhash /
     # dedup_jaccard_prefix false-positive class — 1 real tokenization)
     "winnow_fingerprints": 1, "hard_negatives": 2, "dedup_containment": 6,
+    # round 13: wordpiece — vocab chain checkpoint-hidden; encode mirrors
+    # spm_encode's distinct-segment+join-back (2 = tok twice)
+    "wordpiece_vocab": 0, "wordpiece_encode": 2,
+    # round 13: streaming drain (collector result, no batch scan in plan)
+    "stream_url_dedup": 0,
 }
 
 
