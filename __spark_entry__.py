@@ -2011,12 +2011,7 @@ def q_stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, stream = streaming.stream_table(spark, sf_dir, "events", single_batch=True)
 
     def bits(tag: str):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"su{tag}:"), F.col("event_id").cast("string"))),
-                1, 13,
-            ), 16, 10,
-        ).cast("long")
+        return _md5_bits(f"su{tag}:", F.col("event_id"))
 
     url = F.concat(
         F.when(bits("s") % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://")),
@@ -2036,6 +2031,26 @@ def q_stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("canonical_url", dedup.url_host(F.col("canonical_url")).alias("host"))
     )
     return streaming.run_available_now(deduped, output_mode="append")
+
+
+def q_stream_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 × C4 cleaning: the page heuristics run at INGEST time — the
+    cleaning stage is pure in-row Column string math (no aggregation, no
+    state), so the exact batch operator (corpus.py::c4_line_filters over
+    the _synthetic_pages synthesis) applies to a file stream unchanged
+    and drains append-mode with NO watermark or state store. Oracle =
+    the batch c4_filters replay verbatim: a stateless map is
+    batch-equivalent by construction (the single-batch pin is still set
+    for drain-count determinism, not semantics)."""
+    from convml_data_spark import streaming
+    from convml_data_spark.operators import corpus
+
+    _prep(spark)
+    _, stream = streaming.stream_table(
+        spark, sf_dir, "documents", single_batch=True
+    )
+    cleaned = corpus.c4_line_filters(_synthetic_pages(stream))
+    return streaming.run_available_now(cleaned, output_mode="append")
 
 
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2759,6 +2774,17 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_bits(tag: str, col):
+    """52-bit md5 integer of ``tag || col`` — ONE definition for every
+    synthetic-variant key so the Spark expression and its DuckDB twin
+    ``CAST('0x' || substr(md5('<tag>' || id), 1, 13) AS BIGINT)`` cannot
+    drift apart per copy."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(tag), col.cast("string"))), 1, 13),
+        16, 10,
+    ).cast("long")
+
+
 def _synthetic_urls(docs: DataFrame) -> DataFrame:
     """Deterministic messy-URL column for the URL-dedup key (documents
     carries no URL): scheme/www/port/query/fragment/trailing-slash
@@ -2766,12 +2792,7 @@ def _synthetic_urls(docs: DataFrame) -> DataFrame:
     ``source``, path from ``doc_id % 37`` so canonical collisions form
     real duplicate groups."""
     def bits(tag: str):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"url{tag}:"), F.col("doc_id").cast("string"))),
-                1, 13,
-            ), 16, 10,
-        ).cast("long")
+        return _md5_bits(f"url{tag}:", F.col("doc_id"))
 
     url = F.concat(
         F.when(bits("s") % 3 == 0, F.lit("HTTPS://"))
@@ -2818,35 +2839,27 @@ def _synthetic_pages(docs: DataFrame) -> DataFrame:
         F.element_at(
             terms,
             (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.col("doc_id").cast("string"),
-                                F.lit(":"),
-                                i.cast("string"),
-                            )
-                        ),
-                        1, 13,
-                    ), 16, 10,
-                ).cast("long") % 5
+                _md5_bits(
+                    "",
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":"), i.cast("string")
+                    ),
+                ) % 5
             ).cast("int") + 1,
         ),
     )
-    flag = lambda tag, m: (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{tag}:"), F.col("doc_id").cast("string"))),
-                1, 13,
-            ), 16, 10,
-        ).cast("long") % m == 0
-    )
+    flag = lambda tag, m: _md5_bits(f"{tag}:", F.col("doc_id")) % m == 0
     page = F.concat(
         F.array_join(F.transform(F.sequence(F.lit(0), nl - 1), line), "\n"),
         F.when(flag("li", 13), F.lit("\nlorem ipsum dolor sit.")).otherwise(F.lit("")),
         F.when(flag("br", 11), F.lit("\nif (x) { return y; }")).otherwise(F.lit("")),
     )
-    return docs.select("doc_id", page.alias("text"))
+    # zero-token docs are excluded from the synthesis: F.sequence(0, -1)
+    # DESCENDS (garbage 2-line page) and the oracle's body unnest emits
+    # nothing — neither side would be meaningful for them
+    return docs.where(F.greatest(F.size(toks), F.lit(0)) > 0).select(
+        "doc_id", page.alias("text")
+    )
 
 
 def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3377,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_vocab": q_wordpiece_vocab,
         "wordpiece_encode": q_wordpiece_encode,
         "stream_url_dedup": q_stream_url_dedup,
+        "stream_c4_filters": q_stream_c4_filters,
         # Then the r10-certified remainder that did not fit
         # (w2_argmin_per_group, w3_local_peaks, x1_user_function,
         # x2_dotted_udaf, x3_batch_embed, x4_pca were displaced past 50
@@ -4186,8 +4200,11 @@ def _wp_vocab_cte(vocab_top: int = 24, piece_max_len: int = 4, word_max_len: int
                   x -> x != ''), [])) AS w
               FROM documents
             ), dwords AS MATERIALIZED (
+              -- '#'-containing words are excluded from the vocabulary
+              -- (positional '##' encoding can't represent them)
               SELECT w, count(*) AS c FROM doctok
-              WHERE length(w) <= {word_max_len} GROUP BY w
+              WHERE length(w) <= {word_max_len} AND w NOT LIKE '%#%'
+              GROUP BY w
             ), grid AS (
               SELECT CASE WHEN i = 1 THEN substr(w, CAST(i AS INT), CAST(k AS INT))
                           ELSE '##' || substr(w, CAST(i AS INT), CAST(k AS INT)) END AS piece,
@@ -4235,7 +4252,7 @@ def _wordpiece_encode_oracle_sql(
                      max(CASE WHEN v.piece LIKE '##%' THEN length(v.piece) - 2
                               ELSE length(v.piece) END) AS k
               FROM (SELECT w, len, unnest(range(1, len + 1)) AS p
-                    FROM wl WHERE len <= {L}) x
+                    FROM wl WHERE len <= {L} AND w NOT LIKE '%#%') x
               JOIN wpv v ON
                    (x.p = 1 AND v.piece NOT LIKE '##%'
                     AND substr(x.w, CAST(x.p AS INT), length(v.piece)) = v.piece)
@@ -4243,7 +4260,10 @@ def _wordpiece_encode_oracle_sql(
                     AND substr(x.w, CAST(x.p AS INT), length(v.piece) - 2) = substr(v.piece, 3))
               GROUP BY x.w, x.p
             ), walk(w, len, p, np) AS (
-              SELECT w, len, CAST(1 AS BIGINT), 0 FROM wl WHERE len <= {L}
+              -- '#'-words and over-long words never enter the walk:
+              -- no fin row -> UNK via the LEFT JOIN (mirrors Spark)
+              SELECT w, len, CAST(1 AS BIGINT), 0
+              FROM wl WHERE len <= {L} AND w NOT LIKE '%#%'
               UNION ALL
               SELECT walk.w, walk.len, walk.p + m.k, walk.np + 1
               FROM walk JOIN m ON m.w = walk.w AND m.p = walk.p
@@ -4425,8 +4445,11 @@ def _c4_filters_oracle_sql(min_words: int = 5, min_sentences: int = 3) -> str:
                      CAST('0x' || substr(md5('br:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
                          % 11 = 0 AS brace
               FROM documents
+            ), nz AS (
+              -- mirror the Spark synthesis's zero-token exclusion
+              SELECT * FROM base WHERE len(w) > 0
             ), sized AS (
-              SELECT *, CAST(ceil(len(w) / 6.0) AS INT) AS nl FROM base
+              SELECT *, CAST(ceil(len(w) / 6.0) AS INT) AS nl FROM nz
             ), body AS (
               SELECT doc_id,
                      array_to_string(w[i*6+1 : i*6+6], ' ')
@@ -4438,23 +4461,31 @@ def _c4_filters_oracle_sql(min_words: int = 5, min_sentences: int = 3) -> str:
             ), lines AS (
               SELECT doc_id, ln FROM body
               UNION ALL
-              SELECT doc_id, 'lorem ipsum dolor sit.' FROM base WHERE lorem
+              SELECT doc_id, 'lorem ipsum dolor sit.' FROM nz WHERE lorem
               UNION ALL
-              SELECT doc_id, 'if (x) {{ return y; }}' FROM base WHERE brace
+              SELECT doc_id, 'if (x) {{ return y; }}' FROM nz WHERE brace
             ), per AS (
               SELECT doc_id,
                      count(*) AS n_lines,
                      count(*) FILTER ({kept}) AS n_kept,
-                     COALESCE(SUM(len(ln)) FILTER ({kept}), 0) AS kept_chars
+                     COALESCE(SUM(len(ln)) FILTER ({kept}), 0) AS kept_chars,
+                     -- page rules from the LINE CONTENT, not the synth
+                     -- flags: Spark scans the whole page text, so body
+                     -- lines whose corpus tokens happen to contain
+                     -- 'lorem ipsum' or '{{' must also trip the rule
+                     -- (per-line OR == page contains; the newline join
+                     -- can't create a cross-line match)
+                     bool_or(contains(lower(ln), 'lorem ipsum')) AS lorem_hit,
+                     bool_or(contains(ln, '{{')) AS brace_hit
               FROM lines GROUP BY doc_id
             )
             SELECT p.doc_id, p.n_lines, p.n_kept,
-                   (NOT (b.lorem OR b.brace)) AND p.n_kept >= {min_sentences} AS passed,
+                   (NOT (p.lorem_hit OR p.brace_hit)) AND p.n_kept >= {min_sentences} AS passed,
                    -- BIGINT cast: SUM(len) is HUGEINT, which the driver
                    -- renders float64 against Spark's bigint (gotcha)
-                   CAST(CASE WHEN (NOT (b.lorem OR b.brace)) AND p.n_kept >= {min_sentences}
+                   CAST(CASE WHEN (NOT (p.lorem_hit OR p.brace_hit)) AND p.n_kept >= {min_sentences}
                         THEN p.kept_chars + p.n_kept - 1 ELSE 0 END AS BIGINT) AS clean_chars
-            FROM per p JOIN base b USING (doc_id)
+            FROM per p
         """
 
 
@@ -4523,17 +4554,12 @@ def _langid_classifier_oracle_sql(n_buckets: int = 1024) -> str:
     DECIMAL sum and a (margin DESC, priority) argmax window."""
     from convml_data_spark.operators.corpus import (
         LANGID_PRIORITY,
-        _md5_bucket_py,
+        langid_lexicon_counts,
     )
-    from convml_data_spark.functions.text import LANG_STOPWORDS
 
-    counts: dict = {}
-    for lang in LANGID_PRIORITY:
-        for word in LANG_STOPWORDS[lang]:
-            key = (_md5_bucket_py(word, n_buckets), lang)
-            counts[key] = counts.get(key, 0) + 1
     vals = ", ".join(
-        f"({b}, '{lang}', {float(c)!r})" for (b, lang), c in sorted(counts.items())
+        f"({b}, '{lang}', {float(c)!r})"
+        for (b, lang), c in sorted(langid_lexicon_counts(n_buckets=n_buckets).items())
     )
     prio = " ".join(
         f"WHEN '{lang}' THEN {i + 1}" for i, lang in enumerate(LANGID_PRIORITY)
@@ -4562,7 +4588,10 @@ def _langid_classifier_oracle_sql(n_buckets: int = 1024) -> str:
                 SELECT doc_id, lang, s FROM (
                     SELECT *, row_number() OVER (
                         PARTITION BY doc_id
-                        ORDER BY s DESC, CASE lang {prio} END
+                        -- unknown langs: CASE yields NULL (sorts last,
+                        -- matching Spark's len(langs)+1); final lang
+                        -- tiebreak mirrors the Spark min_by key
+                        ORDER BY s DESC, CASE lang {prio} END, lang
                     ) AS rn FROM hits
                 ) WHERE rn = 1
             )
@@ -6780,6 +6809,8 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_vocab": _wordpiece_vocab_oracle_sql(),
         "wordpiece_encode": _wordpiece_encode_oracle_sql(),
         "stream_url_dedup": _stream_url_dedup_oracle_sql(),
+        # stateless streaming map == the batch operator: same replay
+        "stream_c4_filters": _c4_filters_oracle_sql(),
         "decontam_semantic": _semantic_decontam_oracle_sql(),
         "g8_rayleigh": _g8_rayleigh_oracle_sql(),
         "dbscan_ladder": _dbscan_ladder_oracle_sql(),

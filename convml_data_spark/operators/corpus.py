@@ -2175,6 +2175,20 @@ def _md5_bucket_py(word: str, n_buckets: int) -> int:
     return int(hashlib.md5(word.encode()).hexdigest()[:13], 16) % int(n_buckets)
 
 
+def langid_lexicon_counts(
+    langs: tuple[str, ...] = LANGID_PRIORITY, n_buckets: int = 1024
+) -> dict[tuple[int, str], int]:
+    """(bucket, lang) -> lexicon-word count — ONE builder shared by the
+    Spark weights relation and the DuckDB oracle's inlined VALUES, so
+    the two cannot drift apart."""
+    counts: dict[tuple[int, str], int] = {}
+    for lang in langs:
+        for word in T.LANG_STOPWORDS[lang]:
+            key = (_md5_bucket_py(word, n_buckets), lang)
+            counts[key] = counts.get(key, 0) + 1
+    return counts
+
+
 def langid_lexicon_weights(
     spark,
     langs: tuple[str, ...] = LANGID_PRIORITY,
@@ -2187,12 +2201,10 @@ def langid_lexicon_weights(
     by construction: ≤ langs·lexicon rows, built driver-side as
     literals like the IVF centroids. Real fastText weights drop in as
     any (bucket, lang, weight) relation."""
-    counts: dict[tuple[int, str], int] = {}
-    for lang in langs:
-        for word in T.LANG_STOPWORDS[lang]:
-            key = (_md5_bucket_py(word, n_buckets), lang)
-            counts[key] = counts.get(key, 0) + 1
-    rows = [(b, lang, float(c)) for (b, lang), c in sorted(counts.items())]
+    rows = [
+        (b, lang, float(c))
+        for (b, lang), c in sorted(langid_lexicon_counts(langs, n_buckets).items())
+    ]
     return spark.createDataFrame(rows, "bucket long, lang string, weight double")
 
 
@@ -2232,9 +2244,11 @@ def langid_classifier(
         )
     )
     cnt = tok.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
-    pr = F.array_position(
-        F.array(*[F.lit(l) for l in langs]), F.col("lang")
-    )
+    # a lang in `weights` but absent from `langs` must sort LAST on
+    # ties, not first (array_position returns 0 for misses, which would
+    # silently outrank every documented priority language)
+    pr0 = F.array_position(F.array(*[F.lit(l) for l in langs]), F.col("lang"))
+    pr = F.when(pr0 > 0, pr0).otherwise(F.lit(len(langs) + 1))
     hits = (
         tok.select(F.col(id_col), _md5_bucket(F.col("_w"), n_buckets).alias("bucket"))
         .join(F.broadcast(weights), "bucket")
@@ -2242,7 +2256,14 @@ def langid_classifier(
         .agg(F.sum(F.col("weight").cast("decimal(38,12)")).alias("_s"))
     )
     best = hits.groupBy(id_col).agg(
-        F.min_by(F.struct("lang", "_s"), F.struct((-F.col("_s")).alias("_n"), pr.alias("_p"))).alias("_b")
+        F.min_by(
+            F.struct("lang", "_s"),
+            # final lang tiebreak: two non-priority langs tying on the
+            # exact margin would otherwise hand min_by an identical key
+            F.struct(
+                (-F.col("_s")).alias("_n"), pr.alias("_p"), F.col("lang").alias("_l")
+            ),
+        ).alias("_b")
     )
     return (
         cnt.join(best, id_col, "left")

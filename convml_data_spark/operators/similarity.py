@@ -970,6 +970,9 @@ def semantic_dedup(
             id_col=id_col,
             out_col="_sem_cluster",
         )
+        # no .distinct(): each id has exactly ONE cluster label, so a
+        # pair can emerge from at most one block (unlike the multi-band
+        # LSH path, where the dedup shuffle is load-bearing)
         pairs = blocked_cosine_pairs(
             labeled,
             threshold,
@@ -977,7 +980,7 @@ def semantic_dedup(
             vec_col=vec_col,
             id_col=id_col,
             max_block=max_bucket,
-        ).distinct()
+        )
     else:
         raise ValueError(f"cluster must be 'lsh' or 'kmeans', got {cluster!r}")
     return canonical_survivors(

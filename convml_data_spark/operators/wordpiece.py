@@ -68,8 +68,17 @@ def wordpiece_vocab(
 
     if piece_max_len < 2:
         raise ValueError(f"piece_max_len must be >= 2, got {piece_max_len}")
+    # words containing '#' are excluded: the positional encoding ('##'
+    # marks continuation) cannot represent them unambiguously — a raw
+    # piece '##a' would be indistinguishable from the continuation form
+    # of 'a' (BERT's real pre-tokenizer splits punctuation off before
+    # WordPiece ever sees it, so '#' never reaches the segmenter there);
+    # the encoder symmetrically treats such words as UNK
     words = materialize_for_reuse(
-        _distinct_words(docs, text_col, word_max_len), durable=durable
+        _distinct_words(docs, text_col, word_max_len).where(
+            ~F.col("w").contains("#")
+        ),
+        durable=durable,
     )
     grid = F.flatten(
         F.transform(
@@ -118,9 +127,13 @@ def greedy_segment(
     (they cannot finish inside the unroll)."""
     L, K = int(word_max_len), int(piece_max_len)
     out = df.withColumn("_len", F.length(word_col))
+    # '#'-containing words are UNK by fiat (the positional '##' encoding
+    # cannot represent them — see wordpiece_vocab), as are over-long ones
     out = out.withColumn("_pos_0", F.lit(1)).withColumn(
         "_np_0", F.lit(0)
-    ).withColumn("_unk_0", F.col("_len") > L)
+    ).withColumn(
+        "_unk_0", (F.col("_len") > L) | F.col(word_col).contains("#")
+    )
     for t in range(1, L + 1):
         pos, np, unk = (
             F.col(f"_pos_{t - 1}"),

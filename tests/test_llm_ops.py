@@ -2918,3 +2918,21 @@ def test_containment_pairs_directed_quote_detection(spark):
     jac = dedup.jaccard_dedup_prefix(df, threshold=0.5).collect()
     spark.catalog.clearCache()
     assert not any({r["id_a"], r["id_b"]} == {0, 1} for r in jac)
+
+
+def test_langid_classifier_unknown_lang_sorts_last_on_ties(spark):
+    """A lang present in weights but absent from the priority list must
+    LOSE margin ties to priority langs (review finding: array_position's
+    0-for-miss would otherwise outrank everything)."""
+    from convml_data_spark.operators.corpus import (
+        _md5_bucket_py,
+        langid_classifier,
+    )
+
+    b = _md5_bucket_py("tok0", 1024)  # tok0 hashes to an unoccupied bucket
+    w = spark.createDataFrame(
+        [(b, "xx", 1.0), (b, "en", 1.0)], "bucket long, lang string, weight double"
+    )
+    docs = spark.createDataFrame([(0, "tok0 tok0")], "doc_id long, text string")
+    out = langid_classifier(docs, w).collect()[0]
+    assert out["lang_pred"] == "en"  # exact tie -> priority lang wins

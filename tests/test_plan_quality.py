@@ -551,8 +551,8 @@ SCAN_CEILINGS = {
     # round 13: wordpiece — vocab chain checkpoint-hidden; encode mirrors
     # spm_encode's distinct-segment+join-back (2 = tok twice)
     "wordpiece_vocab": 0, "wordpiece_encode": 2,
-    # round 13: streaming drain (collector result, no batch scan in plan)
-    "stream_url_dedup": 0,
+    # round 13: streaming drains (collector result, no batch scan in plan)
+    "stream_url_dedup": 0, "stream_c4_filters": 0,
 }
 
 
@@ -575,7 +575,6 @@ def test_per_query_parquet_scan_counts_do_not_regress(spark):
     the ceilings were taken in (registration order changes what later
     plans share)."""
     spark.catalog.clearCache()
-    buf = io.StringIO()
     missing, over = [], []
     for name in sorted(QUERIES):
         if name not in SCAN_CEILINGS:

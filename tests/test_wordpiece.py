@@ -109,3 +109,15 @@ def test_wordpiece_partitioning_independent(spark):
         tuple(r) for r in WP.wordpiece_encode(docs.repartition(7), v).collect()
     )
     assert a == b
+
+
+def test_wordpiece_hash_words_are_unk_and_excluded_from_vocab(spark):
+    # '#'-containing corpus words can't be represented by the positional
+    # '##' encoding: excluded from vocab, UNK at encode (review finding)
+    docs = spark.createDataFrame(
+        [(0, "##a ok ok ok")], "doc_id long, text string"
+    )
+    v = WP.wordpiece_vocab(docs, vocab_top=8)
+    assert not any("#" in r["piece"].replace("##", "", 1) for r in v.collect())
+    r = WP.wordpiece_encode(docs, v).collect()[0]
+    assert r["n_unk_words"] == 1 and r["n_words"] == 4
