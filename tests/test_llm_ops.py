@@ -2936,3 +2936,93 @@ def test_langid_classifier_unknown_lang_sorts_last_on_ties(spark):
     docs = spark.createDataFrame([(0, "tok0 tok0")], "doc_id long, text string")
     out = langid_classifier(docs, w).collect()[0]
     assert out["lang_pred"] == "en"  # exact tie -> priority lang wins
+
+
+def test_winnow_density_approximates_two_over_w_plus_one(spark):
+    """Schleimer et al. 2003 Thm: random hashes select an expected
+    2/(w+1) fraction of positions. md5 k-gram hashes over random text
+    should land near that density (loose band — it is an expectation)."""
+    from convml_data_spark.operators import dedup
+
+    rng = np.random.default_rng(13)
+    rows = [
+        (i, "".join(rng.choice(list("abcdefghijklmnop"), 400)))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w = 7
+    n_pos = 400 - 8 + 1  # k-gram count per doc
+    fps = dedup.winnow_fingerprints(df, k=8, w=w).groupBy("doc_id").count().collect()
+    density = sum(r["count"] for r in fps) / (len(rows) * n_pos)
+    assert 0.6 * 2 / (w + 1) < density < 1.5 * 2 / (w + 1), density
+
+
+def test_containment_pairs_matches_brute_force_randomized(spark):
+    from convml_data_spark.operators import dedup
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(5, 40)))
+        for _ in range(25)
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(df, threshold=0.4).collect()
+    }
+    spark.catalog.clearCache()
+
+    def sh(t):
+        ws = t.lower().split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    shs = {i: sh(t) for i, t in enumerate(texts)}
+    exp = {}
+    for a in shs:
+        for b in shs:
+            if a != b and shs[a]:
+                c = len(shs[a] & shs[b]) / len(shs[a])
+                if c >= 0.4:
+                    exp[(a, b)] = round(c, 6)
+    assert got == exp
+
+
+def test_hard_negatives_matches_numpy_brute_force(spark):
+    from convml_data_spark.operators import similarity
+    from convml_data_spark.operators.sampling import hash_uniform  # noqa: F401
+    import hashlib
+
+    rng = np.random.default_rng(31)
+    vecs = {i: rng.normal(0, 1, 6) for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = sorted(
+        (r["qid"], r["vec_id"], r["score"])
+        for r in similarity.hard_negative_mining(
+            df, n_anchors=5, k=4, dup_threshold=0.9, seed=42
+        ).collect()
+    )
+
+    def uni(i):
+        return int(hashlib.md5(f"42|{i}".encode()).hexdigest()[:13], 16) / 2.0**52
+
+    anchors = sorted(vecs, key=lambda i: (uni(i), i))[:5]
+    exp = []
+    for q in anchors:
+        cands = []
+        for i, v in vecs.items():
+            if i == q:
+                continue
+            s = round(
+                float(np.dot(vecs[q], v))
+                / (np.linalg.norm(vecs[q]) * np.linalg.norm(v)),
+                6,
+            )
+            if s < 0.9:
+                cands.append((i, s))
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        exp.extend((q, i, s) for i, s in cands[:4])
+    assert got == sorted(exp)
