@@ -3322,9 +3322,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed (never driver-certified), then the four operators TOUCHED
         # in round 12 (terciles materialization; dense-cell eps/2
         # refinement behind the dbscan keys), then the oldest-certified
-        # r10 cohort. New round-13 keys insert at the dict head and
-        # displace the last r10 fillers past 50 (those certify in r14;
-        # window arithmetic is recorded in BASELINE.md).
+        # r10 cohort. The FIRST SIX new round-13 keys sit at the dict
+        # head (the ~6-new-keys-per-window budget); round-13 additions
+        # beyond that lead the position-51+ block and certify in r14
+        # (window arithmetic is recorded in BASELINE.md).
         # --- new in round 13 (never certified) ---
         "spm_train": q_spm_train,
         "spm_encode": q_spm_encode,
