@@ -4083,7 +4083,15 @@ def _kmeans_cte_chain(k: int, rounds: int, seed: int) -> tuple[str, str]:
                        x -> CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6))) AS q
               FROM embeddings
             ), dims AS (
-              SELECT unnest(generate_series(1, 64)) AS i
+              -- derived from the DATA, not hardcoded: a hardcoded width
+              -- would make p.q[i] silently NULL past the true dimension
+              -- (wrong d2/means instead of an error). The CASE makes a
+              -- ragged embedding column fail LOUDLY.
+              SELECT unnest(generate_series(1, (
+                SELECT CASE WHEN min(len(embedding)) = max(len(embedding))
+                            THEN max(len(embedding))
+                            ELSE CAST(error('embeddings dim not uniform') AS BIGINT) END
+                FROM embeddings))) AS i
             ), c0 AS (
               -- seeds: k lowest rows by (md5-uniform, id); cid = rank
               SELECT row_number() OVER (ORDER BY {u}, vec_id) - 1 AS cid, q AS c
@@ -4483,9 +4491,14 @@ def _c4_filters_oracle_sql(min_words: int = 5, min_sentences: int = 3) -> str:
             SELECT p.doc_id, p.n_lines, p.n_kept,
                    (NOT (p.lorem_hit OR p.brace_hit)) AND p.n_kept >= {min_sentences} AS passed,
                    -- BIGINT cast: SUM(len) is HUGEINT, which the driver
-                   -- renders float64 against Spark's bigint (gotcha)
+                   -- renders float64 against Spark's bigint (gotcha).
+                   -- greatest(..., 0): Spark's length('') is 0 for a
+                   -- passing page with zero kept lines (only reachable
+                   -- when min_sentences <= 0), while kept_chars +
+                   -- n_kept - 1 would be -1 — guard the parameterized
+                   -- oracle so it matches at ANY min_sentences.
                    CAST(CASE WHEN (NOT (p.lorem_hit OR p.brace_hit)) AND p.n_kept >= {min_sentences}
-                        THEN p.kept_chars + p.n_kept - 1 ELSE 0 END AS BIGINT) AS clean_chars
+                        THEN greatest(p.kept_chars + p.n_kept - 1, 0) ELSE 0 END AS BIGINT) AS clean_chars
             FROM per p
         """
 

@@ -223,16 +223,21 @@ def kgram_hashes(text: Column, k: int = 8) -> Column:
 
 
 def winnow_select(hashes: Column, w: int = 4) -> Column:
-    """Robust winnowing selection (Schleimer et al. 2003, "Winnowing:
-    Local Algorithms for Document Fingerprinting", SIGMOD): over a
+    """Winnowing selection (Schleimer et al. 2003, "Winnowing: Local
+    Algorithms for Document Fingerprinting", SIGMOD): over a
     per-position hash array, slide a ``w``-hash window and select each
-    window's minimum, ties to the RIGHTMOST occurrence — consecutive
-    windows sharing a minimum then select the SAME position, which is
-    what shrinks the fingerprint set (the "robust" rule). Guarantee:
-    any two documents sharing a substring of length ≥ w + k − 1 (k =
-    the n-gram width behind ``hashes``) share at least one selected
-    fingerprint — the local-match property MOSS builds on, and the gap
-    shingle-set dedup leaves for partial overlaps.
+    window's minimum, ties to the RIGHTMOST occurrence. Note this
+    rightmost-min tie rule is a DETERMINISTIC SIMPLIFICATION of the
+    paper's "robust winnowing" — the paper prefers the PREVIOUS
+    window's selection on ties, which is stateful across windows;
+    rightmost-always re-selects a new position per window over runs of
+    equal hashes, so this variant is DENSER on repetitive text (and
+    identical elsewhere, since a unique minimum has no ties). Both
+    rules keep the guarantee that matters: any two documents sharing a
+    substring of length ≥ w + k − 1 (k = the n-gram width behind
+    ``hashes``) share at least one selected fingerprint — the
+    local-match property MOSS builds on, and the gap shingle-set dedup
+    leaves for partial overlaps.
 
     Returns the DISTINCT selected ``(pos, fp)`` structs as an in-row
     array: no explode, no shuffle — selection is a transform over

@@ -1122,6 +1122,7 @@ def containment_pairs(
     ngram: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs shingle CONTAINMENT ≥ t: the asymmetric twin of
     :func:`jaccard_dedup_prefix` for partial-overlap detection —
@@ -1145,6 +1146,24 @@ def containment_pairs(
     Scale: shuffle ∝ Σ prefix-token inverted-list lengths (the PPJoin
     economics), one exact verify join; shingle relation persisted once
     (jaccard_dedup_prefix lifecycle: caller clears cache when done).
+    ``max_df`` is the hot-shingle ceiling: prefix tokens whose corpus
+    document frequency exceeds it are dropped from CANDIDATE GENERATION
+    (the verify stays exact for surviving candidates). Rarity-first
+    ordering already keeps prefixes rare, but a doc whose shingles are
+    ALL common puts a df-in-the-millions token in its prefix and that
+    single join key fans out O(df) — the cap bounds the worst case the
+    way ``max_bucket`` does for the banded paths. Below the cap the
+    pair set is EXACTLY the uncapped one (every kept prefix token joins
+    its full inverted list); above it, pairs whose ONLY shared prefix
+    token is hotter than the cap are missed — the documented recall
+    bound, analogous to blocked-Jaccard's bounded blocks. Default None
+    = exact.
+
+    Exactness: the prefix length n − ⌈t·n⌉ + 1 is computed in INTEGER
+    arithmetic (t is read as the exact rational of its shortest decimal
+    representation via ``Fraction(str(threshold))``), so thresholds
+    where t·n lands on or adjacent to an integer cannot lose a boundary
+    position to double rounding.
     """
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
@@ -1157,16 +1176,29 @@ def containment_pairs(
     ranked = ex.join(df_counts, "shingle").join(
         sh.select("id", F.size("sh").alias("_n")), "id"
     )
+    # Prefix predicate in INTEGER arithmetic: _rn <= n - ceil(t*n) + 1
+    # <=> ceil(t*n) <= n - _rn + 1  <=> (RHS integral) t*n <= n - _rn + 1
+    # <=> p*n <= q*(n - _rn + 1) for t = p/q. No double rounding: a
+    # threshold whose t*n lands adjacent to an integer keeps the exact
+    # boundary position a float ceil could drop.
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    p_num, q_den = frac.numerator, frac.denominator
     w = Window.partitionBy("id").orderBy("_df", "shingle")
     pre = (
         ranked.withColumn("_rn", F.row_number().over(w))
         .where(
-            F.col("_rn")
-            <= F.col("_n") - F.ceil(F.lit(float(threshold)) * F.col("_n")) + 1
+            F.lit(int(p_num)) * F.col("_n")
+            <= F.lit(int(q_den)) * (F.col("_n") - F.col("_rn") + F.lit(1))
         )
         .where(F.col("_df") >= 2)  # df=1 tokens cannot produce a pair
-        .select("id", "shingle")
+        .select("id", "shingle", "_df")
     )
+    if max_df is not None:
+        # hot-shingle ceiling: bound the pre ⋈ ex fan-out (see docstring)
+        pre = pre.where(F.col("_df") <= int(max_df))
+    pre = pre.select("id", "shingle")
     cands = (
         pre.select(F.col("id").alias("id_a"), "shingle")
         .join(ex.select(F.col("id").alias("id_b"), "shingle"), "shingle")

@@ -2988,6 +2988,71 @@ def test_containment_pairs_matches_brute_force_randomized(spark):
     assert got == exp
 
 
+def test_containment_pairs_hot_shingle_cap(spark):
+    """max_df (hot-shingle ceiling): below the cap the pair set is
+    EXACTLY the uncapped one; a tiny cap yields a subset (candidates
+    whose only shared prefix token is hot are the documented loss)."""
+    from convml_data_spark.operators import dedup
+
+    rng = np.random.default_rng(47)
+    vocab = [f"w{i}" for i in range(6)]  # tiny vocab -> hot shingles
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(5, 12))) for _ in range(30)
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    def pairs(**kw):
+        out = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in dedup.containment_pairs(df, threshold=0.4, **kw).collect()
+        }
+        spark.catalog.clearCache()
+        return out
+
+    exact = pairs()
+    assert exact, "generator should produce overlapping docs"
+    # cap far above any df in a 30-doc corpus: pair-set EQUALITY
+    assert pairs(max_df=10_000) == exact
+    # tiny cap: strict subset semantics (never invents pairs, and every
+    # surviving pair carries the identical exact containment value)
+    capped = pairs(max_df=3)
+    assert set(capped) <= set(exact)
+    assert all(capped[p] == exact[p] for p in capped)
+
+
+def test_containment_pairs_integer_prefix_keeps_boundary_pair(spark):
+    """Double-rounding regression (r13 ADVICE): at t = 0.07, n = 100,
+    float ceil(t*n) = 8 (0.07*100 -> 7.000000000000001) which would
+    shorten the prefix to 93 and lose a pair whose only df>=2 prefix
+    token sits at exactly rank 94; integer arithmetic keeps it."""
+    import math
+
+    from convml_data_spark.operators import dedup
+
+    # the hazard precondition this test exists for
+    assert math.ceil(0.07 * 100) == 8
+
+    # doc A: 102 distinct words -> 100 distinct trigram shingles, 93 of
+    # them df=1 (rarity ranks 1..93); the 7 shingles over w93..w101 are
+    # shared with doc B (df=2, ranks 94..100). |A∩B|/|A| = 7/100 = t.
+    a_words = [f"w{i:03d}" for i in range(102)]
+    b_fill = [f"b{i:03d}" for i in range(40)]
+    rows = [
+        (0, " ".join(a_words)),
+        (1, " ".join(b_fill + a_words[93:])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(df, threshold=0.07).collect()
+    }
+    spark.catalog.clearCache()
+    assert (0, 1) in got and got[(0, 1)] == 0.07
+    # B -> A holds too (7 shared / 47 B-shingles >= 0.07): both emerge
+    # from the one candidate join
+    assert (1, 0) in got
+
+
 def test_hard_negatives_matches_numpy_brute_force(spark):
     from convml_data_spark.operators import similarity
     from convml_data_spark.operators.sampling import hash_uniform  # noqa: F401
