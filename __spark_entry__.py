@@ -3308,6 +3308,89 @@ def q_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Declared sweep cost class per registered key, at the sweep's SF
+# (sf0.1, local[32]). The ratchet in sweep.py only protects keys that
+# ALREADY have a SWEEP.json baseline — a brand-new key's first
+# measurement used to be checked by eyeball only (that manual rule is
+# what caught winnow_fingerprints' O(n²·w) fold at 275 s in r13). This
+# map makes the check mechanical: sweep.py trips when a NEW key's
+# min-of-N first measurement exceeds 3x its class ceiling, and
+# tests/test_plan_quality.py requires every queries() key to declare a
+# class. Ceilings are deliberately loose (machine noise is ±25%); the
+# gate exists to catch cost-CLASS blowups (a sub-second operator landing
+# at minutes), not few-percent drift — the ratchet owns that once the
+# baseline exists.
+COST_CLASS_CEILING_SEC = {"subsec": 1.0, "seconds": 10.0, "tens": 60.0}
+COST_CLASS = {
+    # sub-second at sf0.1 (single scan + narrow transforms or bounded aggs)
+    **{k: "subsec" for k in [
+        "a11_minmax_norm", "a14_rollup", "a15_distinct_users",
+        "a1_pricing_summary", "a2_udaf_pandas", "a3_min_spacing",
+        "a4_binned_1d", "a5_binned_2d", "a6_ecdf", "a8_daily_counts",
+        "a9_layer_mean", "ann_cosine_topk", "bm25_topk", "c4_filters",
+        "cap_per_source", "corpus_entropy", "dbscan_cell_stats",
+        "decontam_ngram_overlap", "dedup_exact_prefix", "dedup_jaccard",
+        "dedup_minhash_sigs", "derived_dag", "doc_fingerprint",
+        "e2_string_ops", "e5_array_roundtrip", "e7_json_map",
+        "emb_transform_scaler", "f11_nonempty", "f1_time_intervals",
+        "f2_datetime_components", "f3_solar_zenith", "f5_regex_filter",
+        "f6_filter_dsl", "f8_dropna_slice", "f9_lon_wrap",
+        "g1_nearest_regrid", "g2_tile_pixel_slice", "g4_crop_pad",
+        "g6_spanning_domain", "g7_tangent_projection", "g8_rgb_composite",
+        "g9_optical_flow", "hll_user_counts", "j10_interval_join",
+        "j3_asof_all_within", "j5_semi_join", "j6_emb_aux_join",
+        "j7_positional_coords", "langid_classifier", "mixture_rates",
+        "mixture_temperature", "multimodal_audio", "multimodal_features",
+        "multimodal_frames", "neardup_cosine_pairs", "o3_distinct",
+        "o4_topk", "pack_chunks", "pii_scrub", "quality_classifier",
+        "r1_split", "r5_triplet_locations", "s2_goes16_query",
+        "s3_calendar_scan", "s4_era5_manifest",
+        "s5_calendar_offset_missing", "s6_ceres_manifest",
+        "sample_quality_weighted", "scene_table", "similarity_sq_topk",
+        "spec_regridded_bilinear", "spec_regridded_scenes",
+        "spec_scene_filter", "spec_scene_images", "stratified_split",
+        "text_bpe_tokens", "text_corpus_stats", "text_gopher_quality",
+        "text_langid", "text_quality", "token_windows",
+        "u1_union_by_name", "u3_anti_join", "unigram_xent", "vocab_build",
+        "vocab_encode", "w2_argmin_per_group", "w3_local_peaks",
+        "w5_sliding_tiles", "w6_sequential_scan", "w7_sessionize",
+        "wordpiece_vocab", "x1_user_function", "x2_dotted_udaf",
+        "x3_batch_embed", "x4_pca",
+    ]},
+    # single-digit seconds (a shuffle-heavy join/CC round or stream drain)
+    **{k: "seconds" for k in [
+        "a10_column_integral", "a6_ecdf_global", "a7_equidepth",
+        "bigram_xent", "bloom_decontaminate", "bpe_encode", "bpe_train",
+        "cdc_chunk_dedup", "countmin_heavy", "dbscan_ladder",
+        "dbscan_merge_events", "decontam_excise", "decontam_semantic",
+        "decontam_substring", "dedup_best_survivors", "dedup_components",
+        "dedup_containment", "dedup_exact_substring",
+        "dedup_jaccard_prefix", "dedup_minhash", "dedup_semantic",
+        "dedup_spans", "dedup_survivors", "dedup_url", "dsir_hashed",
+        "dsir_logratio", "emb_transform_dbscan", "emb_transform_kmeans",
+        "f4_traj_snap", "f7_percentile_filter", "g1_bilinear_regrid",
+        "g8_rayleigh", "gopher_repetition", "hard_negatives",
+        "hybrid_rrf", "incremental_dedup", "j2_asof_single",
+        "kmeans_labels", "neardup_edit_distance", "neardup_lsh_pairs",
+        "q3_shipping_priority", "quality_terciles", "r2_scene_pairs",
+        "select_token_budget", "simhash", "similarity_ivf_topk",
+        "similarity_lsh_topk", "similarity_pq_topk", "sketch_quantiles",
+        "spec_analytics_pipeline", "spec_aux_derived",
+        "spec_rect_embeddings", "spec_tile_data", "spec_triplet_pipeline",
+        "stream_c4_filters", "stream_countmin", "stream_daily_counts",
+        "stream_dedup_watermark", "stream_incremental_dedup",
+        "stream_parquet_drain", "stream_seen_filter",
+        "stream_static_join", "stream_stream_join", "stream_url_dedup",
+        "tfidf_top_terms", "traj_tiles", "trigram_xent",
+        "winnow_fingerprints", "wordpiece_encode",
+    ]},
+    # tens of seconds (iterative fits / plan-time DP pyramids)
+    **{k: "tens" for k in [
+        "dedup_semantic_kmeans", "spm_encode", "spm_train",
+    ]},
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver certifies the FIRST 50 entries in insertion order
     # (established round 2: CORRECTNESS keys == dict positions 1-50).

@@ -11,6 +11,13 @@ non-zero if any query is BOTH >2x slower than the previous sweep AND >1 s
 absolute (the absolute floor keeps sub-second job-scheduling jitter from
 tripping the ratchet).
 
+A key with NO previous-sweep baseline cannot trip the ratchet; it is
+judged instead against its declared cost class
+(``__spark_entry__.COST_CLASS`` / ``COST_CLASS_CEILING_SEC``): a new
+key whose min-of-N first measurement exceeds 3x its class ceiling
+fails the sweep. This mechanizes the r13 eyeball rule that caught
+winnow_fingerprints' O(n²·w) fold (a "seconds"-class key at 275 s).
+
 Ratchet verdicts are MIN-OF-N: a key whose first measurement would trip
 is re-measured up to ``EXTRA_RUNS`` more times in the same session and
 judged (and recorded) on its minimum. Rationale: rotating the
@@ -79,6 +86,13 @@ def main() -> int:
                 n, err = -1, f"{type(e).__name__}: {e}"
             return round(time.perf_counter() - t0, 3), n, err
 
+        # a NEW key (no ratchet baseline) is judged against its DECLARED
+        # cost class instead: the r13 winnow_fingerprints O(n²·w) fold
+        # (275 s vs a "seconds" class) was caught by a manual eyeball
+        # rule; this makes it mechanical. Trip = min-of-N > 3x ceiling.
+        ceiling = entrymod.COST_CLASS_CEILING_SEC.get(
+            entrymod.COST_CLASS.get(name, "seconds")
+        )
         dt, n, err = run_once()
         runs = [dt]
         if not err and name in prev and "err" not in prev[name]:
@@ -86,6 +100,14 @@ def main() -> int:
             # min-of-N: only a reproducible slowdown trips — re-measure a
             # would-trip key (warm JIT/codegen now) and judge the minimum
             while dt > 2.0 * p and dt > 1.0 and len(runs) <= EXTRA_RUNS:
+                rdt, rn, rerr = run_once()
+                if rerr:
+                    err, n = rerr, rn
+                    break
+                runs.append(rdt)
+                dt = min(dt, rdt)
+        elif not err and name not in prev:
+            while dt > 3.0 * ceiling and len(runs) <= EXTRA_RUNS:
                 rdt, rn, rerr = run_once()
                 if rerr:
                     err, n = rerr, rn
@@ -110,6 +132,13 @@ def main() -> int:
                     f"(> 2x ratchet, min of {len(runs)})"
                 )
                 flag = "  <-- RATCHET"
+        elif dt > 3.0 * ceiling:
+            failures.append(
+                f"{name}: NEW key {dt:.2f}s exceeds 3x its declared "
+                f"'{entrymod.COST_CLASS.get(name, 'seconds')}' class "
+                f"ceiling ({ceiling:.0f}s), min of {len(runs)}"
+            )
+            flag = "  <-- COST CLASS"
         extra = f" min of {runs}" if len(runs) > 1 else ""
         print(f"# {name}: {dt:.3f}s ({n} rows){extra}{flag}", file=sys.stderr)
 

@@ -597,3 +597,19 @@ def test_per_query_parquet_scan_counts_do_not_regress(spark):
         f"(two-sided text fetch, id-only narrow scan), raise the ceiling "
         f"with a comment"
     )
+
+
+def test_every_registered_query_declares_a_cost_class():
+    """sweep.py's new-key gate (a key with no SWEEP.json baseline is
+    judged against 3x its declared cost-class ceiling) only works if
+    every key declares a class — and stale entries for unregistered
+    keys are doc rot. Exact set equality both ways."""
+    classes = entrymod.COST_CLASS
+    assert set(classes) == set(QUERIES), (
+        f"COST_CLASS/queries() mismatch: missing="
+        f"{sorted(set(QUERIES) - set(classes))} "
+        f"stale={sorted(set(classes) - set(QUERIES))}"
+    )
+    unknown = {k: v for k, v in classes.items()
+               if v not in entrymod.COST_CLASS_CEILING_SEC}
+    assert not unknown, f"undeclared cost-class names: {unknown}"
