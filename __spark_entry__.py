@@ -2957,6 +2957,47 @@ def q_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.langid_classifier(docs, w, n_buckets=1024)
 
 
+def q_langid_confident(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibrated-confidence language ID (corpus.py::langid_calibrated —
+    CCNet's bucket-by-score practice + fastText's threshold-on-
+    probability): margin terciles via the certified exact-quantile
+    selection path, per-bucket empirical agreement against the
+    INDEPENDENT stopword-ratio heuristic on a deterministic holdout
+    (doc_id % 5 == 0), every doc stamped with its bucket's calibrated
+    confidence and a principled `confident` flag."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    w = corpus.langid_lexicon_weights(spark, n_buckets=1024)
+    return corpus.langid_calibrated(docs, w, holdout_mod=5, conf_threshold=0.5)
+
+
+# Driver blocklist: four terms that occur in the synthetic corpus (two
+# unigrams, two bigram phrases) plus one guaranteed miss — exercises the
+# multi-width join fan and the zero-match term path.
+BLOCKLIST_TERMS = (
+    "merge",
+    "vector",
+    "slow customer",
+    "table table",
+    "quantum leap",
+)
+
+
+def q_blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern blocklist scan (corpus.py::blocklist_scan): bounded
+    term relation, one corpus pass per distinct pattern width, broadcast
+    equi-join matching — the Aho-Corasick one-traversal economics where
+    a per-pattern regex chain re-scans the text per term."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    bl = spark.createDataFrame(
+        [(t,) for t in BLOCKLIST_TERMS], "term string"
+    )
+    return corpus.blocklist_scan(docs, bl, min_hits=3)
+
+
 def q_neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (the exact
     baseline; LSH-bucketed variant is the scale path in similarity.py).
@@ -3383,6 +3424,8 @@ COST_CLASS = {
         "stream_static_join", "stream_stream_join", "stream_url_dedup",
         "tfidf_top_terms", "traj_tiles", "trigram_xent",
         "winnow_fingerprints", "wordpiece_encode",
+        # new in r14
+        "langid_confident", "blocklist_scan",
     ]},
     # tens of seconds (iterative fits / plan-time DP pyramids)
     **{k: "tens" for k in [
@@ -3399,74 +3442,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one in-window representative; keys certified green in earlier rounds
     # rotate behind position 50 and back in on later rounds.
     return {
-        # ROUND 13 WINDOW (first 50 = driver-certified this round).
-        # Policy unchanged (never/longest-uncertified first). Composition
-        # per the r12 verdict: the FOUR keys added after the r12 window was
-        # fixed (never driver-certified), then the four operators TOUCHED
-        # in round 12 (terciles materialization; dense-cell eps/2
-        # refinement behind the dbscan keys), then the oldest-certified
-        # r10 cohort. The FIRST SIX new round-13 keys sit at the dict
-        # head (the ~6-new-keys-per-window budget); round-13 additions
-        # beyond that lead the position-51+ block and certify in r14
-        # (window arithmetic is recorded in BASELINE.md).
-        # --- new in round 13 (never certified) ---
-        "spm_train": q_spm_train,
-        "spm_encode": q_spm_encode,
-        "dedup_semantic_kmeans": q_dedup_semantic_kmeans,
-        "langid_classifier": q_langid_classifier,
-        "dedup_url": q_dedup_url,
-        "kmeans_labels": q_kmeans_labels,
-        # --- never driver-certified (added post-r12-window) ---
-        "hybrid_rrf": q_hybrid_rrf,
-        "mixture_temperature": q_mixture_temperature,
-        "stream_countmin": q_stream_countmin,
-        "decontam_semantic": q_decontam_semantic,
-        # --- operators touched in round 12 ---
-        "quality_terciles": q_quality_terciles,
-        "dbscan_merge_events": q_dbscan_merge_events,
-        "dbscan_ladder": q_dbscan_ladder,
-        "emb_transform_dbscan": q_emb_transform_dbscan,
-        # --- oldest certified: r10 cohort (alphabetical tail slips to r14) ---
-        "g8_rayleigh": q_g8_rayleigh,
-        "stream_parquet_drain": q_stream_parquet_drain,
-        "dedup_best_survivors": q_dedup_best_survivors,
-        "select_token_budget": q_select_token_budget,
-        "gopher_repetition": q_gopher_repetition,
-        "incremental_dedup": q_incremental_dedup,
-        "dsir_logratio": q_dsir_logratio,
-        "stream_incremental_dedup": q_stream_incremental_dedup,
-        "r2_scene_pairs": q_r2_scene_pairs,
-        "spec_triplet_pipeline": q_spec_triplet_pipeline,
-        "dedup_survivors": q_dedup_survivors,
-        "dedup_semantic": q_dedup_semantic,
-        "dedup_components": q_dedup_components,
-        "spec_scene_images": q_spec_scene_images,
-        "a15_distinct_users": q_a15_distinct_users,
-        "a6_ecdf": q_a6_ecdf,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "derived_dag": q_derived_dag,
-        "doc_fingerprint": q_doc_fingerprint,
-        "e2_string_ops": q_e2_string_ops,
-        "e7_json_map": q_e7_json_map,
-        "f6_filter_dsl": q_f6_filter_dsl,
-        "f8_dropna_slice": q_f8_dropna_slice,
-        "g2_tile_pixel_slice": q_g2_tile_pixel_slice,
-        "g9_optical_flow": q_g9_optical_flow,
-        "hll_user_counts": q_hll_user_counts,
-        "j6_emb_aux_join": q_j6_emb_aux_join,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "neardup_cosine_pairs": q_neardup_cosine_pairs,
-        "o4_topk": q_o4_topk,
-        "s3_calendar_scan": q_s3_calendar_scan,
-        "scene_table": q_scene_table,
-        "similarity_lsh_topk": q_similarity_lsh_topk,
-        "traj_tiles": q_traj_tiles,
-        "u3_anti_join": q_u3_anti_join,
-        # ---------------- position 51+: rotated out this round ----------
-        # First: round-13 additions beyond the ~6-new-keys-per-window
-        # budget (BASELINE.md policy: split certification into driver
-        # batches) — never driver-certified, MUST lead the r14 window.
+        # ROUND 14 WINDOW (first 50 = driver-certified this round).
+        # Composition per the r13 verdict: the EIGHT round-13 keys that
+        # never got a driver row (split-certification policy, parked at
+        # 51+ last round), then the TWO new r14 keys (new-key budget 2,
+        # well under the <=6 policy cap given the window debt), then the
+        # TWELVE r10 keys reaching 4-round staleness, then the 28 oldest
+        # r11-certified keys. The 20 r11 keys that did not fit lead the
+        # r15 window (BASELINE.md window arithmetic).
+        # --- never driver-certified (added post-r13-window) ---
         "c4_filters": q_c4_filters,
         "winnow_fingerprints": q_winnow_fingerprints,
         "hard_negatives": q_hard_negatives,
@@ -3475,12 +3459,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_encode": q_wordpiece_encode,
         "stream_url_dedup": q_stream_url_dedup,
         "stream_c4_filters": q_stream_c4_filters,
-        # Then the r10-certified remainder that did not fit
-        # (w2_argmin_per_group, w3_local_peaks, x1_user_function,
-        # x2_dotted_udaf, x3_batch_embed, x4_pca were displaced past 50
-        # by the six new round-13 window keys) — they reach the 4-round
-        # staleness bound in r14 and follow the never-certified keys
-        # there; then the r12 cohort.
+        # --- new in round 14 (never certified) ---
+        "langid_confident": q_langid_confident,
+        "blocklist_scan": q_blocklist_scan,
+        # --- r10-certified, 4 rounds stale ---
         "w2_argmin_per_group": q_w2_argmin_per_group,
         "w3_local_peaks": q_w3_local_peaks,
         "x1_user_function": q_x1_user_function,
@@ -3493,7 +3475,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": q_stream_stream_join,
         "j2_asof_single": q_j2_asof_single,
         "j3_asof_all_within": q_j3_asof_all_within,
-        # r12-certified (fresh; rotate back in r15)
+        # --- oldest certified: r11 cohort (first 28; rest lead r15) ---
+        "dedup_minhash": q_dedup_minhash,
+        "dbscan_cell_stats": q_dbscan_cell_stats,
+        "bigram_xent": q_bigram_xent,
+        "decontam_substring": q_decontam_substring,
+        "decontam_excise": q_decontam_excise,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        "dsir_hashed": q_dsir_hashed,
+        "f4_traj_snap": q_f4_traj_snap,
+        "a3_min_spacing": q_a3_min_spacing,
+        "a7_equidepth": q_a7_equidepth,
+        "w6_sequential_scan": q_w6_sequential_scan,
+        "stream_seen_filter": q_stream_seen_filter,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_corpus_stats": q_text_corpus_stats,
+        "text_gopher_quality": q_text_gopher_quality,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "decontam_ngram_overlap": q_decontam_ngram_overlap,
+        "unigram_xent": q_unigram_xent,
+        "pack_chunks": q_pack_chunks,
+        "mixture_rates": q_mixture_rates,
+        "token_windows": q_token_windows,
+        "sample_quality_weighted": q_sample_quality_weighted,
+        "dedup_exact_prefix": q_dedup_exact_prefix,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "simhash": q_simhash,
+        "a4_binned_1d": q_a4_binned_1d,
+        # ---------------- position 51+: rotated out this round ----------
+        # r11-certified remainder that did not fit -- these reach 4-round
+        # staleness in r15 and MUST lead the r15 window:
+        "a5_binned_2d": q_a5_binned_2d,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_spans": q_dedup_spans,
+        "vocab_build": q_vocab_build,
+        "vocab_encode": q_vocab_encode,
+        "corpus_entropy": q_corpus_entropy,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "stream_daily_counts": q_stream_daily_counts,
+        "stream_dedup_watermark": q_stream_dedup_watermark,
+        "g1_nearest_regrid": q_g1_nearest_regrid,
+        "u1_union_by_name": q_u1_union_by_name,
+        "o3_distinct": q_o3_distinct,
+        "e5_array_roundtrip": q_e5_array_roundtrip,
+        "f2_datetime_components": q_f2_datetime_components,
+        "s5_calendar_offset_missing": q_s5_calendar_offset_missing,
+        "r1_split": q_r1_split,
+        "spec_regridded_bilinear": q_spec_regridded_bilinear,
+        "spec_scene_filter": q_spec_scene_filter,
+        "s2_goes16_query": q_s2_goes16_query,
+        "s4_era5_manifest": q_s4_era5_manifest,
+        # r12-certified (rotate back in r15/r16)
         "dedup_exact_substring": q_dedup_exact_substring,
         "trigram_xent": q_trigram_xent,
         "bpe_train": q_bpe_train,
@@ -3544,55 +3578,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_sessionize": q_w7_sessionize,
         "a14_rollup": q_a14_rollup,
         "sketch_quantiles": q_sketch_quantiles,
-        # r11-certified (freshest of the pre-r12 cohorts)
-        "dedup_minhash": q_dedup_minhash,
-        "dbscan_cell_stats": q_dbscan_cell_stats,
-        "bigram_xent": q_bigram_xent,
-        "decontam_substring": q_decontam_substring,
-        "decontam_excise": q_decontam_excise,
-        "cdc_chunk_dedup": q_cdc_chunk_dedup,
-        "dsir_hashed": q_dsir_hashed,
-        "f4_traj_snap": q_f4_traj_snap,
-        "a3_min_spacing": q_a3_min_spacing,
-        "a7_equidepth": q_a7_equidepth,
-        "w6_sequential_scan": q_w6_sequential_scan,
-        "stream_seen_filter": q_stream_seen_filter,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_corpus_stats": q_text_corpus_stats,
-        "text_gopher_quality": q_text_gopher_quality,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "decontam_ngram_overlap": q_decontam_ngram_overlap,
-        "unigram_xent": q_unigram_xent,
-        "pack_chunks": q_pack_chunks,
-        "mixture_rates": q_mixture_rates,
-        "token_windows": q_token_windows,
-        "sample_quality_weighted": q_sample_quality_weighted,
-        "dedup_exact_prefix": q_dedup_exact_prefix,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "simhash": q_simhash,
-        "a4_binned_1d": q_a4_binned_1d,
-        "a5_binned_2d": q_a5_binned_2d,
-        "dedup_minhash_sigs": q_dedup_minhash_sigs,
-        "dedup_spans": q_dedup_spans,
-        "vocab_build": q_vocab_build,
-        "vocab_encode": q_vocab_encode,
-        "corpus_entropy": q_corpus_entropy,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "stream_daily_counts": q_stream_daily_counts,
-        "stream_dedup_watermark": q_stream_dedup_watermark,
-        "g1_nearest_regrid": q_g1_nearest_regrid,
-        "u1_union_by_name": q_u1_union_by_name,
-        "o3_distinct": q_o3_distinct,
-        "e5_array_roundtrip": q_e5_array_roundtrip,
-        "f2_datetime_components": q_f2_datetime_components,
-        "s5_calendar_offset_missing": q_s5_calendar_offset_missing,
-        "r1_split": q_r1_split,
-        "spec_regridded_bilinear": q_spec_regridded_bilinear,
-        "spec_scene_filter": q_spec_scene_filter,
-        "s2_goes16_query": q_s2_goes16_query,
-        "s4_era5_manifest": q_s4_era5_manifest,
+        # r13-certified (freshest)
+        "spm_train": q_spm_train,
+        "spm_encode": q_spm_encode,
+        "dedup_semantic_kmeans": q_dedup_semantic_kmeans,
+        "langid_classifier": q_langid_classifier,
+        "dedup_url": q_dedup_url,
+        "kmeans_labels": q_kmeans_labels,
+        "hybrid_rrf": q_hybrid_rrf,
+        "mixture_temperature": q_mixture_temperature,
+        "stream_countmin": q_stream_countmin,
+        "decontam_semantic": q_decontam_semantic,
+        "quality_terciles": q_quality_terciles,
+        "dbscan_merge_events": q_dbscan_merge_events,
+        "dbscan_ladder": q_dbscan_ladder,
+        "emb_transform_dbscan": q_emb_transform_dbscan,
+        "g8_rayleigh": q_g8_rayleigh,
+        "stream_parquet_drain": q_stream_parquet_drain,
+        "dedup_best_survivors": q_dedup_best_survivors,
+        "select_token_budget": q_select_token_budget,
+        "gopher_repetition": q_gopher_repetition,
+        "incremental_dedup": q_incremental_dedup,
+        "dsir_logratio": q_dsir_logratio,
+        "stream_incremental_dedup": q_stream_incremental_dedup,
+        "r2_scene_pairs": q_r2_scene_pairs,
+        "spec_triplet_pipeline": q_spec_triplet_pipeline,
+        "dedup_survivors": q_dedup_survivors,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_components": q_dedup_components,
+        "spec_scene_images": q_spec_scene_images,
+        "a15_distinct_users": q_a15_distinct_users,
+        "a6_ecdf": q_a6_ecdf,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "derived_dag": q_derived_dag,
+        "doc_fingerprint": q_doc_fingerprint,
+        "e2_string_ops": q_e2_string_ops,
+        "e7_json_map": q_e7_json_map,
+        "f6_filter_dsl": q_f6_filter_dsl,
+        "f8_dropna_slice": q_f8_dropna_slice,
+        "g2_tile_pixel_slice": q_g2_tile_pixel_slice,
+        "g9_optical_flow": q_g9_optical_flow,
+        "hll_user_counts": q_hll_user_counts,
+        "j6_emb_aux_join": q_j6_emb_aux_join,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "neardup_cosine_pairs": q_neardup_cosine_pairs,
+        "o4_topk": q_o4_topk,
+        "s3_calendar_scan": q_s3_calendar_scan,
+        "scene_table": q_scene_table,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
+        "traj_tiles": q_traj_tiles,
+        "u3_anti_join": q_u3_anti_join,
     }
 
 
@@ -4644,11 +4680,15 @@ def _dedup_url_oracle_sql(max_per_host: int = 20, seed: int = 42) -> str:
         """
 
 
-def _langid_classifier_oracle_sql(n_buckets: int = 1024) -> str:
-    """langid_classifier replay: the lexicon weight relation inlined as
-    VALUES (same Python construction as langid_lexicon_weights), then
-    the quality_classifier tokenize/bucket replay with a per-(doc, lang)
-    DECIMAL sum and a (margin DESC, priority) argmax window."""
+def _langid_ctes(n_buckets: int = 1024) -> str:
+    """Shared langid CTE body (w, tok, cnt, hits, best, per): the
+    lexicon weight relation inlined as VALUES (same Python construction
+    as langid_lexicon_weights), then the quality_classifier
+    tokenize/bucket replay with a per-(doc, lang) DECIMAL sum and a
+    (margin DESC, priority) argmax window. ``per`` carries
+    (doc_id, n_tokens, lang_pred, margin) — the langid_classifier
+    contract — and is shared by the classifier and calibration oracles
+    so the two cannot drift apart."""
     from convml_data_spark.operators.corpus import (
         LANGID_PRIORITY,
         langid_lexicon_counts,
@@ -4662,7 +4702,7 @@ def _langid_classifier_oracle_sql(n_buckets: int = 1024) -> str:
         f"WHEN '{lang}' THEN {i + 1}" for i, lang in enumerate(LANGID_PRIORITY)
     )
     return f"""
-            WITH w(bucket, lang, weight) AS (VALUES {vals}),
+            w(bucket, lang, weight) AS (VALUES {vals}),
             tok AS (
                 SELECT doc_id,
                        unnest(COALESCE(list_filter(
@@ -4691,12 +4731,164 @@ def _langid_classifier_oracle_sql(n_buckets: int = 1024) -> str:
                         ORDER BY s DESC, CASE lang {prio} END, lang
                     ) AS rn FROM hits
                 ) WHERE rn = 1
+            ), per AS (
+                SELECT c.doc_id, c.n_tokens,
+                       COALESCE(b.lang, '{LANGID_PRIORITY[0]}') AS lang_pred,
+                       round(COALESCE(CAST(b.s AS DOUBLE), 0.0) / c.n_tokens, 6)
+                           AS margin
+                FROM cnt c LEFT JOIN best b USING (doc_id)
+            )"""
+
+
+def _langid_classifier_oracle_sql(n_buckets: int = 1024) -> str:
+    """langid_classifier replay — the shared :func:`_langid_ctes` body,
+    projected."""
+    return f"""
+            WITH {_langid_ctes(n_buckets)}
+            SELECT doc_id, n_tokens, lang_pred, margin FROM per
+        """
+
+
+def _langid_confident_oracle_sql(
+    n_buckets: int = 1024, holdout_mod: int = 5, conf_threshold: float = 0.5
+) -> str:
+    """langid_confident replay: the shared langid ``per`` relation, then
+    corpus.langid_calibrated's calibration head. The margin tercile cuts
+    are NOT quantile_cont: margins carry heavy ties (mass points), the
+    1/3 cut lands ON one, and DuckDB's quantile_cont interpolation
+    (lo*(1-f) + hi*f shape) emits lo + 4e-18 where exact_quantiles'
+    ``vlo + (vhi-vlo)*frac`` emits exactly lo — 18 docs flipped buckets
+    at sf0.1 (invisible at sf0.01). So the cuts here replay
+    exact_quantiles' formula VERBATIM over explicit order statistics
+    (pos=(n-1)*q, lo=floor, hi=min(lo+1, n-1), vlo+(vhi-vlo)*frac) —
+    bit-identical IEEE in both engines. The lang_guess CASE chain is the
+    independent holdout label (lists generated from LANG_STOPWORDS so
+    the engines share one lexicon), and the per-bucket agreement rate
+    uses explicit IEEE rounding (floor(x*1e6 + 0.5)/1e6 — the
+    derived_dag round-tie pattern)."""
+    from convml_data_spark.functions.text import LANG_STOPWORDS
+
+    def lst(lang: str) -> str:
+        return ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+
+    return f"""
+            WITH {_langid_ctes(n_buckets)},
+            o AS (
+                SELECT margin AS v,
+                       row_number() OVER (ORDER BY margin) - 1 AS r
+                FROM per
+            ), cp AS (
+                SELECT n, (n - 1) * (1.0/3.0) AS p1,
+                          (n - 1) * (2.0/3.0) AS p2
+                FROM (SELECT count(*) AS n FROM per)
+            ), cuts AS (
+                -- exact_quantiles' interpolation, verbatim:
+                -- vlo + (vhi - vlo) * frac, frac = pos - floor(pos)
+                SELECT
+                    CASE WHEN cp.p1 = floor(cp.p1) THEN l1.v
+                         ELSE l1.v + (h1.v - l1.v) * (cp.p1 - floor(cp.p1))
+                    END AS c1,
+                    CASE WHEN cp.p2 = floor(cp.p2) THEN l2.v
+                         ELSE l2.v + (h2.v - l2.v) * (cp.p2 - floor(cp.p2))
+                    END AS c2
+                FROM cp
+                JOIN o l1 ON l1.r = CAST(floor(cp.p1) AS BIGINT)
+                JOIN o h1 ON h1.r = least(CAST(floor(cp.p1) AS BIGINT)
+                    + (CASE WHEN cp.p1 = floor(cp.p1) THEN 0 ELSE 1 END), cp.n - 1)
+                JOIN o l2 ON l2.r = CAST(floor(cp.p2) AS BIGINT)
+                JOIN o h2 ON h2.r = least(CAST(floor(cp.p2) AS BIGINT)
+                    + (CASE WHEN cp.p2 = floor(cp.p2) THEN 0 ELSE 1 END), cp.n - 1)
+            ), bkt AS (
+                SELECT p.*,
+                       CASE WHEN p.margin < c.c1 THEN 'tail'
+                            WHEN p.margin < c.c2 THEN 'middle'
+                            ELSE 'head' END AS bucket
+                FROM per p CROSS JOIN cuts c
+            ), lab AS (
+                SELECT doc_id,
+                       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                            WHEN s_fr >= s_es THEN 'fr'
+                            ELSE 'es' END AS label
+                FROM (
+                    SELECT doc_id,
+                           CAST(len(list_filter(toks, x -> x IN ({lst('en')}))) AS DOUBLE) / greatest(len(toks), 1) AS s_en,
+                           CAST(len(list_filter(toks, x -> x IN ({lst('de')}))) AS DOUBLE) / greatest(len(toks), 1) AS s_de,
+                           CAST(len(list_filter(toks, x -> x IN ({lst('fr')}))) AS DOUBLE) / greatest(len(toks), 1) AS s_fr,
+                           CAST(len(list_filter(toks, x -> x IN ({lst('es')}))) AS DOUBLE) / greatest(len(toks), 1) AS s_es
+                    FROM (
+                        SELECT doc_id,
+                               COALESCE(list_filter(
+                                   string_split_regex(lower(text), '\\s+'),
+                                   x -> x != ''), []) AS toks
+                        FROM documents WHERE doc_id % {holdout_mod} = 0
+                    )
+                )
+            ), calib AS (
+                SELECT bucket,
+                       floor(1e6 * (SUM(CASE WHEN b.lang_pred = l.label
+                                             THEN 1 ELSE 0 END)
+                                    / count(*)) + 0.5) / 1e6 AS conf
+                FROM bkt b JOIN lab l USING (doc_id)
+                WHERE b.doc_id % {holdout_mod} = 0
+                GROUP BY bucket
             )
-            SELECT c.doc_id, c.n_tokens,
-                   COALESCE(b.lang, '{LANGID_PRIORITY[0]}') AS lang_pred,
-                   round(COALESCE(CAST(b.s AS DOUBLE), 0.0) / c.n_tokens, 6)
-                       AS margin
-            FROM cnt c LEFT JOIN best b USING (doc_id)
+            SELECT b.doc_id, b.n_tokens, b.lang_pred, b.margin, b.bucket,
+                   COALESCE(c.conf, 0.0) AS calib_conf,
+                   COALESCE(c.conf, 0.0) >= {float(conf_threshold)!r} AS confident
+            FROM bkt b LEFT JOIN calib c USING (bucket)
+        """
+
+
+def _blocklist_scan_oracle_sql(
+    terms: tuple[str, ...], min_hits: int = 3
+) -> str:
+    """blocklist_scan replay: the term list inlined as VALUES, corpus
+    word n-grams per distinct term width (width-1 = the token list
+    itself; width-n = position-zipped space joins, identical strings to
+    functions.text.ngrams_from_tokens), one join, per-doc counts, LEFT
+    join so zero-hit/zero-token docs keep their row."""
+    widths = sorted({len(t.split()) for t in terms})
+    vals = ", ".join(f"('{t.lower()}')" for t in sorted(set(terms)))
+    gram_parts = []
+    for w in widths:
+        if w == 1:
+            gram_parts.append(
+                "SELECT doc_id, unnest(toks) AS term FROM toks"
+            )
+        else:
+            join = " || ' ' || ".join(f"toks[i+{j}]" for j in range(w))
+            gram_parts.append(
+                f"""SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(toks) - {w - 1}),
+                           i -> {join})) AS term
+                    FROM toks"""
+            )
+    grams = " UNION ALL ".join(gram_parts)
+    return f"""
+            WITH bl(term) AS (VALUES {vals}),
+            toks AS (
+                SELECT doc_id,
+                       COALESCE(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x != ''), []) AS toks
+                FROM documents
+            ), grams AS (
+                {grams}
+            ), hit AS (
+                SELECT g.doc_id, g.term FROM grams g JOIN bl USING (term)
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_hits,
+                       count(DISTINCT term) AS n_terms
+                FROM hit GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(a.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(COALESCE(a.n_terms, 0) AS BIGINT) AS n_terms,
+                   COALESCE(a.n_hits, 0) >= {int(min_hits)} AS blocked
+            FROM toks t LEFT JOIN agg a USING (doc_id)
         """
 
 
@@ -6897,6 +7089,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _semantic_dedup_oracle_sql(),
         "dedup_semantic_kmeans": _semantic_dedup_kmeans_oracle_sql(),
         "langid_classifier": _langid_classifier_oracle_sql(),
+        "langid_confident": _langid_confident_oracle_sql(),
+        "blocklist_scan": _blocklist_scan_oracle_sql(BLOCKLIST_TERMS, min_hits=3),
         "dedup_url": _dedup_url_oracle_sql(),
         "kmeans_labels": _kmeans_labels_oracle_sql(),
         "c4_filters": _c4_filters_oracle_sql(),

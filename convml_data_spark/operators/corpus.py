@@ -2333,3 +2333,192 @@ def c4_line_filters(
         passed.alias("passed"),
         F.length(clean).cast("long").alias("clean_chars"),
     )
+
+
+def langid_calibrated(
+    docs: DataFrame,
+    weights: DataFrame,
+    holdout_mod: int = 5,
+    conf_threshold: float = 0.5,
+    langs: tuple[str, ...] = LANGID_PRIORITY,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Calibration head for :func:`langid_classifier` — raw argmax
+    margins are not probabilities and are not comparable across corpora,
+    so thresholding on ``margin`` directly is unprincipled. Real
+    pipelines threshold on CALIBRATED confidence (CCNet keeps docs by
+    perplexity bucket, Wenzek et al. 2020 §4.2; fastText langid
+    thresholds on predicted probability, Joulin et al. 2016). This
+    builds the calibration relation deterministically:
+
+    1. margin terciles — the score distribution is cut at its exact
+       global 1/3 and 2/3 quantiles (binning.exact_quantiles, the
+       certified distributed-selection path; cut values become plan
+       literals, the quality_terciles pattern) → bucket head/middle/tail
+       (head = highest margin).
+    2. a deterministic labeled HOLDOUT (docs with id % holdout_mod == 0,
+       labeled by the INDEPENDENT stopword-ratio heuristic
+       functions.text.lang_guess) yields each bucket's empirical
+       agreement rate = P(classifier correct | bucket) — the
+       score→empirical-rate map that makes thresholding principled.
+
+    Returns ``(id, n_tokens, lang_pred, margin, bucket, calib_conf,
+    confident)``, one row per doc the classifier scored (zero-token docs
+    emit no row — the langid_classifier contract). ``calib_conf`` is the
+    doc's bucket rate (0.0 when the bucket has no holdout members),
+    ``confident`` = calib_conf >= conf_threshold.
+
+    Engine parity: margins are round(6)-quantized so tercile cuts can
+    never straddle a doc across engines (the quality_terciles tie
+    argument); the agreement ratio uses explicit IEEE rounding
+    (floor(x*1e6 + 0.5)/1e6) on both sides — long/long division is IEEE
+    double in Spark and DuckDB alike. Scale: the scored relation is
+    materialized once (feeds the quantile jobs, bucket assignment and
+    the holdout agg); the calibration relation is ≤3 rows, broadcast."""
+    from .binning import exact_quantiles
+    from .persist import materialize_for_reuse
+
+    scored = materialize_for_reuse(
+        langid_classifier(
+            docs, weights, langs=langs, n_buckets=n_buckets,
+            id_col=id_col, text_col=text_col,
+        )
+    )
+    c1, c2 = exact_quantiles(scored, "margin", [1 / 3, 2 / 3])
+    bucket = (
+        F.when(F.col("margin") < F.lit(float(c1)), "tail")
+        .when(F.col("margin") < F.lit(float(c2)), "middle")
+        .otherwise("head")
+    )
+    labels = docs.where(F.col(id_col) % int(holdout_mod) == 0).select(
+        F.col(id_col), T.lang_guess(F.col(text_col)).alias("_label")
+    )
+    hold = (
+        scored.where(F.col(id_col) % int(holdout_mod) == 0)
+        .select(F.col(id_col), "lang_pred", bucket.alias("bucket"))
+        .join(labels, id_col)
+    )
+    calib = hold.groupBy("bucket").agg(
+        (
+            F.floor(
+                F.lit(1e6)
+                * (
+                    F.sum((F.col("lang_pred") == F.col("_label")).cast("long"))
+                    / F.count("*")
+                )
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("_conf")
+    )
+    conf = F.coalesce(F.col("_conf"), F.lit(0.0))
+    return (
+        scored.select(
+            F.col(id_col), "n_tokens", "lang_pred", "margin",
+            bucket.alias("bucket"),
+        )
+        .join(F.broadcast(calib), "bucket", "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "lang_pred",
+            "margin",
+            "bucket",
+            conf.alias("calib_conf"),
+            (conf >= F.lit(float(conf_threshold))).alias("confident"),
+        )
+    )
+
+
+def blocklist_scan(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-pattern blocklist / PII-term scan with Aho-Corasick
+    economics (thousands of patterns, ONE text traversal) recast
+    relationally: patterns live in a BOUNDED ``(term)`` relation, the
+    corpus explodes to word n-grams once per DISTINCT PATTERN WIDTH, and
+    matching is a broadcast equi-join (the bloom/decontam shape) — where
+    the per-pattern ``regexp_replace`` chain (functions/text.py PII
+    scrub) re-scans the text once per pattern and stops being viable
+    past ~10 patterns.
+
+    Multi-word terms are supported: a term's width = its token count,
+    and it matches against the corpus' word n-grams of that width
+    (case-insensitive on both sides). Returns one row PER INPUT DOC —
+    zero-hit and zero-token docs included (the inner-join-drops-entities
+    gotcha): ``(id, n_tokens, n_hits, n_terms, blocked)`` where
+    ``n_hits`` counts every occurrence, ``n_terms`` the distinct terms
+    hit, ``blocked`` = n_hits >= min_hits.
+
+    Scale: the blocklist is bounded by construction (a curated list), so
+    collecting its distinct widths at plan time is O(widths) driver
+    rows and each match join broadcasts ≤|blocklist| terms; the token
+    relation is materialized once and feeds every width's in-row n-gram
+    explode plus the final per-doc projection. Counts are map-side
+    combinable hash aggs — no windows, no driver loops."""
+    from .dedup import _spread
+    from .persist import materialize_for_reuse
+
+    terms = (
+        blocklist.select(F.lower(F.col("term")).alias("term"))
+        .select(
+            "term",
+            F.greatest(F.size(T.tokens(F.col("term"))), F.lit(0)).alias("_w"),
+        )
+        .where(F.col("_w") >= 1)
+        .distinct()
+    )
+    # bounded-relation collect (the IVF-centroid pattern): widths only
+    widths = sorted(
+        r["_w"] for r in terms.select("_w").distinct().collect()
+    )
+    base = materialize_for_reuse(
+        _spread(docs, id_col).select(
+            F.col(id_col), T.tokens(F.lower(F.col(text_col))).alias("_toks")
+        )
+    )
+    hits = None
+    for w in widths:
+        grams = base.select(
+            F.col(id_col),
+            F.explode(T.ngrams_from_tokens(F.col("_toks"), int(w))).alias(
+                "term"
+            ),
+        )
+        part = grams.join(
+            F.broadcast(terms.where(F.col("_w") == int(w)).select("term")),
+            "term",
+        ).select(F.col(id_col), "term")
+        hits = part if hits is None else hits.unionByName(part)
+    if hits is None:  # empty blocklist: no doc can be blocked
+        agg = base.select(F.col(id_col)).limit(0).select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_hits"),
+            F.lit(0).cast("long").alias("n_terms"),
+        )
+    else:
+        agg = hits.groupBy(id_col).agg(
+            F.count("*").alias("n_hits"),
+            F.countDistinct("term").alias("n_terms"),
+        )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+    return (
+        base.select(
+            F.col(id_col),
+            F.greatest(F.size("_toks"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            n_hits.alias("n_hits"),
+            F.coalesce(F.col("n_terms"), F.lit(0).cast("long")).alias("n_terms"),
+            (n_hits >= F.lit(int(min_hits))).alias("blocked"),
+        )
+    )

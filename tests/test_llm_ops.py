@@ -3091,3 +3091,142 @@ def test_hard_negatives_matches_numpy_brute_force(spark):
         cands.sort(key=lambda t: (-t[1], t[0]))
         exp.extend((q, i, s) for i, s in cands[:4])
     assert got == sorted(exp)
+
+
+# ---------------------------------------------------------------------------
+# round 14: blocklist scan + calibrated langid
+
+
+def test_blocklist_scan_counts_and_row_per_doc(spark):
+    """Crafted corpus: unigram + bigram terms, overlapping occurrences,
+    a zero-hit doc, an empty doc and a NULL-text doc — every input doc
+    keeps its row; counts are occurrence-exact."""
+    from convml_data_spark.operators import corpus
+
+    rows = [
+        (0, "bad apple bad apple tree"),       # 'bad apple' x2, 'tree' x1
+        (1, "nothing to see here"),            # zero hits
+        (2, "tree tree bad apple"),            # 'tree' x2, 'bad apple' x1
+        (3, ""),                               # empty -> 0 tokens
+        (4, None),                             # NULL -> 0 tokens
+        (5, "BAD APPLE Tree"),                 # case-insensitive
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bl = spark.createDataFrame(
+        [("bad apple",), ("tree",), ("missing-term",)], "term string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_hits"], r["n_terms"], r["blocked"])
+        for r in corpus.blocklist_scan(docs, bl, min_hits=2).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+    assert got[0] == (5, 3, 2, True)
+    assert got[1] == (4, 0, 0, False)
+    assert got[2] == (4, 3, 2, True)
+    assert got[3] == (0, 0, 0, False)
+    assert got[4] == (0, 0, 0, False)
+    assert got[5] == (3, 2, 2, True)   # lowercased on both sides
+
+
+def test_blocklist_scan_matches_brute_force_randomized(spark):
+    from convml_data_spark.operators import corpus
+
+    rng = np.random.default_rng(71)
+    vocab = [f"w{i}" for i in range(8)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 25))) for _ in range(40)]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    terms = ["w0", "w3 w4", "w1 w1 w2", "zz"]
+    bl = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_hits"], r["n_terms"], r["blocked"])
+        for r in corpus.blocklist_scan(docs, bl, min_hits=1).collect()
+    }
+
+    def expected(t):
+        ws = t.split()
+        hits, hit_terms = 0, set()
+        for term in terms:
+            tw = term.split()
+            c = sum(
+                1
+                for i in range(len(ws) - len(tw) + 1)
+                if ws[i : i + len(tw)] == tw
+            )
+            if c:
+                hits += c
+                hit_terms.add(term)
+        return (len(ws), hits, len(hit_terms), hits >= 1)
+
+    assert got == {i: expected(t) for i, t in enumerate(texts)}
+
+
+def test_langid_calibrated_buckets_and_agreement(spark):
+    """The calibration head's arithmetic cross-checked in Python: tercile
+    buckets from the margin distribution, per-bucket agreement with
+    lang_guess on the doc_id % 5 holdout, every scored doc stamped."""
+    import math
+
+    from convml_data_spark.operators import corpus
+
+    rng = np.random.default_rng(83)
+    langs = {
+        "en": "the a of and to in is it",
+        "de": "der die das und ist nicht ein zu",
+        "fr": "le la les et est un une dans",
+        "es": "el los y es un una en que",
+    }
+    rows = []
+    for i in range(60):
+        lang = ["en", "de", "fr", "es"][i % 4]
+        base = langs[lang].split()
+        noise = [f"x{rng.integers(0, 50)}" for _ in range(int(rng.integers(0, 12)))]
+        words = list(rng.permutation(base + noise))
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w = corpus.langid_lexicon_weights(spark, n_buckets=1024)
+    out = corpus.langid_calibrated(docs, w, holdout_mod=5, conf_threshold=0.5)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert len(got) == 60
+
+    scored = {
+        r["doc_id"]: (r["lang_pred"], r["margin"])
+        for r in corpus.langid_classifier(docs, w, n_buckets=1024).collect()
+    }
+    margins = sorted(m for _, m in scored.values())
+
+    def cut(q):
+        pos = (len(margins) - 1) * q
+        lo = int(pos)
+        hi = min(lo + (0 if pos == lo else 1), len(margins) - 1)
+        f = pos - lo
+        return margins[lo] + (margins[hi] - margins[lo]) * f if f else margins[lo]
+
+    c1, c2 = cut(1 / 3), cut(2 / 3)
+
+    def bucket(m):
+        return "tail" if m < c1 else ("middle" if m < c2 else "head")
+
+    from pyspark.sql import functions as F  # noqa: F401
+    labels = {
+        r["doc_id"]: r["g"]
+        for r in docs.where("doc_id % 5 = 0")
+        .select("doc_id", __import__("convml_data_spark.functions.text", fromlist=["lang_guess"]).lang_guess(docs["text"]).alias("g"))
+        .collect()
+    }
+    agree: dict = {}
+    for d, (pred, m) in scored.items():
+        if d % 5 == 0:
+            b = bucket(m)
+            tot, ok = agree.get(b, (0, 0))
+            agree[b] = (tot + 1, ok + (1 if pred == labels[d] else 0))
+    for d, r in got.items():
+        pred, m = scored[d]
+        b = bucket(m)
+        assert (r["lang_pred"], r["margin"], r["bucket"]) == (pred, m, b)
+        if b in agree:
+            tot, ok = agree[b]
+            exp_conf = math.floor(1e6 * (ok / tot) + 0.5) / 1e6
+        else:
+            exp_conf = 0.0
+        assert r["calib_conf"] == exp_conf
+        assert r["confident"] == (exp_conf >= 0.5)

@@ -553,6 +553,13 @@ SCAN_CEILINGS = {
     "wordpiece_vocab": 0, "wordpiece_encode": 2,
     # round 13: streaming drains (collector result, no batch scan in plan)
     "stream_url_dedup": 0, "stream_c4_filters": 0,
+    # round 14: calibrated langid — the scored relation hides behind its
+    # materialization (quantile jobs ran at call time); 1 = the holdout
+    # label relation's narrow (doc_id, text) scan
+    "langid_confident": 1,
+    # round 14: blocklist scan — the tokenized relation is materialized
+    # once (checkpoint-hidden); term relation is a broadcast literal
+    "blocklist_scan": 0,
 }
 
 
