@@ -3230,3 +3230,40 @@ def test_langid_calibrated_buckets_and_agreement(spark):
             exp_conf = 0.0
         assert r["calib_conf"] == exp_conf
         assert r["confident"] == (exp_conf >= 0.5)
+
+
+def test_minhash_lsh_recall_measured_at_sf01(spark):
+    """MEASURED LSH recall certificate (r13 verdict #6): the banded
+    S-curve contract says a pair at exactly the j=0.5 threshold survives
+    candidate generation with probability 1-(1-t^r)^b = 0.98997 at the
+    configured 32 hashes / 16 bands — but that was only ever asserted,
+    never measured against exact-Jaccard ground truth at a corpus scale
+    where misses could hide (the unit-scale brute-force checks cannot
+    show a tail miss). Ground truth = jaccard_dedup_prefix (exact
+    prefix-filtered all-pairs, its own certified oracle); measured =
+    minhash_dedup's verified pair set, which is a SUBSET by construction
+    (exact verify of LSH candidates). md5 hashing makes the measurement
+    deterministic: 256/256 pairs at sf0.1 → recall 1.0, recorded in
+    BASELINE.md. Assert both the subset property and recall >= the
+    S-curve bound."""
+    from convml_data_spark.operators import dedup
+    from convml_data_spark import tables
+
+    docs = tables.load_table(spark, "/root/testdata/sf0.1", "documents")
+    exact = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in dedup.jaccard_dedup_prefix(docs, threshold=0.5).collect()
+    }
+    spark.catalog.clearCache()
+    mh = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in dedup.minhash_dedup(
+            docs, threshold=0.5, num_hashes=32, bands=16
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert exact, "ground truth must be non-empty for a meaningful recall"
+    assert mh <= exact  # exact verify of candidates can never invent a pair
+    recall = len(mh & exact) / len(exact)
+    bound = 1 - (1 - 0.5 ** 2) ** 16
+    assert recall >= bound, (len(mh), len(exact), recall, bound)
