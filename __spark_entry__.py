@@ -7969,11 +7969,15 @@ def oracle_sql() -> dict[str, str]:
             FROM terms GROUP BY doc_id
         """,
         # CCNet perplexity bucketing replay: the unigram_xent program +
-        # exact terciles via quantile_cont (the a7-certified definition
-        # match for exact_quantiles) + the same strict-< CASE. Cut
-        # parity is interval-level, not bit-level: xent is
-        # round(6)-quantized, so an ulp difference in the interpolated
-        # cut cannot cross a data value.
+        # exact terciles + the same strict-< CASE. The cuts replay
+        # exact_quantiles' interpolation VERBATIM over order statistics
+        # (pos=(n-1)*q, lo=floor, hi=min(lo+1,n-1), vlo+(vhi-vlo)*frac)
+        # rather than quantile_cont: on a cut that lands ON a tied value
+        # (mass point), quantile_cont's lo*(1-f)+hi*f shape emits
+        # lo + ~1e-18 and the strict-< flips every doc AT the mass point
+        # (proven by langid_confident at sf0.1). xent values are
+        # round(6)-quantized and CAN tie, so the latent hazard is real
+        # here too — hardened round 14, value-identical on spread data.
         "quality_terciles": """
             WITH tok AS (
                 SELECT doc_id,
@@ -7991,10 +7995,29 @@ def oracle_sql() -> dict[str, str]:
                                / count(*), 6) AS xent_nats
                 FROM tok JOIN tc USING (token)
                 GROUP BY doc_id
-            ), cuts AS (
-                SELECT quantile_cont(xent_nats, 1.0/3.0) AS c1,
-                       quantile_cont(xent_nats, 2.0/3.0) AS c2
+            ), o AS (
+                SELECT xent_nats AS v,
+                       row_number() OVER (ORDER BY xent_nats) - 1 AS r
                 FROM per
+            ), cp AS (
+                SELECT n, (n - 1) * (1.0/3.0) AS p1,
+                          (n - 1) * (2.0/3.0) AS p2
+                FROM (SELECT count(*) AS n FROM per)
+            ), cuts AS (
+                SELECT
+                    CASE WHEN cp.p1 = floor(cp.p1) THEN l1.v
+                         ELSE l1.v + (h1.v - l1.v) * (cp.p1 - floor(cp.p1))
+                    END AS c1,
+                    CASE WHEN cp.p2 = floor(cp.p2) THEN l2.v
+                         ELSE l2.v + (h2.v - l2.v) * (cp.p2 - floor(cp.p2))
+                    END AS c2
+                FROM cp
+                JOIN o l1 ON l1.r = CAST(floor(cp.p1) AS BIGINT)
+                JOIN o h1 ON h1.r = least(CAST(floor(cp.p1) AS BIGINT)
+                    + (CASE WHEN cp.p1 = floor(cp.p1) THEN 0 ELSE 1 END), cp.n - 1)
+                JOIN o l2 ON l2.r = CAST(floor(cp.p2) AS BIGINT)
+                JOIN o h2 ON h2.r = least(CAST(floor(cp.p2) AS BIGINT)
+                    + (CASE WHEN cp.p2 = floor(cp.p2) THEN 0 ELSE 1 END), cp.n - 1)
             )
             SELECT doc_id, xent_nats,
                    CASE WHEN xent_nats < c1 THEN 'head'

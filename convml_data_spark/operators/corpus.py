@@ -2465,11 +2465,16 @@ def blocklist_scan(
     from .dedup import _spread
     from .persist import materialize_for_reuse
 
+    # normalize each term to its space-joined token form: the join key
+    # must equal the corpus-side n-gram string exactly, so a term with
+    # irregular whitespace ("bad  apple", tabs, padding) would otherwise
+    # silently never match despite a correct width
     terms = (
-        blocklist.select(F.lower(F.col("term")).alias("term"))
-        .select(
-            "term",
-            F.greatest(F.size(T.tokens(F.col("term"))), F.lit(0)).alias("_w"),
+        blocklist.select(
+            F.array_join(T.tokens(F.lower(F.col("term"))), " ").alias("term"),
+            F.greatest(
+                F.size(T.tokens(F.lower(F.col("term")))), F.lit(0)
+            ).alias("_w"),
         )
         .where(F.col("_w") >= 1)
         .distinct()

@@ -3112,8 +3112,10 @@ def test_blocklist_scan_counts_and_row_per_doc(spark):
         (5, "BAD APPLE Tree"),                 # case-insensitive
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # 'bad  apple' (double space) and padded ' tree ' exercise term
+    # normalization: the join key must be the space-joined token form
     bl = spark.createDataFrame(
-        [("bad apple",), ("tree",), ("missing-term",)], "term string"
+        [("bad  apple",), (" tree ",), ("missing-term",)], "term string"
     )
     got = {
         r["doc_id"]: (r["n_tokens"], r["n_hits"], r["n_terms"], r["blocked"])

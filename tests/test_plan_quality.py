@@ -364,6 +364,10 @@ def test_representative_queries_survive_ansi_mode(spark):
         # lookups inside the unrolled Viterbi projection pyramid
         # (element_at(_, 0) THROWS under ANSI when the guard is wrong)
         "spm_train", "spm_encode",
+        # round-14: size()-driven ratios over possibly-empty token
+        # arrays (blocklist), long/long division + floor rounding in the
+        # calibration head (langid_confident)
+        "langid_confident", "blocklist_scan",
     ]
     # restore by UNSET if it was unset: explicitly setting ansi false is
     # NOT the same session state as leaving it unset (size(NULL) flips
