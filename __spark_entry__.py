@@ -4680,6 +4680,49 @@ def _dedup_url_oracle_sql(max_per_host: int = 20, seed: int = 42) -> str:
         """
 
 
+def _exact_quantile_cuts_cte(rel: str, col: str, qs: list[float], names: list[str]) -> str:
+    """CTE text ``o, cp, cuts`` replaying binning.exact_quantiles'
+    interpolation VERBATIM over explicit order statistics:
+    pos = (n-1)*q, lo = floor(pos), hi = min(lo+1, n-1),
+    cut = vlo + (vhi-vlo)*frac (exactly vlo when frac = 0).
+
+    DuckDB's quantile_cont is NOT a valid replay: on a cut that lands ON
+    a mass point (tied values), its lo*(1-f)+hi*f-shaped arithmetic
+    emits lo ± ~1e-18 and any strict comparison against the cut flips
+    every row AT the mass point (proven by langid_confident at sf0.1,
+    r14). The q literals are Python float reprs, so (n-1)*q is the same
+    IEEE product Spark computes. ``rel`` must be non-empty and ``col``
+    non-NULL (exact_quantiles drops NULLs before ranking)."""
+    ps = ",\n                       ".join(
+        f"(n - 1) * {q!r} AS p{i}" for i, q in enumerate(qs, start=1)
+    )
+    sels, joins = [], []
+    for i, name in enumerate(names, start=1):
+        sels.append(
+            f"""CASE WHEN cp.p{i} = floor(cp.p{i}) THEN l{i}.v
+                         ELSE l{i}.v + (h{i}.v - l{i}.v) * (cp.p{i} - floor(cp.p{i}))
+                    END AS {name}"""
+        )
+        joins.append(
+            f"""JOIN o l{i} ON l{i}.r = CAST(floor(cp.p{i}) AS BIGINT)
+                JOIN o h{i} ON h{i}.r = least(CAST(floor(cp.p{i}) AS BIGINT)
+                    + (CASE WHEN cp.p{i} = floor(cp.p{i}) THEN 0 ELSE 1 END), cp.n - 1)"""
+        )
+    return f"""o AS (
+                SELECT {col} AS v,
+                       row_number() OVER (ORDER BY {col}) - 1 AS r
+                FROM {rel} WHERE {col} IS NOT NULL
+            ), cp AS (
+                SELECT n, {ps}
+                FROM (SELECT count(*) AS n FROM {rel} WHERE {col} IS NOT NULL)
+            ), cuts AS (
+                SELECT
+                    {",".join(sels)}
+                FROM cp
+                {" ".join(joins)}
+            )"""
+
+
 def _langid_ctes(n_buckets: int = 1024) -> str:
     """Shared langid CTE body (w, tok, cnt, hits, best, per): the
     lexicon weight relation inlined as VALUES (same Python construction
@@ -4773,32 +4816,8 @@ def _langid_confident_oracle_sql(
 
     return f"""
             WITH {_langid_ctes(n_buckets)},
-            o AS (
-                SELECT margin AS v,
-                       row_number() OVER (ORDER BY margin) - 1 AS r
-                FROM per
-            ), cp AS (
-                SELECT n, (n - 1) * (1.0/3.0) AS p1,
-                          (n - 1) * (2.0/3.0) AS p2
-                FROM (SELECT count(*) AS n FROM per)
-            ), cuts AS (
-                -- exact_quantiles' interpolation, verbatim:
-                -- vlo + (vhi - vlo) * frac, frac = pos - floor(pos)
-                SELECT
-                    CASE WHEN cp.p1 = floor(cp.p1) THEN l1.v
-                         ELSE l1.v + (h1.v - l1.v) * (cp.p1 - floor(cp.p1))
-                    END AS c1,
-                    CASE WHEN cp.p2 = floor(cp.p2) THEN l2.v
-                         ELSE l2.v + (h2.v - l2.v) * (cp.p2 - floor(cp.p2))
-                    END AS c2
-                FROM cp
-                JOIN o l1 ON l1.r = CAST(floor(cp.p1) AS BIGINT)
-                JOIN o h1 ON h1.r = least(CAST(floor(cp.p1) AS BIGINT)
-                    + (CASE WHEN cp.p1 = floor(cp.p1) THEN 0 ELSE 1 END), cp.n - 1)
-                JOIN o l2 ON l2.r = CAST(floor(cp.p2) AS BIGINT)
-                JOIN o h2 ON h2.r = least(CAST(floor(cp.p2) AS BIGINT)
-                    + (CASE WHEN cp.p2 = floor(cp.p2) THEN 0 ELSE 1 END), cp.n - 1)
-            ), bkt AS (
+            {_exact_quantile_cuts_cte("per", "margin", [1 / 3, 2 / 3], ["c1", "c2"])},
+            bkt AS (
                 SELECT p.*,
                        CASE WHEN p.margin < c.c1 THEN 'tail'
                             WHEN p.margin < c.c2 THEN 'middle'
@@ -5430,9 +5449,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
             WHERE l_quantity < 10 AND l_discount >= 0.05 AND l_returnflag = 'R'
         """,
-        "f7_percentile_filter": """
+        # strict > against an exact_quantiles cut: replay the
+        # interpolation verbatim (quantile_cont's ulp noise on a tied
+        # cut would flip boundary rows — the langid_confident hazard)
+        "f7_percentile_filter": f"""
+            WITH {_exact_quantile_cuts_cte("lineitem", "l_extendedprice", [0.95], ["c1"])}
             SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
-            WHERE l_extendedprice > (SELECT quantile_cont(l_extendedprice, 0.95) FROM lineitem)
+            WHERE l_extendedprice > (SELECT c1 FROM cuts)
         """,
         "f9_lon_wrap": """
             WITH w AS (
@@ -7978,7 +8001,7 @@ def oracle_sql() -> dict[str, str]:
         # (proven by langid_confident at sf0.1). xent values are
         # round(6)-quantized and CAN tie, so the latent hazard is real
         # here too — hardened round 14, value-identical on spread data.
-        "quality_terciles": """
+        "quality_terciles": f"""
             WITH tok AS (
                 SELECT doc_id,
                        unnest(list_filter(string_split_regex(lower(text), '\\s+'),
@@ -7995,30 +8018,7 @@ def oracle_sql() -> dict[str, str]:
                                / count(*), 6) AS xent_nats
                 FROM tok JOIN tc USING (token)
                 GROUP BY doc_id
-            ), o AS (
-                SELECT xent_nats AS v,
-                       row_number() OVER (ORDER BY xent_nats) - 1 AS r
-                FROM per
-            ), cp AS (
-                SELECT n, (n - 1) * (1.0/3.0) AS p1,
-                          (n - 1) * (2.0/3.0) AS p2
-                FROM (SELECT count(*) AS n FROM per)
-            ), cuts AS (
-                SELECT
-                    CASE WHEN cp.p1 = floor(cp.p1) THEN l1.v
-                         ELSE l1.v + (h1.v - l1.v) * (cp.p1 - floor(cp.p1))
-                    END AS c1,
-                    CASE WHEN cp.p2 = floor(cp.p2) THEN l2.v
-                         ELSE l2.v + (h2.v - l2.v) * (cp.p2 - floor(cp.p2))
-                    END AS c2
-                FROM cp
-                JOIN o l1 ON l1.r = CAST(floor(cp.p1) AS BIGINT)
-                JOIN o h1 ON h1.r = least(CAST(floor(cp.p1) AS BIGINT)
-                    + (CASE WHEN cp.p1 = floor(cp.p1) THEN 0 ELSE 1 END), cp.n - 1)
-                JOIN o l2 ON l2.r = CAST(floor(cp.p2) AS BIGINT)
-                JOIN o h2 ON h2.r = least(CAST(floor(cp.p2) AS BIGINT)
-                    + (CASE WHEN cp.p2 = floor(cp.p2) THEN 0 ELSE 1 END), cp.n - 1)
-            )
+            ), {_exact_quantile_cuts_cte("per", "xent_nats", [1 / 3, 2 / 3], ["c1", "c2"])}
             SELECT doc_id, xent_nats,
                    CASE WHEN xent_nats < c1 THEN 'head'
                         WHEN xent_nats < c2 THEN 'middle'
