@@ -3269,3 +3269,19 @@ def test_minhash_lsh_recall_measured_at_sf01(spark):
     recall = len(mh & exact) / len(exact)
     bound = 1 - (1 - 0.5 ** 2) ** 16
     assert recall >= bound, (len(mh), len(exact), recall, bound)
+
+
+def test_langid_calibrated_empty_holdout_defaults_to_zero_conf(spark):
+    """When no doc id hits the holdout modulus, the calibration relation
+    is empty: every doc must still emit a row with calib_conf 0.0 and
+    confident False (the LEFT-join + coalesce contract), never be
+    dropped or NULL."""
+    from convml_data_spark.operators import corpus
+
+    rows = [(i, "the a of and to") for i in range(1, 6)]  # no id % 7 == 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w = corpus.langid_lexicon_weights(spark, n_buckets=1024)
+    got = corpus.langid_calibrated(docs, w, holdout_mod=7).collect()
+    assert len(got) == 5
+    assert all(r["calib_conf"] == 0.0 and r["confident"] is False for r in got)
+    assert all(r["bucket"] in ("head", "middle", "tail") for r in got)
