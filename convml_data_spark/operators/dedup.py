@@ -87,6 +87,21 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def _size_ratio_ok(size_a, size_b, threshold: float):
+    """EXACT size-ratio necessary condition for J ≥ t (J ≤ min/max, so
+    q·min ≥ p·max with t = p/q read as the exact rational of its
+    decimal form). The multiplicative float form ``min >= t*max`` can
+    round UP across an integer (0.07*100 → 7.000000000000001) and drop
+    a boundary pair the exact verify — and the prefix-free oracle —
+    would keep; the integer comparison cannot."""
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    return F.lit(int(fr.denominator)) * F.least(size_a, size_b) >= F.lit(
+        int(fr.numerator)
+    ) * F.greatest(size_a, size_b)
+
+
 def jaccard_dedup_blocked(
     docs: DataFrame,
     block_cols: list[str],
@@ -117,10 +132,7 @@ def jaccard_dedup_blocked(
         # necessary size condition for J >= t: |A| >= t(|A|+|B|)/(1+t) ⇒
         # min/max size ratio >= t — an O(1) filter that skips the O(|A|+|B|)
         # array_intersect for most pairs
-        .where(
-            F.least(F.size("sh_a"), F.size("sh_b"))
-            >= F.lit(threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
-        )
+        .where(_size_ratio_ok(F.size("sh_a"), F.size("sh_b"), threshold))
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
@@ -164,17 +176,31 @@ def jaccard_dedup_prefix(
     # corpus scale; lifecycle follows the engine convention (tiler.py:99):
     # the returned DataFrame pins the persisted relations, callers drop
     # them with spark.catalog.clearCache() when the result is consumed.
+    from fractions import Fraction
+
     sh = _shingles(docs, text_col, id_col, ngram, []).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     ex = sh.select("id", F.explode("sh").alias("shingle"))
     df_counts = ex.groupBy("shingle").agg(F.count("*").alias("_df"))
     w = Window.partitionBy("id").orderBy("_df", "shingle")
+    # prefix length in INTEGER arithmetic (t read as the exact rational
+    # of its decimal representation): _rn <= n - ceil(t*n) + 1
+    # <=> p*n <= q*(n - _rn + 1). A float ceil(t*n) can round UP across
+    # an integer when t*n is adjacent to one (e.g. 0.07*100 ->
+    # 7.000000000000001 -> 8), silently shortening the prefix and
+    # dropping a boundary pair — the containment_pairs fix, applied to
+    # the symmetric filter too.
+    frac = Fraction(str(threshold))
+    p_num, q_den = frac.numerator, frac.denominator
     pre = (
         ex.join(df_counts, "shingle")
         .withColumn("_rn", F.row_number().over(w))
         .join(sh.select("id", F.size("sh").alias("_n")), "id")
-        .where(F.col("_rn") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
+        .where(
+            F.lit(int(p_num)) * F.col("_n")
+            <= F.lit(int(q_den)) * (F.col("_n") - F.col("_rn") + F.lit(1))
+        )
         # a candidate pair must SHARE a prefix token, and a shared token has
         # document frequency ≥ 2 — df=1 prefix tokens can't produce a pair,
         # so dropping them shrinks the inverted-index join without losing
@@ -193,10 +219,7 @@ def jaccard_dedup_prefix(
     pairs = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .where(
-            F.least(F.size("sh_a"), F.size("sh_b"))
-            >= F.lit(threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
-        )
+        .where(_size_ratio_ok(F.size("sh_a"), F.size("sh_b"), threshold))
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
@@ -371,10 +394,7 @@ def minhash_dedup(
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         # size-ratio necessary condition (min >= t·max ⟺ J can reach t)
-        .where(
-            F.least(F.size("sh_a"), F.size("sh_b"))
-            >= F.lit(threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
-        )
+        .where(_size_ratio_ok(F.size("sh_a"), F.size("sh_b"), threshold))
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",

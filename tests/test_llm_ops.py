@@ -3285,3 +3285,34 @@ def test_langid_calibrated_empty_holdout_defaults_to_zero_conf(spark):
     assert len(got) == 5
     assert all(r["calib_conf"] == 0.0 and r["confident"] is False for r in got)
     assert all(r["bucket"] in ("head", "middle", "tail") for r in got)
+
+
+def test_jaccard_prefix_integer_arithmetic_keeps_boundary_pair(spark):
+    """Symmetric twin of the containment boundary test, catching TWO
+    float hazards at once. A has 100 shingles, B = A's last 9 words (7
+    shingles, all shared) -> J = 7/(100+7-7) = 0.07 = t exactly.
+    (1) Prefix: A's shared shingles are its only df>=2 tokens, at ranks
+    94..100; the exact prefix is 94 (keeping rank 94, the sole shared
+    candidate token on A's side) while float ceil(0.07*100) = 8 would
+    cut it at 93 and the symmetric join (a pair needs a shared token in
+    BOTH prefixes) loses the pair. (2) Size ratio: min >= t*max reads
+    7 >= 7.000000000000001 and drops the pair at the verify stage; the
+    integer q*min >= p*max keeps it."""
+    import math
+
+    from convml_data_spark.operators import dedup
+
+    assert math.ceil(0.07 * 100) == 8  # the hazard precondition
+
+    a_words = [f"w{i:03d}" for i in range(102)]
+    rows = [
+        (0, " ".join(a_words)),
+        (1, " ".join(a_words[93:])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        tuple(sorted((r["id_a"], r["id_b"]))): r["jaccard"]
+        for r in dedup.jaccard_dedup_prefix(df, threshold=0.07).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == {(0, 1): 0.07}
