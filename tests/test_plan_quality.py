@@ -624,3 +624,31 @@ def test_every_registered_query_declares_a_cost_class():
     unknown = {k: v for k, v in classes.items()
                if v not in entrymod.COST_CLASS_CEILING_SEC}
     assert not unknown, f"undeclared cost-class names: {unknown}"
+
+
+def test_never_certified_keys_lead_the_driver_window():
+    """Window-policy gate: the driver certifies the FIRST 50 queries()
+    entries, and the standing policy (BASELINE.md) is that keys with no
+    driver row in ANY past round must sit inside that window — a
+    never-certified key parked behind position 50 silently skips
+    another round of certification (the r12/r13 split-certification
+    debt was exactly this, managed by hand; this automates the check)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    certified = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            d = json.load(fh)
+        certified.update(d.get("results", d).keys())
+    order = list(QUERIES)
+    never = [k for k in order if k not in certified]
+    window = set(order[:50])
+    parked = [k for k in never if k not in window]
+    assert not parked, (
+        f"never-driver-certified keys parked outside the 50-key window: "
+        f"{parked} — either move them into the first 50 or record the "
+        f"split-certification decision in BASELINE.md AND this test"
+    )
