@@ -2370,11 +2370,15 @@ def langid_calibrated(
     doc's bucket rate (0.0 when the bucket has no holdout members),
     ``confident`` = calib_conf >= conf_threshold.
 
-    Engine parity: margins are round(6)-quantized so tercile cuts can
-    never straddle a doc across engines (the quality_terciles tie
-    argument); the agreement ratio uses explicit IEEE rounding
-    (floor(x*1e6 + 0.5)/1e6) on both sides — long/long division is IEEE
-    double in Spark and DuckDB alike. Scale: the scored relation is
+    Engine parity: margins carry heavy ties (mass points), and a cut
+    that lands ON one exposes any sub-ulp difference in the quantile
+    arithmetic — DuckDB's quantile_cont emits lo + ~1e-18 there and
+    flips every doc at the mass point (proven at sf0.1), so the oracle
+    replays exact_quantiles' interpolation VERBATIM over order
+    statistics instead (``_exact_quantile_cuts_cte``); the agreement
+    ratio uses explicit IEEE rounding (floor(x*1e6 + 0.5)/1e6) on both
+    sides — long/long division is IEEE double in Spark and DuckDB
+    alike. Scale: the scored relation is
     materialized once (feeds the quantile jobs, bucket assignment and
     the holdout agg); the calibration relation is ≤3 rows, broadcast."""
     from .binning import exact_quantiles
