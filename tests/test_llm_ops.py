@@ -4,6 +4,7 @@ minhash accuracy, simhash locality, batch inference, PCA, multimodal decode."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from convml_data_spark.operators import dedup, inference, multimodal
@@ -3316,3 +3317,53 @@ def test_jaccard_prefix_integer_arithmetic_keeps_boundary_pair(spark):
     }
     spark.catalog.clearCache()
     assert got == {(0, 1): 0.07}
+
+
+@pytest.mark.parametrize("t", [0.07, 0.15, 0.3, 0.333333, 0.66])
+def test_jaccard_and_containment_brute_force_across_thresholds(spark, t):
+    """Threshold sweep for the r14 integer-arithmetic fixes: the prefix
+    length and size-ratio filters must match an unfiltered Python brute
+    force at awkward rationals (0.07 and 0.3 are the float-product
+    hazards; 0.333333 exercises a long decimal; 0.15/0.66 land t*n on
+    or adjacent to integers for many n in the corpus)."""
+    from convml_data_spark.operators import dedup
+
+    rng = np.random.default_rng(59)
+    vocab = [f"w{i}" for i in range(10)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(4, 30))) for _ in range(30)]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    def sh(txt):
+        ws = txt.lower().split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    shs = {i: sh(x) for i, x in enumerate(texts)}
+
+    got_j = {
+        tuple(sorted((r["id_a"], r["id_b"]))): r["jaccard"]
+        for r in dedup.jaccard_dedup_prefix(df, threshold=t).collect()
+    }
+    spark.catalog.clearCache()
+    exp_j = {}
+    for a in shs:
+        for b in shs:
+            if a < b and (shs[a] or shs[b]):
+                i = len(shs[a] & shs[b])
+                u = len(shs[a] | shs[b])
+                if u and i / u >= t:  # same IEEE compare as the engine
+                    exp_j[(a, b)] = round(i / u, 6)
+    assert got_j == exp_j, (t, len(got_j), len(exp_j))
+
+    got_c = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(df, threshold=t).collect()
+    }
+    spark.catalog.clearCache()
+    exp_c = {}
+    for a in shs:
+        for b in shs:
+            if a != b and shs[a]:
+                c = len(shs[a] & shs[b]) / len(shs[a])
+                if c >= t:
+                    exp_c[(a, b)] = round(c, 6)
+    assert got_c == exp_c, (t, len(got_c), len(exp_c))
