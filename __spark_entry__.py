@@ -4690,11 +4690,22 @@ def _exact_quantile_cuts_cte(rel: str, col: str, qs: list[float], names: list[st
     a mass point (tied values), its lo*(1-f)+hi*f-shaped arithmetic
     emits lo ± ~1e-18 and any strict comparison against the cut flips
     every row AT the mass point (proven by langid_confident at sf0.1,
-    r14). The q literals are Python float reprs, so (n-1)*q is the same
-    IEEE product Spark computes. ``rel`` must be non-empty and ``col``
-    non-NULL (exact_quantiles drops NULLs before ranking)."""
+    r14). The q literal is CAST AS DOUBLE because DuckDB would otherwise
+    parse the repr as DECIMAL(17,16) and compute (n-1)*q in
+    DECIMAL(36,16) arithmetic — at n=100, q=1/3 the DECIMAL product is
+    32.9999999999999967 while the IEEE product Spark computes is
+    33.0000000000000036, so floor() disagrees and the cut lands in a
+    DIFFERENT order-statistic interval (r14 ADVICE, verified
+    empirically). With the cast, pos/lo/hi/frac match Spark bit-for-bit;
+    the interpolation product (vhi-vlo)*frac may still differ at
+    FMA/1-ulp level between engines, so callers must either compare
+    quantized data (round(6)/2-dp columns, where both cuts sit strictly
+    inside the same inter-value gap) or tolerate last-ulp cut skew.
+    ``rel`` must be non-empty and ``col`` non-NULL (exact_quantiles
+    drops NULLs before ranking)."""
     ps = ",\n                       ".join(
-        f"(n - 1) * {q!r} AS p{i}" for i, q in enumerate(qs, start=1)
+        f"(n - 1) * CAST({q!r} AS DOUBLE) AS p{i}"
+        for i, q in enumerate(qs, start=1)
     )
     sels, joins = [], []
     for i, name in enumerate(names, start=1):
@@ -4866,9 +4877,18 @@ def _blocklist_scan_oracle_sql(
     word n-grams per distinct term width (width-1 = the token list
     itself; width-n = position-zipped space joins, identical strings to
     functions.text.ngrams_from_tokens), one join, per-doc counts, LEFT
-    join so zero-hit/zero-token docs keep their row."""
-    widths = sorted({len(t.split()) for t in terms})
-    vals = ", ".join(f"('{t.lower()}')" for t in sorted(set(terms)))
+    join so zero-hit/zero-token docs keep their row.
+
+    Terms are normalized EXACTLY like the engine (corpus.blocklist_scan
+    tokenizes each term and space-rejoins): lowercase + whitespace
+    collapse via ``' '.join(t.lower().split())`` — a term with tabs,
+    double spaces, or padding must produce the same join key and the
+    same width on both sides. Single quotes are SQL-escaped before
+    inlining into VALUES (r14 ADVICE: an apostrophe would otherwise
+    break the generated SQL)."""
+    norm = sorted({" ".join(t.lower().split()) for t in terms})
+    widths = sorted({len(t.split()) for t in norm})
+    vals = ", ".join("('{}')".format(t.replace("'", "''")) for t in norm)
     gram_parts = []
     for w in widths:
         if w == 1:

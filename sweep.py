@@ -93,6 +93,15 @@ def main() -> int:
         ceiling = entrymod.COST_CLASS_CEILING_SEC.get(
             entrymod.COST_CLASS.get(name, "seconds")
         )
+        # Streaming keys pay a per-key temp-dir + state-store setup that a
+        # same-session retry does NOT amortize (each drain rebuilds it), so
+        # rotation cold-start false-tripped the r14 ratchet twice
+        # (stream_static_join 1.76->5.96 s, stream_stream_join
+        # 6.70->17.40 s; both at baseline standalone). One unmeasured
+        # pre-warm drain absorbs the cold JVM/codegen cost before the
+        # measured runs.
+        if name.startswith("stream_"):
+            run_once()
         dt, n, err = run_once()
         runs = [dt]
         if not err and name in prev and "err" not in prev[name]:
@@ -106,7 +115,13 @@ def main() -> int:
                     break
                 runs.append(rdt)
                 dt = min(dt, rdt)
-        elif not err and name not in prev:
+        elif not err:
+            # NEW key, or a key whose PREVIOUS sweep crashed (a fixed
+            # crash has no usable 'sec' baseline): both are judged on
+            # the cost-class ceiling, so both get the min-of-N
+            # re-measure — a single cold measurement must not be the
+            # verdict (r14 ADVICE: the prev-err case bypassed both
+            # re-measure loops yet still hit the cost-class trip).
             while dt > 3.0 * ceiling and len(runs) <= EXTRA_RUNS:
                 rdt, rn, rerr = run_once()
                 if rerr:
