@@ -3442,71 +3442,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one in-window representative; keys certified green in earlier rounds
     # rotate behind position 50 and back in on later rounds.
     return {
-        # ROUND 14 WINDOW (first 50 = driver-certified this round).
-        # Composition per the r13 verdict: the EIGHT round-13 keys that
-        # never got a driver row (split-certification policy, parked at
-        # 51+ last round), then the TWO new r14 keys (new-key budget 2,
-        # well under the <=6 policy cap given the window debt), then the
-        # TWELVE r10 keys reaching 4-round staleness, then the 28 oldest
-        # r11-certified keys. The 20 r11 keys that did not fit lead the
-        # r15 window (BASELINE.md window arithmetic).
-        # --- never driver-certified (added post-r13-window) ---
-        "c4_filters": q_c4_filters,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "hard_negatives": q_hard_negatives,
-        "dedup_containment": q_dedup_containment,
-        "wordpiece_vocab": q_wordpiece_vocab,
-        "wordpiece_encode": q_wordpiece_encode,
-        "stream_url_dedup": q_stream_url_dedup,
-        "stream_c4_filters": q_stream_c4_filters,
-        # --- new in round 14 (never certified) ---
-        "langid_confident": q_langid_confident,
-        "blocklist_scan": q_blocklist_scan,
-        # --- r10-certified, 4 rounds stale ---
-        "w2_argmin_per_group": q_w2_argmin_per_group,
-        "w3_local_peaks": q_w3_local_peaks,
-        "x1_user_function": q_x1_user_function,
-        "x2_dotted_udaf": q_x2_dotted_udaf,
-        "x3_batch_embed": q_x3_batch_embed,
-        "x4_pca": q_x4_pca,
-        "spec_aux_derived": q_spec_aux_derived,
-        "spec_regridded_scenes": q_spec_regridded_scenes,
-        "stream_static_join": q_stream_static_join,
-        "stream_stream_join": q_stream_stream_join,
-        "j2_asof_single": q_j2_asof_single,
-        "j3_asof_all_within": q_j3_asof_all_within,
-        # --- oldest certified: r11 cohort (first 28; rest lead r15) ---
-        "dedup_minhash": q_dedup_minhash,
-        "dbscan_cell_stats": q_dbscan_cell_stats,
-        "bigram_xent": q_bigram_xent,
-        "decontam_substring": q_decontam_substring,
-        "decontam_excise": q_decontam_excise,
-        "cdc_chunk_dedup": q_cdc_chunk_dedup,
-        "dsir_hashed": q_dsir_hashed,
-        "f4_traj_snap": q_f4_traj_snap,
-        "a3_min_spacing": q_a3_min_spacing,
-        "a7_equidepth": q_a7_equidepth,
-        "w6_sequential_scan": q_w6_sequential_scan,
-        "stream_seen_filter": q_stream_seen_filter,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_corpus_stats": q_text_corpus_stats,
-        "text_gopher_quality": q_text_gopher_quality,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "decontam_ngram_overlap": q_decontam_ngram_overlap,
-        "unigram_xent": q_unigram_xent,
-        "pack_chunks": q_pack_chunks,
-        "mixture_rates": q_mixture_rates,
-        "token_windows": q_token_windows,
-        "sample_quality_weighted": q_sample_quality_weighted,
-        "dedup_exact_prefix": q_dedup_exact_prefix,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "simhash": q_simhash,
-        "a4_binned_1d": q_a4_binned_1d,
-        # ---------------- position 51+: rotated out this round ----------
-        # r11-certified remainder that did not fit -- these reach 4-round
-        # staleness in r15 and MUST lead the r15 window:
+        # ROUND 15 WINDOW (first 50 = driver-certified this round).
+        # Composition per the r14 verdict: the TWENTY r11-certified keys
+        # that reached 4-round staleness (parked at 51-70 last round),
+        # then the THIRTY oldest r12-certified keys in dict order. New
+        # r15 keys (never certified) are inserted directly after the r11
+        # block, displacing the tail of the r12 block below position 50
+        # (the never-certified and staleness-lead gates in
+        # tests/test_plan_quality.py enforce both halves of the policy).
+        # --- r11-certified, 4 rounds stale: MUST certify this round ---
         "a5_binned_2d": q_a5_binned_2d,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_spans": q_dedup_spans,
@@ -3527,7 +3471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spec_scene_filter": q_spec_scene_filter,
         "s2_goes16_query": q_s2_goes16_query,
         "s4_era5_manifest": q_s4_era5_manifest,
-        # r12-certified (rotate back in r15/r16)
+        # --- new in round 15 (never certified) are inserted here ---
+        # --- oldest certified: r12 cohort (first 30) ---
         "dedup_exact_substring": q_dedup_exact_substring,
         "trigram_xent": q_trigram_xent,
         "bpe_train": q_bpe_train,
@@ -3558,6 +3503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_minmax_norm": q_a11_minmax_norm,
         "q3_shipping_priority": q_q3_shipping_priority,
         "g1_bilinear_regrid": q_g1_bilinear_regrid,
+        # ---------------- position 51+: rotated out this round ----------
+        # r12-certified remainder (lead the r16 window with these)
         "g4_crop_pad": q_g4_crop_pad,
         "g6_spanning_domain": q_g6_spanning_domain,
         "g7_tangent_projection": q_g7_tangent_projection,
@@ -3578,7 +3525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_sessionize": q_w7_sessionize,
         "a14_rollup": q_a14_rollup,
         "sketch_quantiles": q_sketch_quantiles,
-        # r13-certified (freshest)
+        # r13-certified
         "spm_train": q_spm_train,
         "spm_encode": q_spm_encode,
         "dedup_semantic_kmeans": q_dedup_semantic_kmeans,
@@ -3629,6 +3576,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "traj_tiles": q_traj_tiles,
         "u3_anti_join": q_u3_anti_join,
+        # r14-certified (freshest)
+        "c4_filters": q_c4_filters,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "hard_negatives": q_hard_negatives,
+        "dedup_containment": q_dedup_containment,
+        "wordpiece_vocab": q_wordpiece_vocab,
+        "wordpiece_encode": q_wordpiece_encode,
+        "stream_url_dedup": q_stream_url_dedup,
+        "stream_c4_filters": q_stream_c4_filters,
+        "langid_confident": q_langid_confident,
+        "blocklist_scan": q_blocklist_scan,
+        "w2_argmin_per_group": q_w2_argmin_per_group,
+        "w3_local_peaks": q_w3_local_peaks,
+        "x1_user_function": q_x1_user_function,
+        "x2_dotted_udaf": q_x2_dotted_udaf,
+        "x3_batch_embed": q_x3_batch_embed,
+        "x4_pca": q_x4_pca,
+        "spec_aux_derived": q_spec_aux_derived,
+        "spec_regridded_scenes": q_spec_regridded_scenes,
+        "stream_static_join": q_stream_static_join,
+        "stream_stream_join": q_stream_stream_join,
+        "j2_asof_single": q_j2_asof_single,
+        "j3_asof_all_within": q_j3_asof_all_within,
+        "dedup_minhash": q_dedup_minhash,
+        "dbscan_cell_stats": q_dbscan_cell_stats,
+        "bigram_xent": q_bigram_xent,
+        "decontam_substring": q_decontam_substring,
+        "decontam_excise": q_decontam_excise,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        "dsir_hashed": q_dsir_hashed,
+        "f4_traj_snap": q_f4_traj_snap,
+        "a3_min_spacing": q_a3_min_spacing,
+        "a7_equidepth": q_a7_equidepth,
+        "w6_sequential_scan": q_w6_sequential_scan,
+        "stream_seen_filter": q_stream_seen_filter,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_corpus_stats": q_text_corpus_stats,
+        "text_gopher_quality": q_text_gopher_quality,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "decontam_ngram_overlap": q_decontam_ngram_overlap,
+        "unigram_xent": q_unigram_xent,
+        "pack_chunks": q_pack_chunks,
+        "mixture_rates": q_mixture_rates,
+        "token_windows": q_token_windows,
+        "sample_quality_weighted": q_sample_quality_weighted,
+        "dedup_exact_prefix": q_dedup_exact_prefix,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "simhash": q_simhash,
+        "a4_binned_1d": q_a4_binned_1d,
     }
 
 

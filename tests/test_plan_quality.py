@@ -652,3 +652,43 @@ def test_never_certified_keys_lead_the_driver_window():
         f"{parked} — either move them into the first 50 or record the "
         f"split-certification decision in BASELINE.md AND this test"
     )
+
+
+def test_stale_certified_keys_lead_the_driver_window():
+    """The OTHER half of the window policy (r14 verdict item 2): with
+    170 keys and a 50-key driver window, each key rotates back in every
+    ~3.4 rounds; the standing rule (previously hand-managed BASELINE.md
+    prose) is that any key whose LATEST green driver row is >=4 rounds
+    old at the upcoming certification must sit inside the first 50.
+    This recomputes per-key latest certification round from the
+    committed CORRECTNESS_r*.json artifacts — the upcoming round is
+    max(recorded round) + 1, so a key last certified in round r has
+    staleness (max_round + 1 - r) when the NEXT driver run fires."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    max_round = 0
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", f).group(1))
+        max_round = max(max_round, rnd)
+        with open(f) as fh:
+            d = json.load(fh)
+        for k in d.get("results", d):
+            latest[k] = max(latest.get(k, 0), rnd)
+    assert max_round >= 1, "no CORRECTNESS_r*.json artifacts found"
+    upcoming = max_round + 1
+    order = list(QUERIES)
+    window = set(order[:50])
+    stale_parked = sorted(
+        k for k, r in latest.items()
+        if k in QUERIES and upcoming - r >= 4 and k not in window
+    )
+    assert not stale_parked, (
+        f"keys at >=4-round certification staleness parked outside the "
+        f"50-key driver window for round {upcoming}: {stale_parked} — "
+        f"rotate them into the first 50 queries() positions"
+    )
