@@ -11,7 +11,7 @@ driver-sized state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -344,8 +344,6 @@ def bpe_train_merges(
     """
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
-    from .persist import materialize_for_reuse
-
     words = (
         docs.select(F.explode(T.tokens(F.lower(F.col(text_col)))).alias("w"))
         .groupBy("w")
@@ -354,6 +352,19 @@ def bpe_train_merges(
     state = words.select(
         "w", "c", F.regexp_replace(F.col("w"), "(.)", " $1 ").alias("seg")
     )
+    return _bpe_merge_rounds(state, num_merges, durable)
+
+
+def _bpe_merge_rounds(
+    state: DataFrame, num_merges: int, durable: bool | None = None
+) -> DataFrame:
+    """The BPE training loop shared by the word-level and byte-level
+    trainers: ``state`` is ``(w, c, seg)`` with ``seg`` in the
+    double-space string form (`` s1  s2  s3 ``). Symbol alphabet is the
+    caller's choice (characters / hex byte pairs) — the loop only
+    requires that symbols never contain a space."""
+    from .persist import materialize_for_reuse
+
     merges = []
     for k in range(num_merges):
         state = materialize_for_reuse(state, durable=durable)
@@ -475,6 +486,127 @@ def bpe_encode(
             F.count("*").alias("n_tokens"),
             F.sum("_chars").alias("n_chars"),
             F.sum("_syms").alias("n_symbols"),
+        )
+    )
+
+
+def _byte_seg(piece: Column) -> Column:
+    """Byte-level BPE start state for one pre-token: UTF-8 bytes as
+    uppercase hex pairs in the double-space string form (``'key'`` →
+    ``' 6B  65  79 '``). Hex pairs are the engine-portable rendering of
+    GPT-2's bytes_to_unicode table — 0x20 (hex ``20``) plays the role of
+    the printable Ġ space marker, and any non-ASCII character decomposes
+    into its UTF-8 bytes (byte fallback) with no lookup table. The hex
+    alphabet [0-9A-F] can never collide with the space delimiters, and
+    ``hex()`` is uppercase in both Spark and DuckDB."""
+    return F.regexp_replace(F.hex(piece), "(..)", " $1 ")
+
+
+def _bpe_pieces(docs: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
+    """GPT-2-style pre-tokenization (functions.text.BPE_PIECE_PATTERN —
+    the RE2∩Java subset: contraction suffixes, space-prefixed
+    letter/digit/punctuation runs, whitespace runs; no lookahead, so the
+    identical pattern replays in DuckDB). One row per piece; leading
+    spaces stay INSIDE the piece (the byte-level Ġ convention). Text is
+    NOT lowercased — byte-level BPE is case-faithful by design."""
+    cols = ([F.col(id_col)] if id_col else []) + [
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(T.BPE_PIECE_PATTERN), F.lit(0)
+            )
+        ).alias("w")
+    ]
+    return docs.select(*cols)
+
+
+def bpe_train_byte_merges(
+    docs: DataFrame,
+    num_merges: int = 8,
+    text_col: str = "text",
+    durable: bool | None = None,
+) -> DataFrame:
+    """BYTE-level BPE training (the GPT-2 tokenizer family: Radford et
+    al. 2019; Sennrich et al. 2016 for the merge loop) — the fidelity
+    gap the word-level :func:`bpe_train_merges` leaves open. Differences
+    from the word-level trainer, all three from the GPT-2 construction:
+    (1) the unit relation is the PRE-TOKEN (regex pieces with their
+    leading space attached — the Ġ convention), not the whitespace word;
+    (2) the start symbols are UTF-8 BYTES (hex pairs, see
+    :func:`_byte_seg`), so any input — non-ASCII included — segments
+    with byte fallback and no unknown symbol exists; (3) case is
+    preserved. Returns ``(merge_rank, s1, s2, pair_count)`` with s1/s2
+    as hex strings (a learned merge ``6B65`` is the byte string "ke").
+
+    Scale design identical to the word-level trainer: one map-side
+    combined piece count touches the corpus, then every round is
+    vocabulary-bounded (pair agg over distinct pieces, TakeOrdered-1
+    argmax, broadcast literal-replace re-segmentation). Pre-token regex
+    runs once per doc (JVM codegen), never per byte."""
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    words = _bpe_pieces(docs, text_col, None).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    state = words.select("w", "c", _byte_seg(F.col("w")).alias("seg"))
+    return _bpe_merge_rounds(state, num_merges, durable)
+
+
+def bpe_encode_bytes(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BYTE-level merge list
+    (:func:`bpe_train_byte_merges` output) to a corpus. Returns
+    ``(id, n_pieces, n_bytes, n_tokens)`` per doc — pre-tokenizer
+    pieces, UTF-8 bytes, and post-merge BPE tokens (the GPT-2 context
+    unit; n_tokens/n_bytes is the learned byte-level compression). Docs
+    with no pieces (NULL/empty text) emit no row.
+
+    Scale design mirrors :func:`bpe_encode`: merges fold over ONE
+    broadcast rank-sorted array onto the DISTINCT-piece relation
+    (vocabulary-bounded), then one equi-join back to the exploded
+    pieces and one per-doc aggregation."""
+    from .dedup import _spread
+
+    marr = merges.agg(
+        F.array_sort(
+            F.collect_list(F.struct("merge_rank", "s1", "s2"))
+        ).alias("_ms")
+    )
+    tok = _bpe_pieces(_spread(docs, id_col), text_col, id_col)
+    enc = (
+        tok.select("w")
+        .distinct()
+        .crossJoin(F.broadcast(marr))
+        .select(
+            "w",
+            F.aggregate(
+                "_ms",
+                _byte_seg(F.col("w")),
+                lambda acc, m: F.replace(
+                    acc,
+                    F.concat(
+                        F.lit(" "), m["s1"], F.lit("  "), m["s2"], F.lit(" ")
+                    ),
+                    F.concat(F.lit(" "), m["s1"], m["s2"], F.lit(" ")),
+                ),
+            ).alias("_seg"),
+        )
+        .select(
+            "w",
+            F.octet_length(F.col("w")).cast("bigint").alias("_bytes"),
+            F.size(F.split(F.trim("_seg"), "  ")).alias("_toks"),
+        )
+    )
+    return (
+        tok.join(enc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_pieces"),
+            F.sum("_bytes").alias("n_bytes"),
+            F.sum("_toks").cast("bigint").alias("n_tokens"),
         )
     )
 

@@ -1659,6 +1659,115 @@ def test_bpe_encode_hand_computed_and_matches_python(spark):
     assert got2 == want
 
 
+def _byte_bpe_python(rows, K):
+    """Brute-force byte-level BPE reference: GPT-2-style pre-tokenizer
+    (the same RE2∩Java pattern the engine uses), UTF-8 bytes as
+    uppercase hex pairs, greedy single-pass merges with the
+    (count DESC, s1, s2) argmax. Returns (merge list, piece→symbols)."""
+    import re
+    from collections import Counter
+
+    pat = re.compile(
+        r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+    )
+    pieces = Counter(
+        p for _, t in rows if t for p in pat.findall(t)
+    )
+    segs = {p: [f"{b:02X}" for b in p.encode("utf-8")] for p in pieces}
+    merges = []
+    for k in range(K):
+        pc: Counter = Counter()
+        for p, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += pieces[p]
+        if not pc:
+            break
+        (s1, s2), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((k, s1, s2, c))
+        for p, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[p] = out
+    return pat, merges, segs
+
+
+def test_bpe_byte_level_matches_python_on_adversarial_corpus(spark):
+    """Byte-level BPE (corpus.py::bpe_train_byte_merges /
+    bpe_encode_bytes) against a brute-force Python reference on a
+    corpus exercising every fidelity point the word-level trainer
+    lacks: case preservation, contraction suffixes ('s/'ll), leading
+    spaces inside pieces (Ġ convention — merges of hex 20), digit runs,
+    punctuation runs, a non-ASCII character (é → TWO UTF-8 bytes, the
+    byte-fallback path), multi-space runs, NULL and empty text. Train
+    and encode both match, and training is partitioning-independent."""
+    from convml_data_spark.operators.corpus import (
+        bpe_encode_bytes,
+        bpe_train_byte_merges,
+    )
+
+    rows = [
+        (1, "The cat's Cat CAT won't sit-still!"),
+        (2, "cat cat  cat 1234 12 cats they'll sit"),
+        (3, None),
+        (4, ""),
+        (5, " café café touché 99 bottles... the the"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    K = 7
+    pat, want_merges, segs = _byte_bpe_python(rows, K)
+    assert len(want_merges) == K
+
+    for parts in (1, 7):
+        got = [
+            (r["merge_rank"], r["s1"], r["s2"], r["pair_count"])
+            for r in bpe_train_byte_merges(
+                docs.repartition(parts), num_merges=K
+            )
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got == want_merges, parts
+    # the Ġ path really exercised: some learned symbol starts with the
+    # space byte, and the é docs carry a 2-byte fallback segmentation
+    assert any(s1.startswith("20") or s2.startswith("20")
+               for _, s1, s2, _ in want_merges)
+    # é is outside [A-Za-z], so the pre-tokenizer emits it as its own
+    # piece — whose start segmentation is the TWO UTF-8 fallback bytes
+    assert "é" in segs and "".join(segs["é"]) == "C3A9"
+
+    merges = bpe_train_byte_merges(docs, num_merges=K)
+    got_enc = {
+        r["doc_id"]: (r["n_pieces"], r["n_bytes"], r["n_tokens"])
+        for r in bpe_encode_bytes(docs, merges).collect()
+    }
+    want_enc = {}
+    for i, t in rows:
+        ps = pat.findall(t) if t else []
+        if not ps:
+            continue
+        want_enc[i] = (
+            len(ps),
+            sum(len(p.encode("utf-8")) for p in ps),
+            sum(len(segs[p]) for p in ps),
+        )
+    assert got_enc == want_enc
+
+    # empty merge table -> identity segmentation (bytes == tokens)
+    ident = {
+        r["doc_id"]: (r["n_bytes"], r["n_tokens"])
+        for r in bpe_encode_bytes(
+            docs, merges.where("merge_rank < 0")
+        ).collect()
+    }
+    assert ident and all(b == s for b, s in ident.values())
+
+
 def test_trigram_backoff_score_all_three_branches_hand_computed(spark):
     """Hand-computed Stupid-Backoff trigram check: one doc whose three
     transitions hit all three branches (seen trigram, trigram-miss →

@@ -494,6 +494,9 @@ SCAN_CEILINGS = {
     "a5_binned_2d": 1, "a6_ecdf": 1, "a6_ecdf_global": 2, "a7_equidepth": 0,
     "a8_daily_counts": 1, "a9_layer_mean": 1, "ann_cosine_topk": 1, "bigram_xent": 2,
     "bloom_decontaminate": 2, "bm25_topk": 1, "bpe_encode": 2, "bpe_train": 0,
+    # round 15: byte-level BPE — same shapes as the word-level pair
+    # (training state checkpoint-hidden; encode = piece scan + distinct scan)
+    "bpe_train_bytes": 0, "bpe_encode_bytes": 2,
     "cap_per_source": 1, "cdc_chunk_dedup": 0, "corpus_entropy": 1, "countmin_heavy": 0,
     "dbscan_cell_stats": 1, "dbscan_ladder": 0, "dbscan_merge_events": 0, "decontam_excise": 3,
     "decontam_ngram_overlap": 2, "decontam_semantic": 2, "decontam_substring": 2, "dedup_best_survivors": 4,
