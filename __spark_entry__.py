@@ -2555,6 +2555,26 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pack_token_chunks(docs, budget=4096, seed=42)
 
 
+def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing sequence packing WITHOUT splitting
+    (corpus.py::pack_bestfit_decreasing — the truncation-free
+    alternative to pack_chunks' concat-and-cut; Krell et al. 2021):
+    32 deterministic md5 buckets, exact BFD within each (length DESC,
+    smallest-fitting-bin, md5 tiebreaks), budget 128. Oracle replays the
+    per-bucket scan as a recursive CTE carrying each bucket's open-bin
+    remaining-capacity list — its iteration count is the LARGEST bucket,
+    so the bucket count is also the oracle's replay-depth knob (32 ⇒
+    ~157 iterations at sf0.1 instead of 625 at 8); bin_fill =
+    bin_tokens/128 is exactly dyadic so no rounding is needed for
+    parity."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.pack_bestfit_decreasing(
+        docs, budget=128, n_buckets=32, seed=42
+    )
+
+
 def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain/source document cap (corpus.py::cap_per_group): at most
     20 docs per source survive, chosen by deterministic md5 ranking —
@@ -3428,7 +3448,7 @@ COST_CLASS = {
     **{k: "seconds" for k in [
         "a10_column_integral", "a6_ecdf_global", "a7_equidepth",
         "bigram_xent", "bloom_decontaminate", "bpe_encode", "bpe_train",
-        "bpe_encode_bytes", "bpe_train_bytes",
+        "bpe_encode_bytes", "bpe_train_bytes", "pack_bestfit",
         "cdc_chunk_dedup", "countmin_heavy", "dbscan_ladder",
         "dbscan_merge_events", "decontam_excise", "decontam_semantic",
         "decontam_substring", "dedup_best_survivors", "dedup_components",
@@ -3501,6 +3521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 15 (never certified) ---
         "bpe_train_bytes": q_bpe_train_bytes,
         "bpe_encode_bytes": q_bpe_encode_bytes,
+        "pack_bestfit": q_pack_bestfit,
         # --- oldest certified: r12 cohort (first 30) ---
         "dedup_exact_substring": q_dedup_exact_substring,
         "trigram_xent": q_trigram_xent,
@@ -3809,6 +3830,75 @@ def _bpe_encode_bytes_oracle_sql(num_merges: int = 8) -> str:
             GROUP BY doc_id"""
     )
     return "".join(parts)
+
+
+def _pack_bestfit_oracle_sql(
+    budget: int, n_buckets: int, seed: int
+) -> str:
+    """pack_bestfit replay: the per-bucket best-fit-decreasing scan as a
+    RECURSIVE CTE — one row per (bucket, step) carrying the bucket's
+    open-bin remaining-capacity LIST. Best-fit = ``list_position(rems,
+    list_min(list_filter(rems, x -> x >= L)))``: the filtered min is the
+    smallest remaining that fits and list_position takes its FIRST
+    occurrence (lowest bin index), exactly the engine's
+    ``min((rem, idx))`` tie-break; NULL (no bin fits — including every
+    bin poisoned negative by an oversize doc) opens a new bin. Same md5
+    shuffle key and bucket assignment as the engine; bin_fill divides
+    by a power of two, so the double is exactly dyadic in both
+    engines."""
+    return f"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id,
+                     COALESCE(len(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x != '')), 0) AS L,
+                     CAST('0x' || substr(
+                         md5('{seed}_' || CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) AS shuf
+              FROM documents
+            ), seq AS (
+              SELECT doc_id, L, shuf,
+                     CAST(shuf % {n_buckets} AS INTEGER) AS bucket,
+                     row_number() OVER (
+                         PARTITION BY shuf % {n_buckets}
+                         ORDER BY L DESC, shuf, doc_id) AS i
+              FROM d
+            ), rec AS (
+              SELECT CAST(bucket AS INTEGER) AS bucket,
+                     CAST(0 AS BIGINT) AS i,
+                     CAST(NULL AS BIGINT) AS doc_id,
+                     CAST(NULL AS BIGINT) AS L,
+                     CAST(NULL AS BIGINT) AS bin,
+                     CAST([] AS BIGINT[]) AS rems
+              FROM (SELECT DISTINCT bucket FROM seq)
+              UNION ALL
+              SELECT bucket, i, doc_id, L,
+                     CASE WHEN fit IS NULL THEN len(rems) + 1
+                          ELSE fit END AS bin,
+                     CASE WHEN fit IS NULL
+                          THEN list_append(rems, {budget} - L)
+                          ELSE rems[1:fit-1] || [rems[fit] - L]
+                               || rems[fit+1:]
+                     END AS rems
+              FROM (
+                SELECT s.bucket, s.i, s.doc_id, s.L, r.rems,
+                       list_position(r.rems,
+                           list_min(list_filter(r.rems, x -> x >= s.L)))
+                           AS fit
+                FROM rec r JOIN seq s
+                  ON s.bucket = r.bucket AND s.i = r.i + 1
+              )
+            ), asg AS (
+              SELECT bucket, doc_id, L, bin FROM rec WHERE i > 0
+            ), binsum AS (
+              SELECT bucket, bin, CAST(sum(L) AS BIGINT) AS bin_tokens
+              FROM asg GROUP BY bucket, bin
+            )
+            SELECT a.doc_id, CAST(a.L AS BIGINT) AS n_tokens, a.bucket,
+                   CAST(a.bin AS INTEGER) AS bin, b.bin_tokens,
+                   CAST(b.bin_tokens AS DOUBLE) / {budget} AS bin_fill
+            FROM asg a JOIN binsum b USING (bucket, bin)
+        """
 
 
 def _bpe_encode_oracle_sql(num_merges: int = 8) -> str:
@@ -7733,6 +7823,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_oracle_sql(),
         "bpe_train_bytes": _bpe_bytes_oracle_sql(),
         "bpe_encode_bytes": _bpe_encode_bytes_oracle_sql(),
+        "pack_bestfit": _pack_bestfit_oracle_sql(
+            budget=128, n_buckets=32, seed=42
+        ),
         "bpe_encode": _bpe_encode_oracle_sql(),
         "spm_train": _spm_train_oracle_sql(),
         "spm_encode": _spm_encode_oracle_sql(),

@@ -819,6 +819,121 @@ def pack_token_chunks(
     )
 
 
+def pack_bestfit_decreasing(
+    docs: DataFrame,
+    budget: int,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Best-fit-decreasing sequence packing WITHOUT document splitting —
+    the truncation-free alternative to :func:`pack_token_chunks`'s
+    GPT-style concat-and-cut (modern pipelines pack by length-sorted
+    best-fit to minimize padding waste; Krell et al. 2021, "Efficient
+    Sequence Packing without Cross-contamination", frames the family).
+    Each document is assigned WHOLE to a fixed-capacity bin: documents
+    are sorted by token count descending (md5 tiebreak) and each goes
+    into the open bin with the SMALLEST remaining capacity that still
+    fits (ties → lowest bin index), else opens a new bin. A document
+    longer than ``budget`` opens its own permanently-unfillable bin
+    (remaining goes negative) — flagged by ``bin_fill > 1``, never
+    silently truncated. Returns one row per document:
+    ``(id, n_tokens, bucket, bin, bin_tokens, bin_fill)`` where ``bin``
+    is 1-based within its bucket and ``bin_fill = bin_tokens/budget``
+    (exactly dyadic when ``budget`` is a power of two — no rounding
+    needed for cross-engine parity).
+
+    Scale design: exact global BFD is inherently sequential, so the
+    corpus is decomposed into ``n_buckets`` deterministic md5 buckets
+    (id-hash, partitioning-independent, NEVER spark_partition_id) and
+    BFD runs EXACTLY within each bucket — the classic blocked
+    approximation: per-bucket optimality with at most ``n_buckets``
+    extra partially-filled bins corpus-wide vs the sequential run. One
+    map pass computes lengths, ONE shuffle groups buckets, and the
+    per-bucket scan is an Arrow-batched applyInPandas that also emits
+    the per-bin totals in-batch (no second aggregation or join).
+    ``n_buckets`` is the parallelism/memory knob: a bucket
+    (corpus_size/n_buckets rows of (id, length)) must fit one task —
+    at 100 TB, size n_buckets so buckets hold ~1M docs. Like any
+    any-fit algorithm, per-bucket BFD never uses more bins than
+    next-fit on the same order (property-tested) and at most
+    11/9·OPT + 2/3 (Dósa 2007, the FFD/BFD bound)."""
+    import pandas as pd
+
+    from .dedup import _spread
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    n_tok = (
+        F.col(token_count_col)
+        if token_count_col
+        else F.size(T.tokens(F.lower(F.col(text_col))))
+    )
+    n_tok = F.greatest(n_tok.cast("long"), F.lit(0).cast("long"))
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("_", F.lit(seed), F.col(id_col))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = _spread(docs, id_col).select(
+        F.col(id_col).alias("_id"),
+        n_tok.alias("n_tokens"),
+        F.pmod(key, F.lit(int(n_buckets))).cast("int").alias("bucket"),
+        key.alias("_shuf"),
+    )
+
+    def _bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "_shuf", "_id"], ascending=[False, True, True]
+        )
+        rems: list[int] = []
+        bins: list[int] = []
+        for length in pdf["n_tokens"].tolist():
+            # best fit: smallest remaining >= length, tie -> lowest index
+            fit = min(
+                ((r, i) for i, r in enumerate(rems) if r >= length),
+                default=None,
+            )
+            if fit is None:
+                rems.append(budget - length)
+                bins.append(len(rems))
+            else:
+                rems[fit[1]] -= length
+                bins.append(fit[1] + 1)
+        out = pdf.assign(bin=pd.array(bins, dtype="int32"))
+        tot = out.groupby("bin")["n_tokens"].transform("sum")
+        return pd.DataFrame(
+            {
+                "_id": out["_id"],
+                "n_tokens": out["n_tokens"],
+                "bucket": out["bucket"],
+                "bin": out["bin"],
+                "bin_tokens": tot.astype("int64"),
+            }
+        )
+
+    packed = base.groupBy("bucket").applyInPandas(
+        _bfd,
+        schema=(
+            "_id long, n_tokens long, bucket int, bin int, bin_tokens long"
+        ),
+    )
+    return packed.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        "bucket",
+        "bin",
+        "bin_tokens",
+        (F.col("bin_tokens").cast("double") / F.lit(float(budget))).alias(
+            "bin_fill"
+        ),
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

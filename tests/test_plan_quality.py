@@ -497,6 +497,9 @@ SCAN_CEILINGS = {
     # round 15: byte-level BPE — same shapes as the word-level pair
     # (training state checkpoint-hidden; encode = piece scan + distinct scan)
     "bpe_train_bytes": 0, "bpe_encode_bytes": 2,
+    # round 15: best-fit packing — one length scan into the bucketed
+    # applyInPandas (per-bin totals computed in-batch, no second pass)
+    "pack_bestfit": 1,
     "cap_per_source": 1, "cdc_chunk_dedup": 0, "corpus_entropy": 1, "countmin_heavy": 0,
     "dbscan_cell_stats": 1, "dbscan_ladder": 0, "dbscan_merge_events": 0, "decontam_excise": 3,
     "decontam_ngram_overlap": 2, "decontam_semantic": 2, "decontam_substring": 2, "dedup_best_survivors": 4,

@@ -446,6 +446,102 @@ def test_pack_chunks_null_text_counts_zero_tokens(spark):
     assert all(0 <= out[i]["chunk_offset"] < 4 for i in range(3))
 
 
+def test_pack_bestfit_matches_python_and_dominates_nextfit(spark):
+    """Best-fit-decreasing packing (corpus.py::pack_bestfit_decreasing)
+    equals a brute-force Python mirror (same md5 buckets, same
+    length-DESC/md5/id order, same smallest-remaining-fits tie-break) on
+    a corpus with NULL text, empty text, zero-token docs and an
+    OVERSIZE doc (> budget — must open its own bin with bin_fill > 1,
+    never truncate); is partitioning-independent; never overfills a
+    bin except the oversize singleton; and per bucket never uses more
+    bins than next-fit on the same order (the any-fit dominance that
+    makes BFD worth running)."""
+    import hashlib
+    import random
+
+    from convml_data_spark.operators.corpus import pack_bestfit_decreasing
+
+    rng = random.Random(19)
+    rows = []
+    for i in range(60):
+        if i == 7:
+            rows.append((i, None))
+        elif i == 13:
+            rows.append((i, ""))
+        elif i == 21:
+            rows.append((i, " ".join("w" for _ in range(23))))  # oversize
+        else:
+            rows.append((i, " ".join(f"t{rng.randrange(9)}"
+                                     for _ in range(rng.randrange(0, 12)))))
+    BUDGET, NB, SEED = 16, 4, 42
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shuf(i):
+        return int(hashlib.md5(f"{SEED}_{i}".encode()).hexdigest()[:15], 16)
+
+    per_bucket: dict[int, list] = {}
+    for i, t in rows:
+        L = len([w for w in (t or "").lower().split() if w])
+        per_bucket.setdefault(shuf(i) % NB, []).append((L, shuf(i), i))
+    want = {}
+    nextfit_bins = {}
+    for b, ds in per_bucket.items():
+        ds.sort(key=lambda x: (-x[0], x[1], x[2]))
+        rems: list = []
+        fills: dict = {}
+        for L, _, i in ds:
+            fit = min(((r, j) for j, r in enumerate(rems) if r >= L),
+                      default=None)
+            if fit is None:
+                rems.append(BUDGET - L)
+                bin_ = len(rems)
+            else:
+                rems[fit[1]] -= L
+                bin_ = fit[1] + 1
+            want[i] = (L, b, bin_)
+            fills[bin_] = fills.get(bin_, 0) + L
+        for i in [d[2] for d in ds]:
+            L, b_, bin_ = want[i]
+            want[i] = (L, b_, bin_, fills[bin_], fills[bin_] / BUDGET)
+        # next-fit on the same order: close the bin when the next doc
+        # doesn't fit
+        nf, rem = 1, BUDGET
+        for L, _, _i in ds:
+            if L > rem:
+                nf += 1
+                rem = BUDGET
+            rem -= L
+        nextfit_bins[b] = nf
+
+    for parts in (1, 11):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["bucket"], r["bin"],
+                          r["bin_tokens"], r["bin_fill"])
+            for r in pack_bestfit_decreasing(
+                docs.repartition(parts), budget=BUDGET,
+                n_buckets=NB, seed=SEED,
+            ).collect()
+        }
+        assert got == want, parts
+
+    # oversize doc: its own bin, overfull, not truncated
+    assert want[21][0] == 23 and want[21][4] > 1.0
+    assert sum(1 for v in want.values()
+               if (v[1], v[2]) == (want[21][1], want[21][2])) == 1
+    # validity: every non-oversize bin fits the budget
+    for i, v in want.items():
+        if i != 21:
+            assert v[3] <= BUDGET, (i, v)
+    # any-fit dominance: BFD bins <= next-fit bins, per bucket
+    bfd_bins = {}
+    for _i, (_L, b, bin_, _t, _f) in want.items():
+        bfd_bins[b] = max(bfd_bins.get(b, 0), bin_)
+    for b in nextfit_bins:
+        assert bfd_bins[b] <= nextfit_bins[b], (
+            b, bfd_bins[b], nextfit_bins[b]
+        )
+
+
 def test_mixture_rates_zero_token_source_gets_zero_rate(spark):
     from convml_data_spark.operators.corpus import mixture_rates
 
