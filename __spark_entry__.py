@@ -1551,6 +1551,25 @@ def q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bigram_backoff_score(scored, lm)
 
 
+def q_kneser_ney_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram cross-entropy (corpus.py::
+    kneser_ney_score; Kneser & Ney 1995, Chen & Goodman 1998) — the
+    smoothing family KenLM implements (CCNet's actual filter), next to
+    the Stupid-Backoff proxy of bigram_xent. Same corpus split as
+    bigram_xent (doc_id % 10 == 0 plays the curated LM corpus):
+    discounted bigram mass + KN continuation probability with an
+    add-one floor; seen-context, unseen-bigram and unseen-context
+    branches all fire at both SFs. One materialized bigram relation
+    feeds context totals, follower/predecessor type counts and the T
+    scalar; DECIMAL(38,12) log sums, round(6) + 0.0."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = docs.where(F.col("doc_id") % 10 == 0)
+    scored = docs.where(F.col("doc_id") % 10 != 0)
+    return corpus.kneser_ney_score(scored, lm, discount=0.75)
+
+
 def q_neardup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level near-dup (dedup.py::edit_distance_neardup):
     MinHash-LSH candidates (the dedup_minhash machinery) verified by
@@ -3449,6 +3468,7 @@ COST_CLASS = {
         "a10_column_integral", "a6_ecdf_global", "a7_equidepth",
         "bigram_xent", "bloom_decontaminate", "bpe_encode", "bpe_train",
         "bpe_encode_bytes", "bpe_train_bytes", "pack_bestfit",
+        "kneser_ney_xent",
         "cdc_chunk_dedup", "countmin_heavy", "dbscan_ladder",
         "dbscan_merge_events", "decontam_excise", "decontam_semantic",
         "decontam_substring", "dedup_best_survivors", "dedup_components",
@@ -3522,6 +3542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_bytes": q_bpe_train_bytes,
         "bpe_encode_bytes": q_bpe_encode_bytes,
         "pack_bestfit": q_pack_bestfit,
+        "kneser_ney_xent": q_kneser_ney_xent,
         # --- oldest certified: r12 cohort (first 30) ---
         "dedup_exact_substring": q_dedup_exact_substring,
         "trigram_xent": q_trigram_xent,
@@ -7813,6 +7834,66 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN cu cu1 ON inst.w1 = cu1.w
                 LEFT JOIN cu cu2 ON inst.w2 = cu2.w
                 CROSS JOIN nv
+            )
+            SELECT doc_id,
+                   count(*) AS n_bigrams,
+                   round(-CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE)
+                         / count(*), 6) + 0.0 AS xent_nats
+            FROM terms GROUP BY doc_id
+        """,
+        # interpolated Kneser-Ney replay: context totals / follower /
+        # predecessor type counts all from the bigram-type CTE; the
+        # discount literal is CAST AS DOUBLE so the arithmetic is IEEE
+        # (DuckDB would otherwise run it as DECIMAL — the
+        # _exact_quantile_cuts_cte lesson); operation order mirrors the
+        # Spark expression term-for-term before the round(6) quantizer
+        "kneser_ney_xent": """
+            WITH lmbase AS (
+                SELECT COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != ''), []) AS toks
+                FROM documents WHERE doc_id % 10 = 0
+            ), cb AS (
+                SELECT w1, w2, count(*) AS cb FROM (
+                    SELECT toks[i] AS w1, toks[i + 1] AS w2
+                    FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                          FROM lmbase)
+                ) GROUP BY w1, w2
+            ), cx AS (
+                SELECT w1, CAST(sum(cb) AS BIGINT) AS c1,
+                       count(*) AS nf1
+                FROM cb GROUP BY w1
+            ), bw AS (
+                SELECT w2, count(*) AS nb2 FROM cb GROUP BY w2
+            ), tv AS (
+                SELECT (SELECT count(*) FROM cb) AS t,
+                       (SELECT count(DISTINCT w) FROM (
+                            SELECT unnest(toks) AS w FROM lmbase)) AS v
+            ), scbase AS (
+                SELECT doc_id,
+                       COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != ''), []) AS toks
+                FROM documents WHERE doc_id % 10 <> 0
+            ), inst AS (
+                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                      FROM scbase)
+            ), terms AS (
+                SELECT doc_id,
+                       CASE WHEN cx.c1 IS NOT NULL
+                            THEN ln(greatest(COALESCE(cb.cb, 0)
+                                             - CAST(0.75 AS DOUBLE),
+                                             CAST(0 AS DOUBLE)) / cx.c1
+                                    + CAST(0.75 AS DOUBLE) * cx.nf1 / cx.c1
+                                      * ((COALESCE(bw.nb2, 0) + 1)
+                                         / (tv.t + tv.v)))
+                            ELSE ln((COALESCE(bw.nb2, 0) + 1)
+                                    / (tv.t + tv.v))
+                       END AS term
+                FROM inst
+                LEFT JOIN cb USING (w1, w2)
+                LEFT JOIN cx ON inst.w1 = cx.w1
+                LEFT JOIN bw ON inst.w2 = bw.w2
+                CROSS JOIN tv
             )
             SELECT doc_id,
                    count(*) AS n_bigrams,

@@ -1446,6 +1446,116 @@ def bigram_backoff_score(
     )
 
 
+def kneser_ney_score(
+    docs: DataFrame,
+    lm_docs: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    durable: bool | None = None,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram cross-entropy (Kneser & Ney 1995;
+    Chen & Goodman 1998's interpolated formulation) — the smoothing
+    family KenLM actually implements, next to the cruder Stupid-Backoff
+    of :func:`bigram_backoff_score` (CCNet's filter is a KN-smoothed
+    KenLM model). Per transition, with absolute discount ``D``::
+
+        P(w2 | w1) = max(c(w1 w2) − D, 0) / c(w1 ·)
+                     + D · N1+(w1 ·) / c(w1 ·) · Pcont(w2)   seen context
+                   = Pcont(w2)                                unseen context
+
+        Pcont(w2)  = (N1+(· w2) + 1) / (T + V)
+
+    where ``c(w1 ·) = Σ_w2 c(w1 w2)`` is the CONTEXT count (the
+    denominator under which the discounted mass exactly normalizes —
+    the raw unigram count over-counts w1 occurrences with no
+    follower), ``N1+(w1 ·)`` / ``N1+(· w2)`` are the distinct-follower
+    / distinct-predecessor type counts, ``T`` the number of distinct
+    bigram types and ``V`` the vocabulary size. The +1/(T+V) add-one
+    floor on the continuation distribution is this implementation's
+    end-of-recursion smoothing (Chen & Goodman end at uniform 1/V):
+    it keeps unseen words finite — the same role the add-one unigram
+    plays in :func:`bigram_backoff_score` — while preserving KN's
+    signature property that Pcont ranks words by how many CONTEXTS
+    they complete, not how often they occur ("Francisco" scores low
+    despite high frequency). Every seen context has ≥ 1 distinct
+    follower, so the interpolation weight is ≥ D/c(w1 ·) > 0 and P is
+    always strictly positive. A w1 observed ONLY as the final token of
+    LM docs has no followers, hence no context row — it takes the
+    unseen-context branch by construction. Returns
+    ``(id, n_bigrams, xent_nats)`` with ``xent_nats = −(Σ ln P) /
+    n_bigrams`` over the doc's n_tokens − 1 transitions; docs with
+    < 2 tokens emit no row.
+
+    Scale design mirrors the backoff scorer: in-row bigram instances
+    (shifted-slice zip, no window); the LM side is ONE bigram hash agg
+    — materialized once, since the context totals, follower and
+    predecessor type counts and the T scalar ALL derive from it — plus
+    one unigram agg feeding only the V scalar; the per-doc pass is
+    three hash equi-joins (bigram, w1 context relation, w2
+    continuation relation) + a broadcast 1-row (T, V) relation + one
+    aggregation. All counts are vocabulary-bounded. Float discipline
+    as the LM family: DECIMAL(38,12) term sums (AQE-order-
+    independent), round(6) + 0.0 on the final double."""
+    from .dedup import _spread
+    from .persist import materialize_for_reuse
+
+    D = float(discount)
+    if not (0.0 < D < 1.0):
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    inst = _bigram_instances(_spread(docs, id_col), [id_col], text_col)
+    lm_big = _bigram_instances(lm_docs, [], text_col)
+    # the bigram-type relation feeds FOUR consumers (instance join,
+    # context relation, continuation relation, T scalar)
+    cb = materialize_for_reuse(
+        lm_big.groupBy("w1", "w2").agg(F.count("*").alias("_cb")),
+        durable=durable,
+    )
+    ctx = cb.groupBy("w1").agg(
+        F.sum("_cb").alias("_c1"), F.count("*").alias("_nf1")
+    )
+    bwd = cb.groupBy("w2").agg(F.count("*").alias("_nb2"))
+    tv = cb.agg(F.count("*").alias("_T")).crossJoin(
+        lm_docs.select(
+            F.explode(T.tokens(F.lower(F.col(text_col)))).alias("w")
+        )
+        .agg(F.count_distinct("w").alias("_V"))
+    )
+    scored = (
+        inst.join(cb, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(bwd, "w2", "left")
+        .join(F.broadcast(tv))
+    )
+    pcont = (F.coalesce("_nb2", F.lit(0)) + F.lit(1)) / (
+        F.col("_T") + F.col("_V")
+    )
+    # seen context implies _nf1 >= 1, and coalesce(_cb, 0) zeroes the
+    # discounted term on unseen bigrams (greatest floors the negative)
+    term = F.when(
+        F.col("_c1").isNotNull(),
+        F.log(
+            F.greatest(
+                F.coalesce("_cb", F.lit(0)) - F.lit(D), F.lit(0.0)
+            )
+            / F.col("_c1")
+            + F.lit(D) * F.col("_nf1") / F.col("_c1") * pcont
+        ),
+    ).otherwise(F.log(pcont))
+    per = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(term.cast("decimal(38,12)")).alias("_s"),
+    )
+    return per.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        (
+            F.round(-F.col("_s").cast("double") / F.col("n_bigrams"), 6)
+            + F.lit(0.0)
+        ).alias("xent_nats"),
+    )
+
+
 def _trigram_instances(
     docs: DataFrame, id_cols: list[str], text_col: str
 ) -> DataFrame:

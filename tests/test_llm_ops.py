@@ -1396,6 +1396,114 @@ def test_bigram_backoff_score_matches_python_reference(spark):
         assert abs(got[i][1] - round(want[i][1], 6)) < 2e-6, i
 
 
+def test_kneser_ney_hand_computed_all_branches(spark):
+    """Hand-computed interpolated Kneser-Ney check on a tiny LM whose
+    scored docs hit all three branches: seen bigram (discounted mass +
+    interpolation), unseen bigram under a seen context (pure
+    interpolation), and unseen context (continuation-only). Also pins
+    the KN signature: continuation probability ranks words by how many
+    CONTEXTS they complete, not raw frequency."""
+    import math
+
+    from convml_data_spark.operators.corpus import kneser_ney_score
+
+    # LM bigrams: (a,b)x2 (b,a) (a,c) (c,b)  [from "a b a b" + "a c b"]
+    # ctx: a c1=3 nf1=2 ; b c1=1 nf1=1 ; c c1=1 nf1=1
+    # nb2: b<-{a,c}=2 ; a<-{b}=1 ; c<-{a}=1 ; T=4, V=3
+    lm = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a c b")], "doc_id long, text string"
+    )
+    D = 0.75
+    pc = {"a": 2 / 7, "b": 3 / 7, "c": 2 / 7, "z": 1 / 7}
+
+    docs = spark.createDataFrame(
+        [
+            (10, "a b"),  # seen bigram
+            (11, "a a"),  # seen ctx, unseen bigram
+            (12, "z b"),  # unseen ctx
+            (13, "a z"),  # seen ctx, unseen word
+        ],
+        "doc_id long, text string",
+    )
+    want = {
+        10: (2 - D) / 3 + D * 2 / 3 * pc["b"],
+        11: D * 2 / 3 * pc["a"],
+        12: pc["b"],
+        13: D * 2 / 3 * pc["z"],
+    }
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["xent_nats"])
+        for r in kneser_ney_score(docs, lm, discount=D).collect()
+    }
+    for i, prob in want.items():
+        assert got[i][0] == 1, i
+        assert abs(got[i][1] - round(-math.log(prob), 6)) < 2e-6, (
+            i, got[i], -math.log(prob),
+        )
+    # KN signature: "b" completes 2 contexts, "a"/"c" complete 1 each
+    # despite different raw frequencies
+    assert pc["b"] > pc["a"] and pc["a"] == pc["c"]
+
+
+def test_kneser_ney_matches_python_reference(spark):
+    """Randomized cross-check: kneser_ney_score equals a brute-force
+    Python interpolated-KN implementation on random corpora (short,
+    empty, NULL docs; unseen words, bigrams and contexts in the mix),
+    and every probability is strictly positive (finite xent)."""
+    import math
+    from collections import Counter
+
+    from convml_data_spark.operators.corpus import kneser_ney_score
+
+    lm_rows = _random_corpus(5, 30, vocab=25, max_len=30)
+    sc_rows = _random_corpus(6, 40, vocab=40, max_len=25)
+    lm = spark.createDataFrame(lm_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(sc_rows, "doc_id long, text string")
+    D = 0.75
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["xent_nats"])
+        for r in kneser_ney_score(docs, lm, discount=D).collect()
+    }
+
+    def toks(t):
+        return [w for w in (t or "").lower().split() if w]
+
+    cb = Counter(
+        (a, b)
+        for _, t in lm_rows
+        for a, b in zip(toks(t), toks(t)[1:])
+    )
+    ctx, nf, nb = Counter(), Counter(), Counter()
+    for (a, b), c in cb.items():
+        ctx[a] += c
+        nf[a] += 1
+        nb[b] += 1
+    T = len(cb)
+    V = len({w for _, t in lm_rows for w in toks(t)})
+    want = {}
+    for i, t in sc_rows:
+        ws = toks(t)
+        if len(ws) < 2:
+            continue
+        terms = []
+        for a, b in zip(ws, ws[1:]):
+            pcont = (nb.get(b, 0) + 1) / (T + V)
+            if a in ctx:
+                prob = (
+                    max(cb.get((a, b), 0) - D, 0.0) / ctx[a]
+                    + D * nf[a] / ctx[a] * pcont
+                )
+            else:
+                prob = pcont
+            assert prob > 0
+            terms.append(math.log(prob))
+        want[i] = (len(terms), -sum(terms) / len(terms))
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], i
+        assert abs(got[i][1] - round(want[i][1], 6)) < 2e-6, i
+
+
 def test_quality_classifier_fit_separates_and_matches_model_margin(spark):
     """Hashed linear quality classifier: (a) scoring with the fitted
     weights reproduces sigmoid(coef·counts + intercept) recomputed

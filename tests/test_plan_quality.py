@@ -500,6 +500,10 @@ SCAN_CEILINGS = {
     # round 15: best-fit packing — one length scan into the bucketed
     # applyInPandas (per-bin totals computed in-batch, no second pass)
     "pack_bestfit": 1,
+    # round 15: Kneser-Ney — scored-side instance scan + LM-side V-scalar
+    # scan (the bigram relation and everything derived from it is
+    # checkpoint-hidden behind one materialization)
+    "kneser_ney_xent": 2,
     "cap_per_source": 1, "cdc_chunk_dedup": 0, "corpus_entropy": 1, "countmin_heavy": 0,
     "dbscan_cell_stats": 1, "dbscan_ladder": 0, "dbscan_merge_events": 0, "decontam_excise": 3,
     "decontam_ngram_overlap": 2, "decontam_semantic": 2, "decontam_substring": 2, "dedup_best_survivors": 4,
