@@ -542,6 +542,50 @@ def test_pack_bestfit_matches_python_and_dominates_nextfit(spark):
         )
 
 
+def test_pack_bestfit_budget_one_and_user_count_column(spark):
+    """Degenerate-budget and user-count-column edges: at budget=1 a
+    2-token doc is oversize (its own bin, bin_fill 2.0), 1-token docs
+    fill bins exactly, and 0-token docs slot into the fullest
+    non-negative bin (best-fit of L=0) rather than opening one; a
+    user-supplied token_count_col with NULL/negative values clamps to 0
+    instead of poisoning bins (the pack_token_chunks guard, same
+    contract)."""
+    from convml_data_spark.operators.corpus import pack_bestfit_decreasing
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a"), (2, "b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_bestfit_decreasing(
+            docs, budget=1, n_buckets=1, seed=1
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[0]["n_tokens"] == 2 and out[0]["bin_fill"] == 2.0
+    # the oversize bin holds only doc 0
+    over_bin = out[0]["bin"]
+    assert sum(1 for r in out.values() if r["bin"] == over_bin) == 1
+    # 1-token docs fill distinct bins exactly; the 0-token doc joins a
+    # full bin (rem 0 is the best fit for L=0), so only 3 bins total
+    assert {r["bin"] for r in out.values()} == {1, 2, 3}
+    for i in (1, 2):
+        assert out[i]["bin_tokens"] == 1
+    assert out[3]["n_tokens"] == 0 and out[3]["bin"] != over_bin
+
+    counted = spark.createDataFrame(
+        [(0, 5), (1, None), (2, -3)], "doc_id long, n long"
+    )
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in pack_bestfit_decreasing(
+            counted, budget=8, n_buckets=1, token_count_col="n", seed=1
+        ).collect()
+    }
+    assert got == {0: 5, 1: 0, 2: 0}
+
+
 def test_mixture_rates_zero_token_source_gets_zero_rate(spark):
     from convml_data_spark.operators.corpus import mixture_rates
 
