@@ -666,14 +666,24 @@ def test_never_certified_keys_lead_the_driver_window():
 
 def test_stale_certified_keys_lead_the_driver_window():
     """The OTHER half of the window policy (r14 verdict item 2): with
-    170 keys and a 50-key driver window, each key rotates back in every
-    ~3.4 rounds; the standing rule (previously hand-managed BASELINE.md
-    prose) is that any key whose LATEST green driver row is >=4 rounds
-    old at the upcoming certification must sit inside the first 50.
-    This recomputes per-key latest certification round from the
-    committed CORRECTNESS_r*.json artifacts — the upcoming round is
-    max(recorded round) + 1, so a key last certified in round r has
-    staleness (max_round + 1 - r) when the NEXT driver run fires."""
+    ~170 keys and a 50-key driver window, each key rotates back in
+    every ~3.4 rounds; the standing rule (previously hand-managed
+    BASELINE.md prose) is that any key whose LATEST green driver row is
+    >=4 rounds old at the upcoming certification must sit inside the
+    first 50. Per-key latest certification round is recomputed from the
+    committed CORRECTNESS_r*.json artifacts; the upcoming round is
+    max(recorded round) + 1.
+
+    Judge-time vs build-time: when the driver writes round N's artifact
+    at round end, the dict order still encodes ROUND N's window — the
+    (N+1)-staleness rule is the NEXT builder session's first task, not
+    this one's, so demanding it the instant the artifact lands would
+    turn the round-end pytest red on a policy-compliant repo. The gate
+    therefore recognizes an already-certified window (first-50 key set
+    == the latest artifact's key set) as valid as-is, and enforces the
+    staleness rule for max_round+1 as soon as the window composition
+    CHANGES — which every normal round does (the never-certified gate
+    above forces new keys into the first 50)."""
     import glob
     import json
     import os
@@ -681,18 +691,23 @@ def test_stale_certified_keys_lead_the_driver_window():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
+    by_round: dict[int, set] = {}
     max_round = 0
     for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", f).group(1))
         max_round = max(max_round, rnd)
         with open(f) as fh:
             d = json.load(fh)
-        for k in d.get("results", d):
+        keys = set(d.get("results", d))
+        by_round[rnd] = keys
+        for k in keys:
             latest[k] = max(latest.get(k, 0), rnd)
     assert max_round >= 1, "no CORRECTNESS_r*.json artifacts found"
-    upcoming = max_round + 1
     order = list(QUERIES)
     window = set(order[:50])
+    if window == by_round[max_round]:
+        return  # this window IS round max_round's, already certified
+    upcoming = max_round + 1
     stale_parked = sorted(
         k for k, r in latest.items()
         if k in QUERIES and upcoming - r >= 4 and k not in window
