@@ -3611,6 +3611,83 @@ def test_pq_recall_measured_at_sf01(spark):
     )
 
 
+def test_lsh_neardup_pairs_banded_recall_matches_collision_curve(spark):
+    """MEASURED banded-recall certificate for the LSH pair path
+    (similarity.lsh_neardup_pairs, 6 planes, same-bucket only) against
+    brute-force all-pairs cosine ground truth at sf0.1 — an empirical
+    validation of the hyperplane-LSH collision curve
+    p(cos θ) = (1 − θ/π)^6 on this data, and honest documentation of
+    where that curve sits on NEAR-ORTHOGONAL vectors: at the 0.35
+    threshold band recall is ~6% (186/3217 measured vs 0.0581 theory at
+    the band midpoint — a 0.5% relative gap on 3217 pairs), because the
+    single-bucket design targets true near-duplicates (cos → 1 ⇒
+    recall → 1), not threshold-grazing pairs; the multiprobe/banded
+    variants are the recall knobs. Also pins the no-false-positive
+    property (LSH candidates are exact-verified ⇒ strict subset of
+    ground truth). All values deterministic (md5-seeded planes,
+    verified across repeated runs)."""
+    from pyspark.sql import functions as F
+
+    from convml_data_spark import tables
+    from convml_data_spark.operators import similarity
+
+    emb = tables.load_table(
+        spark, "/root/testdata/sf0.1", "embeddings"
+    ).select("vec_id", "embedding")
+    a = emb.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("ea"),
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x * x),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        ).alias("na"),
+    )
+    b = a.select(
+        F.col("ia").alias("ib"),
+        F.col("ea").alias("eb"),
+        F.col("na").alias("nb"),
+    )
+    exact = (
+        a.crossJoin(b)
+        .where(F.col("ia") < F.col("ib"))
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with("ea", "eb", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+        )
+        .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+        .where(F.col("cos") >= 0.35)
+        .select("ia", "ib", "cos")
+    )
+    ex = {(r["ia"], r["ib"]): r["cos"] for r in exact.collect()}
+    lsh = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in similarity.lsh_neardup_pairs(
+            emb, threshold=0.35, n_planes=6, dim=64
+        ).collect()
+    }
+    assert lsh <= set(ex)  # exact verify can never invent a pair
+    assert len(ex) == 4137 and len(lsh) == 252
+    bands = {
+        (0.35, 0.40): (186, 3217),
+        (0.40, 0.45): (57, 776),
+        (0.45, 0.55): (9, 142),
+        (0.55, 1.01): (0, 2),
+    }
+    for (lo, hi), (want_hit, want_tot) in bands.items():
+        tot = [p for p, c in ex.items() if lo <= c < hi]
+        hit = [p for p in tot if p in lsh]
+        assert (len(hit), len(tot)) == (want_hit, want_tot), (
+            lo, hi, len(hit), len(tot),
+        )
+
+
 def test_langid_calibrated_empty_holdout_defaults_to_zero_conf(spark):
     """When no doc id hits the holdout modulus, the calibration relation
     is empty: every doc must still emit a row with calib_conf 0.0 and
