@@ -3840,13 +3840,16 @@ def _bpe_encode_bytes_oracle_sql(num_merges: int = 8) -> str:
         f""", encw AS (
                 SELECT w, CAST(strlen(w) AS BIGINT) AS bytes,
                        CAST(len(string_split(trim(seg), '  ')) AS BIGINT)
-                           AS toks
+                           AS toks,
+                       CAST('0x' || substr(md5(seg), 1, 13) AS BIGINT)
+                           AS ck
                 FROM enc{num_merges}
             )
             SELECT doc_id,
                    count(*) AS n_pieces,
                    CAST(sum(bytes) AS BIGINT) AS n_bytes,
-                   CAST(sum(toks) AS BIGINT) AS n_tokens
+                   CAST(sum(toks) AS BIGINT) AS n_tokens,
+                   CAST(sum(ck) AS BIGINT) AS seg_checksum
             FROM doctok JOIN encw USING (w)
             GROUP BY doc_id"""
     )

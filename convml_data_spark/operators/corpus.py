@@ -559,10 +559,15 @@ def bpe_encode_bytes(
 ) -> DataFrame:
     """Apply a learned BYTE-level merge list
     (:func:`bpe_train_byte_merges` output) to a corpus. Returns
-    ``(id, n_pieces, n_bytes, n_tokens)`` per doc — pre-tokenizer
-    pieces, UTF-8 bytes, and post-merge BPE tokens (the GPT-2 context
-    unit; n_tokens/n_bytes is the learned byte-level compression). Docs
-    with no pieces (NULL/empty text) emit no row.
+    ``(id, n_pieces, n_bytes, n_tokens, seg_checksum)`` per doc —
+    pre-tokenizer pieces, UTF-8 bytes, post-merge BPE tokens (the GPT-2
+    context unit; n_tokens/n_bytes is the learned byte-level
+    compression), and an order-insensitive content checksum: the sum
+    over piece INSTANCES of the top-52-bit md5 of the piece's final
+    segmentation string — certifying the exact post-merge segmentation
+    of every piece, not just its length (the encode_tokens
+    ``id_checksum`` idea at the segmentation level; md5 replays in any
+    engine). Docs with no pieces (NULL/empty text) emit no row.
 
     Scale design mirrors :func:`bpe_encode`: merges fold over ONE
     broadcast rank-sorted array onto the DISTINCT-piece relation
@@ -598,6 +603,9 @@ def bpe_encode_bytes(
             "w",
             F.octet_length(F.col("w")).cast("bigint").alias("_bytes"),
             F.size(F.split(F.trim("_seg"), "  ")).alias("_toks"),
+            F.conv(F.substring(F.md5("_seg"), 1, 13), 16, 10)
+            .cast("long")
+            .alias("_ck"),
         )
     )
     return (
@@ -607,6 +615,7 @@ def bpe_encode_bytes(
             F.count("*").alias("n_pieces"),
             F.sum("_bytes").alias("n_bytes"),
             F.sum("_toks").cast("bigint").alias("n_tokens"),
+            F.sum("_ck").alias("seg_checksum"),
         )
     )
 

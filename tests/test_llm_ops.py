@@ -1851,9 +1851,19 @@ def test_bpe_byte_level_matches_python_on_adversarial_corpus(spark):
 
     merges = bpe_train_byte_merges(docs, num_merges=K)
     got_enc = {
-        r["doc_id"]: (r["n_pieces"], r["n_bytes"], r["n_tokens"])
+        r["doc_id"]: (
+            r["n_pieces"], r["n_bytes"], r["n_tokens"], r["seg_checksum"]
+        )
         for r in bpe_encode_bytes(docs, merges).collect()
     }
+    import hashlib
+
+    def ck(syms):
+        # the engine's segmentation-string checksum: top 52 bits of the
+        # md5 of the double-space string form ' s1  s2 ... '
+        seg = " " + "  ".join(syms) + " "
+        return int(hashlib.md5(seg.encode()).hexdigest()[:13], 16)
+
     want_enc = {}
     for i, t in rows:
         ps = pat.findall(t) if t else []
@@ -1863,6 +1873,7 @@ def test_bpe_byte_level_matches_python_on_adversarial_corpus(spark):
             len(ps),
             sum(len(p.encode("utf-8")) for p in ps),
             sum(len(segs[p]) for p in ps),
+            sum(ck(segs[p]) for p in ps),
         )
     assert got_enc == want_enc
 
