@@ -31,13 +31,18 @@ SQL / DuckDB):
 Scale design: the corpus is touched ONCE (one map-side-combined word
 count); the EM rounds fold over the DISTINCT-WORD relation
 (vocabulary-bounded — the `bpe_train_merges` stance, corpus.py:332-343),
-each round one Viterbi projection pyramid over words × a ONE-ROW packed
-vocabulary broadcast and one piece aggregation. The DP is unrolled at
-plan time to ``word_max_len`` positions as CHAINED projections (named
-columns, never nested expression trees — full inlining of the DP
-recurrence would be K^L nodes; CollapseProject keeps multiply-referenced
-non-cheap aliases as layers). No driver state, no Python UDFs, no
-windows.
+each round one Viterbi pass over words × a ONE-ROW packed vocabulary
+broadcast and one piece aggregation. The DP itself has two engines
+(:func:`viterbi_segment`): the default Arrow-batched ``mapInPandas``
+pass — legitimate Python under the scale stance because the relation it
+touches is vocabulary-bounded, never corpus-scale, and ~10x faster
+end-to-end since the expression form's cost was Catalyst planning +
+codegen of the L·K projection pyramid, not data — and the original
+pure-Column ``engine="expr"`` form (chained projections, named columns,
+never nested expression trees), kept as the oracle-shaped
+whole-stage-codegen reference and property-pinned equal to the Arrow
+path. No driver state, no windows; integer micro-nat scores make both
+engines and the DuckDB oracle agree exactly.
 """
 
 from __future__ import annotations
@@ -65,20 +70,43 @@ def viterbi_segment(
     word_col: str,
     word_max_len: int,
     piece_max_len: int,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Attach ``_score`` (BIGINT best segmentation score, NULL when the
     word is unsegmentable or longer than ``word_max_len``) and
     ``_pieces`` (the argmax piece array) to a relation carrying
     ``word_col`` and a packed vocabulary (``_ps``/``_us``).
 
+    Two engines computing the IDENTICAL integer DP (property-pinned
+    equal on randomized vocab/word sets, ties and UNK paths included):
+
+    * ``"arrow"`` (default): one ``mapInPandas`` pass — the DP runs in
+      Python over Arrow batches. Legitimate under the scale stance
+      because the input is the DISTINCT-WORD relation crossed with a
+      one-row vocab (vocabulary-bounded, never corpus-scale), and ~10x
+      faster end-to-end: the expression form's cost was never the data
+      but Catalyst planning + codegen of the ~L·K-column projection
+      pyramid (r15 measurement: spm_train 11.1 → ~2 s, spm_encode
+      17.7 → ~2 s at sf0.1 on the same machine).
+    * ``"expr"``: the original pure-Column unrolled form — kept as the
+      reference implementation (it is the shape the DuckDB oracle
+      replays) and for plans that must stay whole-stage-codegen.
+
     The lattice DP ``b_i = max_k b_{i-k} + units(w[i-k+1 .. i])`` is
-    unrolled to ``word_max_len`` positions at plan time; positions past
-    ``length(word)`` compute garbage that the backtrace (which starts AT
-    ``length(word)``) never reads. Ties choose the smallest ``k`` via a
-    first-match CASE — the identical evaluation order in both engines.
-    Backtrace is ``word_max_len`` more projection steps (each consumes
-    ≥1 character, so any feasible path terminates within the unroll).
+    unrolled to ``word_max_len`` positions (plan-time columns in expr,
+    a loop in arrow); positions past ``length(word)`` compute garbage
+    that the backtrace (which starts AT ``length(word)``) never reads.
+    Ties choose the smallest ``k`` (first-match CASE / first-match loop
+    — the identical evaluation order). Backtrace consumes ≥1 character
+    per step, so any feasible path terminates within the unroll; the
+    piece array is emitted in BACKTRACE order (last piece first) by
+    both engines — consumers explode or size it, and the property test
+    pins the order equal.
     """
+    if engine == "arrow":
+        return _viterbi_segment_arrow(df, word_col, word_max_len, piece_max_len)
+    if engine != "expr":
+        raise ValueError(f"unknown viterbi engine {engine!r}")
     L, K = int(word_max_len), int(piece_max_len)
     out = df.withColumn("_len", F.length(word_col))
     out = out.withColumn("_b_0", F.lit(0).cast("bigint"))
@@ -133,6 +161,85 @@ def viterbi_segment(
     out = out.withColumn("_pieces", F.when(F.col("_score").isNotNull(), pieces))
     keep = [c for c in df.columns] + ["_score", "_pieces"]
     return out.select(*keep)
+
+
+def _viterbi_segment_arrow(
+    df: DataFrame,
+    word_col: str,
+    word_max_len: int,
+    piece_max_len: int,
+) -> DataFrame:
+    """The Arrow-batched twin of the expression DP (see
+    :func:`viterbi_segment` for the contract). One mapInPandas pass; the
+    packed vocabulary rides the ``_ps``/``_us`` columns (identical
+    broadcast-literal arrays in every row, so the dict is built once per
+    batch). Integer arithmetic throughout — no float can split the
+    argmax from the expr/oracle path."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    L, K = int(word_max_len), int(piece_max_len)
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("_score", LongType()),
+            StructField("_pieces", ArrayType(StringType())),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf = pdf.assign(_score=[], _pieces=[])
+                yield pdf
+                continue
+            units = dict(
+                zip(list(pdf["_ps"].iloc[0]), [int(u) for u in pdf["_us"].iloc[0]])
+            )
+            scores, pieces = [], []
+            for w in pdf[word_col]:
+                n = len(w)
+                if n == 0 or n > L:
+                    scores.append(None)
+                    pieces.append(None)
+                    continue
+                b = [0] + [None] * n
+                bp = [None] * (n + 1)
+                for i in range(1, n + 1):
+                    best, bk = None, None
+                    for k in range(1, min(K, i) + 1):
+                        prev = b[i - k]
+                        if prev is None:
+                            continue
+                        u = units.get(w[i - k : i])
+                        if u is None:
+                            continue
+                        c = prev + u
+                        # strict > keeps the FIRST (smallest-k) winner on
+                        # ties — the expr path's first-match CASE order
+                        if best is None or c > best:
+                            best, bk = c, k
+                    b[i], bp[i] = best, bk
+                if b[n] is None:
+                    scores.append(None)
+                    pieces.append(None)
+                    continue
+                out, pos = [], n
+                while pos > 0:
+                    k = bp[pos]
+                    out.append(w[pos - k : pos])  # backtrace order
+                    pos -= k
+                scores.append(b[n])
+                pieces.append(out)
+            yield pdf.assign(_score=scores, _pieces=pieces)
+
+    keep = [c for c in df.columns] + ["_score", "_pieces"]
+    return df.mapInPandas(run, schema).select(*keep)
 
 
 def _units(n_col, total_col):

@@ -202,6 +202,56 @@ def test_unigram_encode_unk_paths(spark):
     assert got[2] == (2, 14, 1, 1)
 
 
+def test_viterbi_arrow_engine_equals_expression_engine(spark):
+    """The r15 Arrow fast path and the original expression DP are the
+    SAME algorithm: randomized vocab/word sets (ties, UNK chars,
+    unsegmentable words, overlong words, single chars) must produce
+    identical (_score, _pieces) — array ORDER included (both emit
+    backtrace order). The expr form stays the oracle-shaped reference;
+    this pins that swapping the default engine changed nothing."""
+    import random
+
+    rng = random.Random(77)
+    alpha = "abcd"
+    vocab = {}
+    for ch in alpha[:3]:  # 'd' deliberately missing -> UNK paths
+        vocab[ch] = -rng.randrange(50, 300)
+    for _ in range(12):
+        ln = rng.randrange(2, 5)
+        p = "".join(rng.choice(alpha[:3]) for _ in range(ln))
+        vocab[p] = -rng.randrange(50, 900)
+    # force exact ties: a two-char piece costing exactly its chars' sum
+    vocab["aa"] = 2 * vocab["a"]
+    words = list(
+        {
+            "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 13)))
+            for _ in range(300)
+        }
+    )
+    ps = sorted(vocab)
+    df = (
+        spark.createDataFrame([(w,) for w in words], "w string")
+        .withColumn("_ps", F.array(*[F.lit(p) for p in ps]))
+        .withColumn(
+            "_us",
+            F.array(*[F.lit(vocab[p]).cast("bigint") for p in ps]),
+        )
+    )
+    L, K = 10, 4
+    got_a = {
+        r["w"]: (r["_score"], tuple(r["_pieces"]) if r["_pieces"] is not None else None)
+        for r in spm.viterbi_segment(df, "w", L, K, engine="arrow").collect()
+    }
+    got_e = {
+        r["w"]: (r["_score"], tuple(r["_pieces"]) if r["_pieces"] is not None else None)
+        for r in spm.viterbi_segment(df, "w", L, K, engine="expr").collect()
+    }
+    assert got_a == got_e
+    # the interesting paths actually occurred
+    assert any(v[0] is None for v in got_a.values())  # UNK/overlong
+    assert any(v[0] is not None for v in got_a.values())
+
+
 def test_unigram_train_validates_params(spark):
     import pytest
 
