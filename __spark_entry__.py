@@ -1362,6 +1362,41 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STALE-index IVF probe (similarity.py::ivf_topk_with_tail): the
+    index was built when only half the table existed (vec_id % 2 = 0,
+    prebuilt centroids = four fixed member vectors), and the other half
+    arrived afterwards — the incremental_dedup situation for ANN. The
+    serving plan probes the 2 nearest lists of the INDEXED rows and
+    brute-force-scans the unindexed tail, exact top-10 of the union, so
+    a fresh vector can never be lost to staleness (exact-top-k ∩ tail ⊆
+    result, property-tested). Deterministic end to end — literal
+    centroids make list assignment pure column math — so the oracle is
+    a full VALUE-level DuckDB replay (assignment argmin, probe
+    selection, union, top-k), not a recall bound like the fitted-KMeans
+    IVF key."""
+    emb = _t(spark, sf_dir, "embeddings")
+    indexed_src = emb.where(F.col("vec_id") % 2 == 0)
+    tail = emb.where(F.col("vec_id") % 2 == 1)
+    crows = (
+        indexed_src.where(F.col("vec_id").isin([0, 2, 4, 6]))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [[float(v) for v in r["embedding"]] for r in crows]
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 1)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    indexed, _ = similarity.ivf_index(indexed_src, centroids=centroids)
+    return similarity.ivf_topk_with_tail(
+        indexed, tail, centroids, qvec, k=10, n_probes=2
+    )
+
+
 # ---------------------------------------------------------------- sampling
 
 def q_r1_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1570,6 +1605,24 @@ def q_kneser_ney_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.kneser_ney_score(scored, lm, discount=0.75)
 
 
+def q_kneser_ney_trigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM cross-entropy (corpus.py::
+    kneser_ney_trigram_score) — the recursive Chen & Goodman chain:
+    discounted trigram mass backing into a CONTINUATION-count bigram
+    level (n(w2 w3) = distinct-predecessor counts, the KN substitution)
+    and the same add-one Pcont floor as the bigram scorer. Same corpus
+    split as kneser_ney_xent; seen-trigram, continuation-bigram and
+    unigram-floor branches all fire at both SFs. ONE materialized
+    trigram relation feeds every level's counts; DECIMAL(38,12) log
+    sums, round(6) + 0.0."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = docs.where(F.col("doc_id") % 10 == 0)
+    scored = docs.where(F.col("doc_id") % 10 != 0)
+    return corpus.kneser_ney_trigram_score(scored, lm, discount=0.75)
+
+
 def q_neardup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level near-dup (dedup.py::edit_distance_neardup):
     MinHash-LSH candidates (the dedup_minhash machinery) verified by
@@ -1659,6 +1712,23 @@ def q_bpe_encode_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     merges = corpus.bpe_train_byte_merges(docs, num_merges=8)
     return corpus.bpe_encode_bytes(docs, merges)
+
+
+def q_bpe_encode_byte_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2 token-ID encode (corpus.py::bpe_encode_byte_ids): assign
+    the GPT-2 vocabulary ids (256 byte symbols at ids 0-255 + one id per
+    merge at 256+rank, min on symbol collision) on top of the trained
+    byte-level merge list, and certify each doc's exact id SEQUENCE with
+    the order-sensitive positional checksum Σ(pos+1)·id mod 2^61-1 —
+    the per-doc artifact a training pipeline actually ships. Token-id
+    arithmetic reduces in vocabulary space (wsum + offset·sumid per
+    piece instance), so no per-token explode ever touches corpus
+    scale."""
+    from convml_data_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = corpus.bpe_train_byte_merges(docs, num_merges=8)
+    return corpus.bpe_encode_byte_ids(docs, merges)
 
 
 def q_spm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3467,8 +3537,8 @@ COST_CLASS = {
     **{k: "seconds" for k in [
         "a10_column_integral", "a6_ecdf_global", "a7_equidepth",
         "bigram_xent", "bloom_decontaminate", "bpe_encode", "bpe_train",
-        "bpe_encode_bytes", "bpe_train_bytes", "pack_bestfit",
-        "kneser_ney_xent",
+        "bpe_encode_bytes", "bpe_encode_byte_ids", "bpe_train_bytes", "pack_bestfit",
+        "kneser_ney_xent", "kneser_ney_trigram_xent",
         "cdc_chunk_dedup", "countmin_heavy", "dbscan_ladder",
         "dbscan_merge_events", "decontam_excise", "decontam_semantic",
         "decontam_substring", "dedup_best_survivors", "dedup_components",
@@ -3482,6 +3552,7 @@ COST_CLASS = {
         "kmeans_labels", "neardup_edit_distance", "neardup_lsh_pairs",
         "q3_shipping_priority", "quality_terciles", "r2_scene_pairs",
         "select_token_budget", "simhash", "similarity_ivf_topk",
+        "similarity_ivf_stale",
         "similarity_lsh_topk", "similarity_pq_topk", "sketch_quantiles",
         "spec_analytics_pipeline", "spec_aux_derived",
         "spec_rect_embeddings", "spec_tile_data", "spec_triplet_pipeline",
@@ -3509,73 +3580,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one in-window representative; keys certified green in earlier rounds
     # rotate behind position 50 and back in on later rounds.
     return {
-        # ROUND 15 WINDOW (first 50 = driver-certified this round).
-        # Composition per the r14 verdict: the TWENTY r11-certified keys
-        # that reached 4-round staleness (parked at 51-70 last round),
-        # then the THIRTY oldest r12-certified keys in dict order. New
-        # r15 keys (never certified) are inserted directly after the r11
-        # block, displacing the tail of the r12 block below position 50
-        # (the never-certified and staleness-lead gates in
-        # tests/test_plan_quality.py enforce both halves of the policy).
-        # --- r11-certified, 4 rounds stale: MUST certify this round ---
-        "a5_binned_2d": q_a5_binned_2d,
-        "dedup_minhash_sigs": q_dedup_minhash_sigs,
-        "dedup_spans": q_dedup_spans,
-        "vocab_build": q_vocab_build,
-        "vocab_encode": q_vocab_encode,
-        "corpus_entropy": q_corpus_entropy,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "stream_daily_counts": q_stream_daily_counts,
-        "stream_dedup_watermark": q_stream_dedup_watermark,
-        "g1_nearest_regrid": q_g1_nearest_regrid,
-        "u1_union_by_name": q_u1_union_by_name,
-        "o3_distinct": q_o3_distinct,
-        "e5_array_roundtrip": q_e5_array_roundtrip,
-        "f2_datetime_components": q_f2_datetime_components,
-        "s5_calendar_offset_missing": q_s5_calendar_offset_missing,
-        "r1_split": q_r1_split,
-        "spec_regridded_bilinear": q_spec_regridded_bilinear,
-        "spec_scene_filter": q_spec_scene_filter,
-        "s2_goes16_query": q_s2_goes16_query,
-        "s4_era5_manifest": q_s4_era5_manifest,
-        # --- new in round 15 (never certified) ---
-        "bpe_train_bytes": q_bpe_train_bytes,
+        # ROUND 16 WINDOW (first 50 = driver-certified this round).
+        # Composition per the r15 verdict + the two window gates in
+        # tests/test_plan_quality.py: new never-certified keys first,
+        # then bpe_encode_bytes (its seg_checksum semantics changed
+        # this round — the modular-fold overflow fix — so its r15
+        # certification no longer reflects the code), then the 24
+        # r12-certified keys at 4-round staleness, then the oldest
+        # r13-certified keys in dict order.
+        # --- new in round 16 (never certified) ---
+        "bpe_encode_byte_ids": q_bpe_encode_byte_ids,
+        "kneser_ney_trigram_xent": q_kneser_ney_trigram_xent,
+        "similarity_ivf_stale": q_similarity_ivf_stale,
+        # --- re-certify: seg_checksum modular fold (r15 ADVICE) ---
         "bpe_encode_bytes": q_bpe_encode_bytes,
-        "pack_bestfit": q_pack_bestfit,
-        "kneser_ney_xent": q_kneser_ney_xent,
-        # --- oldest certified: r12 cohort (first 30) ---
-        "dedup_exact_substring": q_dedup_exact_substring,
-        "trigram_xent": q_trigram_xent,
-        "bpe_train": q_bpe_train,
-        "bpe_encode": q_bpe_encode,
-        "quality_classifier": q_quality_classifier,
-        "neardup_edit_distance": q_neardup_edit_distance,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "countmin_heavy": q_countmin_heavy,
-        "bm25_topk": q_bm25_topk,
-        "similarity_sq_topk": q_similarity_sq_topk,
-        "j10_interval_join": q_j10_interval_join,
-        "w5_sliding_tiles": q_w5_sliding_tiles,
-        "r5_triplet_locations": q_r5_triplet_locations,
-        "f1_time_intervals": q_f1_time_intervals,
-        "f3_solar_zenith": q_f3_solar_zenith,
-        "f5_regex_filter": q_f5_regex_filter,
-        "f7_percentile_filter": q_f7_percentile_filter,
-        "f9_lon_wrap": q_f9_lon_wrap,
-        "f11_nonempty": q_f11_nonempty,
-        "j5_semi_join": q_j5_semi_join,
-        "j7_positional_coords": q_j7_positional_coords,
-        "a1_pricing_summary": q_a1_pricing_summary,
-        "a2_udaf_pandas": q_a2_udaf_pandas,
-        "a6_ecdf_global": q_a6_ecdf_global,
-        "a8_daily_counts": q_a8_daily_counts,
-        "a9_layer_mean": q_a9_layer_mean,
+        # --- r12-certified, 4 rounds stale: MUST certify this round ---
         "a10_column_integral": q_a10_column_integral,
         "a11_minmax_norm": q_a11_minmax_norm,
         "q3_shipping_priority": q_q3_shipping_priority,
         "g1_bilinear_regrid": q_g1_bilinear_regrid,
-        # ---------------- position 51+: rotated out this round ----------
-        # r12-certified remainder (lead the r16 window with these)
         "g4_crop_pad": q_g4_crop_pad,
         "g6_spanning_domain": q_g6_spanning_domain,
         "g7_tangent_projection": q_g7_tangent_projection,
@@ -3596,7 +3619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_sessionize": q_w7_sessionize,
         "a14_rollup": q_a14_rollup,
         "sketch_quantiles": q_sketch_quantiles,
-        # r13-certified
+        # --- oldest certified: r13 cohort (first 22) ---
         "spm_train": q_spm_train,
         "spm_encode": q_spm_encode,
         "dedup_semantic_kmeans": q_dedup_semantic_kmeans,
@@ -3619,6 +3642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "dsir_logratio": q_dsir_logratio,
         "stream_incremental_dedup": q_stream_incremental_dedup,
+        # ---------------- position 51+: rotated out this round ----------
+        # r13-certified remainder (these lead the r17 window)
         "r2_scene_pairs": q_r2_scene_pairs,
         "spec_triplet_pipeline": q_spec_triplet_pipeline,
         "dedup_survivors": q_dedup_survivors,
@@ -3647,7 +3672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "traj_tiles": q_traj_tiles,
         "u3_anti_join": q_u3_anti_join,
-        # r14-certified (freshest)
+        # r14-certified
         "c4_filters": q_c4_filters,
         "winnow_fingerprints": q_winnow_fingerprints,
         "hard_negatives": q_hard_negatives,
@@ -3698,6 +3723,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "simhash": q_simhash,
         "a4_binned_1d": q_a4_binned_1d,
+        # r15-certified (freshest)
+        "a5_binned_2d": q_a5_binned_2d,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_spans": q_dedup_spans,
+        "vocab_build": q_vocab_build,
+        "vocab_encode": q_vocab_encode,
+        "corpus_entropy": q_corpus_entropy,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "stream_daily_counts": q_stream_daily_counts,
+        "stream_dedup_watermark": q_stream_dedup_watermark,
+        "g1_nearest_regrid": q_g1_nearest_regrid,
+        "u1_union_by_name": q_u1_union_by_name,
+        "o3_distinct": q_o3_distinct,
+        "e5_array_roundtrip": q_e5_array_roundtrip,
+        "f2_datetime_components": q_f2_datetime_components,
+        "s5_calendar_offset_missing": q_s5_calendar_offset_missing,
+        "r1_split": q_r1_split,
+        "spec_regridded_bilinear": q_spec_regridded_bilinear,
+        "spec_scene_filter": q_spec_scene_filter,
+        "s2_goes16_query": q_s2_goes16_query,
+        "s4_era5_manifest": q_s4_era5_manifest,
+        "bpe_train_bytes": q_bpe_train_bytes,
+        "pack_bestfit": q_pack_bestfit,
+        "kneser_ney_xent": q_kneser_ney_xent,
+        "dedup_exact_substring": q_dedup_exact_substring,
+        "trigram_xent": q_trigram_xent,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
+        "quality_classifier": q_quality_classifier,
+        "neardup_edit_distance": q_neardup_edit_distance,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "countmin_heavy": q_countmin_heavy,
+        "bm25_topk": q_bm25_topk,
+        "similarity_sq_topk": q_similarity_sq_topk,
+        "j10_interval_join": q_j10_interval_join,
+        "w5_sliding_tiles": q_w5_sliding_tiles,
+        "r5_triplet_locations": q_r5_triplet_locations,
+        "f1_time_intervals": q_f1_time_intervals,
+        "f3_solar_zenith": q_f3_solar_zenith,
+        "f5_regex_filter": q_f5_regex_filter,
+        "f7_percentile_filter": q_f7_percentile_filter,
+        "f9_lon_wrap": q_f9_lon_wrap,
+        "f11_nonempty": q_f11_nonempty,
+        "j5_semi_join": q_j5_semi_join,
+        "j7_positional_coords": q_j7_positional_coords,
+        "a1_pricing_summary": q_a1_pricing_summary,
+        "a2_udaf_pandas": q_a2_udaf_pandas,
+        "a6_ecdf_global": q_a6_ecdf_global,
+        "a8_daily_counts": q_a8_daily_counts,
+        "a9_layer_mean": q_a9_layer_mean,
     }
 
 
@@ -3724,12 +3799,12 @@ def _bpe_cte_prefix(num_merges: int) -> str:
     )
 
 
-# BPE_PIECE_PATTERN (functions/text.py) as a DuckDB string literal: the
-# leading contraction quote doubled; backslash classes pass through
-# (standard SQL strings are escape-free in DuckDB).
-_BPE_PIECE_SQL = (
-    "''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
-)
+# BPE_PIECE_PATTERN (functions/text.py) as a DuckDB string literal,
+# derived from the Python constant so the dialects cannot drift: the
+# contraction quote doubled; backslash escapes (\t \n \x0B \f \r — the
+# explicit whitespace class both Java and RE2 parse identically) pass
+# through (standard SQL strings are escape-free in DuckDB).
+_BPE_PIECE_SQL = T.BPE_PIECE_PATTERN.replace("'", "''")
 
 
 def _bpe_bytes_cte_prefix(num_merges: int) -> str:
@@ -3849,9 +3924,88 @@ def _bpe_encode_bytes_oracle_sql(num_merges: int = 8) -> str:
                    count(*) AS n_pieces,
                    CAST(sum(bytes) AS BIGINT) AS n_bytes,
                    CAST(sum(toks) AS BIGINT) AS n_tokens,
-                   CAST(sum(ck) AS BIGINT) AS seg_checksum
+                   CAST(sum(ck) % 2305843009213693951 AS BIGINT)
+                       AS seg_checksum
             FROM doctok JOIN encw USING (w)
             GROUP BY doc_id"""
+    )
+    return "".join(parts)
+
+
+def _bpe_encode_byte_ids_oracle_sql(num_merges: int = 8) -> str:
+    """bpe_encode_byte_ids replay: train the K byte-level merges (shared
+    CTE prefix), re-apply them to the DISTINCT-piece relation (the
+    bpe_encode_bytes chain), then assign GPT-2 ids — 256 byte symbols
+    (ids 0-255) UNION one id per merge (256+rank, MIN per symbol) —
+    reduce each distinct piece to (ntok, Σid, Σ tpos·id) in vocabulary
+    space, and replay the engine's offset algebra: a piece instance at
+    running token offset o contributes wsum + o·sumid, summed per doc in
+    HUGEINT and folded mod 2^61−1. generate_subscripts is 1-based, so
+    tpos·id matches the engine's (0-based tpos + 1)·id weights."""
+    parts = [_bpe_bytes_cte_prefix(num_merges)]
+    parts.append(
+        f""", doctok AS (
+                SELECT doc_id, generate_subscripts(ps, 1) AS ppos,
+                       unnest(ps) AS w
+                FROM (SELECT doc_id,
+                             regexp_extract_all(text, '{_BPE_PIECE_SQL}')
+                                 AS ps
+                      FROM documents)
+            ), enc0 AS (
+                SELECT DISTINCT w,
+                       regexp_replace(hex(w), '(..)', ' \\1 ', 'g') AS seg
+                FROM doctok
+            )"""
+    )
+    for k in range(num_merges):
+        parts.append(
+            f""", enc{k + 1} AS (
+                SELECT w,
+                       CASE WHEN b.s1 IS NULL THEN seg
+                            ELSE replace(seg,
+                                         ' ' || b.s1 || '  ' || b.s2 || ' ',
+                                         ' ' || b.s1 || b.s2 || ' ')
+                       END AS seg
+                FROM enc{k} LEFT JOIN best{k} b ON TRUE
+            )"""
+        )
+    bestall = "\n                UNION ALL ".join(
+        f"SELECT s1, s2, CAST(merge_rank AS BIGINT) AS mr FROM best{k}"
+        for k in range(num_merges)
+    )
+    parts.append(
+        f""", ids AS (
+                SELECT lpad(upper(to_hex(r)), 2, '0') AS sym,
+                       CAST(r AS BIGINT) AS sid
+                FROM range(256) t(r)
+                UNION ALL
+                SELECT sym, MIN(sid) AS sid FROM (
+                    SELECT s1 || s2 AS sym, 256 + mr AS sid
+                    FROM ({bestall})
+                ) GROUP BY sym
+            ), wtok AS (
+                SELECT w, generate_subscripts(tl, 1) AS tpos,
+                       unnest(tl) AS sym
+                FROM (SELECT w, string_split(trim(seg), '  ') AS tl
+                      FROM enc{num_merges})
+            ), wids AS (
+                SELECT w, count(*) AS ntok,
+                       CAST(sum(sid) AS BIGINT) AS sumid,
+                       CAST(sum(tpos * sid) AS BIGINT) AS wsum
+                FROM wtok JOIN ids USING (sym) GROUP BY w
+            ), contrib AS (
+                SELECT doc_id, ntok,
+                       wsum + COALESCE(sum(ntok) OVER (
+                           PARTITION BY doc_id ORDER BY ppos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) * sumid AS c
+                FROM doctok JOIN wids USING (w)
+            )
+            SELECT doc_id,
+                   CAST(sum(ntok) AS BIGINT) AS n_tokens,
+                   CAST(sum(c) % 2305843009213693951 AS BIGINT)
+                       AS id_checksum
+            FROM contrib GROUP BY doc_id"""
     )
     return "".join(parts)
 
@@ -7904,9 +8058,90 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) + 0.0 AS xent_nats
             FROM terms GROUP BY doc_id
         """,
+        # KN trigram replay: every level's counts from the ONE trigram
+        # CTE (context totals cx3, continuation counts n2 = distinct-w1
+        # per (w2,w3), their w2 totals cx2, predecessor counts bw, T
+        # scalar); p2 computed once in its own projection so the
+        # recursive chain isn't spelled twice; same CAST(0.75 AS DOUBLE)
+        # discipline and left-assoc arithmetic order as the Spark
+        # expression; DECIMAL(38,12) term sums, round(6) + 0.0.
+        "kneser_ney_trigram_xent": """
+            WITH lmbase AS (
+                SELECT COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != ''), []) AS toks
+                FROM documents WHERE doc_id % 10 = 0
+            ), c3 AS (
+                SELECT w1, w2, w3, count(*) AS c3 FROM (
+                    SELECT toks[i] AS w1, toks[i + 1] AS w2,
+                           toks[i + 2] AS w3
+                    FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i
+                          FROM lmbase)
+                ) GROUP BY w1, w2, w3
+            ), cx3 AS (
+                SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12,
+                       count(*) AS nf12
+                FROM c3 GROUP BY w1, w2
+            ), n2 AS (
+                SELECT w2, w3, count(*) AS n2 FROM c3 GROUP BY w2, w3
+            ), cx2 AS (
+                SELECT w2, CAST(sum(n2) AS BIGINT) AS cv, count(*) AS nfv
+                FROM n2 GROUP BY w2
+            ), bw AS (
+                SELECT w3, count(*) AS nb3 FROM n2 GROUP BY w3
+            ), tv AS (
+                SELECT (SELECT count(*) FROM n2) AS t,
+                       (SELECT count(DISTINCT w) FROM (
+                            SELECT unnest(toks) AS w FROM lmbase)) AS v
+            ), scbase AS (
+                SELECT doc_id,
+                       COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != ''), []) AS toks
+                FROM documents WHERE doc_id % 10 <> 0
+            ), inst AS (
+                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+                       toks[i + 2] AS w3
+                FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+                      FROM scbase)
+            ), lvl2 AS (
+                SELECT inst.doc_id, c3.c3, cx3.c12, cx3.nf12,
+                       CASE WHEN cx2.cv IS NOT NULL
+                            THEN greatest(COALESCE(n2.n2, 0)
+                                          - CAST(0.75 AS DOUBLE),
+                                          CAST(0 AS DOUBLE)) / cx2.cv
+                                 + CAST(0.75 AS DOUBLE) * cx2.nfv / cx2.cv
+                                   * ((COALESCE(bw.nb3, 0) + 1)
+                                      / (tv.t + tv.v))
+                            ELSE (COALESCE(bw.nb3, 0) + 1) / (tv.t + tv.v)
+                       END AS p2
+                FROM inst
+                LEFT JOIN c3 ON inst.w1 = c3.w1 AND inst.w2 = c3.w2
+                             AND inst.w3 = c3.w3
+                LEFT JOIN cx3 ON inst.w1 = cx3.w1 AND inst.w2 = cx3.w2
+                LEFT JOIN n2 ON inst.w2 = n2.w2 AND inst.w3 = n2.w3
+                LEFT JOIN cx2 ON inst.w2 = cx2.w2
+                LEFT JOIN bw ON inst.w3 = bw.w3
+                CROSS JOIN tv
+            ), terms AS (
+                SELECT doc_id,
+                       ln(CASE WHEN c12 IS NOT NULL
+                               THEN greatest(COALESCE(c3, 0)
+                                             - CAST(0.75 AS DOUBLE),
+                                             CAST(0 AS DOUBLE)) / c12
+                                    + CAST(0.75 AS DOUBLE) * nf12 / c12 * p2
+                               ELSE p2
+                          END) AS term
+                FROM lvl2
+            )
+            SELECT doc_id,
+                   count(*) AS n_trigrams,
+                   round(-CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE)
+                         / count(*), 6) + 0.0 AS xent_nats
+            FROM terms GROUP BY doc_id
+        """,
         "bpe_train": _bpe_oracle_sql(),
         "bpe_train_bytes": _bpe_bytes_oracle_sql(),
         "bpe_encode_bytes": _bpe_encode_bytes_oracle_sql(),
+        "bpe_encode_byte_ids": _bpe_encode_byte_ids_oracle_sql(),
         "pack_bestfit": _pack_bestfit_oracle_sql(
             budget=128, n_buckets=32, seed=42
         ),
@@ -8453,4 +8688,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         "similarity_lsh_topk": "SELECT CAST(5 AS BIGINT) AS n_queries, true AS recall_ok",
         "similarity_ivf_topk": "SELECT CAST(5 AS BIGINT) AS n_queries, true AS recall_ok",
+        # stale-index IVF probe: FULL value-level replay — literal
+        # (member-vector) centroids make every step SQL-expressible:
+        # per-row argmin list assignment (row_number over (d2, cidx) =
+        # the engine's min-struct over (dist, index)), probe selection
+        # (2 nearest centroids to the query, same (d2, cidx) order as
+        # Python's stable sort in nearest_lists), probed-lists ∪ tail
+        # union, exact cosine top-10 (score round(6) desc, vec_id).
+        # Distance terms are exact in double ((a-b) of two float32s and
+        # its square); the sums are sequential in both engines.
+        "similarity_ivf_stale": """
+            WITH cent AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+                       embedding AS c
+                FROM embeddings WHERE vec_id IN (0, 2, 4, 6)
+            ), q AS (
+                SELECT embedding AS e FROM embeddings WHERE vec_id = 1
+            ), probes AS (
+                SELECT cidx FROM (
+                    SELECT cent.cidx,
+                           list_sum(list_transform(range(1, len(q.e) + 1),
+                             i -> (CAST(cent.c[i] AS DOUBLE)
+                                   - CAST(q.e[i] AS DOUBLE))
+                                * (CAST(cent.c[i] AS DOUBLE)
+                                   - CAST(q.e[i] AS DOUBLE)))) AS d2
+                    FROM cent CROSS JOIN q)
+                ORDER BY d2, cidx LIMIT 2
+            ), asg AS (
+                SELECT vec_id, embedding FROM (
+                    SELECT v.vec_id, v.embedding, cent.cidx,
+                           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                             list_sum(list_transform(
+                               range(1, len(v.embedding) + 1),
+                               i -> (CAST(v.embedding[i] AS DOUBLE)
+                                     - CAST(cent.c[i] AS DOUBLE))
+                                  * (CAST(v.embedding[i] AS DOUBLE)
+                                     - CAST(cent.c[i] AS DOUBLE)))),
+                             cent.cidx) AS rn
+                    FROM embeddings v CROSS JOIN cent
+                    WHERE v.vec_id % 2 = 0)
+                WHERE rn = 1 AND cidx IN (SELECT cidx FROM probes)
+            ), cand AS (
+                SELECT vec_id, embedding FROM asg
+                UNION ALL
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+            ), scored AS (
+                SELECT cand.vec_id,
+                       round(
+                         list_sum(list_transform(range(1, len(cand.embedding) + 1),
+                                  i -> CAST(cand.embedding[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(range(1, len(cand.embedding) + 1),
+                                  i -> CAST(cand.embedding[i] AS DOUBLE) * CAST(cand.embedding[i] AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(range(1, len(q.e) + 1),
+                                  i -> CAST(q.e[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE))))), 6) AS score
+                FROM cand CROSS JOIN q
+            )
+            SELECT vec_id, score FROM scored
+            ORDER BY score DESC, vec_id LIMIT 10
+        """,
     }

@@ -20,7 +20,13 @@ TOKEN_PATTERN = r"\w+|[^\w\s]"
 # whitespace. Both engines use leftmost-first alternation, so piece COUNTS
 # agree exactly (the dropped `\s+(?!\S)` branch only re-segments runs of
 # blanks, which the count is insensitive to for single-space text).
-BPE_PIECE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+# Whitespace is the EXPLICIT class [ \t\n\x0B\f\r] (Java's ASCII \s), not
+# the metaclass: RE2's \s excludes vertical tab \x0B, so `\s` would make
+# the two dialects pre-tokenize \x0B-bearing text differently.
+BPE_PIECE_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^A-Za-z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+"
+)
 
 # Tiny high-frequency English function-word list for the language-ID
 # heuristic (stopword-ratio); deterministic and oracle-expressible.

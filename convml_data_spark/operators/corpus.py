@@ -23,6 +23,12 @@ from .sampling import hash_uniform
 # (similarity.py): fixed driver memory at any corpus size.
 _CUT_SAMPLE_ROWS = 65_536
 
+# Modulus for order-insensitive content checksums (2^61 − 1, Mersenne
+# prime): per-term md5 values sum exactly in DECIMAL(38,0) / HUGEINT and
+# fold back into a non-negative BIGINT identically in Spark and DuckDB —
+# a raw BIGINT sum of 52-bit terms wraps silently on large docs.
+CHECKSUM_MOD = (1 << 61) - 1
+
 
 def ngram_overlap(
     train: DataFrame,
@@ -564,10 +570,16 @@ def bpe_encode_bytes(
     context unit; n_tokens/n_bytes is the learned byte-level
     compression), and an order-insensitive content checksum: the sum
     over piece INSTANCES of the top-52-bit md5 of the piece's final
-    segmentation string — certifying the exact post-merge segmentation
-    of every piece, not just its length (the encode_tokens
-    ``id_checksum`` idea at the segmentation level; md5 replays in any
-    engine). Docs with no pieces (NULL/empty text) emit no row.
+    segmentation string, reduced mod 2^61−1 — certifying the exact
+    post-merge segmentation of every piece, not just its length (the
+    encode_tokens ``id_checksum`` idea at the segmentation level; md5
+    replays in any engine). The sum accumulates in DECIMAL(38,0)
+    (exact to ~2e22 piece instances per doc — unreachable) and the
+    Mersenne-prime pmod folds it back into BIGINT: a raw BIGINT sum
+    of 52-bit terms wraps silently past ~4096 pieces (routine doc
+    sizes in a web corpus) while DuckDB's HUGEINT sum does not —
+    engine/oracle parity would break exactly on big docs. Docs with
+    no pieces (NULL/empty text) emit no row.
 
     Scale design mirrors :func:`bpe_encode`: merges fold over ONE
     broadcast rank-sorted array onto the DISTINCT-piece relation
@@ -615,7 +627,127 @@ def bpe_encode_bytes(
             F.count("*").alias("n_pieces"),
             F.sum("_bytes").alias("n_bytes"),
             F.sum("_toks").cast("bigint").alias("n_tokens"),
-            F.sum("_ck").alias("seg_checksum"),
+            F.pmod(
+                F.sum(F.col("_ck").cast("decimal(38,0)")),
+                F.lit(CHECKSUM_MOD).cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("seg_checksum"),
+        )
+    )
+
+
+def bpe_encode_byte_ids(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-2 token-ID encode — the id assignment that completes the
+    byte-level construction (Radford et al. 2019): the vocabulary is the
+    256 byte symbols with ids 0-255 (the byte's value) plus one id per
+    learned merge, ``256 + merge_rank`` — exactly GPT-2's id scheme,
+    where a token's id is the order its symbol entered the vocabulary. A
+    symbol two different merges can assemble (``(a,bc)`` and ``(ab,c)``
+    both yield ``abc``) takes its FIRST-creation (minimum) id, so the
+    map is a function in both engines. Returns ``(id, n_tokens,
+    id_checksum)`` per doc with ``id_checksum = Σ (pos+1)·token_id`` over
+    the doc's full token sequence in order, reduced mod 2^61−1
+    (:data:`CHECKSUM_MOD`) — the order-SENSITIVE positional certificate
+    of :func:`encode_tokens`, certifying the exact id sequence a
+    training pipeline would ship without emitting an array column. Docs
+    with no pieces (NULL/empty text) emit no row.
+
+    Scale design: the merge fold runs once over the DISTINCT-piece
+    relation (vocabulary-bounded, as :func:`bpe_encode_bytes`); token-id
+    arithmetic also stays in vocabulary space — each distinct piece
+    reduces to ``(n_toks, Σ id, Σ (tpos+1)·id)``, and a piece instance
+    at global token offset ``o`` contributes ``Σ (o+tpos+1)·id =
+    wsum + o·Σid``, so the corpus-scale path never explodes per-token
+    rows. One equi-join back to the positioned pieces, one per-doc
+    keyed window for the running offset, one aggregation; the id table
+    (256 + n_merges rows) is broadcast."""
+    from .dedup import _spread
+
+    spark = docs.sparkSession
+    marr = merges.agg(
+        F.array_sort(
+            F.collect_list(F.struct("merge_rank", "s1", "s2"))
+        ).alias("_ms")
+    )
+    tok = _spread(docs, id_col).select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(T.BPE_PIECE_PATTERN), F.lit(0)
+            )
+        ).alias("_ppos", "w"),
+    )
+    enc = (
+        tok.select("w")
+        .distinct()
+        .crossJoin(F.broadcast(marr))
+        .select(
+            "w",
+            F.aggregate(
+                "_ms",
+                _byte_seg(F.col("w")),
+                lambda acc, m: F.replace(
+                    acc,
+                    F.concat(
+                        F.lit(" "), m["s1"], F.lit("  "), m["s2"], F.lit(" ")
+                    ),
+                    F.concat(F.lit(" "), m["s1"], m["s2"], F.lit(" ")),
+                ),
+            ).alias("_seg"),
+        )
+    )
+    byte_ids = spark.range(256).select(
+        F.lpad(F.upper(F.hex(F.col("id"))), 2, "0").alias("_sym"),
+        F.col("id").cast("long").alias("_sid"),
+    )
+    merge_ids = (
+        merges.select(
+            F.concat("s1", "s2").alias("_sym"),
+            (F.lit(256) + F.col("merge_rank")).cast("long").alias("_sid"),
+        )
+        .groupBy("_sym")
+        .agg(F.min("_sid").alias("_sid"))
+    )
+    ids = byte_ids.unionByName(merge_ids)
+    wids = (
+        enc.select(
+            "w",
+            F.posexplode(F.split(F.trim("_seg"), "  ")).alias("_tpos", "_sym"),
+        )
+        .join(F.broadcast(ids), "_sym")
+        .groupBy("w")
+        .agg(
+            F.count("*").alias("_ntok"),
+            F.sum("_sid").alias("_sumid"),
+            F.sum((F.col("_tpos") + F.lit(1)) * F.col("_sid")).alias("_wsum"),
+        )
+    )
+    off = F.coalesce(
+        F.sum("_ntok").over(
+            Window.partitionBy(id_col)
+            .orderBy("_ppos")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    contrib = (F.col("_wsum") + off * F.col("_sumid")).cast("decimal(38,0)")
+    return (
+        tok.join(wids, "w")
+        .select(F.col(id_col), F.col("_ntok"), contrib.alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_ntok").cast("bigint").alias("n_tokens"),
+            F.pmod(
+                F.sum("_c"), F.lit(CHECKSUM_MOD).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("id_checksum"),
         )
     )
 
@@ -870,6 +1002,12 @@ def pack_bestfit_decreasing(
     next-fit on the same order (property-tested) and at most
     11/9·OPT + 2/3 (Dósa 2007, the FFD/BFD bound)."""
     import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     from .dedup import _spread
 
@@ -896,23 +1034,35 @@ def pack_bestfit_decreasing(
     )
 
     def _bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
         pdf = pdf.sort_values(
             ["n_tokens", "_shuf", "_id"], ascending=[False, True, True]
         )
-        rems: list[int] = []
+        # best fit = smallest remaining >= length, tie -> lowest bin
+        # index: a bisect-maintained sorted list of (remaining, idx)
+        # tuples makes the per-doc probe O(log bins) instead of a full
+        # O(bins) scan — bisect_left with (length, -1) lands on exactly
+        # the (r, i)-lexicographic minimum among fitting bins, the same
+        # tie-break as the previous linear min((r, i)). Bins driven
+        # negative by an oversize doc leave the free list permanently
+        # (they can never fit a length >= 0), matching the linear
+        # scan's r >= length exclusion.
+        free: list[tuple[int, int]] = []  # (remaining, bin idx), sorted
+        n_bins = 0
         bins: list[int] = []
         for length in pdf["n_tokens"].tolist():
-            # best fit: smallest remaining >= length, tie -> lowest index
-            fit = min(
-                ((r, i) for i, r in enumerate(rems) if r >= length),
-                default=None,
-            )
-            if fit is None:
-                rems.append(budget - length)
-                bins.append(len(rems))
+            pos = bisect.bisect_left(free, (length, -1))
+            if pos == len(free):
+                rem = budget - length
+                if rem >= 0:
+                    bisect.insort(free, (rem, n_bins))
+                n_bins += 1
+                bins.append(n_bins)
             else:
-                rems[fit[1]] -= length
-                bins.append(fit[1] + 1)
+                r, i = free.pop(pos)
+                bisect.insort(free, (r - length, i))
+                bins.append(i + 1)
         out = pdf.assign(bin=pd.array(bins, dtype="int32"))
         tot = out.groupby("bin")["n_tokens"].transform("sum")
         return pd.DataFrame(
@@ -925,10 +1075,18 @@ def pack_bestfit_decreasing(
             }
         )
 
+    # the _id field keeps the caller's id dtype (string doc ids are as
+    # valid as longs — a hardcoded "long" corrupts or rejects them)
     packed = base.groupBy("bucket").applyInPandas(
         _bfd,
-        schema=(
-            "_id long, n_tokens long, bucket int, bin int, bin_tokens long"
+        schema=StructType(
+            [
+                StructField("_id", docs.schema[id_col].dataType),
+                StructField("n_tokens", LongType()),
+                StructField("bucket", IntegerType()),
+                StructField("bin", IntegerType()),
+                StructField("bin_tokens", LongType()),
+            ]
         ),
     )
     return packed.select(
@@ -1560,6 +1718,128 @@ def kneser_ney_score(
         F.col("n_bigrams"),
         (
             F.round(-F.col("_s").cast("double") / F.col("n_bigrams"), 6)
+            + F.lit(0.0)
+        ).alias("xent_nats"),
+    )
+
+
+def kneser_ney_trigram_score(
+    docs: DataFrame,
+    lm_docs: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    durable: bool | None = None,
+) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM cross-entropy — the recursive
+    Chen & Goodman 1998 chain one order above :func:`kneser_ney_score`,
+    with every level's counts derived from ONE materialized trigram-type
+    relation (the n-gram-relation pattern of
+    :func:`trigram_backoff_score`). With absolute discount ``D``::
+
+        P(w3 | w1 w2) = max(c(w1 w2 w3) − D, 0) / c(w1 w2 ·)
+                        + D · N1+(w1 w2 ·) / c(w1 w2 ·) · P(w3 | w2)
+                      = P(w3 | w2)                      unseen (w1 w2)
+
+        P(w3 | w2)    = max(n(w2 w3) − D, 0) / n(w2 ·)
+                        + D · N1+cont(w2 ·) / n(w2 ·) · Pcont(w3)
+                      = Pcont(w3)                       unseen w2 ctx
+
+        Pcont(w3)     = (N1+(· w3) + 1) / (T + V)
+
+    where the MIDDLE level runs on CONTINUATION counts ``n(w2 w3) =
+    N1+(· w2 w3)`` (distinct w1 preceding the bigram — Chen & Goodman's
+    defining substitution: lower-order levels count how many contexts a
+    unit completes, not how often it occurs), ``c(w1 w2 ·)`` /
+    ``n(w2 ·)`` are the context totals under which each discounted
+    level exactly normalizes, ``N1+(w1 w2 ·)`` / ``N1+cont(w2 ·)`` the
+    distinct-follower type counts at each level, ``N1+(· w3)`` the
+    distinct-predecessor count IN the continuation type space, ``T``
+    the number of continuation bigram types and ``V`` the vocabulary
+    size — the same +1/(T+V) end-of-recursion floor as the bigram
+    scorer (strictly positive P for any token). Every evaluated
+    transition with a seen (w1 w2) context has ≥ 1 distinct follower,
+    and a seen trigram implies a seen continuation bigram, so no
+    in-branch denominator is ever NULL. Returns ``(id, n_trigrams,
+    xent_nats)`` with ``xent_nats = −(Σ ln P) / n_trigrams`` over the
+    doc's n_tokens − 2 transitions; docs with < 3 tokens emit no row.
+
+    Scale design: in-row trigram instances (three shifted slices
+    zipped, no window); the LM side is ONE trigram hash agg
+    materialized once — context totals (w1 w2), continuation counts
+    (w2 w3), their (w2) totals, predecessor counts (w3) and the T
+    scalar ALL derive from it — plus one unigram agg feeding only the
+    V scalar; the per-doc pass is five hash equi-joins + a broadcast
+    1-row (T, V) relation + one aggregation, all vocabulary-bounded.
+    Float discipline as the LM family: DECIMAL(38,12) term sums
+    (AQE-order-independent), round(6) + 0.0 on the final double."""
+    from .dedup import _spread
+    from .persist import materialize_for_reuse
+
+    D = float(discount)
+    if not (0.0 < D < 1.0):
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    inst = _trigram_instances(_spread(docs, id_col), [id_col], text_col)
+    # the trigram-type relation feeds FIVE consumers (instance join,
+    # trigram-context relation, continuation relation and everything
+    # derived from it)
+    c3 = materialize_for_reuse(
+        _trigram_instances(lm_docs, [], text_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("_c3")),
+        durable=durable,
+    )
+    ctx3 = c3.groupBy("w1", "w2").agg(
+        F.sum("_c3").alias("_c12"), F.count("*").alias("_nf12")
+    )
+    # continuation counts n(w2 w3) = N1+(· w2 w3): distinct w1 per
+    # (w2, w3) — feeds the instance join, the (w2) totals, the (w3)
+    # predecessor counts and the T scalar
+    n2 = materialize_for_reuse(
+        c3.groupBy("w2", "w3").agg(F.count("*").alias("_n2")),
+        durable=durable,
+    )
+    ctx2 = n2.groupBy("w2").agg(
+        F.sum("_n2").alias("_cv"), F.count("*").alias("_nfv")
+    )
+    bwd = n2.groupBy("w3").agg(F.count("*").alias("_nb3"))
+    tv = n2.agg(F.count("*").alias("_T")).crossJoin(
+        lm_docs.select(
+            F.explode(T.tokens(F.lower(F.col(text_col)))).alias("w")
+        ).agg(F.count_distinct("w").alias("_V"))
+    )
+    scored = (
+        inst.join(c3, ["w1", "w2", "w3"], "left")
+        .join(ctx3, ["w1", "w2"], "left")
+        .join(n2, ["w2", "w3"], "left")
+        .join(ctx2, "w2", "left")
+        .join(bwd, "w3", "left")
+        .join(F.broadcast(tv))
+    )
+    pcont = (F.coalesce("_nb3", F.lit(0)) + F.lit(1)) / (
+        F.col("_T") + F.col("_V")
+    )
+    p2 = F.when(
+        F.col("_cv").isNotNull(),
+        F.greatest(F.coalesce("_n2", F.lit(0)) - F.lit(D), F.lit(0.0))
+        / F.col("_cv")
+        + F.lit(D) * F.col("_nfv") / F.col("_cv") * pcont,
+    ).otherwise(pcont)
+    p3 = F.when(
+        F.col("_c12").isNotNull(),
+        F.greatest(F.coalesce("_c3", F.lit(0)) - F.lit(D), F.lit(0.0))
+        / F.col("_c12")
+        + F.lit(D) * F.col("_nf12") / F.col("_c12") * p2,
+    ).otherwise(p2)
+    per = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_trigrams"),
+        F.sum(F.log(p3).cast("decimal(38,12)")).alias("_s"),
+    )
+    return per.select(
+        F.col(id_col),
+        F.col("n_trigrams"),
+        (
+            F.round(-F.col("_s").cast("double") / F.col("n_trigrams"), 6)
             + F.lit(0.0)
         ).alias("xent_nats"),
     )

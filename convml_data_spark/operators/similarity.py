@@ -612,6 +612,46 @@ def ivf_topk_batch(
     return _batch_probe_topk(assigned, probe_df, "list_id", k, vec_col, id_col)
 
 
+def ivf_topk_with_tail(
+    indexed: DataFrame,
+    tail: DataFrame,
+    centroids: list[list[float]],
+    query_vector: list[float],
+    k: int = 10,
+    n_probes: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a STALE IVF index correctly: vectors that arrived AFTER the
+    index was built (``tail``) are not in any inverted list, so a serving
+    layer that only probes lists silently never returns them — the ANN
+    analog of :func:`~.dedup.incremental_dedup`'s new-batch problem. The
+    fix is the standard one (FAISS/Lucene segment model): probe the
+    ``n_probes`` nearest lists of the INDEXED rows and brute-force-scan
+    the unindexed tail, then take the exact top-k of the union.
+
+    ``indexed`` must carry the ``list_id`` column of
+    :func:`ivf_index`/:func:`ivf_write_index` built from ``centroids``.
+    Guarantee (tested): any tail vector in the EXACT global top-k is in
+    this result — the tail is always searched exactly, so staleness can
+    only cost recall on indexed rows (bounded by the probe recall
+    certificate), never on fresh data. Returns (id, score) like
+    :func:`cosine_topk`, identical ordering/tie-break.
+
+    Scale design: the list filter prunes the indexed side to
+    n_probes/n_lists of the data (partition-pruned when the index is
+    parquet-partitioned by list_id); the tail between index rebuilds is
+    a small fraction of the table by construction, so the exact scan is
+    bounded; the union is one scan each side, no shuffle before the
+    TakeOrdered top-k."""
+    probe_ids = nearest_lists(centroids, query_vector, n_probes)
+    cand = indexed.where(F.col("list_id").isin(probe_ids)).select(
+        id_col, vec_col
+    )
+    cand = cand.unionByName(tail.select(id_col, vec_col))
+    return cosine_topk(cand, query_vector, k=k, vec_col=vec_col, id_col=id_col)
+
+
 # ------------------------------------------------------------ product quant
 
 def pq_train(

@@ -203,6 +203,12 @@ def _viterbi_segment_arrow(
             )
             scores, pieces = [], []
             for w in pdf[word_col]:
+                if w is None:
+                    # expr-path parity: a NULL word scores NULL, like
+                    # empty/overlong words below
+                    scores.append(None)
+                    pieces.append(None)
+                    continue
                 n = len(w)
                 if n == 0 or n > L:
                     scores.append(None)

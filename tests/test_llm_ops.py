@@ -100,6 +100,63 @@ def test_ivf_recall_on_clustered_data(spark):
     assert set(approx) == set(exact)
 
 
+def test_ivf_stale_tail_guarantee_and_python_mirror(spark):
+    """Stale-index probe (similarity.py::ivf_topk_with_tail): (a) the
+    FRESHNESS guarantee — every tail (post-index) vector in the exact
+    global top-k appears in the result, because the tail is always
+    scanned exactly (staleness can only cost recall on indexed rows);
+    (b) the whole result equals a brute-force Python mirror of
+    assignment → probe-2-lists → union → top-k on randomized data."""
+    from convml_data_spark.operators import similarity
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (i, [float(v) for v in rng.standard_normal(8)]) for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    indexed_src = df.where("vec_id % 2 = 0")
+    tail = df.where("vec_id % 2 = 1")
+    centroids = [v for i, v in rows[:8] if i % 2 == 0][:4]
+    q = rows[1][1]  # a tail member's vector
+    indexed, _ = similarity.ivf_index(indexed_src, centroids=centroids)
+    got = [
+        (r["vec_id"], r["score"])
+        for r in similarity.ivf_topk_with_tail(
+            indexed, tail, centroids, q, k=10, n_probes=2
+        ).collect()
+    ]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return round(num / den, 6)
+
+    probe = {
+        i for i, _ in sorted(
+            enumerate(centroids), key=lambda t: d2(t[1], q)
+        )[:2]
+    }
+    cand = [
+        (i, v) for i, v in rows
+        if i % 2 == 1
+        or min(range(4), key=lambda ci: (d2(v, centroids[ci]), ci)) in probe
+    ]
+    want = sorted(
+        ((i, cos(v, q)) for i, v in cand), key=lambda t: (-t[1], t[0])
+    )[:10]
+    assert got == want
+
+    # freshness guarantee: exact top-k ∩ tail ⊆ result
+    exact = sorted(
+        ((i, cos(v, q)) for i, v in rows), key=lambda t: (-t[1], t[0])
+    )[:10]
+    got_ids = {i for i, _ in got}
+    assert all(i in got_ids for i, _ in exact if i % 2 == 1)
+
+
 def test_lsh_neardup_pairs_finds_planted_dups(spark):
     """Planted near-identical vectors collide in LSH buckets and survive
     exact verification; unrelated vectors don't appear."""
@@ -1504,6 +1561,120 @@ def test_kneser_ney_matches_python_reference(spark):
         assert abs(got[i][1] - round(want[i][1], 6)) < 2e-6, i
 
 
+def test_kneser_ney_trigram_hand_computed_all_branches(spark):
+    """Hand-computed interpolated KN TRIGRAM check on a tiny LM whose
+    scored docs (one trigram each) hit every branch of the Chen-Goodman
+    recursion: seen trigram, seen (w1,w2) context with unseen trigram,
+    unseen (w1,w2) with seen w2 continuation context, and the full
+    fall-through to the unigram floor."""
+    import math
+
+    from convml_data_spark.operators.corpus import kneser_ney_trigram_score
+
+    # LM "a b c a b d": trigram types (a,b,c) (b,c,a) (c,a,b) (a,b,d)
+    # cx3: (a,b) c12=2 nf12=2; (b,c) 1,1; (c,a) 1,1
+    # n2 (continuation): (b,c) (c,a) (a,b) (b,d) all 1
+    # cx2: b cv=2 nfv=2; c 1,1; a 1,1 ; bw nb3: a,b,c,d = 1 ; T=4 V=4
+    lm = spark.createDataFrame([(0, "a b c a b d")], "doc_id long, text string")
+    D = 0.75
+    pc = {"c": 2 / 8, "x": 1 / 8, "q": 1 / 8, "a": 2 / 8}
+    p2_cb = (1 - D) / 2 + D * 2 / 2 * pc["c"]   # seen cont. bigram (b,c)
+    p2_xc = D * 1 / 1 * pc["x"]                  # seen w2=c, unseen (c,x)
+    p2_qb = D * 2 / 2 * pc["q"]                  # seen w2=b, unseen (b,q)
+    want_p = {
+        10: (1 - D) / 2 + D * 2 / 2 * p2_cb,     # seen trigram (a,b,c)
+        11: D * 1 / 1 * p2_xc,                   # seen ctx (b,c), unseen tri
+        12: pc["q"],                             # unseen ctx, unseen w2=x
+        13: p2_qb,                               # unseen ctx (x,b), seen w2=b
+    }
+    docs = spark.createDataFrame(
+        [(10, "a b c"), (11, "b c x"), (12, "z x q"), (13, "x b q")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["xent_nats"])
+        for r in kneser_ney_trigram_score(docs, lm, discount=D).collect()
+    }
+    for i, prob in want_p.items():
+        assert got[i][0] == 1, i
+        assert abs(got[i][1] - round(-math.log(prob), 6)) < 2e-6, (
+            i, got[i], -math.log(prob),
+        )
+
+
+def test_kneser_ney_trigram_matches_python_reference(spark):
+    """Randomized cross-check: kneser_ney_trigram_score equals a
+    brute-force Python Chen-Goodman implementation (trigram discount →
+    continuation-count bigram level → add-one unigram floor) on random
+    corpora with unseen words/bigrams/trigrams/contexts in the mix;
+    every probability strictly positive."""
+    import math
+    from collections import Counter
+
+    from convml_data_spark.operators.corpus import kneser_ney_trigram_score
+
+    lm_rows = _random_corpus(15, 30, vocab=20, max_len=30)
+    sc_rows = _random_corpus(16, 40, vocab=32, max_len=25)
+    lm = spark.createDataFrame(lm_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(sc_rows, "doc_id long, text string")
+    D = 0.75
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["xent_nats"])
+        for r in kneser_ney_trigram_score(docs, lm, discount=D).collect()
+    }
+
+    def toks(t):
+        return [w for w in (t or "").lower().split() if w]
+
+    c3 = Counter(
+        (a, b, c)
+        for _, t in lm_rows
+        for a, b, c in zip(toks(t), toks(t)[1:], toks(t)[2:])
+    )
+    c12, nf12 = Counter(), Counter()
+    n2 = Counter()
+    for (a, b, c), n in c3.items():
+        c12[(a, b)] += n
+        nf12[(a, b)] += 1
+        n2[(b, c)] += 1
+    cv, nfv, nb3 = Counter(), Counter(), Counter()
+    for (b, c), n in n2.items():
+        cv[b] += n
+        nfv[b] += 1
+        nb3[c] += 1
+    T = len(n2)
+    V = len({w for _, t in lm_rows for w in toks(t)})
+    want = {}
+    for i, t in sc_rows:
+        ws = toks(t)
+        if len(ws) < 3:
+            continue
+        terms = []
+        for a, b, c in zip(ws, ws[1:], ws[2:]):
+            pcont = (nb3.get(c, 0) + 1) / (T + V)
+            if b in cv:
+                p2 = (
+                    max(n2.get((b, c), 0) - D, 0.0) / cv[b]
+                    + D * nfv[b] / cv[b] * pcont
+                )
+            else:
+                p2 = pcont
+            if (a, b) in c12:
+                p3 = (
+                    max(c3.get((a, b, c), 0) - D, 0.0) / c12[(a, b)]
+                    + D * nf12[(a, b)] / c12[(a, b)] * p2
+                )
+            else:
+                p3 = p2
+            assert p3 > 0
+            terms.append(math.log(p3))
+        want[i] = (len(terms), -sum(terms) / len(terms))
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], i
+        assert abs(got[i][1] - round(want[i][1], 6)) < 2e-6, i
+
+
 def test_quality_classifier_fit_separates_and_matches_model_margin(spark):
     """Hashed linear quality classifier: (a) scoring with the fitted
     weights reproduces sigmoid(coef·counts + intercept) recomputed
@@ -1825,6 +1996,11 @@ def test_bpe_byte_level_matches_python_on_adversarial_corpus(spark):
         (3, None),
         (4, ""),
         (5, " café café touché 99 bottles... the the"),
+        # 1200 DISTINCT pieces: the raw 52-bit-term checksum sum (iid
+        # uniform terms, ~2.7e18 ± 9σ margin) exceeds 2^61-1, exercising
+        # the Mersenne pmod fold (a raw BIGINT sum would wrap silently
+        # here — the r15 ADVICE overflow)
+        (6, " ".join(f"w{i}" for i in range(1200))),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     K = 7
@@ -1864,17 +2040,23 @@ def test_bpe_byte_level_matches_python_on_adversarial_corpus(spark):
         seg = " " + "  ".join(syms) + " "
         return int(hashlib.md5(seg.encode()).hexdigest()[:13], 16)
 
+    MOD = (1 << 61) - 1
     want_enc = {}
+    raw_sums = {}
     for i, t in rows:
         ps = pat.findall(t) if t else []
         if not ps:
             continue
+        raw_sums[i] = sum(ck(segs[p]) for p in ps)
         want_enc[i] = (
             len(ps),
             sum(len(p.encode("utf-8")) for p in ps),
             sum(len(segs[p]) for p in ps),
-            sum(ck(segs[p]) for p in ps),
+            raw_sums[i] % MOD,
         )
+    # the fold is genuinely exercised: doc 6's raw sum overflows BIGINT
+    # territory past the modulus
+    assert raw_sums[6] > MOD
     assert got_enc == want_enc
 
     # empty merge table -> identity segmentation (bytes == tokens)
@@ -1885,6 +2067,99 @@ def test_bpe_byte_level_matches_python_on_adversarial_corpus(spark):
         ).collect()
     }
     assert ident and all(b == s for b, s in ident.values())
+
+
+def test_bpe_encode_byte_ids_matches_python_gpt2_id_scheme(spark):
+    """GPT-2 token-id encode (corpus.py::bpe_encode_byte_ids) against a
+    Python mirror on the same adversarial corpus: ids are 0-255 for the
+    byte symbols (the byte's value) + 256+rank per merge (min on symbol
+    collision), and id_checksum is the order-SENSITIVE positional sum
+    Σ(pos+1)·id mod 2^61-1 over the doc's whole token sequence (the mod
+    only bites at ~1e8-token docs — the 100 TB stance — so this pins the
+    sub-modulus arithmetic; the fold itself shares CHECKSUM_MOD with the
+    bpe_encode_bytes path whose overflow test above exercises it)."""
+    from convml_data_spark.operators.corpus import (
+        bpe_encode_byte_ids,
+        bpe_train_byte_merges,
+    )
+
+    rows = [
+        (1, "The cat's Cat CAT won't sit-still!"),
+        (2, "cat cat  cat 1234 12 cats they'll sit"),
+        (3, None),
+        (4, ""),
+        (5, " café café touché 99 bottles... the the"),
+        (6, " ".join(f"w{i}" for i in range(3000))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    K = 7
+    pat, want_merges, segs = _byte_bpe_python(rows, K)
+    sym_id = {f"{b:02X}": b for b in range(256)}
+    for rank, s1, s2, _ in want_merges:
+        sym_id.setdefault(s1 + s2, 256 + rank)
+
+    MOD = (1 << 61) - 1
+    want = {}
+    for i, t in rows:
+        ps = pat.findall(t) if t else []
+        if not ps:
+            continue
+        seq = [sym_id[s] for p in ps for s in segs[p]]
+        want[i] = (
+            len(seq),
+            sum((pos + 1) * sid for pos, sid in enumerate(seq)) % MOD,
+        )
+
+    merges = bpe_train_byte_merges(docs, num_merges=K)
+    for parts in (1, 5):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["id_checksum"])
+            for r in bpe_encode_byte_ids(
+                docs.repartition(parts), merges
+            ).collect()
+        }
+        assert got == want, parts
+
+    # empty merge table -> pure byte-id sequence, every id < 256
+    docs1 = spark.createDataFrame([(1, "ab!")], "doc_id long, text string")
+    got1 = bpe_encode_byte_ids(
+        docs1, merges.where("merge_rank < 0")
+    ).collect()[0]
+    # 'ab!' -> pieces 'ab', '!' -> bytes 61 62 21 -> ids 97 98 33
+    assert got1["n_tokens"] == 3
+    assert got1["id_checksum"] == 1 * 97 + 2 * 98 + 3 * 33
+
+
+def test_bpe_piece_pattern_whitespace_class_matches_duckdb(spark):
+    """Java's ``\\s`` includes vertical tab \\x0B; RE2's does not — the
+    pre-tokenizer therefore spells whitespace as the explicit class
+    [ \\t\\n\\x0B\\f\\r] in BOTH dialects (r15 ADVICE). Pin that a
+    \\x0B-bearing text pre-tokenizes into the SAME piece list in Spark
+    (Java regex) and DuckDB (RE2), and that the SQL literal derives from
+    the Python constant."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from convml_data_spark.functions.text import BPE_PIECE_PATTERN
+
+    assert entrymod._BPE_PIECE_SQL == BPE_PIECE_PATTERN.replace("'", "''")
+    txt = "a\x0bb\tc \x0b\x0b d1\fe\rf\ng \x0b!"
+    got_spark = (
+        spark.createDataFrame([(txt,)], "text string")
+        .select(
+            F.regexp_extract_all(
+                "text", F.lit(BPE_PIECE_PATTERN), F.lit(0)
+            ).alias("p")
+        )
+        .collect()[0]["p"]
+    )
+    got_duck = duckdb.sql(
+        f"SELECT regexp_extract_all(?, '{entrymod._BPE_PIECE_SQL}') AS p",
+        params=[txt],
+    ).fetchone()[0]
+    assert got_spark == got_duck
+    # the vertical tab really lands in whitespace pieces, not punctuation
+    assert any("\x0b" in p and p.strip(" \t\n\x0b\f\r") == "" for p in got_spark)
 
 
 def test_trigram_backoff_score_all_three_branches_hand_computed(spark):

@@ -497,6 +497,9 @@ SCAN_CEILINGS = {
     # round 15: byte-level BPE — same shapes as the word-level pair
     # (training state checkpoint-hidden; encode = piece scan + distinct scan)
     "bpe_train_bytes": 0, "bpe_encode_bytes": 2,
+    # round 16: GPT-2 id assignment — same two scans as bpe_encode_bytes
+    # (positioned-piece scan + distinct-piece scan; ids are broadcast)
+    "bpe_encode_byte_ids": 2,
     # round 15: best-fit packing — one length scan into the bucketed
     # applyInPandas (per-bin totals computed in-batch, no second pass)
     "pack_bestfit": 1,
@@ -504,6 +507,12 @@ SCAN_CEILINGS = {
     # scan (the bigram relation and everything derived from it is
     # checkpoint-hidden behind one materialization)
     "kneser_ney_xent": 2,
+    # round 16: KN trigram — same two scans (instance + V-scalar); the
+    # trigram relation and its continuation derivatives checkpoint-hidden
+    "kneser_ney_trigram_xent": 2,
+    # round 16: stale-index IVF probe — indexed-side scan + tail scan
+    # (centroid/query collects are construction-time, not in the plan)
+    "similarity_ivf_stale": 2,
     "cap_per_source": 1, "cdc_chunk_dedup": 0, "corpus_entropy": 1, "countmin_heavy": 0,
     "dbscan_cell_stats": 1, "dbscan_ladder": 0, "dbscan_merge_events": 0, "decontam_excise": 3,
     "decontam_ngram_overlap": 2, "decontam_semantic": 2, "decontam_substring": 2, "dedup_best_survivors": 4,

@@ -586,6 +586,63 @@ def test_pack_bestfit_budget_one_and_user_count_column(spark):
     assert got == {0: 5, 1: 0, 2: 0}
 
 
+def test_pack_bestfit_string_ids_and_tie_stress(spark):
+    """Two regressions pinned at once: (1) a STRING id column must pass
+    through the applyInPandas schema intact (the schema used to
+    hardcode ``_id long``, corrupting/rejecting non-long ids); (2) the
+    bisect-maintained free list must reproduce the linear scan's
+    (smallest-remaining, lowest-bin-index) tie-break on a workload
+    engineered for many EQUAL remainders (all lengths from a tiny set
+    dividing the budget)."""
+    import hashlib
+    import random
+
+    from convml_data_spark.operators.corpus import pack_bestfit_decreasing
+
+    rng = random.Random(99)
+    rows = [
+        (f"doc-{i:03d}", " ".join("w" for _ in range(rng.choice([2, 4, 8]))))
+        for i in range(120)
+    ]
+    BUDGET, NB, SEED = 16, 3, 7
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bucket"], r["bin"], r["bin_tokens"])
+        for r in pack_bestfit_decreasing(
+            docs, budget=BUDGET, n_buckets=NB, seed=SEED
+        ).collect()
+    }
+
+    def shuf(i):
+        return int(hashlib.md5(f"{SEED}_{i}".encode()).hexdigest()[:15], 16)
+
+    per_bucket: dict[int, list] = {}
+    for i, t in rows:
+        L = len(t.split())
+        per_bucket.setdefault(shuf(i) % NB, []).append((L, shuf(i), i))
+    want = {}
+    fills: dict = {}
+    for b, ds in per_bucket.items():
+        ds.sort(key=lambda x: (-x[0], x[1], x[2]))
+        rems: list = []
+        for L, _, i in ds:
+            fit = min(
+                ((r, j) for j, r in enumerate(rems) if r >= L), default=None
+            )
+            if fit is None:
+                rems.append(BUDGET - L)
+                bin_ = len(rems)
+            else:
+                rems[fit[1]] -= L
+                bin_ = fit[1] + 1
+            want[i] = (L, b, bin_)
+            fills[(b, bin_)] = fills.get((b, bin_), 0) + L
+    want = {
+        i: (L, b, bin_, fills[(b, bin_)]) for i, (L, b, bin_) in want.items()
+    }
+    assert got == want
+
+
 def test_mixture_rates_zero_token_source_gets_zero_rate(spark):
     from convml_data_spark.operators.corpus import mixture_rates
 

@@ -252,6 +252,26 @@ def test_viterbi_arrow_engine_equals_expression_engine(spark):
     assert any(v[0] is not None for v in got_a.values())
 
 
+def test_viterbi_arrow_engine_null_word_matches_expr(spark):
+    """A NULL word must score (NULL, NULL) in BOTH engines — the arrow
+    path used to raise TypeError on len(None) where the expr path
+    returned NULL (r15 ADVICE), and arrow is the default engine."""
+    df = (
+        spark.createDataFrame([("ab",), (None,)], "w string")
+        .withColumn("_ps", F.array(F.lit("a"), F.lit("b")))
+        .withColumn(
+            "_us", F.array(F.lit(-10).cast("bigint"), F.lit(-20).cast("bigint"))
+        )
+    )
+    for eng in ("arrow", "expr"):
+        rows = {
+            r["w"]: (r["_score"], r["_pieces"])
+            for r in spm.viterbi_segment(df, "w", 5, 2, engine=eng).collect()
+        }
+        assert rows[None] == (None, None), eng
+        assert rows["ab"][0] == -30, eng
+
+
 def test_unigram_train_validates_params(spark):
     import pytest
 
