@@ -2469,6 +2469,37 @@ def q_dbscan_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dbscan_mutual_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hdbscan robust-single-linkage level sets (clustering.py::
+    mutual_reachability_ladder; Campello, Moulavi & Sander 2013): exact
+    per-point CORE DISTANCES (squared (min_pts-1)-NN radius within
+    eps_max — the density discount hdbscan builds its mutual-reachability
+    metric from) and per-height components of the mutual-reachability
+    graph, which collapse to DBSCAN* cuts (border points are NOISE, the
+    semantic gap the plain dbscan_ladder left vs hdbscan). One
+    materialized grid join at eps_max + one keyed window feed both
+    levels; core_d2 is bit-exact replayable double arithmetic, labels
+    min-core-id, noise = -1."""
+    from convml_data_spark.operators import clustering
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    out = clustering.mutual_reachability_ladder(
+        pts, [0.02, 0.04], 5, id_col="vec_id"
+    )
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "eps",
+        "core_d2",
+        F.coalesce("label", F.lit(-1)).alias("label"),
+        "is_core",
+    )
+
+
 def q_dbscan_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epsilon-grid occupancy diagnostic (clustering.py::
     epsilon_grid_cell_stats): the pre-flight probe for DBSCAN's one
@@ -3540,6 +3571,7 @@ COST_CLASS = {
         "bpe_encode_bytes", "bpe_encode_byte_ids", "bpe_train_bytes", "pack_bestfit",
         "kneser_ney_xent", "kneser_ney_trigram_xent",
         "cdc_chunk_dedup", "countmin_heavy", "dbscan_ladder",
+        "dbscan_mutual_reach",
         "dbscan_merge_events", "decontam_excise", "decontam_semantic",
         "decontam_substring", "dedup_best_survivors", "dedup_components",
         "dedup_containment", "dedup_exact_substring",
@@ -3592,6 +3624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_byte_ids": q_bpe_encode_byte_ids,
         "kneser_ney_trigram_xent": q_kneser_ney_trigram_xent,
         "similarity_ivf_stale": q_similarity_ivf_stale,
+        "dbscan_mutual_reach": q_dbscan_mutual_reach,
         # --- re-certify: seg_checksum modular fold (r15 ADVICE) ---
         "bpe_encode_bytes": q_bpe_encode_bytes,
         # --- r12-certified, 4 rounds stale: MUST certify this round ---
@@ -3619,7 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_sessionize": q_w7_sessionize,
         "a14_rollup": q_a14_rollup,
         "sketch_quantiles": q_sketch_quantiles,
-        # --- oldest certified: r13 cohort (first 22) ---
+        # --- oldest certified: r13 cohort (first 21) ---
         "spm_train": q_spm_train,
         "spm_encode": q_spm_encode,
         "dedup_semantic_kmeans": q_dedup_semantic_kmeans,
@@ -3641,9 +3674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "incremental_dedup": q_incremental_dedup,
         "dsir_logratio": q_dsir_logratio,
-        "stream_incremental_dedup": q_stream_incremental_dedup,
         # ---------------- position 51+: rotated out this round ----------
         # r13-certified remainder (these lead the r17 window)
+        "stream_incremental_dedup": q_stream_incremental_dedup,
         "r2_scene_pairs": q_r2_scene_pairs,
         "spec_triplet_pipeline": q_spec_triplet_pipeline,
         "dedup_survivors": q_dedup_survivors,
@@ -5545,6 +5578,79 @@ def _dbscan_ladder_oracle_sql(
         f"FROM ({_dbscan_oracle_sql(e, min_pts)})"
         for e in eps_levels
     ]
+    return " UNION ALL ".join(parts)
+
+
+def _dbscan_mutual_reach_oracle_sql(
+    eps_levels: tuple[float, ...] = (0.02, 0.04),
+    min_pts: int = 5,
+) -> str:
+    """mutual_reachability_ladder replay, one full query per ladder
+    height UNION ALL-ed (the _dbscan_ladder_oracle_sql pattern): grid
+    join at eps_MAX keeping squared distances, core distance = the
+    (min_pts-1)-th smallest neighbor d2 per point (row_number over
+    (d2, id_b) — ties at the boundary leave the k-th VALUE unchanged),
+    core set = core_d2 <= eps_level², closure over core-core edges with
+    d2 <= eps_level² (the mutual-reachability max(d, core_a, core_b) <=
+    eps condition collapsed), labels = min core id, non-core = noise -1
+    (DBSCAN*, no border attachment). Distance expressions mirror the
+    engine's operand order exactly, so core_d2 is bit-identical."""
+    eps_max = max(eps_levels)
+    em2 = repr(eps_max * eps_max)
+    emp = repr(eps_max)
+    parts = []
+    for eps in eps_levels:
+        e2 = repr(float(eps) * float(eps))
+        parts.append(f"""
+        SELECT * FROM (
+        WITH RECURSIVE p AS (
+          SELECT vec_id AS id,
+                 CAST(embedding[1] AS DOUBLE) AS x,
+                 CAST(embedding[2] AS DOUBLE) AS y
+          FROM embeddings
+        ), c AS (
+          SELECT *, CAST(floor(x / {emp}) AS BIGINT) AS cx,
+                    CAST(floor(y / {emp}) AS BIGINT) AS cy
+          FROM p
+        ), e AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+          FROM c a JOIN c b
+            ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+           AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+           AND a.id != b.id
+           AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+               <= {em2}
+        ), cd AS (
+          SELECT id_a AS id, d2 AS core_d2 FROM (
+            SELECT id_a, id_b, d2,
+                   row_number() OVER (PARTITION BY id_a
+                                      ORDER BY d2, id_b) AS r
+            FROM e)
+          WHERE r = {int(min_pts) - 1}
+        ), core AS (
+          SELECT id FROM cd WHERE core_d2 <= {e2}
+        ), ce AS (
+          SELECT e.id_a AS s, e.id_b AS d
+          FROM e JOIN core ca ON e.id_a = ca.id
+                 JOIN core cb ON e.id_b = cb.id
+          WHERE e.d2 <= {e2}
+        ), reach(id, r) AS (
+          SELECT id, id FROM core
+          UNION
+          SELECT reach.id, ce.d FROM reach JOIN ce ON reach.r = ce.s
+        ), comp AS (
+          SELECT id, min(r) AS label FROM reach GROUP BY id
+        )
+        SELECT p.id AS vec_id,
+               {float(eps)!r} AS eps,
+               cd.core_d2 AS core_d2,
+               COALESCE(cl.label, -1) AS label,
+               (cl.id IS NOT NULL) AS is_core
+        FROM p
+        LEFT JOIN cd ON p.id = cd.id
+        LEFT JOIN comp cl ON p.id = cl.id
+        )""")
     return " UNION ALL ".join(parts)
 
 
@@ -7540,6 +7646,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_semantic": _semantic_decontam_oracle_sql(),
         "g8_rayleigh": _g8_rayleigh_oracle_sql(),
         "dbscan_ladder": _dbscan_ladder_oracle_sql(),
+        "dbscan_mutual_reach": _dbscan_mutual_reach_oracle_sql(),
         # dendrogram merge record: the ladder replay aligned with itself
         # across the two eps heights (label = -1 marks noise in the
         # replay; the engine side filters NULL labels — same rows)

@@ -41,6 +41,7 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import Observation
@@ -304,6 +305,8 @@ def _labels_from_edges(
     durable: bool | None,
     prev_core_labels: DataFrame | None = None,
     materialize_core: bool = False,
+    core: DataFrame | None = None,
+    attach_borders: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Core/cluster/border/noise labeling given a SYMMETRIC eps-neighbor
     edge list (id_a, id_b) — the post-candidate-join half of DBSCAN,
@@ -325,15 +328,25 @@ def _labels_from_edges(
     contracted node ids are previous cluster minima plus newly-core ids,
     and every level-k cluster minimum is ≤ all ids it represents, so the
     min over contracted ids equals the min over all core ids.
+
+    ``core`` (optional) overrides the neighbor-count core computation
+    with a precomputed ``(id)`` core relation — the mutual-reachability
+    ladder derives cores from the materialized core-distance relation
+    instead (equivalent set: count ≥ min_pts−1 ⟺ the (min_pts−1)-th
+    smallest neighbor distance ≤ eps). ``attach_borders=False`` skips
+    the border join entirely (DBSCAN* semantics: non-core = noise).
     """
     from .dedup import connected_components
 
-    n_nbr = edges.groupBy("id_a").agg(F.count("*").alias("_n"))
-    core = (
-        pts.join(n_nbr, pts.id == n_nbr.id_a, "left")
-        .where(F.coalesce(F.col("_n"), F.lit(0)) + 1 >= F.lit(int(min_pts)))
-        .select("id")
-    )
+    if core is None:
+        n_nbr = edges.groupBy("id_a").agg(F.count("*").alias("_n"))
+        core = (
+            pts.join(n_nbr, pts.id == n_nbr.id_a, "left")
+            .where(
+                F.coalesce(F.col("_n"), F.lit(0)) + 1 >= F.lit(int(min_pts))
+            )
+            .select("id")
+        )
     # clusters: components over core-core edges + core self-pairs (a core
     # with no core neighbor is its own single-point cluster)
     cc_edges = (
@@ -378,6 +391,13 @@ def _labels_from_edges(
         from .persist import materialize_for_reuse
 
         core_labeled = materialize_for_reuse(core_labeled, durable=durable)
+    if not attach_borders:
+        out = (
+            pts.select("id")
+            .join(core_labeled, "id", "left")
+            .select("id", "label", F.col("label").isNotNull().alias("is_core"))
+        )
+        return out, core_labeled
     # border: non-core with >= 1 core neighbor -> its minimum core
     # neighbor's cluster
     core_nbr = (
@@ -489,6 +509,111 @@ def dbscan_eps_ladder(
         if warm_start and not last:
             prev_core_labels = core_labels
         outs.append(labeled.select("id", F.lit(eps).alias("eps"), "label", "is_core"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def mutual_reachability_ladder(
+    points: DataFrame,
+    eps_levels: list[float],
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    durable: bool | None = None,
+    warm_start: bool = True,
+    dense_cell_threshold: int | None = DENSE_CELL_THRESHOLD,
+) -> DataFrame:
+    """Mutual-reachability (robust single linkage) level sets — the
+    hdbscan construction (Campello, Moulavi & Sander 2013) the plain
+    :func:`dbscan_eps_ladder` approximates: per point the exact CORE
+    DISTANCE (squared distance to the (min_pts−1)-th nearest other
+    point, the k-NN radius hdbscan discounts density with), and per
+    ladder height eps the connected components of the mutual-reachability
+    graph ``mreach(a,b) = max(d(a,b), core(a), core(b)) ≤ eps``. Since
+    ``mreach ≤ eps ⟺ (core(a) ≤ eps) ∧ (core(b) ≤ eps) ∧ (d ≤ eps)``,
+    each level's graph is exactly the core-core eps-graph — i.e. the
+    cut is DBSCAN* (Campello et al.'s star variant): border points are
+    NOISE, never attached to a neighbor's cluster. The new artifacts vs
+    the plain ladder are the exact per-point core distance and the
+    DBSCAN* noise semantics; labels are min-core-id as everywhere else.
+    Returns ``(id, eps, core_d2, label, is_core)`` — ``core_d2`` is the
+    squared core distance (bit-exact replayable double arithmetic; NULL
+    when the point has < min_pts−1 neighbors within max(eps_levels),
+    i.e. it can never be core inside this ladder), ``label`` NULL =
+    noise at that height.
+
+    Scale design inherits the ladder: ONE materialized grid candidate
+    join at eps_max; core distances are one keyed window over the edge
+    relation (per-point neighbor lists, bounded by density — never a
+    global sort), materialized once and filtered per level; levels
+    warm-start each other through the same monotone core-label
+    contraction (core sets defined by ``core_d2 ≤ eps²`` are monotone in
+    eps exactly like count-based cores).
+    """
+    from .persist import materialize_for_reuse
+
+    if int(min_pts) < 2:
+        raise ValueError(
+            f"min_pts must be >= 2 (the k-NN radius needs k >= 1 "
+            f"other points), got {min_pts}"
+        )
+    eps_levels = sorted({float(e) for e in eps_levels})
+    if not eps_levels:
+        raise ValueError("eps_levels must be non-empty")
+    eps_max = eps_levels[-1]
+    pts = materialize_for_reuse(
+        points.select(
+            F.col(id_col).alias("id"),
+            F.col(x_col).cast("double").alias("x"),
+            F.col(y_col).cast("double").alias("y"),
+        ),
+        durable=durable,
+    )
+    edges = _eps_edges(pts, eps_max, durable, None, dense_cell_threshold)
+    w = Window.partitionBy("id_a").orderBy("_d2", "id_b")
+    kth = (
+        edges.select("id_a", "id_b", "_d2", F.row_number().over(w).alias("_r"))
+        .where(F.col("_r") == F.lit(int(min_pts) - 1))
+        .select(F.col("id_a").alias("id"), F.col("_d2").alias("core_d2"))
+    )
+    # all points, NULL core_d2 when never core within the ladder; feeds
+    # every level's core filter AND every level's output join
+    cd = materialize_for_reuse(
+        pts.select("id").join(kth, "id", "left"), durable=durable
+    )
+    outs = []
+    prev = None
+    for lvl, eps in enumerate(eps_levels):
+        e2 = eps * eps
+        core = cd.where(F.col("core_d2") <= F.lit(e2)).select("id")
+        level_edges = edges.where(F.col("_d2") <= F.lit(e2)).select(
+            "id_a", "id_b"
+        )
+        last = lvl == len(eps_levels) - 1
+        labeled, core_labels = _labels_from_edges(
+            pts,
+            level_edges,
+            min_pts,
+            durable,
+            prev_core_labels=prev,
+            materialize_core=warm_start and not last,
+            core=core,
+            attach_borders=False,
+        )
+        if warm_start and not last:
+            prev = core_labels
+        outs.append(
+            labeled.join(cd, "id", "left").select(
+                "id",
+                F.lit(eps).alias("eps"),
+                "core_d2",
+                "label",
+                "is_core",
+            )
+        )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

@@ -1203,6 +1203,95 @@ def test_dbscan_eps_ladder_levels_match_single_eps_and_are_monotone(spark):
     assert clustered_small != clustered_big
 
 
+def test_mutual_reachability_ladder_matches_python_hdbscan_slice(spark):
+    """Mutual-reachability level sets (clustering.py::
+    mutual_reachability_ladder) against a brute-force Python mirror on
+    randomized points: exact squared core distances (k-NN radius, NULL
+    when < min_pts-1 neighbors within eps_max), per-level DBSCAN*
+    components of the mutual-reachability graph (min-core-id labels,
+    border points NOISE — the hdbscan robust-single-linkage cut), label
+    monotonicity across levels, warm_start invariance and partitioning
+    independence."""
+    import random
+
+    from convml_data_spark.operators.clustering import (
+        mutual_reachability_ladder,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (i, round(rng.uniform(0, 1.0), 4), round(rng.uniform(0, 1.0), 4))
+        for i in range(150)
+    ]
+    rows += [(200 + k, 5.0, 5.0 + 0.001 * k) for k in range(6)]  # tight blob
+    rows.append((300, -50.0, -50.0))  # isolated
+    LEVELS, MP = [0.05, 0.12], 4
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+
+    def d2(a, b):
+        return (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2
+
+    eps_max = max(LEVELS)
+    core_d2 = {}
+    for a in rows:
+        ds = sorted(
+            d2(a, b) for b in rows if b[0] != a[0] and d2(a, b) <= eps_max**2
+        )
+        core_d2[a[0]] = ds[MP - 2] if len(ds) >= MP - 1 else None
+
+    def mirror(eps):
+        e2 = eps * eps
+        cores = [i for i, cd in core_d2.items() if cd is not None and cd <= e2]
+        by_id = {r[0]: r for r in rows}
+        parent = {i: i for i in cores}
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for a in cores:
+            for b in cores:
+                if a < b and d2(by_id[a], by_id[b]) <= e2:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for i in cores:
+            comp.setdefault(find(i), []).append(i)
+        label = {}
+        for members in comp.values():
+            m = min(members)
+            for i in members:
+                label[i] = m
+        return {
+            i: (core_d2[i], label.get(i), i in label) for i, _, _ in rows
+        }
+
+    want = {eps: mirror(eps) for eps in LEVELS}
+    for parts, warm in ((1, True), (7, True), (7, False)):
+        got = {}
+        out = mutual_reachability_ladder(
+            pts.repartition(parts), LEVELS, MP, warm_start=warm
+        ).collect()
+        for r in out:
+            got.setdefault(r["eps"], {})[r["id"]] = (
+                r["core_d2"], r["label"], r["is_core"],
+            )
+        assert got == want, (parts, warm)
+    # the slice is non-trivial: some point is core at 0.12 but not 0.05,
+    # and the isolated point has NULL core distance
+    assert want[0.05][300][0] is None
+    assert any(
+        want[0.12][i][2] and not want[0.05][i][2] for i, _, _ in rows
+    )
+    # DBSCAN* semantics: a non-core point NEVER carries a label
+    assert all(
+        lab is None for cd, lab, c in want[0.05].values() if not c
+    )
+
+
 def test_epsilon_grid_cell_skew_metric_fires_on_dense_cell(spark):
     """The one quadratic corner left in the engine — a dense epsilon-grid
     cell — must be OBSERVABLE: epsilon_grid_cell_stats reports the exact

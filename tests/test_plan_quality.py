@@ -515,6 +515,9 @@ SCAN_CEILINGS = {
     "similarity_ivf_stale": 2,
     "cap_per_source": 1, "cdc_chunk_dedup": 0, "corpus_entropy": 1, "countmin_heavy": 0,
     "dbscan_cell_stats": 1, "dbscan_ladder": 0, "dbscan_merge_events": 0, "decontam_excise": 3,
+    # round 16: mutual-reachability ladder — scans checkpoint-hidden like
+    # dbscan_ladder (pts/edges/core-distance materializations)
+    "dbscan_mutual_reach": 0,
     "decontam_ngram_overlap": 2, "decontam_semantic": 2, "decontam_substring": 2, "dedup_best_survivors": 4,
     "dedup_components": 0, "dedup_exact_prefix": 1, "dedup_exact_substring": 1, "dedup_jaccard": 2,
     "dedup_jaccard_prefix": 8, "dedup_minhash": 4, "dedup_minhash_sigs": 1, "dedup_semantic": 1,
