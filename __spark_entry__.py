@@ -3081,7 +3081,20 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wf.groupBy("doc_id").agg(
         F.count("*").alias("n_fps"),
         F.min("fp").alias("min_fp"),
-        F.sum((F.col("fp") % 1000003) * (F.col("pos") + 1)).alias("fp_checksum"),
+        # position-weighted modular checksum: per-term cast to DECIMAL
+        # before summing, fold mod 2^61-1 — a raw BIGINT sum wraps on
+        # multi-MB docs (the seg_checksum overflow class) while the
+        # oracle's HUGEINT sum errors at the BIGINT cast instead
+        F.pmod(
+            F.sum(
+                ((F.col("fp") % 1000003) * (F.col("pos") + 1)).cast(
+                    "decimal(38,0)"
+                )
+            ),
+            F.lit((1 << 61) - 1).cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias("fp_checksum"),
     )
 
 
@@ -3625,8 +3638,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney_trigram_xent": q_kneser_ney_trigram_xent,
         "similarity_ivf_stale": q_similarity_ivf_stale,
         "dbscan_mutual_reach": q_dbscan_mutual_reach,
-        # --- re-certify: seg_checksum modular fold (r15 ADVICE) ---
+        # --- re-certify: checksum modular folds changed this round ---
+        # (seg_checksum per the r15 ADVICE; vocab_encode id_checksum and
+        # winnow fp_checksum from the r16 proactive sweep of the same
+        # BIGINT-positional-sum overflow class)
         "bpe_encode_bytes": q_bpe_encode_bytes,
+        "vocab_encode": q_vocab_encode,
+        "winnow_fingerprints": q_winnow_fingerprints,
         # --- r12-certified, 4 rounds stale: MUST certify this round ---
         "a10_column_integral": q_a10_column_integral,
         "a11_minmax_norm": q_a11_minmax_norm,
@@ -3652,7 +3670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_sessionize": q_w7_sessionize,
         "a14_rollup": q_a14_rollup,
         "sketch_quantiles": q_sketch_quantiles,
-        # --- oldest certified: r13 cohort (first 21) ---
+        # --- oldest certified: r13 cohort (first 19) ---
         "spm_train": q_spm_train,
         "spm_encode": q_spm_encode,
         "dedup_semantic_kmeans": q_dedup_semantic_kmeans,
@@ -3672,10 +3690,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_best_survivors": q_dedup_best_survivors,
         "select_token_budget": q_select_token_budget,
         "gopher_repetition": q_gopher_repetition,
-        "incremental_dedup": q_incremental_dedup,
-        "dsir_logratio": q_dsir_logratio,
         # ---------------- position 51+: rotated out this round ----------
         # r13-certified remainder (these lead the r17 window)
+        "incremental_dedup": q_incremental_dedup,
+        "dsir_logratio": q_dsir_logratio,
         "stream_incremental_dedup": q_stream_incremental_dedup,
         "r2_scene_pairs": q_r2_scene_pairs,
         "spec_triplet_pipeline": q_spec_triplet_pipeline,
@@ -3707,7 +3725,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u3_anti_join": q_u3_anti_join,
         # r14-certified
         "c4_filters": q_c4_filters,
-        "winnow_fingerprints": q_winnow_fingerprints,
         "hard_negatives": q_hard_negatives,
         "dedup_containment": q_dedup_containment,
         "wordpiece_vocab": q_wordpiece_vocab,
@@ -3761,7 +3778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_spans": q_dedup_spans,
         "vocab_build": q_vocab_build,
-        "vocab_encode": q_vocab_encode,
         "corpus_entropy": q_corpus_entropy,
         "text_bpe_tokens": q_text_bpe_tokens,
         "stream_daily_counts": q_stream_daily_counts,
@@ -4022,9 +4038,13 @@ def _bpe_encode_byte_ids_oracle_sql(num_merges: int = 8) -> str:
                 FROM (SELECT w, string_split(trim(seg), '  ') AS tl
                       FROM enc{num_merges})
             ), wids AS (
+                -- sums stay HUGEINT (no BIGINT cast): the engine
+                -- accumulates these in DECIMAL(38,0) for the same
+                -- overflow-proofing, and the wsum + o*sumid product
+                -- below must not wrap on huge docs
                 SELECT w, count(*) AS ntok,
-                       CAST(sum(sid) AS BIGINT) AS sumid,
-                       CAST(sum(tpos * sid) AS BIGINT) AS wsum
+                       sum(sid) AS sumid,
+                       sum(tpos * sid) AS wsum
                 FROM wtok JOIN ids USING (sym) GROUP BY w
             ), contrib AS (
                 SELECT doc_id, ntok,
@@ -4911,7 +4931,8 @@ def _winnow_oracle_sql(k: int = 8, w: int = 4) -> str:
               SELECT DISTINCT doc_id, pos, fp FROM pick WHERE rn = 1
             )
             SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp,
-                   CAST(SUM((fp % 1000003) * (pos + 1)) AS BIGINT) AS fp_checksum
+                   CAST(SUM((fp % 1000003) * (pos + 1))
+                        % 2305843009213693951 AS BIGINT) AS fp_checksum
             FROM sel GROUP BY doc_id
         """
 
@@ -7290,7 +7311,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT f.doc_id, count(*) AS n_tokens, count(v.token_id) AS n_known,
                    count(*) - count(v.token_id) AS n_unk,
-                   CAST(sum((f.pos + 1) * CAST(v.token_id AS BIGINT)) AS BIGINT) AS id_checksum
+                   CAST(sum((f.pos + 1) * CAST(v.token_id AS BIGINT))
+                        % 2305843009213693951 AS BIGINT) AS id_checksum
             FROM flat f LEFT JOIN v ON f.token = v.token
             GROUP BY f.doc_id
         """,

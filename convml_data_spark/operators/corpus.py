@@ -715,6 +715,10 @@ def bpe_encode_byte_ids(
         .agg(F.min("_sid").alias("_sid"))
     )
     ids = byte_ids.unionByName(merge_ids)
+    # _wsum accumulates in DECIMAL(38,0): a BIGINT sum of (tpos+1)·id
+    # terms wraps on a pathological single piece of ~3e8+ tokens while
+    # the DuckDB twin's HUGEINT sum does not (the seg_checksum overflow
+    # class, one level down)
     wids = (
         enc.select(
             "w",
@@ -725,7 +729,11 @@ def bpe_encode_byte_ids(
         .agg(
             F.count("*").alias("_ntok"),
             F.sum("_sid").alias("_sumid"),
-            F.sum((F.col("_tpos") + F.lit(1)) * F.col("_sid")).alias("_wsum"),
+            F.sum(
+                ((F.col("_tpos") + F.lit(1)) * F.col("_sid")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("_wsum"),
         )
     )
     off = F.coalesce(
@@ -736,7 +744,12 @@ def bpe_encode_byte_ids(
         ),
         F.lit(0),
     )
-    contrib = (F.col("_wsum") + off * F.col("_sumid")).cast("decimal(38,0)")
+    # cast BOTH factors to decimal BEFORE the multiply: offset (≈ doc
+    # token count) × sumid (≈ 300·piece tokens) exceeds BIGINT on huge
+    # docs — a post-multiply cast would launder the wrapped value
+    contrib = F.col("_wsum") + off.cast("decimal(38,0)") * F.col(
+        "_sumid"
+    ).cast("decimal(38,0)")
     return (
         tok.join(wids, "w")
         .select(F.col(id_col), F.col("_ntok"), contrib.alias("_c"))
@@ -761,9 +774,14 @@ def encode_tokens(
     """Tokenize documents against a built vocabulary (broadcast join — the
     vocab is the small side at any corpus scale) and reduce per document:
     ``(doc_id, n_tokens, n_known, n_unk, id_checksum)`` where the
-    checksum is ``sum((pos+1) * token_id)`` over known tokens — an
-    order-sensitive scalar that certifies the full positional encoding
-    without emitting an array column.
+    checksum is ``sum((pos+1) * token_id)`` over known tokens, reduced
+    mod 2^61−1 (:data:`CHECKSUM_MOD`) — an order-sensitive scalar that
+    certifies the full positional encoding without emitting an array
+    column. The sum accumulates in DECIMAL(38,0): a raw BIGINT sum of
+    position-weighted ids wraps silently on multi-megabyte docs
+    (Σ ≈ n²·V/2) while the DuckDB twin's HUGEINT does not — the
+    seg_checksum overflow class. NULL when the doc has no known tokens
+    (all-unknown sum is empty), as before.
     """
     tok = docs.select(
         F.col(id_col),
@@ -774,9 +792,17 @@ def encode_tokens(
         F.count("*").alias("n_tokens"),
         F.count("token_id").alias("n_known"),
         (F.count("*") - F.count("token_id")).alias("n_unk"),
-        F.sum(
-            (F.col("pos") + F.lit(1)) * F.col("token_id").cast("bigint")
-        ).alias("id_checksum"),
+        F.pmod(
+            F.sum(
+                (
+                    (F.col("pos") + F.lit(1)).cast("decimal(38,0)")
+                    * F.col("token_id").cast("decimal(38,0)")
+                )
+            ),
+            F.lit(CHECKSUM_MOD).cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias("id_checksum"),
     )
 
 
