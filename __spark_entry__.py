@@ -3836,7 +3836,7 @@ def _bpe_cte_prefix(num_merges: int) -> str:
             WITH words AS (
                 SELECT w, count(*) AS c FROM (
                     SELECT unnest(COALESCE(list_filter(
-                        string_split_regex(lower(text), '\\s+'),
+                        string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                         x -> x != ''), [])) AS w
                     FROM documents)
                 GROUP BY w
@@ -4081,7 +4081,7 @@ def _pack_bestfit_oracle_sql(
             WITH RECURSIVE d AS (
               SELECT doc_id,
                      COALESCE(len(list_filter(
-                         string_split_regex(lower(text), '\\s+'),
+                         string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                          x -> x != '')), 0) AS L,
                      CAST('0x' || substr(
                          md5('{seed}_' || CAST(doc_id AS VARCHAR)), 1, 15)
@@ -4143,7 +4143,7 @@ def _bpe_encode_oracle_sql(num_merges: int = 8) -> str:
     parts.append(
         """, doctok AS (
                 SELECT doc_id, unnest(COALESCE(list_filter(
-                    string_split_regex(lower(text), '\\s+'),
+                    string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                     x -> x != ''), [])) AS w
                 FROM documents
             ), enc0 AS (
@@ -4259,7 +4259,7 @@ def _spm_cte_prefix(
             WITH RECURSIVE words AS MATERIALIZED (
                 SELECT w, count(*) AS c FROM (
                     SELECT unnest(COALESCE(list_filter(
-                        string_split_regex(lower(text), '\\s+'),
+                        string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                         x -> x != ''), [])) AS w
                     FROM documents)
                 WHERE length(w) <= {L}
@@ -4338,7 +4338,7 @@ def _spm_encode_oracle_sql() -> str:
                 FROM u{_SPM_R}
             ), doctok AS MATERIALIZED (
                 SELECT doc_id, unnest(COALESCE(list_filter(
-                    string_split_regex(lower(text), '\\s+'),
+                    string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                     x -> x != ''), [])) AS w
                 FROM documents
             ), dwords AS MATERIALIZED (
@@ -4769,7 +4769,7 @@ def _wp_vocab_cte(vocab_top: int = 24, piece_max_len: int = 4, word_max_len: int
     cnt)``; callers must open WITH RECURSIVE themselves."""
     return f"""doctok AS MATERIALIZED (
               SELECT doc_id, unnest(COALESCE(list_filter(
-                  string_split_regex(lower(text), '\\s+'),
+                  string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                   x -> x != ''), [])) AS w
               FROM documents
             ), dwords AS MATERIALIZED (
@@ -4980,7 +4980,7 @@ def _containment_oracle_sql(threshold: float = 0.5, ngram: int = 3) -> str:
     return f"""
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+                     list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '') AS w
               FROM documents
             ), sh AS (
               SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -5012,7 +5012,7 @@ def _c4_filters_oracle_sql(min_words: int = 5, min_sentences: int = 3) -> str:
     return f"""
             WITH base AS (
               SELECT doc_id,
-                     COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                     COALESCE(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                               x -> x != ''), []) AS w,
                      CAST('0x' || substr(md5('li:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
                          % 13 = 0 AS lorem,
@@ -5206,7 +5206,7 @@ def _langid_ctes(n_buckets: int = 1024) -> str:
             tok AS (
                 SELECT doc_id,
                        unnest(COALESCE(list_filter(
-                           string_split_regex(lower(text), '\\s+'),
+                           string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                            x -> x != ''), [])) AS t
                 FROM documents
             ), cnt AS (
@@ -5295,7 +5295,7 @@ def _langid_confident_oracle_sql(
                     FROM (
                         SELECT doc_id,
                                COALESCE(list_filter(
-                                   string_split_regex(lower(text), '\\s+'),
+                                   string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                    x -> x != ''), []) AS toks
                         FROM documents WHERE doc_id % {holdout_mod} = 0
                     )
@@ -5356,7 +5356,7 @@ def _blocklist_scan_oracle_sql(
             toks AS (
                 SELECT doc_id,
                        COALESCE(list_filter(
-                           string_split_regex(lower(text), '\\s+'),
+                           string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                            x -> x != ''), []) AS toks
                 FROM documents
             ), grams AS (
@@ -5817,7 +5817,7 @@ def _gopher_ladder_oracle() -> str:
     return f"""
         WITH t AS (
           SELECT doc_id, text,
-                 list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+                 list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '') AS w
           FROM documents
         ), g AS (
           SELECT doc_id, text, w, {", ".join(g_defs)} FROM t
@@ -7004,7 +7004,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": """
             WITH t AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+                     list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '') AS toks
               FROM documents
             ), s AS (
               SELECT doc_id,
@@ -7082,7 +7082,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_best_survivors": """
             WITH RECURSIVE toks AS (
               SELECT doc_id, lang, source,
-                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+                     list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '') AS w
               FROM documents
             ), sh AS (
               SELECT DISTINCT doc_id, lang, source,
@@ -7132,7 +7132,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_ngram_overlap": """
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w,
+                     list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '') AS w,
                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval
               FROM documents
             ), g AS (
@@ -7151,7 +7151,7 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher_quality": """
             WITH t AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+                     list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '') AS w
               FROM documents
             ), m AS (
               SELECT doc_id, w,
@@ -7192,7 +7192,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": """
             WITH toks AS (
               SELECT doc_id,
-                     unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+                     unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '')) AS term
               FROM documents
             ), tf AS (
               SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
@@ -7233,7 +7233,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_quality_weighted": """
             WITH d AS (
               SELECT doc_id,
-                     len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) / 100.0 AS w
+                     len(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '')) / 100.0 AS w
               FROM documents
             )
             SELECT doc_id, round(w, 6) AS keep_prob
@@ -7243,7 +7243,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_spans": """
             WITH toks AS (
-              SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk
+              SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '') AS tk
               FROM documents
             ), spans AS (
               SELECT doc_id, unnest(list_transform(
@@ -7269,7 +7269,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_entropy": """
             WITH tok AS (
-              SELECT source, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS token
+              SELECT source, unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '')) AS token
               FROM documents
             ), tc AS (
               SELECT source, token, count(*) AS c FROM tok GROUP BY source, token
@@ -7284,7 +7284,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "vocab_build": """
             WITH t AS (
-              SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS token
+              SELECT unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '')) AS token
               FROM documents
             ), c AS (
               SELECT token, count(*) AS n FROM t GROUP BY token HAVING count(*) >= 2
@@ -7295,7 +7295,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "vocab_encode": """
             WITH toks AS (
-              SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '') AS tk
               FROM documents
             ), flat AS (
               SELECT doc_id, s.pos AS pos, s.token AS token
@@ -7323,7 +7323,7 @@ def oracle_sql() -> dict[str, str]:
                        text || ' it''s ' || CAST(doc_id AS VARCHAR) || '-'
                             || CAST(n_chars AS VARCHAR) || 'px.',
                        {bpe_pat_sql})) AS INT) AS n_pieces_salted,
-                   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS INT) AS n_ws_tokens,
+                   CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '')) AS INT) AS n_ws_tokens,
                    round(100.0 * len(regexp_extract_all(text, {bpe_pat_sql}))
                          / greatest(len(text), 1), 6) AS pieces_per_100chars
             FROM documents
@@ -7376,7 +7376,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_prefix": """
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+                     list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '') AS w
               FROM documents
             ), sh AS (
               SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -7406,7 +7406,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": """
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+                     list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '') AS w
               FROM documents
             ), sh AS (
               SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -7426,7 +7426,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_sigs": f"""
             WITH toks AS (
               SELECT doc_id AS id,
-                     list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS tk
+                     list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS tk
               FROM documents
             ), sh AS (
               SELECT id, unnest(list_distinct(list_transform(
@@ -7442,7 +7442,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": f"""
             WITH RECURSIVE toks AS (
               SELECT doc_id AS id,
-                     list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS tk
+                     list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS tk
               FROM documents
             ), sh AS (
               SELECT id, unnest(list_distinct(list_transform(
@@ -7486,7 +7486,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_incremental_dedup": f"""
             WITH toks AS (
               SELECT doc_id AS id,
-                     list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS tk
+                     list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS tk
               FROM documents
             ), sh AS (
               SELECT id, unnest(list_distinct(list_transform(
@@ -7509,7 +7509,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": f"""
             WITH toks AS (
               SELECT doc_id AS id,
-                     unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS tok
+                     unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS tok
               FROM documents
             ), h AS (
               SELECT id, CAST('0x'||substr(md5(tok),1,15) AS BIGINT) AS h FROM toks
@@ -7525,7 +7525,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": """
             WITH toks AS (
               SELECT doc_id, lang, source,
-                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+                     list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '') AS w
               FROM documents
             ), sh AS (
               SELECT DISTINCT doc_id, lang, source,
@@ -7548,13 +7548,13 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": """
             WITH t AS (
               SELECT doc_id, text,
-                     list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks,
-                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ltoks
+                     list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '') AS toks,
+                     list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '') AS ltoks
               FROM documents
             )
             SELECT doc_id,
                    CAST(len(toks) AS INT) AS n_tokens,
-                   CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_regex_tokens,
+                   CAST(len(regexp_extract_all(text, '\\w+|[^\\w \\t\\n\\x0B\\f\\r]')) AS INT) AS n_regex_tokens,
                    round(CAST(len(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / greatest(len(text), 1), 6) AS punct_ratio,
                    round(CAST(len(list_filter(ltoks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / greatest(len(ltoks), 1), 6) AS en_stopword_ratio,
                    (CAST(len(list_filter(ltoks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / greatest(len(ltoks), 1)) > 0.15 AS is_en_guess
@@ -7564,10 +7564,10 @@ def oracle_sql() -> dict[str, str]:
         "select_token_budget": """
             WITH t AS (
               SELECT doc_id, source,
-                     CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS INT) AS n_tokens,
-                     round(CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != ''),
+                     CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '')) AS INT) AS n_tokens,
+                     round(CAST(len(list_filter(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x != ''),
                                 x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
-                           / greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')), 1), 6) AS quality
+                           / greatest(len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '')), 1), 6) AS quality
               FROM documents
             ), c AS (
               SELECT doc_id, source, n_tokens, quality,
@@ -7580,7 +7580,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_corpus_stats": """
             SELECT source, count(*) AS n_docs,
-                   CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))) AS BIGINT) AS total_tokens,
+                   CAST(sum(len(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x != ''))) AS BIGINT) AS total_tokens,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY source
         """,
@@ -7753,7 +7753,7 @@ def oracle_sql() -> dict[str, str]:
                        -- mirror Spark's NULL-text coalesce-to-0 (corpus.py::
                        -- pack_token_chunks) so a NULL-text doc packs as 0
                        -- tokens in both engines
-                       COALESCE(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       COALESCE(CAST(len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                             x -> x != '')) AS BIGINT), 0) AS n_tokens,
                        CAST('0x' || substr(md5('42_' || CAST(doc_id AS VARCHAR)), 1, 15)
                             AS BIGINT) AS shuf
@@ -7794,11 +7794,11 @@ def oracle_sql() -> dict[str, str]:
         "dsir_logratio": """
             WITH tok AS (
                 SELECT doc_id,
-                       unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                       unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                           x -> x != '')) AS token
                 FROM documents
             ), ttok AS (
-                SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                SELECT unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                           x -> x != '')) AS token
                 FROM documents WHERE lang = 'en'
             ), cr AS (
@@ -7829,13 +7829,13 @@ def oracle_sql() -> dict[str, str]:
                        CAST('0x' || substr(md5(w), 1, 13) AS BIGINT) % 1024
                            AS token
                 FROM (SELECT doc_id,
-                             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                             unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                                 x -> x != '')) AS w
                       FROM documents)
             ), ttok AS (
                 SELECT CAST('0x' || substr(md5(w), 1, 13) AS BIGINT) % 1024
                            AS token
-                FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                                 x -> x != '')) AS w
                       FROM documents WHERE lang = 'en')
             ), cr AS (
@@ -7864,7 +7864,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_substring": """
             WITH base AS (
                 SELECT doc_id,
-                       COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                       COALESCE(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                 x -> x != ''), []) AS toks,
                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
                            AS is_eval
@@ -7902,7 +7902,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunk_dedup": """
             WITH base AS (
                 SELECT doc_id,
-                       COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                       COALESCE(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                 x -> x != ''), []) AS toks
                 FROM documents
             ), sized AS (
@@ -7956,7 +7956,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_excise": """
             WITH base AS (
                 SELECT doc_id,
-                       COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                       COALESCE(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                 x -> x != ''), []) AS toks,
                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
                            AS is_eval
@@ -8022,7 +8022,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_substring": """
             WITH base AS (
                 SELECT doc_id,
-                       COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                       COALESCE(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                 x -> x != ''), []) AS toks
                 FROM documents
             ), sized AS (
@@ -8084,7 +8084,7 @@ def oracle_sql() -> dict[str, str]:
         # + 0.0 collapses -0.0 for an all-seen doc whose terms are all 0
         "bigram_xent": """
             WITH lmbase AS (
-                SELECT COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                SELECT COALESCE(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                 x -> x != ''), []) AS toks
                 FROM documents WHERE doc_id % 10 = 0
             ), lmtok AS (
@@ -8101,7 +8101,7 @@ def oracle_sql() -> dict[str, str]:
                 ) GROUP BY w1, w2
             ), scbase AS (
                 SELECT doc_id,
-                       COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                       COALESCE(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                 x -> x != ''), []) AS toks
                 FROM documents WHERE doc_id % 10 <> 0
             ), inst AS (
@@ -8135,7 +8135,7 @@ def oracle_sql() -> dict[str, str]:
         # Spark expression term-for-term before the round(6) quantizer
         "kneser_ney_xent": """
             WITH lmbase AS (
-                SELECT COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                SELECT COALESCE(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                 x -> x != ''), []) AS toks
                 FROM documents WHERE doc_id % 10 = 0
             ), cb AS (
@@ -8156,7 +8156,7 @@ def oracle_sql() -> dict[str, str]:
                             SELECT unnest(toks) AS w FROM lmbase)) AS v
             ), scbase AS (
                 SELECT doc_id,
-                       COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                       COALESCE(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                 x -> x != ''), []) AS toks
                 FROM documents WHERE doc_id % 10 <> 0
             ), inst AS (
@@ -8196,7 +8196,7 @@ def oracle_sql() -> dict[str, str]:
         # expression; DECIMAL(38,12) term sums, round(6) + 0.0.
         "kneser_ney_trigram_xent": """
             WITH lmbase AS (
-                SELECT COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                SELECT COALESCE(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                 x -> x != ''), []) AS toks
                 FROM documents WHERE doc_id % 10 = 0
             ), c3 AS (
@@ -8223,7 +8223,7 @@ def oracle_sql() -> dict[str, str]:
                             SELECT unnest(toks) AS w FROM lmbase)) AS v
             ), scbase AS (
                 SELECT doc_id,
-                       COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                       COALESCE(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                 x -> x != ''), []) AS toks
                 FROM documents WHERE doc_id % 10 <> 0
             ), inst AS (
@@ -8285,7 +8285,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_edit_distance": """
             WITH toks AS (
               SELECT doc_id, lower(text) AS t,
-                     list_filter(string_split_regex(lower(text), '\\s+'),
+                     list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                  x -> x != '') AS w
               FROM documents
             ), sh AS (
@@ -8314,7 +8314,7 @@ def oracle_sql() -> dict[str, str]:
             WITH tok AS (
                 SELECT doc_id,
                        unnest(COALESCE(list_filter(
-                           string_split_regex(lower(text), '\\s+'),
+                           string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                            x -> x != ''), [])) AS w
                 FROM documents
             ), bkt AS (
@@ -8346,7 +8346,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontaminate": """
             WITH toks AS (
               SELECT doc_id,
-                     COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                     COALESCE(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                               x -> x != ''), []) AS w,
                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval
               FROM documents
@@ -8384,7 +8384,7 @@ def oracle_sql() -> dict[str, str]:
         "countmin_heavy": """
             WITH tok AS (
               SELECT unnest(COALESCE(list_filter(
-                         string_split_regex(lower(text), '\\s+'),
+                         string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                          x -> x != ''), [])) AS token
               FROM documents
             ), vocab AS (
@@ -8416,7 +8416,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": """
             WITH base AS (
               SELECT doc_id,
-                     COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                     COALESCE(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                               x -> x != ''), []) AS w
               FROM documents
             ), st AS (
@@ -8500,7 +8500,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_countmin": """
             WITH tok AS (
               SELECT unnest(COALESCE(list_filter(
-                         string_split_regex(lower(text), '\\s+'),
+                         string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                          x -> x != ''), [])) AS token
               FROM documents
             ), vocab AS (
@@ -8519,7 +8519,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_temperature": """
             WITH base AS (
               SELECT source,
-                     len(COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                     len(COALESCE(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                          x -> x != ''), [])) AS ntok
               FROM documents
             ), per AS (
@@ -8551,7 +8551,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": """
             WITH base AS (
               SELECT doc_id,
-                     COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                     COALESCE(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                               x -> x != ''), []) AS w
               FROM documents
             ), st AS (
@@ -8622,7 +8622,7 @@ def oracle_sql() -> dict[str, str]:
         # never NULL on either engine
         "trigram_xent": """
             WITH lmbase AS (
-                SELECT COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                SELECT COALESCE(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                 x -> x != ''), []) AS toks
                 FROM documents WHERE doc_id % 10 = 0
             ), lmtok AS (
@@ -8646,7 +8646,7 @@ def oracle_sql() -> dict[str, str]:
                 ) GROUP BY w1, w2, w3
             ), scbase AS (
                 SELECT doc_id,
-                       COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                       COALESCE(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                 x -> x != ''), []) AS toks
                 FROM documents WHERE doc_id % 10 <> 0
             ), inst AS (
@@ -8691,7 +8691,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_terciles": f"""
             WITH tok AS (
                 SELECT doc_id,
-                       unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                       unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                           x -> x != '')) AS token
                 FROM documents
             ), tc AS (
@@ -8715,7 +8715,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_xent": """
             WITH tok AS (
                 SELECT doc_id,
-                       unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                       unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                           x -> x != '')) AS token
                 FROM documents
             ), tc AS (
@@ -8767,7 +8767,7 @@ def oracle_sql() -> dict[str, str]:
                        -- (corpus.py::sliding_token_windows): without it
                        -- DuckDB's NULL-skipping least/greatest would hand a
                        -- NULL-text doc end=64 and NULL win_text vs Spark's 0/''
-                       COALESCE(list_filter(string_split_regex(lower(text), '\\s+'),
+                       COALESCE(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                    x -> x != ''), []) AS toks
                 FROM documents
             ), sized AS (
@@ -8791,7 +8791,7 @@ def oracle_sql() -> dict[str, str]:
                        -- per-row COALESCE mirrors Spark's NULL-text handling
                        -- (a doc with NULL text contributes 0 tokens, and an
                        -- all-NULL source sums to 0, not NULL)
-                       CAST(sum(COALESCE(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       CAST(sum(COALESCE(len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                                 x -> x != '')), 0)) AS BIGINT) AS n_tokens
                 FROM documents GROUP BY source
             ), scored AS (

@@ -12,7 +12,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # BPE-ish pre-tokenizer: word runs or single non-word-non-space marks.
-TOKEN_PATTERN = r"\w+|[^\w\s]"
+# Whitespace spelled as the explicit ASCII class (== Java's \s exactly,
+# so Spark behavior is unchanged): RE2's \s excludes \x0B, and the
+# DuckDB twin of this pattern must tokenize \x0B-bearing text the same.
+TOKEN_PATTERN = r"\w+|[^\w \t\n\x0B\f\r]"
 
 # GPT-2-style byte-pair pre-tokenizer, restricted to the RE2∩Java regex
 # subset (no lookahead, ASCII classes): contraction suffixes, then
@@ -45,7 +48,13 @@ def tokens(text: Column) -> Column:
     metrics. An empty doc and a NULL doc tokenize identically — the
     semantics every consumer here already assumed."""
     return F.coalesce(
-        F.filter(F.split(text, r"\s+"), lambda t: t != F.lit("")),
+        F.filter(
+            # explicit ASCII whitespace class == Java \s (Spark output
+            # unchanged); RE2's \s excludes \x0B, so the 60+ DuckDB
+            # string_split_regex twins use this same spelling
+            F.split(text, r"[ \t\n\x0B\f\r]+"),
+            lambda t: t != F.lit(""),
+        ),
         F.array().cast("array<string>"),
     )
 

@@ -494,7 +494,11 @@ def simhash64(
     n_bits = 64 if hash_fn == "xxhash64" else 60
     toks = _spread(docs, id_col).select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(
+            # explicit ASCII whitespace class == Java \s; keeps the
+            # RE2 oracle twin byte-identical on \x0B-bearing text
+            F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
+        ).alias("tok"),
     ).where(F.col("tok") != "")
     if hash_fn == "xxhash64":
         hashed = toks.withColumn("h", F.xxhash64("tok"))

@@ -2251,6 +2251,47 @@ def test_bpe_piece_pattern_whitespace_class_matches_duckdb(spark):
     assert any("\x0b" in p and p.strip(" \t\n\x0b\f\r") == "" for p in got_spark)
 
 
+def test_whitespace_tokenizer_class_matches_duckdb_on_vertical_tab(spark):
+    """tokens() and TOKEN_PATTERN spell whitespace as the explicit class
+    [ \\t\\n\\x0B\\f\\r] (== Java's \\s, so Spark behavior is unchanged);
+    this pins that the 60+ DuckDB string_split_regex oracle twins — which
+    use the same spelling — now tokenize \\x0B-bearing text identically
+    (RE2's \\s excludes \\x0B, so the old '\\s+' twins would have kept
+    'a\\x0Bb' as ONE token where Spark split it)."""
+    import duckdb
+
+    from convml_data_spark.functions import text as T
+
+    txt = "a\x0bb\tc  d\x0b\x0b e!f"
+    got_spark = (
+        spark.createDataFrame([(txt,)], "text string")
+        .select(T.tokens(F.col("text")).alias("t"))
+        .collect()[0]["t"]
+    )
+    got_duck = duckdb.sql(
+        "SELECT list_filter(string_split_regex(?, "
+        "'[ \\t\\n\\x0B\\f\\r]+'), x -> x != '') AS t",
+        params=[txt],
+    ).fetchone()[0]
+    assert got_spark == got_duck == ["a", "b", "c", "d", "e!f"]
+    # and the regex-token pattern agrees too (word runs + single marks,
+    # \x0B consumed as whitespace in both dialects)
+    got_rs = (
+        spark.createDataFrame([(txt,)], "text string")
+        .select(
+            F.regexp_extract_all(
+                "text", F.lit(T.TOKEN_PATTERN), F.lit(0)
+            ).alias("t")
+        )
+        .collect()[0]["t"]
+    )
+    got_rd = duckdb.sql(
+        f"SELECT regexp_extract_all(?, '{T.TOKEN_PATTERN}') AS t",
+        params=[txt],
+    ).fetchone()[0]
+    assert got_rs == got_rd == ["a", "b", "c", "d", "e", "!", "f"]
+
+
 def test_trigram_backoff_score_all_three_branches_hand_computed(spark):
     """Hand-computed Stupid-Backoff trigram check: one doc whose three
     transitions hit all three branches (seen trigram, trigram-miss →
