@@ -157,8 +157,10 @@ def track_image_sequence(
     import pandas as pd
 
     h, w = shape
+    gt = frames.schema[group_col].dataType.simpleString()
+    ot = frames.schema[order_col].dataType.simpleString()
     schema = (
-        f"{group_col} string, {order_col} long, traj_id int, "
+        f"{group_col} {gt}, {order_col} {ot}, traj_id int, "
         "x double, y double, valid boolean"
     )
 

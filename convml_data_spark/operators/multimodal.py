@@ -105,7 +105,8 @@ def image_features(
 ) -> DataFrame:
     """Decode + per-image features (mean/std/min/max of pixels) as one
     Arrow-batched pass — the X3-style pattern for media instead of vectors."""
-    schema = f"{id_col} long, width int, height int, mean_px double, std_px double, min_px double, max_px double"
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, width int, height int, mean_px double, std_px double, min_px double, max_px double"
 
     def extract(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -209,7 +210,8 @@ def resize_nearest(
     Reference analog: tile extraction resamples source pixels to the fixed
     256×256 tile raster (pipeline/tiles.py + regridding).
     """
-    schema = f"{id_col} long, payload binary, media_meta struct<width:int,height:int,format:string>"
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, payload binary, media_meta struct<width:int,height:int,format:string>"
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -277,8 +279,9 @@ def sample_frames(
     the pipeline. Runs as one Arrow pass; a 2-hour video never materializes
     as Python row objects, and downstream image ops see ordinary rows.
     """
+    id_type = df.schema[id_col].dataType.simpleString()
     schema = (
-        f"{id_col} long, frame_idx int, payload binary, "
+        f"{id_col} {id_type}, frame_idx int, payload binary, "
         "media_meta struct<width:int,height:int,format:string>"
     )
 
@@ -382,8 +385,9 @@ def audio_features(
 
     import pandas as pd
 
+    id_type = df.schema[id_col].dataType.simpleString()
     schema = (
-        f"{id_col} long, n_samples int, sample_rate int, duration_s double, "
+        f"{id_col} {id_type}, n_samples int, sample_rate int, duration_s double, "
         "mean_amp double, rms double, n_zero_cross long"
     )
 
@@ -427,7 +431,8 @@ def audio_resample(
 
     import pandas as pd
 
-    schema = f"{id_col} long, audio_payload binary, n_samples int, sample_rate int"
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, audio_payload binary, n_samples int, sample_rate int"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -276,6 +276,21 @@ def test_multimodal_fake_decode_matches_replay(spark):
         assert feats[i]["width"] == 16 and feats[i]["height"] == 16
 
 
+def test_multimodal_kernels_accept_string_ids(spark):
+    """Every multimodal Arrow kernel derives the id field's dtype from
+    the input schema (the pack_bestfit hardcoded-long regression class):
+    string doc ids must pass through image features, resize, frame
+    sampling and audio features intact."""
+    docs = spark.range(4).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id")
+    )
+    imgs = multimodal.attach_fake_payload(docs, width=8, height=8)
+    feats = multimodal.image_features(imgs).collect()
+    assert {r["doc_id"] for r in feats} == {f"doc-{i}" for i in range(4)}
+    resized = multimodal.resize_nearest(imgs, 4, 4).collect()
+    assert all(isinstance(r["doc_id"], str) for r in resized)
+
+
 def test_resize_nearest_matches_numpy_replay(spark):
     import numpy as np
 
