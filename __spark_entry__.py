@@ -2759,6 +2759,48 @@ def q_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(sdf)
 
 
+def q_s8_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S10 partitioned-sink ROUND TRIP (pipeline.py::
+    split_by_time_partition -> materialize, the les.py:87-107 analog):
+    split the events table into one Hive partition per UTC day, read it
+    BACK from disk, and certify per-partition row counts, distinct event
+    ids and a DECIMAL-exact value sum at the driver's value level — the
+    batch write path previously carried only property tests
+    (tests/test_pipeline.py) while every certified read was against the
+    driver's own parquet. Downstream per-day reads of the written layout
+    are partition-pruned scans (the S9 plan gates); this key certifies
+    the DATA survived the partitioned rewrite exactly. Fixed per-process
+    scratch wiped on entry (the stream_parquet_drain convention)."""
+    import os
+    import shutil
+    import tempfile
+
+    from convml_data_spark import pipeline
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"s8_partitioned_sink_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    pipeline.split_by_time_partition(events, root, time_col="ts", granularity="day")
+    back = spark.read.parquet(root)
+    # partition-dir values read back type-INFERRED (DATE); pin the
+    # driver-canonical string the writer produced
+    return back.groupBy(F.col("_part").cast("string").alias("day")).agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("event_id").alias("n_events"),
+        (
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6
+            )
+            + F.lit(0.0)
+        ).alias("sum_value"),
+    )
+
+
 def q_stream_parquet_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.13 PRODUCTION sink path: the same watermarked 1-day windowed
     counts as ``stream_daily_counts``, but drained through the engine sink
@@ -3596,6 +3638,7 @@ COST_CLASS = {
         "hybrid_rrf", "incremental_dedup", "j2_asof_single",
         "kmeans_labels", "neardup_edit_distance", "neardup_lsh_pairs",
         "q3_shipping_priority", "quality_terciles", "r2_scene_pairs",
+        "s8_partitioned_sink",
         "select_token_budget", "simhash", "similarity_ivf_topk",
         "similarity_ivf_stale",
         "similarity_lsh_topk", "similarity_pq_topk", "sketch_quantiles",
@@ -3638,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney_trigram_xent": q_kneser_ney_trigram_xent,
         "similarity_ivf_stale": q_similarity_ivf_stale,
         "dbscan_mutual_reach": q_dbscan_mutual_reach,
+        "s8_partitioned_sink": q_s8_partitioned_sink,
         # --- re-certify: checksum modular folds changed this round ---
         # (seg_checksum per the r15 ADVICE; vocab_encode id_checksum and
         # winnow fp_checksum from the r16 proactive sweep of the same
@@ -3670,7 +3714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_sessionize": q_w7_sessionize,
         "a14_rollup": q_a14_rollup,
         "sketch_quantiles": q_sketch_quantiles,
-        # --- oldest certified: r13 cohort (first 19) ---
+        # --- oldest certified: r13 cohort (first 18) ---
         "spm_train": q_spm_train,
         "spm_encode": q_spm_encode,
         "dedup_semantic_kmeans": q_dedup_semantic_kmeans,
@@ -3689,9 +3733,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_parquet_drain": q_stream_parquet_drain,
         "dedup_best_survivors": q_dedup_best_survivors,
         "select_token_budget": q_select_token_budget,
-        "gopher_repetition": q_gopher_repetition,
         # ---------------- position 51+: rotated out this round ----------
         # r13-certified remainder (these lead the r17 window)
+        "gopher_repetition": q_gopher_repetition,
         "incremental_dedup": q_incremental_dedup,
         "dsir_logratio": q_dsir_logratio,
         "stream_incremental_dedup": q_stream_incremental_dedup,
@@ -6138,6 +6182,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "a7_equidepth": quantiles_union,
+        "s8_partitioned_sink": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n_rows,
+                   count(DISTINCT event_id) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+                       + 0.0 AS sum_value
+            FROM events GROUP BY 1
+        """,
         "a8_daily_counts": """
             SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
             FROM events GROUP BY 1, 2

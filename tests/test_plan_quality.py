@@ -513,6 +513,10 @@ SCAN_CEILINGS = {
     # round 16: stale-index IVF probe — indexed-side scan + tail scan
     # (centroid/query collects are construction-time, not in the plan)
     "similarity_ivf_stale": 2,
+    # round 16: partitioned-sink round trip — the returned plan scans only
+    # the written layout (the events scan runs in the construction-time
+    # write job)
+    "s8_partitioned_sink": 1,
     "cap_per_source": 1, "cdc_chunk_dedup": 0, "corpus_entropy": 1, "countmin_heavy": 0,
     "dbscan_cell_stats": 1, "dbscan_ladder": 0, "dbscan_merge_events": 0, "decontam_excise": 3,
     # round 16: mutual-reachability ladder — scans checkpoint-hidden like
