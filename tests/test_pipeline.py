@@ -70,6 +70,31 @@ def test_split_by_time_partition(spark, tmp_path):
     assert parts == ["_part=2024-01-01", "_part=2024-01-02"]
 
 
+def test_split_by_time_partition_layout_prunes_day_reads(spark, tmp_path):
+    """The point of the S8 split (and the s8_partitioned_sink driver
+    key's layout): a day-filtered read of the written directory must be
+    a PARTITION-PRUNED scan — PartitionFilters on _part in the plan, and
+    only the matching day's rows read."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 3} 0{i % 10}:00:00") for i in range(30)],
+        "id int, ts string",
+    ).select("id", F.to_timestamp("ts").alias("t"))
+    path = os.path.join(str(tmp_path), "split")
+    assert pipeline.split_by_time_partition(df, path, time_col="t") is True
+    back = spark.read.parquet(path).where(F.col("_part") == "2024-01-02")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain()
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "_part" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert back.count() == 10
+
+
 def test_cf_metadata_survives_parquet_roundtrip(spark, tmp_path):
     """SURVEY §7: CF units/long_name ride as column metadata and must
     survive a parquet round-trip (the reference ASSERTS on units)."""
