@@ -3038,6 +3038,21 @@ def _synthetic_pages(docs: DataFrame) -> DataFrame:
     none, or a trailing ' javascript.' — plus md5-flagged 'lorem ipsum'
     and '{' boilerplate lines, so every C4 rule fires on real rows."""
     toks = T.tokens(F.lower(F.col("text")))
+    # zero-token docs are excluded from the synthesis: F.sequence(0, -1)
+    # DESCENDS (garbage 2-line page) and the oracle's body unnest emits
+    # nothing — neither side would be meaningful for them. The curation
+    # key reuses the same page expression via _synthetic_page_expr's ''
+    # fallback instead (an empty page keeps 0 lines, so C4 drops it).
+    return docs.where(F.greatest(F.size(toks), F.lit(0)) > 0).select(
+        "doc_id", _synthetic_page_expr().alias("text")
+    )
+
+
+def _synthetic_page_expr():
+    """The md5-deterministic newline-page Column of :func:`_synthetic_pages`
+    for the current row ('' for zero-token docs) — ONE definition shared
+    with the curation-pipeline key so the two syntheses cannot drift."""
+    toks = T.tokens(F.lower(F.col("text")))
     nl = F.ceil(F.greatest(F.size(toks), F.lit(0)) / F.lit(6)).cast("int")
     terms = F.array(
         F.lit("."), F.lit("!"), F.lit("?"), F.lit(""), F.lit(" javascript.")
@@ -3062,12 +3077,7 @@ def _synthetic_pages(docs: DataFrame) -> DataFrame:
         F.when(flag("li", 13), F.lit("\nlorem ipsum dolor sit.")).otherwise(F.lit("")),
         F.when(flag("br", 11), F.lit("\nif (x) { return y; }")).otherwise(F.lit("")),
     )
-    # zero-token docs are excluded from the synthesis: F.sequence(0, -1)
-    # DESCENDS (garbage 2-line page) and the oracle's body unnest emits
-    # nothing — neither side would be meaningful for them
-    return docs.where(F.greatest(F.size(toks), F.lit(0)) > 0).select(
-        "doc_id", page.alias("text")
-    )
+    return F.when(F.greatest(F.size(toks), F.lit(0)) > 0, page).otherwise(F.lit(""))
 
 
 def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3570,6 +3580,79 @@ def q_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synthetic_curation_input(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, source, url, page_text) input for the curation
+    pipeline key: the dedup_url messy-variant URL synthesis (same
+    scheme/www/port/slash/query/fragment md5 bits) but with a
+    PREDECESSOR-COLLIDING path — doc_id % 10 == 7 shares its canonical
+    path with doc_id − 1, so ~10% of docs form a URL-dup group at EVERY
+    scale factor (the dedup_url key's ``doc_id % 37`` path would
+    collapse the whole corpus to ~740 canonical URLs, starving every
+    later stage at sf0.1) — plus the C4 page synthesis
+    (:func:`_synthetic_page_expr`, '' for zero-token docs)."""
+    def bits(tag: str):
+        return _md5_bits(f"url{tag}:", F.col("doc_id"))
+
+    path = (
+        F.when(F.col("doc_id") % 10 == 7, F.col("doc_id") - 1)
+        .otherwise(F.col("doc_id"))
+    )
+    url = F.concat(
+        F.when(bits("s") % 3 == 0, F.lit("HTTPS://"))
+        .when(bits("s") % 3 == 1, F.lit("https://"))
+        .otherwise(F.lit("http://")),
+        F.when(bits("w") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(bits("p") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        path.cast("string"),
+        F.when(bits("t") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(bits("q") % 3 == 0, F.lit("?utm_source=feed&ref=rss")).otherwise(F.lit("")),
+        F.when(bits("f") % 5 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", "text", "source",
+        url.alias("url"),
+        _synthetic_page_expr().alias("page_text"),
+    )
+
+
+def q_spec_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-curation path composed as ONE lazy program
+    (pipeline.py::build_curation_pipeline): eval holdout (md5 bucket 0)
+    → URL fetch dedup → C4 page cleaning → Gopher quality gate →
+    MinHash-LSH near-dup collapse (CC min-id survivors) → Bloom
+    decontamination vs the holdout → temperature-mixture (α=0.3,
+    8k-token budget) acceptance draw → 512-token sequence packing.
+    Every stage is a certified operator; this key certifies they
+    COMPOSE (column contracts, no action boundaries beyond the bounded
+    CC rounds) the way a production curation job runs them. The packing
+    offsets are a global cumsum over the drawn corpus, so a single
+    wrong survivorship decision at ANY stage shifts the tail of the
+    output — the whole chain is one order-sensitive certificate."""
+    from convml_data_spark import pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    return pipeline.build_curation_pipeline(_synthetic_curation_input(docs))
+
+
+def q_spec_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG serving path composed as ONE program
+    (pipeline.py::build_rag_retrieval): 64/48 sliding token windows →
+    md5 hashing-trick features → batch tanh(V·W) chunk embeddings
+    (round-6, so the vector relation is engine-exact) → SQ8 ANN with
+    exact-L2 rerank (semantic list) + BM25 over the chunk texts
+    (lexical list) → reciprocal-rank fusion. The query embeds through
+    the IDENTICAL chunk path. Reuses the SQ full-value oracle
+    discipline, so chunker→embedder→ANN→fusion stays value-certified
+    end to end."""
+    from convml_data_spark import pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    return pipeline.build_rag_retrieval(docs, "spark shuffle window merge")
+
+
 # Declared sweep cost class per registered key, at the sweep's SF
 # (sf0.1, local[32]). The ratchet in sweep.py only protects keys that
 # ALREADY have a SWEEP.json baseline — a brand-new key's first
@@ -3643,6 +3726,7 @@ COST_CLASS = {
         "similarity_ivf_stale",
         "similarity_lsh_topk", "similarity_pq_topk", "sketch_quantiles",
         "spec_analytics_pipeline", "spec_aux_derived",
+        "spec_rag_pipeline",
         "spec_rect_embeddings", "spec_tile_data", "spec_triplet_pipeline",
         "stream_c4_filters", "stream_countmin", "stream_daily_counts",
         "stream_dedup_watermark", "stream_incremental_dedup",
@@ -3653,9 +3737,12 @@ COST_CLASS = {
         # new in r14
         "langid_confident", "blocklist_scan",
     ]},
-    # tens of seconds (iterative fits / plan-time DP pyramids)
+    # tens of seconds (iterative fits / plan-time DP pyramids / the
+    # 8-stage curation composition — 35 s min-of-3 at sf0.1, dominated
+    # by the CC rounds plus 7 stage-checkpoint materializations)
     **{k: "tens" for k in [
         "dedup_semantic_kmeans", "spm_encode", "spm_train",
+        "spec_curation_pipeline",
     ]},
 }
 
@@ -3668,73 +3755,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # one in-window representative; keys certified green in earlier rounds
     # rotate behind position 50 and back in on later rounds.
     return {
-        # ROUND 16 WINDOW (first 50 = driver-certified this round).
-        # Composition per the r15 verdict + the two window gates in
-        # tests/test_plan_quality.py: new never-certified keys first,
-        # then bpe_encode_bytes (its seg_checksum semantics changed
-        # this round — the modular-fold overflow fix — so its r15
-        # certification no longer reflects the code), then the 24
-        # r12-certified keys at 4-round staleness, then the oldest
-        # r13-certified keys in dict order.
-        # --- new in round 16 (never certified) ---
-        "bpe_encode_byte_ids": q_bpe_encode_byte_ids,
-        "kneser_ney_trigram_xent": q_kneser_ney_trigram_xent,
-        "similarity_ivf_stale": q_similarity_ivf_stale,
-        "dbscan_mutual_reach": q_dbscan_mutual_reach,
-        "s8_partitioned_sink": q_s8_partitioned_sink,
-        # --- re-certify: checksum modular folds changed this round ---
-        # (seg_checksum per the r15 ADVICE; vocab_encode id_checksum and
-        # winnow fp_checksum from the r16 proactive sweep of the same
-        # BIGINT-positional-sum overflow class)
-        "bpe_encode_bytes": q_bpe_encode_bytes,
-        "vocab_encode": q_vocab_encode,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        # --- r12-certified, 4 rounds stale: MUST certify this round ---
-        "a10_column_integral": q_a10_column_integral,
-        "a11_minmax_norm": q_a11_minmax_norm,
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "g1_bilinear_regrid": q_g1_bilinear_regrid,
-        "g4_crop_pad": q_g4_crop_pad,
-        "g6_spanning_domain": q_g6_spanning_domain,
-        "g7_tangent_projection": q_g7_tangent_projection,
-        "spec_rect_embeddings": q_spec_rect_embeddings,
-        "stratified_split": q_stratified_split,
-        "spec_analytics_pipeline": q_spec_analytics_pipeline,
-        "neardup_lsh_pairs": q_neardup_lsh_pairs,
-        "spec_tile_data": q_spec_tile_data,
-        "g8_rgb_composite": q_g8_rgb_composite,
-        "emb_transform_kmeans": q_emb_transform_kmeans,
-        "multimodal_audio": q_multimodal_audio,
-        "cap_per_source": q_cap_per_source,
-        "s6_ceres_manifest": q_s6_ceres_manifest,
-        "emb_transform_scaler": q_emb_transform_scaler,
-        "pii_scrub": q_pii_scrub,
-        "similarity_ivf_topk": q_similarity_ivf_topk,
-        "similarity_pq_topk": q_similarity_pq_topk,
-        "w7_sessionize": q_w7_sessionize,
-        "a14_rollup": q_a14_rollup,
-        "sketch_quantiles": q_sketch_quantiles,
-        # --- oldest certified: r13 cohort (first 18) ---
-        "spm_train": q_spm_train,
-        "spm_encode": q_spm_encode,
-        "dedup_semantic_kmeans": q_dedup_semantic_kmeans,
-        "langid_classifier": q_langid_classifier,
-        "dedup_url": q_dedup_url,
-        "kmeans_labels": q_kmeans_labels,
-        "hybrid_rrf": q_hybrid_rrf,
-        "mixture_temperature": q_mixture_temperature,
-        "stream_countmin": q_stream_countmin,
-        "decontam_semantic": q_decontam_semantic,
-        "quality_terciles": q_quality_terciles,
-        "dbscan_merge_events": q_dbscan_merge_events,
-        "dbscan_ladder": q_dbscan_ladder,
-        "emb_transform_dbscan": q_emb_transform_dbscan,
-        "g8_rayleigh": q_g8_rayleigh,
-        "stream_parquet_drain": q_stream_parquet_drain,
-        "dedup_best_survivors": q_dedup_best_survivors,
-        "select_token_budget": q_select_token_budget,
-        # ---------------- position 51+: rotated out this round ----------
-        # r13-certified remainder (these lead the r17 window)
+        # ROUND 17 WINDOW (first 50 = driver-certified this round).
+        # Composition per the r16 verdict + the two window gates:
+        # new never-certified keys first, then the 32 keys at
+        # 4-round (r13) certification staleness, then the oldest
+        # r14-certified keys in dict order.
+        # --- new in round 17 (never certified) ---
+        "spec_curation_pipeline": q_spec_curation_pipeline,
+        "spec_rag_pipeline": q_spec_rag_pipeline,
+        # --- r13-certified, 4 rounds stale: MUST certify this round ---
         "gopher_repetition": q_gopher_repetition,
         "incremental_dedup": q_incremental_dedup,
         "dsir_logratio": q_dsir_logratio,
@@ -3767,7 +3796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "traj_tiles": q_traj_tiles,
         "u3_anti_join": q_u3_anti_join,
-        # r14-certified
+        # --- oldest certified: r14 cohort (first 16) ---
         "c4_filters": q_c4_filters,
         "hard_negatives": q_hard_negatives,
         "dedup_containment": q_dedup_containment,
@@ -3784,6 +3813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_batch_embed": q_x3_batch_embed,
         "x4_pca": q_x4_pca,
         "spec_aux_derived": q_spec_aux_derived,
+        # ---------------- position 51+: rotated out this round ----------
+        # r14-certified remainder (these lead the r18 window)
         "spec_regridded_scenes": q_spec_regridded_scenes,
         "stream_static_join": q_stream_static_join,
         "stream_stream_join": q_stream_stream_join,
@@ -3817,7 +3848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "simhash": q_simhash,
         "a4_binned_1d": q_a4_binned_1d,
-        # r15-certified (freshest)
+        # r15-certified
         "a5_binned_2d": q_a5_binned_2d,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_spans": q_dedup_spans,
@@ -3866,6 +3897,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_ecdf_global": q_a6_ecdf_global,
         "a8_daily_counts": q_a8_daily_counts,
         "a9_layer_mean": q_a9_layer_mean,
+        # r16-certified (freshest)
+        "bpe_encode_byte_ids": q_bpe_encode_byte_ids,
+        "kneser_ney_trigram_xent": q_kneser_ney_trigram_xent,
+        "similarity_ivf_stale": q_similarity_ivf_stale,
+        "dbscan_mutual_reach": q_dbscan_mutual_reach,
+        "s8_partitioned_sink": q_s8_partitioned_sink,
+        "bpe_encode_bytes": q_bpe_encode_bytes,
+        "vocab_encode": q_vocab_encode,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "a10_column_integral": q_a10_column_integral,
+        "a11_minmax_norm": q_a11_minmax_norm,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "g1_bilinear_regrid": q_g1_bilinear_regrid,
+        "g4_crop_pad": q_g4_crop_pad,
+        "g6_spanning_domain": q_g6_spanning_domain,
+        "g7_tangent_projection": q_g7_tangent_projection,
+        "spec_rect_embeddings": q_spec_rect_embeddings,
+        "stratified_split": q_stratified_split,
+        "spec_analytics_pipeline": q_spec_analytics_pipeline,
+        "neardup_lsh_pairs": q_neardup_lsh_pairs,
+        "spec_tile_data": q_spec_tile_data,
+        "g8_rgb_composite": q_g8_rgb_composite,
+        "emb_transform_kmeans": q_emb_transform_kmeans,
+        "multimodal_audio": q_multimodal_audio,
+        "cap_per_source": q_cap_per_source,
+        "s6_ceres_manifest": q_s6_ceres_manifest,
+        "emb_transform_scaler": q_emb_transform_scaler,
+        "pii_scrub": q_pii_scrub,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "similarity_pq_topk": q_similarity_pq_topk,
+        "w7_sessionize": q_w7_sessionize,
+        "a14_rollup": q_a14_rollup,
+        "sketch_quantiles": q_sketch_quantiles,
+        "spm_train": q_spm_train,
+        "spm_encode": q_spm_encode,
+        "dedup_semantic_kmeans": q_dedup_semantic_kmeans,
+        "langid_classifier": q_langid_classifier,
+        "dedup_url": q_dedup_url,
+        "kmeans_labels": q_kmeans_labels,
+        "hybrid_rrf": q_hybrid_rrf,
+        "mixture_temperature": q_mixture_temperature,
+        "stream_countmin": q_stream_countmin,
+        "decontam_semantic": q_decontam_semantic,
+        "quality_terciles": q_quality_terciles,
+        "dbscan_merge_events": q_dbscan_merge_events,
+        "dbscan_ladder": q_dbscan_ladder,
+        "emb_transform_dbscan": q_emb_transform_dbscan,
+        "g8_rayleigh": q_g8_rayleigh,
+        "stream_parquet_drain": q_stream_parquet_drain,
+        "dedup_best_survivors": q_dedup_best_survivors,
+        "select_token_budget": q_select_token_budget,
     }
 
 
@@ -5170,6 +5252,371 @@ def _dedup_url_oracle_sql(max_per_host: int = 20, seed: int = 42) -> str:
         """
 
 
+def _spec_curation_oracle_sql() -> str:
+    """Full DuckDB replay of pipeline.py::build_curation_pipeline — the
+    certified per-stage oracle fragments CTE-chained in corpus order:
+    eval holdout → URL synthesis + the dedup_url canonicalization regex
+    chain + min-id survivor → the c4_filters line-level page replay →
+    the text_gopher_quality measures (min_words=30) → exact-Jaccard
+    3-shingle pairs ≥ 0.5 (the dedup_minhash twin) → recursive-CTE
+    connected components + min-id survivors (the dedup_survivors twin)
+    → the bloom_decontaminate bitmap replay → the mixture_temperature
+    share^0.3 rates (budget 8000) + exact-dyadic md5 acceptance draw →
+    the pack_chunks exclusive-cumsum packing (budget 512)."""
+    bits = lambda tag: (  # noqa: E731
+        f"CAST('0x' || substr(md5('url{tag}:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)"
+    )
+    kept = (
+        "regexp_matches(ln, '[.!?\"]$') "
+        "AND len(string_split_regex(trim(ln), ' +')) >= 5 "
+        "AND NOT contains(lower(ln), 'javascript')"
+    )
+    return f"""
+            WITH RECURSIVE allbase AS (
+              SELECT doc_id, source,
+                     COALESCE(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                              x -> x != ''), []) AS w,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval
+              FROM documents
+            ), train AS (
+              SELECT doc_id, source, w FROM allbase WHERE NOT is_eval
+            ), raw AS (
+              SELECT doc_id,
+                     (CASE WHEN {bits("s")} % 3 = 0 THEN 'HTTPS://'
+                           WHEN {bits("s")} % 3 = 1 THEN 'https://'
+                           ELSE 'http://' END)
+                     || (CASE WHEN {bits("w")} % 2 = 0 THEN 'www.' ELSE '' END)
+                     || source || '.Example.COM'
+                     || (CASE WHEN {bits("p")} % 4 = 0 THEN ':443' ELSE '' END)
+                     || '/p/' || CAST(CASE WHEN doc_id % 10 = 7 THEN doc_id - 1
+                                           ELSE doc_id END AS VARCHAR)
+                     || (CASE WHEN {bits("t")} % 2 = 0 THEN '/' ELSE '' END)
+                     || (CASE WHEN {bits("q")} % 3 = 0 THEN '?utm_source=feed&ref=rss' ELSE '' END)
+                     || (CASE WHEN {bits("f")} % 5 = 0 THEN '#section-2' ELSE '' END)
+                       AS url
+              FROM train
+            ), stripped AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                         trim(url),
+                         '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                         '^[^/?#@]*@', ''),
+                         '#.*$', ''),
+                         '\\?.*$', '') AS u
+              FROM raw
+            ), canon AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(
+                         lower(regexp_extract(u, '^([^/]*)', 1)),
+                         ':(80|443)$', ''), '^www\\.', '')
+                     || regexp_replace(regexp_replace(u, '^[^/]*', ''), '/+$', '')
+                       AS canonical_url
+              FROM stripped
+            ), c1 AS (
+              SELECT min(doc_id) AS doc_id FROM canon GROUP BY canonical_url
+            ), sized AS (
+              SELECT t.doc_id, t.w, CAST(ceil(len(t.w) / 6.0) AS INT) AS nl,
+                     CAST('0x' || substr(md5('li:' || CAST(t.doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                         % 13 = 0 AS lorem,
+                     CAST('0x' || substr(md5('br:' || CAST(t.doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                         % 11 = 0 AS brace
+              FROM train t JOIN c1 USING (doc_id)
+              WHERE len(t.w) > 0
+            ), body AS (
+              SELECT doc_id,
+                     array_to_string(w[i*6+1 : i*6+6], ' ')
+                     || (['.', '!', '?', '', ' javascript.'])[
+                          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                               || CAST(i AS VARCHAR)), 1, 13) AS BIGINT) % 5 AS INT) + 1]
+                       AS ln
+              FROM sized, UNNEST(range(0, greatest(nl, 0))) AS t(i)
+            ), c4lines AS (
+              SELECT doc_id, ln FROM body
+              UNION ALL
+              SELECT doc_id, 'lorem ipsum dolor sit.' FROM sized WHERE lorem
+              UNION ALL
+              SELECT doc_id, 'if (x) {{ return y; }}' FROM sized WHERE brace
+            ), c2 AS (
+              SELECT doc_id
+              FROM c4lines GROUP BY doc_id
+              HAVING NOT bool_or(contains(lower(ln), 'lorem ipsum') OR contains(ln, '{{'))
+                 AND count(*) FILTER ({kept}) >= 3
+            ), gm AS (
+              SELECT t.doc_id, t.source, t.w,
+                     len(t.w) AS n_words,
+                     CASE WHEN len(t.w) = 0 THEN 0.0
+                          ELSE list_sum(list_transform(t.w, x -> len(x))) / len(t.w) END AS mwl,
+                     list_transform(range(1, greatest(len(t.w) - 1, 0) + 1),
+                                    i -> t.w[i] || ' ' || t.w[i+1]) AS g2,
+                     list_transform(range(1, greatest(len(t.w) - 2, 0) + 1),
+                                    i -> t.w[i] || ' ' || t.w[i+1] || ' ' || t.w[i+2]) AS g3,
+                     len(list_filter(list_distinct(t.w),
+                         x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS stop_hits
+              FROM train t JOIN c2 USING (doc_id)
+            ), c3 AS (
+              SELECT doc_id, source, w FROM (
+                SELECT doc_id, source, w, n_words, mwl, stop_hits,
+                       CASE WHEN len(g2) = 0 THEN 0.0
+                            ELSE list_max(list_transform(list_distinct(g2),
+                                   x -> len(list_filter(g2, y -> y = x)))) / len(g2) END AS top2,
+                       CASE WHEN len(g3) = 0 THEN 0.0
+                            ELSE 1.0 - len(list_distinct(g3)) / len(g3) END AS dup3
+                FROM gm
+              )
+              WHERE n_words >= 30 AND n_words <= 100000
+                AND mwl >= 3.0 AND mwl <= 10.0
+                AND top2 <= 0.20 AND dup3 <= 0.30
+                AND stop_hits >= 2
+            ), sh AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM c3, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ), ssz AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pr AS (
+              SELECT id_a, id_b
+              FROM inter JOIN ssz sa ON sa.doc_id = id_a
+                         JOIN ssz sb ON sb.doc_id = id_b
+              WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+            ), e AS (
+              SELECT id_a AS s, id_b AS d FROM pr
+              UNION
+              SELECT id_b, id_a FROM pr
+            ), nodes AS (
+              SELECT DISTINCT s AS id FROM e
+            ), reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s
+            ), comp AS (
+              SELECT id, min(r) AS component FROM reach GROUP BY id
+            ), c4s AS (
+              SELECT c3.doc_id, c3.source, c3.w
+              FROM c3 LEFT JOIN comp ON comp.id = c3.doc_id
+              WHERE comp.id IS NULL OR comp.component = c3.doc_id
+            ), ge AS (
+              SELECT DISTINCT array_to_string(w[i:i+6], ' ') AS ng
+              FROM allbase, UNNEST(range(1, len(w) - 6 + 1)) AS t(i)
+              WHERE is_eval AND len(w) >= 7
+            ), bbits AS (
+              SELECT DISTINCT
+                     CAST('0x' || substr(md5(ng || h), 1, 13) AS BIGINT)
+                         % 262144 AS bit
+              FROM ge, UNNEST(['#0','#1','#2','#3']) AS t(h)
+            ), gt AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+6], ' ') AS ng
+              FROM c4s, UNNEST(range(1, len(w) - 6 + 1)) AS t(i)
+              WHERE len(w) >= 7
+            ), probe AS (
+              SELECT doc_id, ng,
+                     CAST('0x' || substr(md5(ng || h), 1, 13) AS BIGINT)
+                         % 262144 AS bit
+              FROM gt, UNNEST(['#0','#1','#2','#3']) AS t(h)
+            ), perg AS (
+              SELECT p.doc_id, p.ng, count(b.bit) = 4 AS hit
+              FROM probe p LEFT JOIN bbits b ON b.bit = p.bit
+              GROUP BY p.doc_id, p.ng
+            ), flg AS (
+              SELECT doc_id
+              FROM perg GROUP BY doc_id
+              HAVING round(sum(CAST(hit AS INT)) / count(*), 6) >= 0.5
+            ), c5 AS (
+              SELECT * FROM c4s WHERE doc_id NOT IN (SELECT doc_id FROM flg)
+            ), persrc AS (
+              SELECT source, CAST(sum(len(w)) AS BIGINT) AS n_tokens
+              FROM c5 GROUP BY source
+            ), tot AS (
+              SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM persrc
+            ), wts AS (
+              SELECT source, n_tokens,
+                     CASE WHEN n_tokens > 0
+                          THEN pow(n_tokens / CAST(tot.t AS DOUBLE), 0.3)
+                          ELSE 0.0 END AS pw
+              FROM persrc, tot
+            ), wsum AS (
+              SELECT CAST(sum(CAST(pw AS DECIMAL(38,12))) AS DOUBLE) AS s FROM wts
+            ), rates AS (
+              SELECT source,
+                     round(CASE WHEN n_tokens > 0
+                           THEN least(1.0, 8000.0 * (pw / s) / n_tokens)
+                           ELSE 0.0 END, 6) AS rate
+              FROM wts, wsum
+            ), drawn AS (
+              SELECT c5.doc_id, c5.source, CAST(len(c5.w) AS BIGINT) AS n_tokens
+              FROM c5 JOIN rates USING (source)
+              WHERE CAST('0x' || substr(md5('draw42_' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                    / CAST(4503599627370496 AS DOUBLE) < rates.rate
+            ), pb AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST('0x' || substr(md5('42_' || CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) AS shuf
+              FROM drawn
+            ), pc AS (
+              SELECT doc_id, source, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                         ORDER BY shuf, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS before
+              FROM pb
+            )
+            SELECT doc_id, source, n_tokens,
+                   CAST(before // 512 AS BIGINT) AS chunk_id,
+                   CAST(before % 512 AS BIGINT) AS chunk_offset
+            FROM pc
+        """
+
+
+def _spec_rag_oracle_sql() -> str:
+    """Full DuckDB replay of pipeline.py::build_rag_retrieval: the
+    token_windows chunker, the md5 hashing-trick features, the seeded
+    16×8 projection inlined as literals (tanh via (e^2x−1)/(e^2x+1),
+    the x3 discipline, round-6 so both engines hold bit-identical
+    vectors), the similarity_sq_topk SQ8 scan/rerank adapted to the
+    chunk relation, the hybrid_rrf BM25 + RRF fusion over chunk ids."""
+    from convml_data_spark.operators.inference import linear_model_weights
+
+    w = linear_model_weights(16, 8)
+
+    def proj(feat: str) -> str:
+        exprs = []
+        for j in range(8):
+            wj = ", ".join(repr(float(x)) for x in w[:, j])
+            dot = (
+                f"list_sum(list_transform(range(1, 17), "
+                f"i -> {feat}[i] * ([{wj}])[i]))"
+            )
+            exprs.append(
+                f"round((exp(2 * ({dot})) - 1) / (exp(2 * ({dot})) + 1), 6)"
+            )
+        return ",\n                       ".join(exprs)
+
+    bucket = (
+        "CAST('0x' || substr(md5(t), 1, 13) AS BIGINT) % 16"
+    )
+    qterms = "['spark', 'shuffle', 'window', 'merge']"
+    return f"""
+            WITH rbase AS (
+              SELECT doc_id,
+                     COALESCE(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                              x -> x != ''), []) AS toks
+              FROM documents
+            ), rsized AS (
+              SELECT doc_id, toks, len(toks) AS nd FROM rbase
+            ), rwins AS (
+              SELECT doc_id, toks, nd,
+                     unnest(range(0, greatest(nd, 1), 48)) AS start
+              FROM rsized
+            ), chunks AS (
+              SELECT CAST(doc_id * 4096 + (start // 48) AS BIGINT) AS chunk_id,
+                     toks[start + 1 : start + 64] AS wtk
+              FROM rwins WHERE start = 0 OR start - 48 + 64 < nd
+            ), csz AS (
+              SELECT chunk_id, wtk, len(wtk) AS n FROM chunks
+            ), feat AS (
+              SELECT chunk_id,
+                     list_transform(range(0, 16), j ->
+                       CASE WHEN n > 0
+                            THEN CAST(len(list_filter(wtk, t -> {bucket} = j)) AS DOUBLE)
+                                 / CAST(n AS DOUBLE)
+                            ELSE 0.0 END) AS f
+              FROM csz
+            ), emb AS (
+              SELECT chunk_id,
+                     [{proj("f")}] AS v
+              FROM feat
+            ), qf AS (
+              SELECT list_transform(range(0, 16), j ->
+                       CAST(len(list_filter({qterms}, t -> {bucket} = j)) AS DOUBLE)
+                       / 4.0) AS f
+            ), qe AS (
+              SELECT [{proj("f")}] AS e FROM qf
+            ), d AS (
+              SELECT t.i AS i, min(v[t.i]) AS mn, max(v[t.i]) AS mx
+              FROM emb, UNNEST(range(1, 9)) AS t(i)
+              GROUP BY t.i
+            ), b AS (
+              SELECT list(mn ORDER BY i) AS mins,
+                     list(mx ORDER BY i) AS maxs
+              FROM d
+            ), scored AS (
+              SELECT emb.chunk_id,
+                     round(list_sum(list_transform(range(1, 9), i ->
+                       CASE WHEN b.maxs[i] = b.mins[i]
+                            THEN (qe.e[i] - b.mins[i]) * (qe.e[i] - b.mins[i])
+                            ELSE (qe.e[i]
+                                  - (b.mins[i]
+                                     + floor((v[i] - b.mins[i])
+                                             / (b.maxs[i] - b.mins[i]) * 255.0 + 0.5)
+                                       * (b.maxs[i] - b.mins[i]) / 255.0))
+                               * (qe.e[i]
+                                  - (b.mins[i]
+                                     + floor((v[i] - b.mins[i])
+                                             / (b.maxs[i] - b.mins[i]) * 255.0 + 0.5)
+                                       * (b.maxs[i] - b.mins[i]) / 255.0))
+                       END)), 6) AS approx_d2,
+                     round(list_sum(list_transform(range(1, 9), i ->
+                       (v[i] - qe.e[i]) * (v[i] - qe.e[i]))), 6) AS d2
+              FROM emb, qe, b
+            ), short AS (
+              SELECT * FROM scored ORDER BY approx_d2, chunk_id LIMIT 50
+            ), sem AS (
+              SELECT chunk_id, -d2 AS score
+              FROM short ORDER BY d2, chunk_id LIMIT 10
+            ), bst AS (
+              SELECT CAST(count(*) AS BIGINT) AS ndocs,
+                     CAST(sum(n) AS BIGINT) AS sumdl
+              FROM csz
+            ), occ AS (
+              SELECT chunk_id, n AS dl,
+                     unnest(list_filter(wtk,
+                       x -> x IN ('merge', 'shuffle', 'spark', 'window'))) AS token
+              FROM csz
+            ), tf AS (
+              SELECT chunk_id, token, count(*) AS tf, min(dl) AS dl
+              FROM occ GROUP BY chunk_id, token
+            ), dft AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS dft
+              FROM tf GROUP BY token
+            ), bms AS (
+              SELECT tf.chunk_id,
+                     sum(CAST(
+                       ln(1.0 + (bst.ndocs - dft.dft + 0.5) / (dft.dft + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                            / (CAST(bst.sumdl AS DOUBLE) / bst.ndocs)))
+                     AS DECIMAL(38,12))) AS s
+              FROM tf JOIN dft ON dft.token = tf.token, bst
+              GROUP BY tf.chunk_id
+            ), bm AS (
+              SELECT chunk_id, round(CAST(s AS DOUBLE), 6) AS score
+              FROM bms ORDER BY score DESC, chunk_id LIMIT 30
+            ), un AS (
+              SELECT 'lex' AS list_id, chunk_id AS id, score FROM bm
+              UNION ALL
+              SELECT 'sem' AS list_id, chunk_id AS id, score FROM sem
+            ), rk AS (
+              SELECT list_id, id,
+                     row_number() OVER (PARTITION BY list_id
+                                        ORDER BY score DESC, id) AS rnk
+              FROM un
+            ), fused AS (
+              SELECT id,
+                     CAST(count(DISTINCT list_id) AS BIGINT) AS n_lists,
+                     sum(CAST(1.0 / (60.0 + rnk) AS DECIMAL(38,12))) AS s
+              FROM rk GROUP BY id
+            )
+            SELECT id,
+                   CAST(id // 4096 AS BIGINT) AS doc_id,
+                   CAST(id % 4096 AS BIGINT) AS win_id,
+                   n_lists,
+                   round(CAST(s AS DOUBLE), 6) AS rrf_score
+            FROM fused ORDER BY rrf_score DESC, id LIMIT 15
+        """
+
+
 def _exact_quantile_cuts_cte(rel: str, col: str, qs: list[float], names: list[str]) -> str:
     """CTE text ``o, cp, cuts`` replaying binning.exact_quantiles'
     interpolation VERBATIM over explicit order statistics:
@@ -6417,6 +6864,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "spec_tile_data": _spec_tile_data_oracle_sql(),
         "spec_analytics_pipeline": _spec_analytics_oracle_sql(),
+        "spec_curation_pipeline": _spec_curation_oracle_sql(),
+        "spec_rag_pipeline": _spec_rag_oracle_sql(),
         "spec_rect_embeddings": _spec_rect_oracle_sql(),
         "spec_regridded_scenes": """
             WITH cal AS (

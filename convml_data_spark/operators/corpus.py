@@ -643,11 +643,15 @@ def bpe_encode_byte_ids(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """GPT-2 token-ID encode — the id assignment that completes the
-    byte-level construction (Radford et al. 2019): the vocabulary is the
-    256 byte symbols with ids 0-255 (the byte's value) plus one id per
-    learned merge, ``256 + merge_rank`` — exactly GPT-2's id scheme,
-    where a token's id is the order its symbol entered the vocabulary. A
+    """GPT-2-style token-ID encode — the id assignment that completes
+    the byte-level construction (Radford et al. 2019): the vocabulary is
+    the 256 byte symbols with ids 0-255 (the byte's value) plus one id
+    per learned merge, ``256 + merge_rank`` — the GPT-2 construction
+    (a token's id is the order its symbol entered the vocabulary) with
+    byte-VALUE base ids; real GPT-2 orders the 256 base ids by its
+    bytes_to_unicode codepoint mapping (printable bytes first), so these
+    ids intentionally differ from the published encoder.json numbering
+    while preserving the same id-assignment semantics. A
     symbol two different merges can assemble (``(a,bc)`` and ``(ab,c)``
     both yield ``abc``) takes its FIRST-creation (minimum) id, so the
     map is a function in both engines. Returns ``(id, n_tokens,

@@ -1454,3 +1454,282 @@ def split_by_time_partition(
         "_part", F.date_format(F.date_trunc(granularity, F.col(time_col)), "yyyy-MM-dd")
     )
     return materialize(keyed, path, partition_by=["_part"])
+
+
+def build_curation_pipeline(
+    docs: DataFrame,
+    gopher_min_words: int = 30,
+    minhash_threshold: float = 0.5,
+    bloom_flag_threshold: float = 0.5,
+    mixture_alpha: float = 0.3,
+    mixture_token_budget: int = 8_000,
+    pack_budget: int = 512,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The LLM-pretraining curation path as ONE composed lazy program —
+    the north-star composition of the corpus/dedup operator surface (the
+    shape of a production curation job: CCNet/RefinedWeb fetch dedup →
+    C4 page cleaning → Gopher quality → MinHash corpus dedup →
+    benchmark decontamination → mixture planning → sequence packing):
+
+    1. hold out the evaluation suite (md5 bucket 0 of ``id_col``) — it
+       never enters the training corpus;
+    2. URL-level fetch dedup (``dedup.dedup_url``): one survivor per
+       canonical URL, min-id rule;
+    3. C4 page cleaning (``corpus.c4_line_filters``) over the page text
+       in ``page_text`` — pages failing the line/boilerplate rules drop;
+    4. Gopher quality gate (``corpus.gopher_quality``) over the flat
+       document text — only ``pass_gopher`` docs continue;
+    5. MinHash-LSH near-dup pairs (``dedup.minhash_dedup``) → connected
+       components → min-id canonical survivors
+       (``dedup.canonical_survivors``);
+    6. Bloom-filter decontamination against the held-out eval suite
+       (``corpus.bloom_decontaminate``) — flagged docs drop;
+    7. temperature mixture planning over the survivors
+       (``corpus.mixture_temperature_rates``, share^alpha) and an
+       md5-uniform acceptance draw at each source's rate;
+    8. GPT-style sequence packing of the drawn corpus
+       (``corpus.pack_token_chunks``).
+
+    Input must carry ``id_col``, ``text``, ``source``, ``url`` and
+    ``page_text`` columns. Returns one row per packed document:
+    ``(id, source, n_tokens, chunk_id, chunk_offset)``.
+
+    Every stage is the already-certified operator; composition adds only
+    semi/anti equi-joins on the document id (column-name contracts, no
+    action boundaries between stages — the CC rounds inside stage 5 are
+    the one bounded-iteration exception, O(log² n) jobs by design).
+    Stage filters run in corpus order, so each stage's input is the
+    previous stage's survivors — at 100 TB the expensive stages (MinHash
+    shingling, Bloom probing, packing) see only the cleaned fraction.
+    Fully deterministic (md5 draws, min-id survivorship), so the whole
+    program value-replays in ANSI SQL.
+
+    Materialization discipline: the train corpus materializes ONCE
+    (``materialize_for_reuse`` — executor blocks locally, set
+    ``SPARK_GRAFT_DURABLE_CHECKPOINT=1`` for a reliable checkpoint on a
+    real cluster) and every stage's survivor set materializes as an
+    ID-ONLY relation; each stage is then ``train ⋉ ids``. Without this,
+    each of the ~7 stage boundaries re-plans the whole upstream chain
+    per consumer — measured 35 parquet scans of the corpus in the final
+    plan; with it the corpus is read once into the train blocks and the
+    packed tail carries zero residual scans (the multi-consumer scan
+    audit class).
+    """
+    from .operators import dedup
+    from .operators import corpus
+    from .operators.persist import materialize_for_reuse
+
+    is_eval = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1) == "0"
+    eval_docs = docs.where(is_eval).select(id_col, "text")
+    train = materialize_for_reuse(docs.where(~is_eval))
+
+    # 2. URL fetch dedup: survivors carry only ids — semi-join back
+    c1_ids = materialize_for_reuse(
+        dedup.dedup_url(
+            train.select(id_col, "url"), id_col=id_col, max_per_host=None
+        ).select(id_col)
+    )
+    c1 = train.join(c1_ids, id_col, "left_semi")
+
+    # 3. C4 page cleaning on the page representation
+    c4 = corpus.c4_line_filters(
+        c1.select(F.col(id_col), F.col("page_text").alias("text")),
+        id_col=id_col,
+    )
+    c2_ids = materialize_for_reuse(
+        c4.where(F.col("passed")).select(id_col)
+    )
+    c2 = train.join(c2_ids, id_col, "left_semi")
+
+    # 4. Gopher quality gate on the flat text
+    gq = corpus.gopher_quality(c2, id_col=id_col, min_words=gopher_min_words)
+    c3_ids = materialize_for_reuse(
+        gq.where(F.col("pass_gopher")).select(id_col)
+    )
+    c3 = train.join(c3_ids, id_col, "left_semi")
+
+    # 5. MinHash near-dup collapse (LSH candidates, exact-Jaccard verify,
+    # CC min-id survivors)
+    pairs = dedup.minhash_dedup(
+        c3, threshold=minhash_threshold, id_col=id_col
+    ).select("id_a", "id_b")
+    c4s_ids = materialize_for_reuse(
+        dedup.canonical_survivors(
+            c3.select(id_col), pairs, id_col=id_col
+        ).select(id_col)
+    )
+    c4s = train.join(c4s_ids, id_col, "left_semi")
+
+    # 6. Bloom decontamination vs the held-out eval suite
+    flagged = corpus.bloom_decontaminate(
+        c4s, eval_docs, flag_threshold=bloom_flag_threshold, id_col=id_col
+    ).where(F.col("flagged")).select(F.col("doc_id").alias(id_col))
+    c5_ids = materialize_for_reuse(
+        c4s.select(id_col).join(flagged, id_col, "left_anti")
+    )
+    c5 = train.join(c5_ids, id_col, "left_semi")
+
+    # 7. mixture planning + md5-uniform acceptance draw: accept iff
+    # md5_frac(id) < rate(source); the 52-bit md5 integer over 2^52 is
+    # an exact dyadic double and rate is round(6), so the comparison is
+    # engine-exact
+    rates = corpus.mixture_temperature_rates(
+        c5, alpha=mixture_alpha, token_budget=mixture_token_budget
+    ).select("source", "rate")
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"draw{seed}_"), F.col(id_col).cast("string"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("long").cast("double")
+        / F.lit(float(1 << 52))
+    )
+    drawn = materialize_for_reuse(
+        c5.join(F.broadcast(rates), "source").where(frac < F.col("rate"))
+        .select(id_col, "source", "text")
+    )
+
+    # 8. sequence packing of the drawn corpus
+    packed = corpus.pack_token_chunks(drawn, budget=pack_budget, seed=seed, id_col=id_col)
+    return packed.join(
+        drawn.select(id_col, "source"), id_col
+    ).select(id_col, "source", "n_tokens", "chunk_id", "chunk_offset")
+
+
+RAG_FEAT_DIM = 16
+RAG_EMB_DIM = 8
+RAG_CHUNK_STRIDE_IDS = 4096  # chunk_id = doc_id * 4096 + win_id
+
+
+def hashed_text_features(
+    df: DataFrame,
+    dim: int = RAG_FEAT_DIM,
+    text_col: str = "win_text",
+    id_col: str = "chunk_id",
+) -> DataFrame:
+    """Deterministic hashing-trick featurizer (the Weinberger et al.
+    2009 'hashing vectorizer', the stand-in for a real encoder the way
+    ``inference.linear_model_weights`` stands in for a checkpoint):
+    feature j = fraction of the text's tokens whose 52-bit md5 integer
+    lands in bucket j of ``dim``. Pure in-row Column math — one map
+    pass, replayable anywhere md5 exists; empty text yields the zero
+    vector."""
+    from .functions import text as T
+
+    toks = T.tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    bucket = lambda t: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 13), 16, 10).cast("long"), F.lit(dim)
+    )
+    feats = F.array(*[
+        F.when(n > 0,
+               F.size(F.filter(toks, lambda t: bucket(t) == j)).cast("double")
+               / n.cast("double"))
+        .otherwise(F.lit(0.0))
+        for j in range(dim)
+    ])
+    return df.select(F.col(id_col), feats.alias("embedding"))
+
+
+def build_rag_retrieval(
+    docs: DataFrame,
+    query_text: str,
+    window_size: int = 64,
+    window_stride: int = 48,
+    k_per_list: int = 30,
+    sq_shortlist: int = 50,
+    sq_k: int = 10,
+    topk: int = 15,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The RAG serving path as ONE composed program — the retrieval-side
+    twin of :func:`build_curation_pipeline`, certifying the chunker →
+    embedder → ANN → fusion column contracts a production RAG index job
+    runs:
+
+    1. chunk long documents into overlapping token windows
+       (``corpus.sliding_token_windows``), chunk id =
+       ``doc_id·4096 + win_id``;
+    2. embed every chunk: :func:`hashed_text_features` (md5
+       hashing-trick bag of words) → ``inference.batch_embed``
+       (tanh(V·W), the seeded-checkpoint Arrow-batch inference path),
+       rounded to 6 dp so the vector relation is engine-exact;
+    3. embed the query through the IDENTICAL chunk path (a 1-row
+       DataFrame; its collect is the one bounded driver action here —
+       8 doubles);
+    4. semantic retrieve: scalar-quantization ANN over the chunk
+       vectors (``similarity.sq_topk_batch`` — SQ8 encode, asymmetric
+       compressed scan, exact-L2 rerank), semantic score = −d2;
+    5. lexical retrieve: ``corpus.bm25_topk`` over the chunk TEXTS with
+       the query's tokens;
+    6. fuse with reciprocal-rank fusion (``similarity.rrf_fuse``).
+
+    Returns ``(id, doc_id, win_id, n_lists, rrf_score)`` ordered
+    rrf desc / id asc, limited to ``topk``. Every stage is the certified
+    operator; the whole chain is value-replayable (the SQ full-value
+    oracle discipline: round-6 vectors in, deterministic tie-breaks
+    throughout)."""
+    from .operators import corpus, similarity
+    from .operators.inference import batch_embed
+
+    wins = corpus.sliding_token_windows(
+        docs, size=window_size, stride=window_stride, id_col=id_col
+    ).select(
+        (F.col(id_col) * RAG_CHUNK_STRIDE_IDS + F.col("win_id"))
+        .cast("long").alias("chunk_id"),
+        "win_text",
+    )
+
+    def embed(df: DataFrame) -> DataFrame:
+        emb = batch_embed(
+            hashed_text_features(df),
+            in_dim=RAG_FEAT_DIM, out_dim=RAG_EMB_DIM, seed=seed,
+            id_col="chunk_id",
+        )
+        return emb.select(
+            "chunk_id",
+            F.transform(F.col("emb_out"), lambda v: F.round(v, 6))
+            .alias("embedding"),
+        )
+
+    # the embed stage is the expensive one (real deployments run an
+    # actual encoder here) and sq_topk_batch consumes its output three
+    # times (bounds fit, compressed scan, exact rerank) — materialize
+    # once so inference never re-runs per consumer
+    from .operators.persist import materialize_for_reuse
+
+    chunk_emb = materialize_for_reuse(embed(wins))
+
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(-1, str(query_text))], "chunk_id long, win_text string"
+    )
+    qv = [float(v) for v in embed(qdf).collect()[0]["embedding"]]
+
+    sem = similarity.sq_topk_batch(
+        chunk_emb, [(0, qv)], k=sq_k, shortlist=sq_shortlist,
+        id_col="chunk_id",
+    ).select(
+        F.lit("sem").alias("list_id"),
+        F.col("chunk_id").alias("id"),
+        (-F.col("d2")).alias("score"),
+    )
+    terms = [t for t in str(query_text).lower().split() if t]
+    lex = corpus.bm25_topk(
+        wins, terms, k=k_per_list, id_col="chunk_id", text_col="win_text"
+    ).select(
+        F.lit("lex").alias("list_id"), F.col("chunk_id").alias("id"), "score"
+    )
+    fused = similarity.rrf_fuse(lex.unionByName(sem), k_rrf=60, topk=topk)
+    return fused.select(
+        "id",
+        F.expr(f"id div {RAG_CHUNK_STRIDE_IDS}").alias(id_col),
+        F.pmod(F.col("id"), F.lit(RAG_CHUNK_STRIDE_IDS)).cast("long").alias("win_id"),
+        "n_lists",
+        "rrf_score",
+    )

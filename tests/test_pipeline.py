@@ -755,3 +755,56 @@ def test_spec_round_trips_scene_filter_and_image_function():
     assert d1["image_function"] == "norm_vis"
     assert d1["scene_filter"] == "im__2024.*"
     assert pipeline.DatasetSpec.from_dict(d1).to_dict() == d1
+
+
+def test_curation_pipeline_job_count_bounded(spark):
+    """The composed curation program must stay ONE bounded-job-count
+    program (the r16-verdict composition gate): every stage is lazy
+    except connected_components' O(log² n) rounds, so the end-to-end
+    job count is a small constant plus a few jobs per CC round —
+    measured 86 jobs at sf0.001 (local[*], AQE on). A blowup here means
+    a stage started materializing per-row or per-group driver state
+    (e.g. an accidental action inside a loop), which no amount of
+    cluster would save at 100 TB."""
+    import __spark_entry__ as entrymod
+
+    sc = spark.sparkContext
+    group = "curation-jobcount"
+    sc.setJobGroup(group, "curation pipeline job-count gate")
+    try:
+        df = entrymod.queries()["spec_curation_pipeline"](
+            spark, "/root/testdata/sf0.001"
+        )
+        assert df.count() > 0
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert 0 < len(jobs) <= 120, (
+        f"curation pipeline ran {len(jobs)} jobs (bound 120) — a stage "
+        "is no longer composing lazily"
+    )
+
+
+def test_rag_retrieval_contracts(spark):
+    """build_rag_retrieval structural contracts: ≤ topk rows, rrf
+    scores sorted desc with id-asc tiebreak, chunk ids decompose into
+    (doc_id, win_id) with win_id inside the id stride, and every result
+    id is a real chunk of the corpus (the chunker and the retrievers
+    agree on the id space)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pipeline.build_rag_retrieval(docs, "spark shuffle window merge").collect()
+    assert 0 < len(out) <= 15
+    scores = [(-r["rrf_score"], r["id"]) for r in out]
+    assert scores == sorted(scores)
+    from convml_data_spark.operators import corpus
+
+    wins = {
+        r["doc_id"] * pipeline.RAG_CHUNK_STRIDE_IDS + r["win_id"]
+        for r in corpus.sliding_token_windows(docs, size=64, stride=48)
+        .select("doc_id", "win_id").collect()
+    }
+    for r in out:
+        assert r["id"] == r["doc_id"] * pipeline.RAG_CHUNK_STRIDE_IDS + r["win_id"]
+        assert 0 <= r["win_id"] < pipeline.RAG_CHUNK_STRIDE_IDS
+        assert r["id"] in wins
+        assert 1 <= r["n_lists"] <= 2

@@ -544,6 +544,11 @@ SCAN_CEILINGS = {
     "sample_quality_weighted": 1, "scene_table": 1, "select_token_budget": 2, "simhash": 1,
     "similarity_ivf_topk": 2, "similarity_lsh_topk": 2, "similarity_pq_topk": 3, "similarity_sq_topk": 2,
     "sketch_quantiles": 2, "spec_analytics_pipeline": 0, "spec_aux_derived": 0, "spec_rect_embeddings": 0,
+    # round 17 composed pipelines: curation's tail sits entirely behind
+    # the stage checkpoints (train + per-stage id sets — 35 scans
+    # without them); RAG's one scan is the chunk relation feeding BM25
+    # (the embed side is checkpointed so inference never re-runs)
+    "spec_curation_pipeline": 0, "spec_rag_pipeline": 2,
     "spec_regridded_bilinear": 0, "spec_regridded_scenes": 0, "spec_scene_filter": 0, "spec_scene_images": 0,
     "spec_tile_data": 0, "spec_triplet_pipeline": 0, "stratified_split": 2, "stream_countmin": 1,
     "stream_daily_counts": 0, "stream_dedup_watermark": 0, "stream_incremental_dedup": 0, "stream_parquet_drain": 1,
