@@ -3584,17 +3584,27 @@ def _synthetic_curation_input(docs: DataFrame) -> DataFrame:
     """(doc_id, text, source, url, page_text) input for the curation
     pipeline key: the dedup_url messy-variant URL synthesis (same
     scheme/www/port/slash/query/fragment md5 bits) but with a
-    PREDECESSOR-COLLIDING path — doc_id % 10 == 7 shares its canonical
-    path with doc_id − 1, so ~10% of docs form a URL-dup group at EVERY
-    scale factor (the dedup_url key's ``doc_id % 37`` path would
-    collapse the whole corpus to ~740 canonical URLs, starving every
-    later stage at sf0.1) — plus the C4 page synthesis
-    (:func:`_synthetic_page_expr`, '' for zero-token docs)."""
+    SAME-SOURCE-COLLIDING path — docs whose within-source index
+    ``doc_id div 20`` is ≡ 7 (mod 10) share their canonical path with
+    doc_id − 20, the previous doc of the SAME source. Two traps this
+    rule dodges: testdata assigns source = src{doc_id % 20}, so a ±1
+    partner always sits on a different host (stage vacuous); and any
+    rule on ``doc_id mod k·20`` remaps the partner too (same residue),
+    chaining every path one step with ZERO collisions — keying on the
+    within-source INDEX leaves the partner (index ≡ 6) unmapped. ~10%
+    of docs form a real URL-dup group at EVERY scale factor (the
+    dedup_url key's ``doc_id % 37`` path would instead collapse the
+    whole corpus to ~740 canonical URLs, starving every later stage at
+    sf0.1) — plus the C4 page synthesis (:func:`_synthetic_page_expr`,
+    '' for zero-token docs)."""
     def bits(tag: str):
         return _md5_bits(f"url{tag}:", F.col("doc_id"))
 
     path = (
-        F.when(F.col("doc_id") % 10 == 7, F.col("doc_id") - 1)
+        F.when(
+            F.expr("(doc_id div 20) % 10") == 7,
+            F.col("doc_id") - 20,
+        )
         .otherwise(F.col("doc_id"))
     )
     url = F.concat(
@@ -5288,7 +5298,8 @@ def _spec_curation_oracle_sql() -> str:
                      || (CASE WHEN {bits("w")} % 2 = 0 THEN 'www.' ELSE '' END)
                      || source || '.Example.COM'
                      || (CASE WHEN {bits("p")} % 4 = 0 THEN ':443' ELSE '' END)
-                     || '/p/' || CAST(CASE WHEN doc_id % 10 = 7 THEN doc_id - 1
+                     || '/p/' || CAST(CASE WHEN (doc_id // 20) % 10 = 7
+                                           THEN doc_id - 20
                                            ELSE doc_id END AS VARCHAR)
                      || (CASE WHEN {bits("t")} % 2 = 0 THEN '/' ELSE '' END)
                      || (CASE WHEN {bits("q")} % 3 = 0 THEN '?utm_source=feed&ref=rss' ELSE '' END)

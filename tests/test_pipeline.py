@@ -808,3 +808,49 @@ def test_rag_retrieval_contracts(spark):
         assert 0 <= r["win_id"] < pipeline.RAG_CHUNK_STRIDE_IDS
         assert r["id"] in wins
         assert 1 <= r["n_lists"] <= 2
+
+
+def test_curation_pipeline_stage_semantics(spark):
+    """Spot-checks that each curation stage actually FIRES on the entry
+    synthesis (a vacuous stage would stay parity-green forever): the
+    md5-bucket-0 eval holdout never reaches the output; the
+    same-source URL-dup rule (doc_id % 10 == 7 collides with
+    doc_id − 20) drops the higher id whenever its partner is in the
+    train half; and every output doc passes the Gopher gate it claims
+    to have passed."""
+    import __spark_entry__ as entrymod
+    from convml_data_spark.operators import corpus
+
+    sf = "/root/testdata/sf0.001"
+    out = entrymod.queries()["spec_curation_pipeline"](spark, sf).collect()
+    assert out
+    ids = {r["doc_id"] for r in out}
+    import hashlib
+
+    def is_eval(d):
+        return hashlib.md5(str(d).encode()).hexdigest()[0] == "0"
+
+    assert not any(is_eval(d) for d in ids)
+    # URL stage fires: a surviving d whose within-source index ≡ 7
+    # (mod 10) shares its canonical URL with train partner d-20 — the
+    # min-id survivor rule must have kept d-20 and dropped d
+    dropped_by_url = [
+        d for d in ids if (d // 20) % 10 == 7 and not is_eval(d - 20)
+    ]
+    assert dropped_by_url == []
+    # and the rule is non-vacuous on this data: colliding pairs with
+    # BOTH members in the train half exist
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    remapped = {
+        r["doc_id"]
+        for r in docs.where(F.expr("(doc_id div 20) % 10 = 7"))
+        .select("doc_id").collect()
+    }
+    assert any(not is_eval(d) and not is_eval(d - 20) for d in remapped)
+    # Gopher stage honored: every output doc passes at min_words=30
+    gq = {
+        r["doc_id"]
+        for r in corpus.gopher_quality(docs, min_words=30)
+        .where(F.col("pass_gopher")).select("doc_id").collect()
+    }
+    assert ids <= gq
