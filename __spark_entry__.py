@@ -3748,8 +3748,8 @@ COST_CLASS = {
         "langid_confident", "blocklist_scan",
     ]},
     # tens of seconds (iterative fits / plan-time DP pyramids / the
-    # 8-stage curation composition — 35 s min-of-3 at sf0.1, dominated
-    # by the CC rounds plus 7 stage-checkpoint materializations)
+    # 8-stage curation composition — 12 s min-of-3 at sf0.1 after the
+    # train-spread fix: CC rounds + 7 sequential stage checkpoints)
     **{k: "tens" for k in [
         "dedup_semantic_kmeans", "spm_encode", "spm_train",
         "spec_curation_pipeline",

@@ -1523,7 +1523,13 @@ def build_curation_pipeline(
 
     is_eval = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1) == "0"
     eval_docs = docs.where(is_eval).select(id_col, "text")
-    train = materialize_for_reuse(docs.where(~is_eval))
+    # layout-decoupling spread BEFORE materializing: a single-file corpus
+    # otherwise checkpoints into ONE block and every downstream
+    # expression-heavy stage (the Gopher repetition ladder especially)
+    # runs single-task — measured 24 s of the pipeline's 35 s at sf0.1
+    from .operators.dedup import _spread
+
+    train = materialize_for_reuse(_spread(docs.where(~is_eval), id_col))
 
     # 2. URL fetch dedup: survivors carry only ids — semi-join back
     c1_ids = materialize_for_reuse(

@@ -854,3 +854,30 @@ def test_curation_pipeline_stage_semantics(spark):
         .where(F.col("pass_gopher")).select("doc_id").collect()
     }
     assert ids <= gq
+
+
+def test_composed_pipelines_partitioning_independent(spark):
+    """Determinism rule (README AQE-safe invariants): the composed
+    curation and RAG programs must produce IDENTICAL rows under any
+    input layout — every draw is an md5 expression, every survivorship
+    rule a min/max — so a hostile repartition (3 partitions keyed on a
+    non-id column) cannot shift a single chunk offset or fused rank."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    inp = entrymod._synthetic_curation_input(docs)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base = rows(pipeline.build_curation_pipeline(inp))
+    skew = rows(pipeline.build_curation_pipeline(inp.repartition(3, "source")))
+    assert base == skew and base
+    rbase = rows(pipeline.build_rag_retrieval(docs, "spark shuffle window merge"))
+    rskew = rows(
+        pipeline.build_rag_retrieval(
+            docs.repartition(3, "lang"), "spark shuffle window merge"
+        )
+    )
+    assert rbase == rskew and rbase
