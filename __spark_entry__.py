@@ -3647,6 +3647,84 @@ def q_spec_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.build_curation_pipeline(_synthetic_curation_input(docs))
 
 
+def q_stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 × the curation composition: INGEST-TIME curation — the
+    streaming twin of spec_curation_pipeline, certifying the STREAMING
+    operators compose the way a production ingest job chains them. The
+    odd-doc_id half of documents arrives as a file stream; the C4 page
+    gate (over the _synthetic_page_expr synthesis) and the Gopher gate
+    (min_words=30) run as stateless per-micro-batch projections with
+    the text riding ``carry_cols`` (a verdict re-join would be a
+    stream-stream join); survivors compute STATELESS MinHash signatures
+    (dedup.minhash_signatures_stateless — array exprs, no agg), band-
+    join against the STANDING curated index (even half, batch side,
+    broadcast here / bucketed co-partitioned at scale), and docs with
+    zero collisions drain as the accepted ingest with their token
+    counts. One bounded streaming aggregation (per-doc max-hit);
+    everything upstream stateless. Oracle = the batch gates + the
+    cross-index signature filter (stateless maps and the stream-static
+    join are batch-equivalent by construction; single-batch pin for
+    drain determinism)."""
+    from convml_data_spark import streaming
+    from convml_data_spark.operators import corpus
+
+    _prep(spark)
+    batch, stream = streaming.stream_table(
+        spark, sf_dir, "documents", single_batch=True
+    )
+    # layout-decoupling spread: the single-file micro-batch would
+    # otherwise run the gates' expression ladders on ONE task (39 s →
+    # 7 s min-of-3 at sf0.1); a stateless hash repartition is legal in
+    # a streaming plan
+    arriving = dedup._spread(
+        stream.where(F.col("doc_id") % 2 == 1), "doc_id"
+    ).select("doc_id", "text", _synthetic_page_expr().alias("page_text"))
+    # gate verdicts filter through where_unpushed — a pushed predicate
+    # re-derives the HOF measures per reference (22× on the Gopher
+    # stage; persist.where_unpushed), and a checkpoint barrier is not
+    # available on a stream
+    from convml_data_spark.operators.persist import where_unpushed
+
+    c4g = where_unpushed(
+        corpus.c4_line_filters(
+            arriving, text_col="page_text", carry_cols=("text",)
+        ),
+        F.col("passed"),
+    ).select("doc_id", "text")
+    gg = where_unpushed(
+        corpus.gopher_quality(c4g, min_words=30, carry_cols=("text",)),
+        F.col("pass_gopher"),
+    ).select("doc_id", "text")
+    new_sigs = dedup.minhash_signatures_stateless(gg, num_hashes=8)
+    index_sigs = dedup.minhash_signatures(
+        batch.where(F.col("doc_id") % 2 == 0), num_hashes=8
+    )
+    nb = dedup.banded_slice_keys(new_sigs, bands=4, num_hashes=8, out_id="nid")
+    ob = (
+        dedup.banded_slice_keys(index_sigs, bands=4, num_hashes=8, out_id="oid")
+        .withColumnRenamed("band", "oband")
+        .withColumnRenamed("bucket", "obucket")
+    )
+    cond = (
+        (F.col("band") == F.col("oband"))
+        & (F.col("bucket") == F.col("obucket"))
+        & (dedup.sig_agreement("sig_nid", "sig_oid", 8) >= F.lit(0.5))
+    )
+    hits = nb.join(F.broadcast(ob), cond, "left").select(
+        "nid", F.when(F.col("oid").isNotNull(), 1).otherwise(0).alias("hit")
+    )
+    agg = hits.groupBy("nid").agg(F.max("hit").alias("hit"))
+    drained = streaming.run_available_now(agg, output_mode="complete")
+    surv = drained.where(F.col("hit") == 0).select(F.col("nid").alias("doc_id"))
+    ntok = batch.select(
+        "doc_id",
+        F.greatest(F.size(T.tokens(F.lower(F.col("text")))), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return surv.join(ntok, "doc_id").select("doc_id", "n_tokens")
+
+
 def q_spec_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RAG serving path composed as ONE program
     (pipeline.py::build_rag_retrieval): 64/48 sliding token windows →
@@ -3738,7 +3816,8 @@ COST_CLASS = {
         "spec_analytics_pipeline", "spec_aux_derived",
         "spec_rag_pipeline",
         "spec_rect_embeddings", "spec_tile_data", "spec_triplet_pipeline",
-        "stream_c4_filters", "stream_countmin", "stream_daily_counts",
+        "stream_c4_filters", "stream_countmin", "stream_curation_pipeline",
+        "stream_daily_counts",
         "stream_dedup_watermark", "stream_incremental_dedup",
         "stream_parquet_drain", "stream_seen_filter",
         "stream_static_join", "stream_stream_join", "stream_url_dedup",
@@ -3773,6 +3852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 17 (never certified) ---
         "spec_curation_pipeline": q_spec_curation_pipeline,
         "spec_rag_pipeline": q_spec_rag_pipeline,
+        "stream_curation_pipeline": q_stream_curation_pipeline,
         # --- r13-certified, 4 rounds stale: MUST certify this round ---
         "gopher_repetition": q_gopher_repetition,
         "incremental_dedup": q_incremental_dedup,
@@ -3822,9 +3902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_dotted_udaf": q_x2_dotted_udaf,
         "x3_batch_embed": q_x3_batch_embed,
         "x4_pca": q_x4_pca,
-        "spec_aux_derived": q_spec_aux_derived,
         # ---------------- position 51+: rotated out this round ----------
         # r14-certified remainder (these lead the r18 window)
+        "spec_aux_derived": q_spec_aux_derived,
         "spec_regridded_scenes": q_spec_regridded_scenes,
         "stream_static_join": q_stream_static_join,
         "stream_stream_join": q_stream_stream_join,
@@ -8017,6 +8097,89 @@ def oracle_sql() -> dict[str, str]:
               WHERE {_sig_agree("n", "o")} >= 0.5
             )
             SELECT n.id FROM n WHERE n.id NOT IN (SELECT id FROM cd)
+        """,
+        # streaming curation replay: the stateless gates (C4 line-level
+        # page synthesis + gopher measures at min_words=30) restrict the
+        # arriving odd half BEFORE the stream_incremental_dedup
+        # cross-index signature filter; stateless maps and the
+        # stream-static join are batch-equivalent by construction
+        "stream_curation_pipeline": f"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     COALESCE(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), []) AS tk
+              FROM documents
+            ), sized AS (
+              SELECT id, tk, CAST(ceil(len(tk) / 6.0) AS INT) AS nl,
+                     CAST('0x' || substr(md5('li:' || CAST(id AS VARCHAR)), 1, 13) AS BIGINT)
+                         % 13 = 0 AS lorem,
+                     CAST('0x' || substr(md5('br:' || CAST(id AS VARCHAR)), 1, 13) AS BIGINT)
+                         % 11 = 0 AS brace
+              FROM toks WHERE id % 2 = 1 AND len(tk) > 0
+            ), body AS (
+              SELECT id,
+                     array_to_string(tk[i*6+1 : i*6+6], ' ')
+                     || (['.', '!', '?', '', ' javascript.'])[
+                          CAST(CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':'
+                               || CAST(i AS VARCHAR)), 1, 13) AS BIGINT) % 5 AS INT) + 1]
+                       AS ln
+              FROM sized, UNNEST(range(0, greatest(nl, 0))) AS t(i)
+            ), clines AS (
+              SELECT id, ln FROM body
+              UNION ALL
+              SELECT id, 'lorem ipsum dolor sit.' FROM sized WHERE lorem
+              UNION ALL
+              SELECT id, 'if (x) {{ return y; }}' FROM sized WHERE brace
+            ), c4p AS (
+              SELECT id FROM clines GROUP BY id
+              HAVING NOT bool_or(contains(lower(ln), 'lorem ipsum') OR contains(ln, '{{'))
+                 AND count(*) FILTER (
+                       regexp_matches(ln, '[.!?\"]$')
+                       AND len(string_split_regex(trim(ln), ' +')) >= 5
+                       AND NOT contains(lower(ln), 'javascript')) >= 3
+            ), gm AS (
+              SELECT t.id, t.tk,
+                     len(t.tk) AS n_words,
+                     CASE WHEN len(t.tk) = 0 THEN 0.0
+                          ELSE list_sum(list_transform(t.tk, x -> len(x))) / len(t.tk) END AS mwl,
+                     list_transform(range(1, greatest(len(t.tk) - 1, 0) + 1),
+                                    i -> t.tk[i] || ' ' || t.tk[i+1]) AS g2,
+                     list_transform(range(1, greatest(len(t.tk) - 2, 0) + 1),
+                                    i -> t.tk[i] || ' ' || t.tk[i+1] || ' ' || t.tk[i+2]) AS g3,
+                     len(list_filter(list_distinct(t.tk),
+                         x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS stop_hits
+              FROM toks t JOIN c4p ON c4p.id = t.id
+            ), s AS (
+              SELECT id, tk FROM (
+                SELECT id, tk, n_words, mwl, stop_hits,
+                       CASE WHEN len(g2) = 0 THEN 0.0
+                            ELSE list_max(list_transform(list_distinct(g2),
+                                   x -> len(list_filter(g2, y -> y = x)))) / len(g2) END AS top2,
+                       CASE WHEN len(g3) = 0 THEN 0.0
+                            ELSE 1.0 - len(list_distinct(g3)) / len(g3) END AS dup3
+                FROM gm
+              )
+              WHERE n_words >= 30 AND n_words <= 100000
+                AND mwl >= 3.0 AND mwl <= 10.0
+                AND top2 <= 0.20 AND dup3 <= 0.30
+                AND stop_hits >= 2
+            ), sh AS (
+              SELECT id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(tk) - 2, 0) + 1),
+                       i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+              FROM toks
+            ), hx AS (
+              SELECT id, {minhash_terms}
+              FROM (SELECT id, CAST('0x'||substr(md5(shingle),1,15) AS BIGINT) AS x FROM sh)
+            ), m AS (SELECT id, {minhash_aggs} FROM hx GROUP BY id),
+            o AS (SELECT * FROM m WHERE id % 2 = 0),
+            n AS (SELECT m.* FROM m JOIN s ON s.id = m.id),
+            cd AS (
+              SELECT DISTINCT n.id
+              FROM n JOIN o ON ({_band_match("n", "o")})
+              WHERE {_sig_agree("n", "o")} >= 0.5
+            )
+            SELECT s.id AS doc_id, CAST(len(s.tk) AS BIGINT) AS n_tokens
+            FROM s WHERE s.id NOT IN (SELECT id FROM cd)
         """,
         "simhash": f"""
             WITH toks AS (

@@ -90,6 +90,7 @@ def gopher_quality(
     max_top_bigram_frac: float = 0.20,
     max_dup_trigram_frac: float = 0.30,
     min_stopword_hits: int = 2,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style document quality gate (Rae et al. 2021, appendix A1.1,
     thresholds engine-defined): word-count bounds, mean-word-length band,
@@ -99,6 +100,9 @@ def gopher_quality(
 
     One narrow projection per row — token array built once and shared by
     every measure through common-subexpression elimination; no shuffle.
+    ``carry_cols`` ride through to the output unchanged — how a STREAMING
+    pipeline keeps the text flowing to the next stage (a re-join of the
+    gate verdict onto the stream would be a stream-stream join).
     """
     toks = T.tokens(F.lower(F.col(text_col)))
     n_words = F.size(toks)
@@ -127,6 +131,7 @@ def gopher_quality(
         stop_hits.cast("int").alias("stopword_hits"),
         *[c.alias(name) for name, c in flags.items()],
         passed.alias("pass_gopher"),
+        *[F.col(c) for c in carry_cols],
     )
 
 
@@ -2972,6 +2977,7 @@ def c4_line_filters(
     min_sentences: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """C4's cleaning heuristics over newline-delimited page text:
 
@@ -2987,7 +2993,9 @@ def c4_line_filters(
     newlines (0 for discarded pages) — the size the page contributes to
     the cleaned corpus. Line predicates reference only their own lambda
     var, so the filter is safe in every plan shape (the outer-ref-in-HOF
-    caveat); everything is engine-replayable string math.
+    caveat); everything is engine-replayable string math. ``carry_cols``
+    ride through unchanged (streaming composition — see
+    :func:`gopher_quality`).
     """
     lines = F.split(F.col(text_col), "\n")
     kept = F.filter(
@@ -3008,6 +3016,7 @@ def c4_line_filters(
         n_kept.cast("long").alias("n_kept"),
         passed.alias("passed"),
         F.length(clean).cast("long").alias("clean_chars"),
+        *[F.col(c) for c in carry_cols],
     )
 
 

@@ -55,3 +55,36 @@ def materialize_for_reuse(
             f"unset {ENV_FLAG} to use executor-local checkpoints)"
         )
     return df.checkpoint(eager=eager)
+
+
+def where_unpushed(df: DataFrame, condition) -> DataFrame:
+    """Filter WITHOUT predicate pushdown — for conditions over
+    expensive PROJECTED measures.
+
+    Catalyst pushes a deterministic filter through a Project by
+    SUBSTITUTING the projected aliases into the predicate, and filter
+    predicates get no common-subexpression elimination — so a condition
+    over HOF-heavy measure columns (the Gopher repetition fractions:
+    per-distinct-n-gram occurrence scans) re-derives the token/ngram
+    arrays once PER REFERENCE inside the predicate. Measured on the
+    gopher gate at sf0.1: 0.75 s unfiltered, 16.8 s with a plain
+    ``.where(pass_gopher)`` (22×), 1.7 s with this barrier — the
+    filter-context sibling of the winnowing fold-input lesson.
+
+    Mechanism: predicates referencing a NONDETERMINISTIC expression are
+    never pushed, so the condition is AND-ed with an always-true guard
+    on a seeded ``rand`` column projected below the filter. The rand
+    value is never observed (``>= -1.0`` holds for its entire [0,1)
+    range, under any partitioning, retry or speculative re-execution),
+    so results stay bit-deterministic. Works on streaming DataFrames
+    (per-micro-batch projection; no state), unlike a checkpoint
+    barrier, and costs one double per row instead of a
+    materialization.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        df.withColumn("_no_pushdown", F.rand(42))
+        .where(condition & (F.col("_no_pushdown") >= F.lit(-1.0)))
+        .drop("_no_pushdown")
+    )

@@ -1539,20 +1539,26 @@ def build_curation_pipeline(
     )
     c1 = train.join(c1_ids, id_col, "left_semi")
 
-    # 3. C4 page cleaning on the page representation
+    # 3. C4 page cleaning on the page representation. Gate verdicts are
+    # filtered through where_unpushed: a plain .where(flag) pushes the
+    # predicate below the gate's projection where the HOF-heavy measures
+    # re-derive per reference with no CSE (22× measured on the Gopher
+    # stage — see persist.where_unpushed).
+    from .operators.persist import where_unpushed
+
     c4 = corpus.c4_line_filters(
         c1.select(F.col(id_col), F.col("page_text").alias("text")),
         id_col=id_col,
     )
     c2_ids = materialize_for_reuse(
-        c4.where(F.col("passed")).select(id_col)
+        where_unpushed(c4, F.col("passed")).select(id_col)
     )
     c2 = train.join(c2_ids, id_col, "left_semi")
 
     # 4. Gopher quality gate on the flat text
     gq = corpus.gopher_quality(c2, id_col=id_col, min_words=gopher_min_words)
     c3_ids = materialize_for_reuse(
-        gq.where(F.col("pass_gopher")).select(id_col)
+        where_unpushed(gq, F.col("pass_gopher")).select(id_col)
     )
     c3 = train.join(c3_ids, id_col, "left_semi")
 

@@ -123,3 +123,33 @@ def test_canonical_survivors_collapse(spark):
     )
     # cluster {0,1,2} -> keep 0; {5,6} -> keep 5; others untouched
     assert got == [0, 3, 4, 5, 7, 8, 9]
+
+
+def test_gate_carry_cols_ride_through(spark):
+    """carry_cols pass-through on the two quality gates — the streaming
+    composition contract (stream_curation_pipeline chains gate → gate →
+    signatures on ONE streaming relation; a verdict re-join would be a
+    stream-stream join). Carried values must arrive unchanged and the
+    gate columns must be unaffected by the carry."""
+    from convml_data_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat. on the mat today fine.", "payload-1"),
+         (2, "", "payload-2")],
+        "doc_id long, text string, extra string",
+    )
+    g = corpus.gopher_quality(df, min_words=2, carry_cols=("extra", "text"))
+    rows = {r["doc_id"]: r for r in g.collect()}
+    assert rows[1]["extra"] == "payload-1" and rows[1]["text"].startswith("the cat")
+    assert rows[2]["extra"] == "payload-2"
+    base = {
+        r["doc_id"]: r["pass_gopher"]
+        for r in corpus.gopher_quality(df, min_words=2).collect()
+    }
+    assert {k: rows[k]["pass_gopher"] for k in rows} == base
+    c = corpus.c4_line_filters(
+        df.withColumnRenamed("text", "page"), text_col="page",
+        carry_cols=("extra",),
+    )
+    crows = {r["doc_id"]: r for r in c.collect()}
+    assert crows[1]["extra"] == "payload-1" and crows[2]["extra"] == "payload-2"

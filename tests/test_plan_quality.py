@@ -549,6 +549,9 @@ SCAN_CEILINGS = {
     # without them); RAG's one scan is the chunk relation feeding BM25
     # (the embed side is checkpointed so inference never re-runs)
     "spec_curation_pipeline": 0, "spec_rag_pipeline": 2,
+    # stream twin: the drained result joins the batch table once for
+    # token counts (the stream side's scan is not a parquet FileScan)
+    "stream_curation_pipeline": 2,
     "spec_regridded_bilinear": 0, "spec_regridded_scenes": 0, "spec_scene_filter": 0, "spec_scene_images": 0,
     "spec_tile_data": 0, "spec_triplet_pipeline": 0, "stratified_split": 2, "stream_countmin": 1,
     "stream_daily_counts": 0, "stream_dedup_watermark": 0, "stream_incremental_dedup": 0, "stream_parquet_drain": 1,
@@ -738,3 +741,39 @@ def test_stale_certified_keys_lead_the_driver_window():
         f"50-key driver window for round {upcoming}: {stale_parked} — "
         f"rotate them into the first 50 queries() positions"
     )
+
+
+def test_where_unpushed_blocks_predicate_pushdown(spark):
+    """persist.where_unpushed regression gate: a plain .where(flag) over
+    a gate's HOF-heavy projected measures is pushed below the Project
+    with alias SUBSTITUTION and no CSE in the filter context — the
+    Gopher stage measured 22× slower that way. The barrier form must
+    (a) keep the physical Filter free of the substituted token/ngram
+    machinery (it references the projected boolean, so the predicate
+    stays short), and (b) change no values vs the plain filter."""
+    import io
+
+    from pyspark.sql import functions as F
+
+    from convml_data_spark.operators import corpus
+    from convml_data_spark.operators.persist import where_unpushed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    gated = corpus.gopher_quality(docs, min_words=30)
+    plain = gated.where(F.col("pass_gopher"))
+    fast = where_unpushed(gated, F.col("pass_gopher"))
+
+    def filter_lines(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        return [ln for ln in buf.getvalue().splitlines() if "Filter" in ln]
+
+    assert any("lambdafunction" in ln for ln in filter_lines(plain)), (
+        "pushdown behavior changed — re-evaluate whether where_unpushed "
+        "is still needed before removing it"
+    )
+    assert not any("lambdafunction" in ln for ln in filter_lines(fast))
+    a = sorted(r["doc_id"] for r in plain.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in fast.select("doc_id").collect())
+    assert a == b and a
