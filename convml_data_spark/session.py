@@ -87,6 +87,20 @@ def get_spark(
     )
     if os.environ.get("SPARK_DRIVER_MEMORY"):
         conf["spark.driver.memory"] = os.environ["SPARK_DRIVER_MEMORY"]
+    elif master.startswith("local"):
+        # In local mode the driver JVM IS the executor: Spark's 1g default
+        # heap holds every task's execution memory, all storage blocks
+        # (persisted shingle relations, localCheckpoint blocks, memory-sink
+        # tables) AND the driver bookkeeping. A long session (bench/sweep
+        # runs ~26-182 queries back-to-back) accumulates storage until the
+        # JVM spends most of its time in GC — measured on the bench at
+        # sf0.1: headline total 89.4 s at 1g vs 32.8 s at 8g, with the
+        # worst keys 7-10x (dedup_minhash 29.7 -> 4.0 s, stream_daily_counts
+        # 27.9 -> 2.9 s). 16g on a >=64 GiB host is conservative; override
+        # with $SPARK_DRIVER_MEMORY. On a real cluster (master unset) the
+        # deployment sizes driver/executor memory explicitly and this
+        # default never applies.
+        conf["spark.driver.memory"] = "16g"
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
