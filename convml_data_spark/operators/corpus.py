@@ -2700,14 +2700,18 @@ def bm25_topk(
     from .dedup import _spread
 
     toks = T.tokens(F.lower(F.col(text_col)))
+    # the (N, sum dl) scalars reduce with partial map-side aggregation —
+    # routing them through the _spread repartition shuffled the full
+    # corpus text a second time for no benefit (guide 2.4: remove
+    # shuffles outright); only the explode fan-out below needs _spread
+    stats = F.broadcast(
+        docs.agg(
+            F.count("*").cast("bigint").alias("_ndocs"),
+            F.sum(F.size(toks)).cast("bigint").alias("_sumdl"),
+        )
+    )
     base = _spread(docs, id_col).select(
         F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_dl")
-    )
-    stats = F.broadcast(
-        base.agg(
-            F.count("*").cast("bigint").alias("_ndocs"),
-            F.sum("_dl").cast("bigint").alias("_sumdl"),
-        )
     )
     occ = base.select(
         F.col(id_col),

@@ -1633,18 +1633,30 @@ def hashed_text_features(
     from .functions import text as T
 
     toks = T.tokens(F.lower(F.col(text_col)))
-    n = F.size(toks)
     bucket = lambda t: F.pmod(  # noqa: E731
         F.conv(F.substring(F.md5(t), 1, 13), 16, 10).cast("long"), F.lit(dim)
     )
+    # md5-bucket every token ONCE into a bound column — the per-feature
+    # filters below would otherwise re-run md5 per feature (dim x; the
+    # HOF re-derivation class from the winnowing lesson). The per-j
+    # counts then scan a small long array, not recompute hashes.
+    n = F.size(F.col("_b"))
+
+    def _eq(j: int):
+        # one-arg lambda per bucket (HOF arity is inferred from the
+        # callable signature — a default arg would bind the index form)
+        return lambda b: b == F.lit(j)
+
     feats = F.array(*[
         F.when(n > 0,
-               F.size(F.filter(toks, lambda t: bucket(t) == j)).cast("double")
-               / n.cast("double"))
+               F.size(F.filter(F.col("_b"), _eq(j)))
+               .cast("double") / n.cast("double"))
         .otherwise(F.lit(0.0))
         for j in range(dim)
     ])
-    return df.select(F.col(id_col), feats.alias("embedding"))
+    return df.select(
+        F.col(id_col), F.transform(toks, bucket).alias("_b")
+    ).select(F.col(id_col), feats.alias("embedding"))
 
 
 def build_rag_retrieval(
