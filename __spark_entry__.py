@@ -3133,20 +3133,15 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wf.groupBy("doc_id").agg(
         F.count("*").alias("n_fps"),
         F.min("fp").alias("min_fp"),
-        # position-weighted modular checksum: per-term cast to DECIMAL
-        # before summing, fold mod 2^61-1 — a raw BIGINT sum wraps on
+        # position-weighted modular checksum: a raw BIGINT sum wraps on
         # multi-MB docs (the seg_checksum overflow class) while the
-        # oracle's HUGEINT sum errors at the BIGINT cast instead
-        F.pmod(
-            F.sum(
-                ((F.col("fp") % 1000003) * (F.col("pos") + 1)).cast(
-                    "decimal(38,0)"
-                )
-            ),
-            F.lit((1 << 61) - 1).cast("decimal(38,0)"),
-        )
-        .cast("long")
-        .alias("fp_checksum"),
+        # oracle's HUGEINT sum errors at the BIGINT cast instead —
+        # checksum_mod_sum splits each long term hi/lo and reassembles
+        # mod 2^61-1, exact (terms < 2^20 * positions, well under its
+        # 2^62 range; formerly a DECIMAL(38,0) accumulate, identical)
+        dedup.checksum_mod_sum(
+            (F.col("fp") % 1000003) * (F.col("pos") + F.lit(1)).cast("long")
+        ).alias("fp_checksum"),
     )
 
 

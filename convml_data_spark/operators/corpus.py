@@ -578,12 +578,14 @@ def bpe_encode_bytes(
     segmentation string, reduced mod 2^61−1 — certifying the exact
     post-merge segmentation of every piece, not just its length (the
     encode_tokens ``id_checksum`` idea at the segmentation level; md5
-    replays in any engine). The sum accumulates in DECIMAL(38,0)
-    (exact to ~2e22 piece instances per doc — unreachable) and the
-    Mersenne-prime pmod folds it back into BIGINT: a raw BIGINT sum
-    of 52-bit terms wraps silently past ~4096 pieces (routine doc
-    sizes in a web corpus) while DuckDB's HUGEINT sum does not —
-    engine/oracle parity would break exactly on big docs. Docs with
+    replays in any engine). A raw BIGINT sum of 52-bit terms wraps
+    silently past ~4096 pieces (routine doc sizes in a web corpus)
+    while DuckDB's HUGEINT sum does not — engine/oracle parity would
+    break exactly on big docs; the sum therefore goes through
+    :func:`~.dedup.checksum_mod_sum` (hi/lo split long partial sums,
+    exact mod 2^61−1, good to 2^31 pieces per doc; formerly a
+    DECIMAL(38,0) accumulate — value-identical, minus the BigDecimal
+    per piece). Docs with
     no pieces (NULL/empty text) emit no row.
 
     Scale design mirrors :func:`bpe_encode`: merges fold over ONE
@@ -625,6 +627,8 @@ def bpe_encode_bytes(
             .alias("_ck"),
         )
     )
+    from .dedup import checksum_mod_sum
+
     return (
         tok.join(enc, "w")
         .groupBy(id_col)
@@ -632,12 +636,10 @@ def bpe_encode_bytes(
             F.count("*").alias("n_pieces"),
             F.sum("_bytes").alias("n_bytes"),
             F.sum("_toks").cast("bigint").alias("n_tokens"),
-            F.pmod(
-                F.sum(F.col("_ck").cast("decimal(38,0)")),
-                F.lit(CHECKSUM_MOD).cast("decimal(38,0)"),
-            )
-            .cast("long")
-            .alias("seg_checksum"),
+            # _ck is a 52-bit md5 value — well inside checksum_mod_sum's
+            # exact term range; value-identical to the former
+            # DECIMAL(38,0) accumulate without BigDecimal per piece
+            checksum_mod_sum(F.col("_ck")).alias("seg_checksum"),
         )
     )
 
@@ -724,10 +726,15 @@ def bpe_encode_byte_ids(
         .agg(F.min("_sid").alias("_sid"))
     )
     ids = byte_ids.unionByName(merge_ids)
-    # _wsum accumulates in DECIMAL(38,0): a BIGINT sum of (tpos+1)·id
-    # terms wraps on a pathological single piece of ~3e8+ tokens while
-    # the DuckDB twin's HUGEINT sum does not (the seg_checksum overflow
-    # class, one level down)
+    # _wsum folds mod 2^61-1 as it accumulates (checksum_mod_sum): a raw
+    # BIGINT sum of (tpos+1)·id terms wraps on a pathological single
+    # piece of ~3e8+ tokens while the DuckDB twin's HUGEINT sum does not
+    # (the seg_checksum overflow class, one level down). Each term is
+    # (tpos+1) < 2^31 times _sid ≤ 256+merges < 2^9, i.e. < 2^40 —
+    # well inside checksum_mod_sum's 2^62 exact range; formerly a
+    # DECIMAL(38,0) accumulate, value-congruent mod p by construction.
+    from .dedup import _MERSENNE_P, _mulmod_mersenne_long, checksum_mod_sum
+
     wids = (
         enc.select(
             "w",
@@ -738,10 +745,8 @@ def bpe_encode_byte_ids(
         .agg(
             F.count("*").alias("_ntok"),
             F.sum("_sid").alias("_sumid"),
-            F.sum(
-                ((F.col("_tpos") + F.lit(1)) * F.col("_sid")).cast(
-                    "decimal(38,0)"
-                )
+            checksum_mod_sum(
+                (F.col("_tpos") + F.lit(1)) * F.col("_sid")
             ).alias("_wsum"),
         )
     )
@@ -753,23 +758,32 @@ def bpe_encode_byte_ids(
         ),
         F.lit(0),
     )
-    # cast BOTH factors to decimal BEFORE the multiply: offset (≈ doc
-    # token count) × sumid (≈ 300·piece tokens) exceeds BIGINT on huge
-    # docs — a post-multiply cast would launder the wrapped value
-    contrib = F.col("_wsum") + off.cast("decimal(38,0)") * F.col(
-        "_sumid"
-    ).cast("decimal(38,0)")
+    # reduce the offset product mod p BEFORE it can materialize: offset
+    # (≈ doc token count) × sumid (≈ 300·piece tokens) exceeds BIGINT on
+    # huge docs, so _mulmod_mersenne_long folds it limb-wise with every
+    # intermediate under 2^63 (inputs: off < 2^31 tokens per doc,
+    # _sumid < 2^40, both already < 2^61). The window offset binds to a
+    # column first so the limb splits reference ONE computed attribute
+    # (project-then-fold idiom). contrib ≡ _wsum + off·_sumid (mod p)
+    # term-by-term, so the final checksum_mod_sum over the < 2^61
+    # residues is value-congruent to the former DECIMAL(38,0)
+    # accumulate-then-pmod — identical output.
+    contrib = F.pmod(
+        F.col("_wsum")
+        + _mulmod_mersenne_long(F.col("_off"), F.col("_sumid")),
+        F.lit(_MERSENNE_P),
+    )
     return (
         tok.join(wids, "w")
+        .select(
+            F.col(id_col), F.col("_ntok"), F.col("_wsum"),
+            F.col("_sumid"), off.alias("_off"),
+        )
         .select(F.col(id_col), F.col("_ntok"), contrib.alias("_c"))
         .groupBy(id_col)
         .agg(
             F.sum("_ntok").cast("bigint").alias("n_tokens"),
-            F.pmod(
-                F.sum("_c"), F.lit(CHECKSUM_MOD).cast("decimal(38,0)")
-            )
-            .cast("long")
-            .alias("id_checksum"),
+            checksum_mod_sum(F.col("_c")).alias("id_checksum"),
         )
     )
 
@@ -786,32 +800,35 @@ def encode_tokens(
     checksum is ``sum((pos+1) * token_id)`` over known tokens, reduced
     mod 2^61−1 (:data:`CHECKSUM_MOD`) — an order-sensitive scalar that
     certifies the full positional encoding without emitting an array
-    column. The sum accumulates in DECIMAL(38,0): a raw BIGINT sum of
-    position-weighted ids wraps silently on multi-megabyte docs
-    (Σ ≈ n²·V/2) while the DuckDB twin's HUGEINT does not — the
-    seg_checksum overflow class. NULL when the doc has no known tokens
-    (all-unknown sum is empty), as before.
+    column. A raw BIGINT sum of position-weighted ids wraps silently on
+    multi-megabyte docs (Σ ≈ n²·V/2) while the DuckDB twin's HUGEINT
+    does not — the seg_checksum overflow class; the sum therefore goes
+    through :func:`~.dedup.checksum_mod_sum` (hi/lo split long partial
+    sums, exact mod 2^61−1 — formerly a per-term DECIMAL(38,0)
+    accumulate, value-identical but BigDecimal-per-token). NULL when
+    the doc has no known tokens (all-unknown sum is empty), as before.
     """
+    from .dedup import checksum_mod_sum
+
     tok = docs.select(
         F.col(id_col),
         F.posexplode(T.tokens(F.lower(F.col(text_col)))).alias("pos", "token"),
     )
     joined = tok.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    # (pos+1)*token_id in plain longs: pos+1 <= doc tokens (< 2^31 for any
+    # real document) and token_id is a dense vocab rank (< 2^31), so the
+    # product stays < 2^62 — checksum_mod_sum's exact range. The former
+    # per-term DECIMAL(38,0) multiply paid BigDecimal per token; value
+    # identical (sum mod p == sum of in-range terms mod p), NULL token_id
+    # terms skipped by both, all-unknown docs still NULL.
+    term = (F.col("pos").cast("long") + F.lit(1)) * F.col("token_id").cast(
+        "long"
+    )
     return joined.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
         F.count("token_id").alias("n_known"),
         (F.count("*") - F.count("token_id")).alias("n_unk"),
-        F.pmod(
-            F.sum(
-                (
-                    (F.col("pos") + F.lit(1)).cast("decimal(38,0)")
-                    * F.col("token_id").cast("decimal(38,0)")
-                )
-            ),
-            F.lit(CHECKSUM_MOD).cast("decimal(38,0)"),
-        )
-        .cast("long")
-        .alias("id_checksum"),
+        checksum_mod_sum(term).alias("id_checksum"),
     )
 
 

@@ -290,6 +290,54 @@ def _affine_closure(ai: int, bi: int):
     return lambda x: _affine_mersenne_long(x, ai, bi)
 
 
+def _mulmod_mersenne_long(x, y):
+    """Exact ``(x*y) mod p`` for ``p = 2^61-1`` with BOTH operands as
+    Columns — :func:`_affine_mersenne_long`'s limb algebra with the
+    constant's Python-int limbs replaced by Column limbs. The bound
+    analysis is unchanged because it only uses ``operand < 2^61``:
+    x1,y1 < 2^30 ⇒ 2*x1*y1 < 2^61; mid = x1*y0 + x0*y1 < 2^62;
+    low = x0*y0 < 2^62 — every intermediate stays under 2^63.
+
+    Preconditions: ``0 <= x, y < 2^61`` (callers pmod first when a raw
+    value could exceed that)."""
+    p = F.lit(_MERSENNE_P)
+    x1 = F.shiftright(x, 31)
+    x0 = x.bitwiseAND(F.lit(_MASK31))
+    y1 = F.shiftright(y, 31)
+    y0 = y.bitwiseAND(F.lit(_MASK31))
+    t1 = F.pmod(F.lit(2) * x1 * y1, p)
+    mid = x1 * y0 + x0 * y1
+    t2 = F.shiftright(mid, 30) + mid.bitwiseAND(F.lit(_MASK30)) * F.lit(1 << 31)
+    low = x0 * y0
+    t3 = F.shiftright(low, 61) + low.bitwiseAND(p)
+    return F.pmod(F.pmod(t1 + t3, p) + F.pmod(t2, p), p)
+
+
+def checksum_mod_sum(term) -> "F.Column":
+    """Aggregate expression: exact ``SUM(term) mod (2^61-1)`` in pure
+    64-bit long arithmetic — the cheap twin of accumulating the sum in
+    DECIMAL(38,0) and folding with ``pmod`` (value-identical where both
+    are in range; the decimal form paid a BigDecimal allocation + add per
+    ROW, this pays a shift/mask/two long partial sums).
+
+    Split each term at bit 31: ``Σterm = (Σhi)·2^31 + Σlo`` exactly, so
+    ``Σterm mod p = ((Σhi mod p)·2^31 + Σlo) mod p`` with the constant
+    multiply folded by :func:`_affine_mersenne_long`.
+
+    Preconditions (callers document their own bounds): ``0 <= term <
+    2^62`` and at most ``2^31`` non-NULL rows per group, which keeps both
+    partial long sums under 2^62 (``hi < 2^31``, ``lo < 2^31``). Beyond
+    that an ANSI session RAISES on the long sum rather than wrapping —
+    never a silent wrong answer — where the decimal form kept going to
+    10^38. NULL terms are skipped by both forms; an all-NULL group
+    yields NULL (every piece of the reassembly propagates the NULL sum).
+    """
+    p = F.lit(_MERSENNE_P)
+    shi = F.pmod(F.sum(F.shiftright(term, 31)), p)
+    slo = F.pmod(F.sum(term.bitwiseAND(F.lit(_MASK31))), p)
+    return F.pmod(_affine_mersenne_long(shi, 1 << 31, 0) + slo, p)
+
+
 def _minhash_signatures_from_shingles(
     sh: DataFrame, num_hashes: int = 32, seed: int = 42
 ) -> DataFrame:
@@ -643,8 +691,8 @@ def connected_components(
     therefore only a TRIGGER: when two consecutive rounds' observed
     quadruples match, both edge sets (still materialized) are re-
     aggregated with ordinary exact jobs and the loop accepts only on
-    exact equality — two cheap scans over checkpointed blocks, paid once
-    per convergence, never per round. Residual risk after the exact check
+    exact equality — two cheap scans over checkpointed blocks fused into
+    ONE union-of-aggs job, paid once per convergence, never per round. Residual risk after the exact check
     is hash-sum collision between different edge sets (three independent
     64-bit hash sums + a count, ≈ 2^-192), not retry noise. A checkpoint
     truncates lineage each round so the plan does not grow with the
@@ -703,11 +751,14 @@ def connected_components(
     )
     e = p0.where(F.col("u") != F.col("v"))
 
-    def _exact_sig(df: DataFrame):
-        # ordinary aggregation job (not accumulator-backed): retries
-        # cannot distort it. Runs over already-checkpointed blocks.
-        row = df.agg(*_sig_exprs()).first()
-        return (row["n"], row["su"], row["sv"], row["sh"])
+    def _exact_sigs_match(d1: DataFrame, d2: DataFrame) -> bool:
+        # ordinary aggregation jobs (not accumulator-backed): retries
+        # cannot distort them. Run over already-checkpointed blocks, and
+        # only ever together at the convergence trigger — union the two
+        # 1-row aggs so the pair costs ONE job, not two.
+        rows = d1.agg(*_sig_exprs()).unionAll(d2.agg(*_sig_exprs())).collect()
+        a, b = [tuple(r[c] for c in ("n", "su", "sv", "sh")) for r in rows]
+        return a == b
 
     sig = _sig_of(obs0)
     prev_e = e
@@ -722,7 +773,7 @@ def connected_components(
         # accumulator match is only the trigger — accept the fixed point
         # on an EXACT re-aggregation of both (materialized) edge sets, so
         # a retry-distorted observation can never end the loop early
-        if new_sig == sig and _exact_sig(e) == _exact_sig(prev_e):
+        if new_sig == sig and _exact_sigs_match(e, prev_e):
             break
         sig = new_sig
         prev_e = e

@@ -4214,3 +4214,83 @@ def test_jaccard_and_containment_brute_force_across_thresholds(spark, t):
                 if c >= t:
                     exp_c[(a, b)] = round(c, 6)
     assert got_c == exp_c, (t, len(got_c), len(exp_c))
+
+
+def test_checksum_mod_sum_matches_decimal_form_and_bigint_math(spark):
+    """checksum_mod_sum (hi/lo-split long partial sums) must equal both
+    the former DECIMAL(38,0) accumulate-then-pmod form and exact Python
+    bigint math, across term magnitudes up to its documented 2^62 range,
+    including groups whose raw sum overflows BIGINT (the overflow class
+    the decimal form was introduced for) and all-NULL groups (-> NULL)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from convml_data_spark.operators.dedup import _MERSENNE_P, checksum_mod_sum
+
+    rng = random.Random(7)
+    rows = []
+    expected = {}
+    for g in range(20):
+        n = rng.randrange(1, 40)
+        mag = rng.choice([2**10, 2**31, 2**52, 2**61, 2**62 - 1])
+        terms = [rng.randrange(0, mag) for _ in range(n)]
+        # a couple of NULL terms mixed in (skipped by SUM in both forms)
+        nulls = rng.randrange(0, 3)
+        rows += [(g, t) for t in terms] + [(g, None)] * nulls
+        expected[g] = sum(terms) % _MERSENNE_P
+    # an all-NULL group yields NULL
+    rows += [(99, None), (99, None)]
+    expected[99] = None
+
+    df = spark.createDataFrame(rows, "g int, term long")
+    got_long = {
+        r["g"]: r["ck"]
+        for r in df.groupBy("g").agg(checksum_mod_sum(F.col("term")).alias("ck")).collect()
+    }
+    got_dec = {
+        r["g"]: r["ck"]
+        for r in df.groupBy("g")
+        .agg(
+            F.pmod(
+                F.sum(F.col("term").cast("decimal(38,0)")),
+                F.lit(_MERSENNE_P).cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("ck")
+        )
+        .collect()
+    }
+    assert got_long == expected
+    assert got_dec == expected
+
+
+def test_mulmod_mersenne_long_matches_python_bigint(spark):
+    """_mulmod_mersenne_long (variable x variable limb mulmod) must equal
+    exact Python bigint (x*y) % p across the full documented input range
+    [0, 2^61), including both operands at the boundary p-1 (where every
+    limb is saturated) and the zero/identity elements."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from convml_data_spark.operators.dedup import (
+        _MERSENNE_P,
+        _mulmod_mersenne_long,
+    )
+
+    rng = random.Random(13)
+    pairs = [(0, 0), (1, _MERSENNE_P - 1), (_MERSENNE_P - 1, _MERSENNE_P - 1)]
+    for _ in range(400):
+        mag_x = rng.choice([2**8, 2**31, 2**40, 2**52, _MERSENNE_P])
+        mag_y = rng.choice([2**8, 2**31, 2**40, 2**52, _MERSENNE_P])
+        pairs.append((rng.randrange(0, mag_x), rng.randrange(0, mag_y)))
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["m"]
+        for r in df.select(
+            "x", "y", _mulmod_mersenne_long(F.col("x"), F.col("y")).alias("m")
+        ).collect()
+    }
+    for x, y in pairs:
+        assert got[(x, y)] == (x * y) % _MERSENNE_P, (x, y)
