@@ -612,19 +612,25 @@ def test_per_query_parquet_scan_counts_do_not_regress(spark):
     SCAN_CEILINGS. A count BELOW ceiling is reported as a ratchet
     opportunity in the assertion message but does not fail.
 
-    Cache-state normalization: a .persist()ed relation that an EARLIER
-    test already materialized prints its cached child's FileScan once
-    per reference (the audit's false-positive class), doubling counts
-    for the persist-family keys vs the fresh-session ceilings — so the
-    gate clears the cache first and measures in the same sorted order
-    the ceilings were taken in (registration order changes what later
-    plans share)."""
-    spark.catalog.clearCache()
+    Cache-state normalization: a .persist()ed relation registered by an
+    EARLIER query's construction (or an earlier test) substitutes into
+    any later plan containing the same subtree, and the plan printer
+    re-prints the cached child's FileScan once per reference (the
+    audit's false-positive class — zero extra executions). That made
+    the counts depend on registration order: r17 caught
+    dedup_minhash_sigs reading 2 "scans" purely because dedup_minhash
+    (alphabetically earlier) persists the now-identical shingle
+    relation at construction time. The gate therefore clears the cache
+    before EACH query's explain, so every count is the fresh-session
+    plan — order-independent, and never inflated by another query's
+    persist registration. Ceilings stay upper bounds (a count below
+    ceiling is fine)."""
     missing, over = [], []
     for name in sorted(QUERIES):
         if name not in SCAN_CEILINGS:
             missing.append(name)
             continue
+        spark.catalog.clearCache()
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             QUERIES[name](spark, SF_DIR).explain()  # simple mode, once per node
