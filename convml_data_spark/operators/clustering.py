@@ -348,9 +348,14 @@ def _labels_from_edges(
             .select("id")
         )
     # clusters: components over core-core edges + core self-pairs (a core
-    # with no core neighbor is its own single-point cluster)
+    # with no core neighbor is its own single-point cluster). The edge
+    # relation is DIRECTED-symmetric (both orientations present), but CC
+    # canonicalizes every pair with least/greatest anyway — feed it only
+    # the id_a < id_b half, which halves the two core semi-joins and the
+    # CC normalization shuffle with a bit-identical component result.
     cc_edges = (
-        edges.join(core.withColumnRenamed("id", "id_a"), "id_a")
+        edges.where(F.col("id_a") < F.col("id_b"))
+        .join(core.withColumnRenamed("id", "id_a"), "id_a")
         .join(core.withColumnRenamed("id", "id_b"), "id_b")
         .select("id_a", "id_b")
         .unionByName(core.select(F.col("id").alias("id_a"), F.col("id").alias("id_b")))
@@ -647,33 +652,35 @@ def _kmeans_quantized(vec_col):
     )
 
 
-def _kmeans_d2(xq_col, centroid: list) -> "F.Column":
-    """Exact squared distance between a quantized vector column and one
-    centroid literal: (12,6) diffs → (27,12) squares → (25,12) running
-    sum, every step exact (ANSI mode would raise on overflow rather than
-    round — coordinates beyond ~1e6 need a wider KMEANS_DEC)."""
-    arr = F.array(*[F.lit(str(c)) for c in centroid]).cast(
-        f"array<{KMEANS_DEC}>"
-    )
-    return F.aggregate(
-        F.zip_with(xq_col, arr, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast(_KMEANS_ACC),
-        lambda acc, v: (acc + v).cast(_KMEANS_ACC),
-    )
-
-
-def _kmeans_assign_expr(xq_col, centroids: list[list]) -> "F.Column":
+def _kmeans_assign_expr(xq_name: str, centroids: list[list]) -> "F.Column":
     """Argmin-by-(d², cid) over the centroid literals — pure in-row Column
     math (array_min over (d, i) structs; decimal d² exact, so the min and
-    its id tie-break are deterministic), the ivf_index assignment shape."""
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(_kmeans_d2(xq_col, c).alias("d"), F.lit(i).alias("i"))
-                for i, c in enumerate(centroids)
-            ]
+    its id tie-break are deterministic), the ivf_index assignment shape.
+    Per centroid the squared distance is (12,6) diffs → (27,12) squares →
+    (25,12) running sum, every step exact (ANSI mode would raise on
+    overflow rather than round — coordinates beyond ~1e6 need a wider
+    KMEANS_DEC).
+
+    Built as ONE parsed SQL expression over a NAMED quantized-array
+    column: the former per-literal Column construction pushed k·dim
+    decimal literals through individual py4j calls — measured ~1.5 s of
+    driver time PER BUILD at k=8, dim=64, and every fit builds the
+    expression rounds+1 times. One ``F.expr`` parse is a single py4j
+    round-trip; the parsed tree (string-literal casts to KMEANS_DEC,
+    int accumulator cast, zip_with/aggregate lambdas) is node-identical
+    to the old builder, so assignments are bit-equal (pinned by the
+    Python-replica test)."""
+    parts = []
+    for i, c in enumerate(centroids):
+        lits = ",".join(f"'{v}'" for v in c)
+        d2 = (
+            f"aggregate(zip_with(`{xq_name}`, "
+            f"CAST(array({lits}) AS array<{KMEANS_DEC}>), "
+            f"(a, b) -> (a - b) * (a - b)), CAST(0 AS {_KMEANS_ACC}), "
+            f"(acc, v) -> CAST(acc + v AS {_KMEANS_ACC}))"
         )
-    )["i"]
+        parts.append(f"struct({d2} AS d, {i} AS i)")
+    return F.expr(f"array_min(array({', '.join(parts)})).i")
 
 
 def relational_kmeans(
@@ -740,7 +747,7 @@ def relational_kmeans(
         raise ValueError("cannot fit k-means on an empty table")
     centroids = [list(r["_xq"]) for r in seed_rows]
     for _ in range(int(rounds)):
-        assign = _kmeans_assign_expr(F.col("_xq"), centroids)
+        assign = _kmeans_assign_expr("_xq", centroids)
         # two selects: getField on an aliased struct resolves to col1/col2
         # when a generator (posexplode) shares its select (analyzer quirk)
         sums = (
@@ -764,6 +771,12 @@ def relational_kmeans(
             [new[i][d] for d in sorted(new[i])] if i in new else old
             for i, old in enumerate(centroids)
         ]
-    return points.withColumn(
-        out_col, _kmeans_assign_expr(_kmeans_quantized(vec_col), centroids)
+    # bind the quantized array to a column first: the assignment expression
+    # references it once per centroid, and an unbound expression would
+    # re-derive the whole transform/round/cast k times per row (the
+    # project-then-fold idiom)
+    return (
+        points.withColumn("_kmq", _kmeans_quantized(vec_col))
+        .withColumn(out_col, _kmeans_assign_expr("_kmq", centroids))
+        .drop("_kmq")
     )

@@ -629,11 +629,17 @@ def _large_star(e: DataFrame) -> DataFrame:
         .agg(F.min("x").alias("_mn"))
         .select("c", F.least("c", "_mn").alias("m"))
     )
+    # NO trailing distinct: for a set-valued input (p0 and every small-star
+    # output are distinct), each surviving adjacency (c, x) emits exactly
+    # one row, so the multiset size is ≤ |e| — duplicates only arise when
+    # two centers re-attach the same x to the same m, and _small_star's
+    # min-aggregation and final distinct absorb those. Dropping the dedup
+    # removes one full Exchange per CC round at every scale (r17: a round
+    # over 244 edges spent ~1.4 s almost entirely on AQE stage barriers).
     return (
         adj.join(m, "c")
         .where(F.col("x") > F.col("c"))
         .select(F.col("m").alias("u"), F.col("x").alias("v"))
-        .distinct()
     )
 
 

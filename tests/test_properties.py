@@ -862,3 +862,77 @@ def test_rayleigh_correction_physics(spark):
     assert abs(high_sun["ident"] - 0.4) < 1e-12
     # (4) missing pixel stays missing through the whole correction
     assert null_row["ident"] is None
+
+
+def test_top_ngram_frac_sorted_run_fold_matches_occurrence_scan(spark):
+    """r17 optimization pin: top_ngram_frac's sorted-run-length fold is
+    value-identical to the former O(d·g) per-distinct occurrence scan
+    (max multiplicity / total), across repeats, all-identical docs,
+    empties and shorter-than-n docs."""
+    import random
+
+    from convml_data_spark.functions import text as T
+
+    rng = random.Random(1712)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [("",), (None,), ("one",), ("x x x x x x x x",)]
+    for _ in range(60):
+        k = rng.randint(0, 40)
+        rows.append((" ".join(rng.choice(vocab) for _ in range(k)),))
+    df = spark.createDataFrame(rows, "text string")
+    toks = T.tokens(F.lower(F.col("text")))
+
+    def old_frac(toks, n):
+        g = T.ngrams_from_tokens(toks, n)
+        counts = F.transform(
+            F.array_distinct(g), lambda x: F.size(F.filter(g, lambda y: y == x))
+        )
+        return F.when(F.size(g) <= 0, F.lit(0.0)).otherwise(
+            F.array_max(counts) / F.size(g)
+        )
+
+    bad = df.where(
+        ~(
+            (old_frac(toks, 2).eqNullSafe(T.top_ngram_frac(toks, 2)))
+            & (old_frac(toks, 3).eqNullSafe(T.top_ngram_frac(toks, 3)))
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_cc_round_set_identical_without_large_star_distinct(spark):
+    """r17 optimization pin: dropping _large_star's trailing distinct (one
+    Exchange per CC round) leaves every round's OUTPUT SET unchanged —
+    _small_star's min-aggregation and final distinct absorb the (bounded,
+    ≤|e|-row) duplicate re-attachments."""
+    import random
+
+    from convml_data_spark.operators.dedup import _large_star, _small_star
+
+    rng = random.Random(42)
+    edges = {(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(80)}
+    canon = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+    e = spark.createDataFrame(canon, "u long, v long")
+
+    def ls_old(e):
+        adj = e.select(F.col("u").alias("c"), F.col("v").alias("x")).unionAll(
+            e.select(F.col("v").alias("c"), F.col("u").alias("x"))
+        )
+        m = (
+            adj.groupBy("c")
+            .agg(F.min("x").alias("_mn"))
+            .select("c", F.least("c", "_mn").alias("m"))
+        )
+        return (
+            adj.join(m, "c")
+            .where(F.col("x") > F.col("c"))
+            .select(F.col("m").alias("u"), F.col("x").alias("v"))
+            .distinct()
+        )
+
+    cur_old, cur_new = e, e
+    for _ in range(3):
+        cur_old = _small_star(ls_old(cur_old))
+        cur_new = _small_star(_large_star(cur_new))
+        assert cur_old.exceptAll(cur_new).count() == 0
+        assert cur_new.exceptAll(cur_old).count() == 0
