@@ -1701,12 +1701,20 @@ def build_rag_retrieval(
     from .operators import corpus, similarity
     from .operators.inference import batch_embed
 
-    wins = corpus.sliding_token_windows(
-        docs, size=window_size, stride=window_stride, id_col=id_col
-    ).select(
-        (F.col(id_col) * RAG_CHUNK_STRIDE_IDS + F.col("win_id"))
-        .cast("long").alias("chunk_id"),
-        "win_text",
+    # the window relation feeds TWO retrieval paths (the embed stage and
+    # bm25's lexical scan) — materialize it once, or the lexical side
+    # re-plans the whole chunker (token slicing over every doc) as its
+    # own second pass (the multi-consumer scan-audit class)
+    from .operators.persist import materialize_for_reuse as _mat
+
+    wins = _mat(
+        corpus.sliding_token_windows(
+            docs, size=window_size, stride=window_stride, id_col=id_col
+        ).select(
+            (F.col(id_col) * RAG_CHUNK_STRIDE_IDS + F.col("win_id"))
+            .cast("long").alias("chunk_id"),
+            "win_text",
+        )
     )
 
     def embed(df: DataFrame) -> DataFrame:
