@@ -51,6 +51,26 @@ def exclude_generate_filter_inference(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
 
 
+def _local_driver_memory_default() -> str:
+    """Local-mode driver-heap default: ``min(16 GiB, MemTotal/4)``,
+    floored at 2 GiB. 16 GiB is right for the 128 GiB bench hosts
+    (measured, see ``get_spark``); the quarter-of-RAM cap keeps a
+    smaller dev host from swapping under the same default. Only
+    consulted when no ``$SPARK_DRIVER_MEMORY`` override is set and the
+    master is local."""
+    gib = 16
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal"):
+                    total_kib = int(line.split()[1])
+                    gib = max(2, min(16, total_kib // (4 * 1024 * 1024)))
+                    break
+    except OSError:
+        pass  # no /proc (non-Linux dev box): keep the measured default
+    return f"{gib}g"
+
+
 _DEFAULT_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.optimizer.excludedRules": _GENERATE_FILTER_RULE,
@@ -96,11 +116,19 @@ def get_spark(
         # JVM spends most of its time in GC — measured on the bench at
         # sf0.1: headline total 89.4 s at 1g vs 32.8 s at 8g, with the
         # worst keys 7-10x (dedup_minhash 29.7 -> 4.0 s, stream_daily_counts
-        # 27.9 -> 2.9 s). 16g on a >=64 GiB host is conservative; override
-        # with $SPARK_DRIVER_MEMORY. On a real cluster (master unset) the
+        # 27.9 -> 2.9 s). The r18 A/B on the driver-class box (32 cores,
+        # 1g/8g/16g x2 interleaved bench runs) measured NO heap effect
+        # outside that box's +/-2x run-to-run noise (26-key subtotals
+        # 17.1/20.6/23.8 s with round order dominating — BASELINE.md "r18
+        # driver-heap A/B"), i.e. the 1g GC pathology is host-class-
+        # dependent, and a larger heap is neutral where it isn't needed.
+        # HOST-AWARE cap (r17 verdict):
+        # a flat 16g on a small host could exceed physical RAM and swap —
+        # take min(16 GiB, ~1/4 of MemTotal), floor 2 GiB. Override with
+        # $SPARK_DRIVER_MEMORY. On a real cluster (master unset) the
         # deployment sizes driver/executor memory explicitly and this
         # default never applies.
-        conf["spark.driver.memory"] = "16g"
+        conf["spark.driver.memory"] = _local_driver_memory_default()
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
