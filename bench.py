@@ -64,6 +64,19 @@ HEADLINE = [
     "dedup_minhash",
     "bm25_topk",
     "similarity_sq_topk",
+    # round 18 (additions ONLY — the 26 keys above stay, in order, for
+    # round-over-round comparability): the r17 optimization round's five
+    # biggest wins all sat outside the headline set by construction
+    # (sub-second relational keys can't see optimization work), so PERF
+    # was blind to ~90% of the round. One key per optimized family:
+    # Gopher gates, k-means, checksum encoders, connected components,
+    # and the two composed pipelines (curation, RAG).
+    "gopher_repetition",
+    "kmeans_labels",
+    "vocab_encode",
+    "dedup_components",
+    "spec_curation_pipeline",
+    "spec_rag_pipeline",
 ]
 
 
