@@ -1715,8 +1715,10 @@ def q_bpe_encode_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bpe_encode_byte_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GPT-2 token-ID encode (corpus.py::bpe_encode_byte_ids): assign
-    the GPT-2 vocabulary ids (256 byte symbols at ids 0-255 + one id per
+    """GPT-2-STYLE token-ID encode (corpus.py::bpe_encode_byte_ids;
+    same id-assignment semantics as Radford et al. 2019 but byte-VALUE
+    base ids, so the numbers differ from the published encoder.json):
+    assign vocabulary ids (256 byte symbols at ids 0-255 + one id per
     merge at 256+rank, min on symbol collision) on top of the trained
     byte-level merge list, and certify each doc's exact id SEQUENCE with
     the order-sensitive positional checksum Σ(pos+1)·id mod 2^61-1 —
@@ -5187,14 +5189,16 @@ def _containment_oracle_sql(threshold: float = 0.5, ngram: int = 3) -> str:
     """containment_pairs replay: the dedup_jaccard_prefix shingle-join
     skeleton with the DIRECTED containment ratio |A∩B|/|A| (a ≠ b, both
     directions), raw-compared at the threshold and rounded on output —
-    exactly the Spark filter/round order."""
+    exactly the Spark filter/round order. r18: shingle identity is the
+    60-bit md5 hash in BOTH engines (dedup._hashed_shingle_sets)."""
     return f"""
             WITH toks AS (
               SELECT doc_id,
                      list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '') AS w
               FROM documents
             ), sh AS (
-              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              SELECT DISTINCT doc_id,
+                     CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT) AS shingle
               FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
             ), sizes AS (
               SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
@@ -7960,13 +7964,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, score FROM p WHERE score >= 0.35
         """,
+        # r18: shingle identity is the 60-bit md5 hash in BOTH engines
+        # (dedup._hashed_shingle_sets — the minhash identity convention):
+        # sizes, intersections and the threshold all evaluate over the
+        # hashed set, so engine and oracle agree unconditionally
         "dedup_jaccard_prefix": """
             WITH toks AS (
               SELECT doc_id,
                      list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '') AS w
               FROM documents
             ), sh AS (
-              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              SELECT DISTINCT doc_id,
+                     CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT) AS shingle
               FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
             ), sizes AS (
               SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id

@@ -670,9 +670,16 @@ def _kmeans_assign_expr(xq_name: str, centroids: list[list]) -> "F.Column":
     int accumulator cast, zip_with/aggregate lambdas) is node-identical
     to the old builder, so assignments are bit-equal (pinned by the
     Python-replica test)."""
+    from decimal import Decimal
+
     parts = []
     for i, c in enumerate(centroids):
-        lits = ",".join(f"'{v}'" for v in c)
+        # explicit fixed-point formatting: every current caller passes
+        # scale-6 Decimals (plain notation, so this is the identity), but
+        # a raw float like 1e-07 or a NULL coordinate would otherwise
+        # interpolate as '1e-07'/'None' and make the ANSI CAST raise at
+        # analysis time; Decimal(v) rejects None at build time instead
+        lits = ",".join(f"'{Decimal(v):f}'" for v in c)
         d2 = (
             f"aggregate(zip_with(`{xq_name}`, "
             f"CAST(array({lits}) AS array<{KMEANS_DEC}>), "
@@ -774,9 +781,14 @@ def relational_kmeans(
     # bind the quantized array to a column first: the assignment expression
     # references it once per centroid, and an unbound expression would
     # re-derive the whole transform/round/cast k times per row (the
-    # project-then-fold idiom)
+    # project-then-fold idiom). Collision-proof temp name: a caller whose
+    # points table already carries `_kmq` must not have it silently
+    # overwritten and dropped.
+    tmp = "_kmq"
+    while tmp in points.columns:
+        tmp += "_"
     return (
-        points.withColumn("_kmq", _kmeans_quantized(vec_col))
-        .withColumn(out_col, _kmeans_assign_expr("_kmq", centroids))
-        .drop("_kmq")
+        points.withColumn(tmp, _kmeans_quantized(vec_col))
+        .withColumn(out_col, _kmeans_assign_expr(tmp, centroids))
+        .drop(tmp)
     )

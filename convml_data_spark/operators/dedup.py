@@ -77,6 +77,30 @@ def _shingles(docs: DataFrame, text_col: str, id_col: str, ngram: int, extra_col
     )
 
 
+def _hashed_shingle_sets(
+    docs: DataFrame, text_col: str, id_col: str, ngram: int
+) -> DataFrame:
+    """``(id, sh ARRAY<LONG>)``: the distinct shingle set mapped through
+    the 60-bit md5 shingle hash — the engine-wide shingle identity
+    convention (:func:`minhash_signatures` and every LSH path already
+    compute on these, and the DuckDB twin replays them exactly via
+    ``CAST('0x'||substr(md5(s),1,15) AS BIGINT)``).
+
+    Exists for the prefix-filter joins (guide §2.3/§3 narrow-types
+    class): token identity, document frequency, the rarity-first global
+    order, candidate join keys and the verify intersections all run in
+    LONG space instead of shuffling/sorting/comparing 3-word STRING
+    shingles — the join payload shrinks to 8 bytes/token and the
+    verify's array_intersect compares longs. ``array_distinct`` after
+    the hash keeps the relation a SET in both engines even under a
+    (≈ n²/2^61-probability) collision, so engine and oracle stay in
+    lockstep unconditionally."""
+    sh = _shingles(docs, text_col, id_col, ngram, [])
+    return sh.select(
+        "id", F.array_distinct(F.transform("sh", _shingle_hash64)).alias("sh")
+    )
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: group by md5(text); emit groups with >1 doc, keeping the
     min id as canonical. Returns (text_hash, canonical_id, n_dupes)."""
@@ -176,9 +200,12 @@ def jaccard_dedup_prefix(
     # corpus scale; lifecycle follows the engine convention (tiler.py:99):
     # the returned DataFrame pins the persisted relations, callers drop
     # them with spark.catalog.clearCache() when the result is consumed.
+    # r18: shingle identity is the 60-bit md5 hash (_hashed_shingle_sets)
+    # — every downstream shuffle/sort/join/intersect moves longs, not
+    # 3-word strings; the oracle twin hashes in lockstep.
     from fractions import Fraction
 
-    sh = _shingles(docs, text_col, id_col, ngram, []).persist(
+    sh = _hashed_shingle_sets(docs, text_col, id_col, ngram).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     ex = sh.select("id", F.explode("sh").alias("shingle"))
@@ -290,6 +317,32 @@ def _affine_closure(ai: int, bi: int):
     return lambda x: _affine_mersenne_long(x, ai, bi)
 
 
+def _affine_mersenne_sql(x: str, ai: int, bi: int) -> str:
+    """SQL-text twin of :func:`_affine_mersenne_long` over a column/lambda
+    variable reference ``x`` — same limb algebra, same bounds, same exact
+    value (pinned by ``test_minhash_single_parse_sql_matches_column_form``).
+
+    Exists for DRIVER-side cost (guide §5, the r17 k-means lesson): the
+    Column builder pushes ~20 py4j round-trips per hash through the
+    gateway, so 32 hashes cost ~650 blocking socket round-trips PER
+    CONSTRUCTION (~1-2 s of pure driver latency on the bench host,
+    re-paid every time a pipeline builds the signature stage). One
+    ``F.expr`` parse is a single round-trip; the parsed tree duplicates
+    the ``mid``/``low`` sub-terms textually exactly as the Column form
+    duplicated their subtrees (Column reuse embeds copies — Catalyst
+    expressions are trees, not DAGs), so per-row work is unchanged."""
+    p = _MERSENNE_P
+    a1, a0 = ai >> 31, ai & _MASK31
+    x1 = f"shiftright({x}, 31)"
+    x0 = f"({x} & {_MASK31}L)"
+    t1 = f"pmod({2 * a1}L * {x1}, {p}L)"
+    mid = f"({a1}L * {x0} + {a0}L * {x1})"
+    t2 = f"(shiftright({mid}, 30) + ({mid} & {_MASK30}L) * {1 << 31}L)"
+    low = f"({a0}L * {x0})"
+    t3 = f"(shiftright({low}, 61) + ({low} & {p}L))"
+    return f"pmod(pmod({t1} + {t3}, {p}L) + pmod({t2} + {bi}L, {p}L), {p}L)"
+
+
 def _mulmod_mersenne_long(x, y):
     """Exact ``(x*y) mod p`` for ``p = 2^61-1`` with BOTH operands as
     Columns — :func:`_affine_mersenne_long`'s limb algebra with the
@@ -348,10 +401,14 @@ def _minhash_signatures_from_shingles(
     ex = sh.select("id", F.explode("sh").alias("shingle"))
     # md5-hash each shingle ONCE into a bound column; the per-hash affine
     # maps are exact long arithmetic (see _affine_mersenne_long — the
-    # DECIMAL(38,0) form this replaces was the minhash cost center)
+    # DECIMAL(38,0) form this replaces was the minhash cost center).
+    # Each agg is ONE parsed F.expr (r18, guide §5 / the k-means one-parse
+    # lesson): the Column builder paid ~650 py4j round-trips per
+    # 32-hash construction, ~1-2 s of driver latency re-paid by every
+    # composed pipeline that builds this stage.
     h = ex.select("id", _shingle_hash64(F.col("shingle")).alias("x"))
     aggs = [
-        F.min(_affine_mersenne_long(F.col("x"), ai, bi)).alias(f"h{i}")
+        F.expr(f"min({_affine_mersenne_sql('x', ai, bi)})").alias(f"h{i}")
         for i, (ai, bi) in enumerate(params)
     ]
     sigs = h.groupBy("id").agg(*aggs)
@@ -388,20 +445,20 @@ def minhash_signatures_stateless(
         # per-hash transforms below would otherwise re-run md5 per hash
         # function (num_hashes x); the affine maps are exact long
         # arithmetic (_affine_mersenne_long), value-identical to the
-        # DECIMAL(38,0) form they replace
+        # DECIMAL(38,0) form they replace. The whole 32-lambda signature
+        # array is ONE parsed F.expr (r18, guide §5): the per-hash
+        # Column-lambda builder pushed ~800 py4j round-trips per
+        # construction through the gateway.
         .select("id", F.transform("_sh", _shingle_hash64).alias("_hx"))
         .select(
             "id",
-            F.array(
-                *[
-                    # one-arg lambda per hash (PySpark derives the HOF
-                    # lambda arity from the signature — keep a,b closed
-                    # over, not default args)
-                    F.array_min(
-                        F.transform("_hx", _affine_closure(ai, bi))
-                    )
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"array_min(transform(_hx, x -> {_affine_mersenne_sql('x', ai, bi)}))"
                     for ai, bi in params
-                ]
+                )
+                + ")"
             ).alias("sig"),
         )
     )
@@ -684,26 +741,37 @@ def connected_components(
     measured 16 rounds at sf0.1 vs 4 for this formulation.)
 
     Scale design: edges only ever move through hash-partitioned groupBy
-    (min) and equi-joins — no driver-sized state, no cross product; the
-    per-round convergence probe is a four-scalar (count/sum/sum/hash-sum)
-    ``observe()`` metric collected DURING the round's eager checkpoint —
-    zero extra jobs or scans per round (it was previously a separate
-    per-round aggregation scan). Observation metrics are accumulator-
-    backed, so a task retry or speculative duplicate can distort a
-    round's quadruple in EITHER direction: a spurious mismatch only burns
-    extra star rounds (star rounds are idempotent at the fixed point),
-    but a distorted quadruple could in principle also coincide with the
-    next round's and fake a fixed point. The accumulator probe is
-    therefore only a TRIGGER: when two consecutive rounds' observed
-    quadruples match, both edge sets (still materialized) are re-
-    aggregated with ordinary exact jobs and the loop accepts only on
-    exact equality — two cheap scans over checkpointed blocks fused into
-    ONE union-of-aggs job, paid once per convergence, never per round. Residual risk after the exact check
-    is hash-sum collision between different edge sets (three independent
-    64-bit hash sums + a count, ≈ 2^-192), not retry noise. A checkpoint
-    truncates lineage each round so the plan does not grow with the
-    iteration count (``durable`` picks the mechanism — executor-local by
-    default, reliable on request, see
+    (min) and equi-joins — no driver-sized state, no cross product. TWO
+    alternating star rounds run per materialization (r18: each eager
+    checkpoint is one job launch + one AQE barrier chain + one block
+    write; fusing a large/small/large/small quartet into each
+    materialized step halves that per-round fixed cost — measured
+    ~0.6-1.2 s/round at sf0.1, partition-count-insensitive — while the
+    shuffles inside the step are unchanged). The convergence probe is a
+    four-scalar (count/sum/sum/hash-sum) ``observe()`` metric collected
+    DURING the step's eager checkpoint — zero extra jobs or scans per
+    step. Observation metrics are accumulator-backed, so a task retry or
+    speculative duplicate can distort a step's quadruple in EITHER
+    direction: a spurious mismatch only burns extra star rounds (star
+    rounds are idempotent at the fixed point), but a distorted quadruple
+    could in principle also coincide with the next step's and fake a
+    fixed point. The accumulator probe is therefore only a TRIGGER: when
+    two consecutive steps' observed quadruples match, the loop accepts
+    only on an exact-job check of the FIXED-POINT PROPERTY itself —
+    ``sigs(e) == sigs(small_star(large_star(e)))``, one union-of-aggs
+    job over the checkpointed blocks (computing one extra in-flight star
+    round), paid once per convergence, never per step. This is the same
+    acceptance condition the pre-r18 consecutive-set comparison tested
+    (e_k = R(e_{k-1}) equal to e_{k-1} ⟺ R at a fixed point), but stated
+    directly on the current edge set, so fusing rounds needs no 2-cycle
+    convergence argument: a genuine fixed point is accepted, anything
+    else (including a hypothetical period-2 orbit that fools the
+    trigger) fails the exact check and the loop continues. Residual
+    risk after the exact check is hash-sum collision between different
+    edge sets (three independent 64-bit hash sums + a count, ≈ 2^-192),
+    not retry noise. A checkpoint truncates lineage each step so the
+    plan does not grow with the iteration count (``durable`` picks the
+    mechanism — executor-local by default, reliable on request, see
     :func:`~.persist.materialize_for_reuse`; observation metrics fire on
     both checkpoint kinds). Only nodes that appear in ``pairs`` are
     labelled (self-pairs label themselves).
@@ -757,32 +825,68 @@ def connected_components(
     )
     e = p0.where(F.col("u") != F.col("v"))
 
-    def _exact_sigs_match(d1: DataFrame, d2: DataFrame) -> bool:
+    def _exact_fixed_point(d: DataFrame) -> bool:
         # ordinary aggregation jobs (not accumulator-backed): retries
-        # cannot distort them. Run over already-checkpointed blocks, and
-        # only ever together at the convergence trigger — union the two
-        # 1-row aggs so the pair costs ONE job, not two.
-        rows = d1.agg(*_sig_exprs()).unionAll(d2.agg(*_sig_exprs())).collect()
+        # cannot distort them. Verifies the fixed-point property
+        # R(e) = e DIRECTLY: one union-of-aggs job that computes one
+        # star-round pair in flight over the checkpointed blocks — paid
+        # only at the convergence trigger, never per step.
+        rows = (
+            d.agg(*_sig_exprs())
+            .unionAll(_small_star(_large_star(d)).agg(*_sig_exprs()))
+            .collect()
+        )
         a, b = [tuple(r[c] for c in ("n", "su", "sv", "sh")) for r in rows]
         return a == b
 
     sig = _sig_of(obs0)
-    prev_e = e
-    for _ in range(max_iters):
-        obs = Observation()
-        e = materialize_for_reuse(
-            _small_star(_large_star(e)).observe(obs, *_sig_exprs()),
-            durable=durable,
-            eager=True,
-        )
-        new_sig = _sig_of(obs)
-        # accumulator match is only the trigger — accept the fixed point
-        # on an EXACT re-aggregation of both (materialized) edge sets, so
-        # a retry-distorted observation can never end the loop early
-        if new_sig == sig and _exact_sigs_match(e, prev_e):
-            break
-        sig = new_sig
-        prev_e = e
+    # Empty edge set (no pairs, or self-pairs only): zero star rounds are
+    # needed, and the loop's MID-PLAN observation below would never fire
+    # (AQE's runtime empty-relation propagation drops the inner
+    # CollectMetrics stage once a shuffle reports 0 rows — root-level
+    # observations survive, mid-plan ones do not). The n==0/NULL
+    # accumulator reading is only the TRIGGER; the skip is accepted on an
+    # exact isEmpty() probe, so a retry-distorted observation can cost
+    # one tiny job, never a wrong answer.
+    converged = not sig[0] and e.isEmpty()
+    if not converged:
+        for _ in range((max_iters + 1) // 2):
+            obs_out = Observation()
+            # two alternating star rounds per materialized step — ONE
+            # eager-checkpoint action per round PAIR instead of one per
+            # round. The inner round goes through a LAZY checkpoint: a
+            # star round references its input ~4 times (two adj
+            # projections, each feeding the min-agg and the re-attach
+            # join), and Catalyst plans a full subtree per reference, so
+            # naive composition re-executes the inner round ~4x inside
+            # the outer plan (measured 2x slower end-to-end). The lazy
+            # block fills exactly once INSIDE the outer step's eager
+            # action, keeping: one action per two rounds, every round's
+            # shuffles executed once, lineage truncated at both levels.
+            # (An inner observe() is impossible here — metrics never
+            # fire on lazily-checkpointed plans — so the trigger is
+            # cross-step: the quadruple two rounds apart. Detection lags
+            # one step behind the r17 per-round trigger at worst, and
+            # the extra rounds run over the already-contracted star set.)
+            inner = materialize_for_reuse(
+                _small_star(_large_star(e)), durable=durable
+            )
+            e = materialize_for_reuse(
+                _small_star(_large_star(inner)).observe(
+                    obs_out, *_sig_exprs()
+                ),
+                durable=durable,
+                eager=True,
+            )
+            new_sig = _sig_of(obs_out)
+            # accumulator match is only the trigger — accept only on an
+            # EXACT-job verification of the fixed-point property, so a
+            # retry-distorted observation can never end the loop early
+            # (and a trigger that is NOT a fixed point — the hypothetical
+            # 2-cycle — can never be accepted)
+            if new_sig == sig and _exact_fixed_point(e):
+                break
+            sig = new_sig
     # at the fixed point every component is a star centered at its minimum:
     # component(x) = min(neighbors ∪ {x}); unpaired/self-pair nodes keep
     # their own id via the left join
@@ -1304,7 +1408,10 @@ def containment_pairs(
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
-    sh = _shingles(docs, text_col, id_col, ngram, []).persist(
+    # r18: shingle identity is the 60-bit md5 hash (_hashed_shingle_sets)
+    # — the inverted index, df counts, rarity order, candidate keys and
+    # the verify intersections all move longs; oracle hashes in lockstep
+    sh = _hashed_shingle_sets(docs, text_col, id_col, ngram).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     # set size rides the explode IN-ROW (computed before the generator),

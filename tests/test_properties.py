@@ -936,3 +936,120 @@ def test_cc_round_set_identical_without_large_star_distinct(spark):
         cur_new = _small_star(_large_star(cur_new))
         assert cur_old.exceptAll(cur_new).count() == 0
         assert cur_new.exceptAll(cur_old).count() == 0
+
+
+def test_connected_components_long_path_fused_steps(spark):
+    """r18 pin for the fused two-rounds-per-checkpoint CC loop (ADVICE
+    r17: the distinct-removal pin never drove a run to its fixed point).
+    A long path with scrambled non-monotone ids is the worst case for
+    star contraction (diameter >> log n, min id in the middle): the run
+    must cross several fused steps, fire the in-step convergence
+    trigger, pass the exact fixed-point check, and label every node with
+    the component minimum."""
+    from convml_data_spark.operators.dedup import connected_components
+
+    n = 200
+    ids = [((i * 73) % n) * 1000 + 17 for i in range(n)]  # scrambled, distinct
+    edges = [(ids[i], ids[i + 1]) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    lo = min(ids)
+    assert len(got) == n
+    assert set(got.values()) == {lo}
+
+
+def test_connected_components_fixed_point_accept_is_exact(spark):
+    """The r18 accept check verifies R(e) = e directly (R = small_star ∘
+    large_star): on a graph that is ALREADY a star set, one fused step
+    must suffice and the result must be idempotent — rerunning CC on the
+    (component, id) edge list reproduces identical labels."""
+    from convml_data_spark.operators.dedup import connected_components
+
+    edges = [(1, x) for x in (2, 3, 4)] + [(10, 11)] + [(20, 20)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+    again = spark.createDataFrame(
+        [(v, k) for k, v in got.items()], "id_a long, id_b long"
+    )
+    got2 = {r["id"]: r["component"] for r in connected_components(again).collect()}
+    assert got2 == got
+
+
+def test_hashed_shingle_sets_match_string_space(spark):
+    """r18 pin for the long-key prefix joins: _hashed_shingle_sets maps
+    the distinct string shingle set through the 60-bit md5 hash — set
+    SIZES and pairwise INTERSECTION sizes must equal the string-space
+    ones on collision-free data (any real corpus; the md5 space is
+    2^60), so jaccard/containment values are unchanged by the r18 key
+    narrowing."""
+    from convml_data_spark.operators.dedup import (
+        _hashed_shingle_sets,
+        _shingles,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over a sleeping dog"),
+        (3, "completely different words in this one here now"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    h = {
+        r["id"]: set(r["sh"])
+        for r in _hashed_shingle_sets(docs, "text", "doc_id", 3).collect()
+    }
+    s = {
+        r["id"]: set(r["sh"])
+        for r in _shingles(docs, "text", "doc_id", 3, []).collect()
+    }
+    assert set(h) == set(s)
+    for k in s:
+        assert len(h[k]) == len(s[k]), k
+    assert h[1] == h[4]
+    for a, b in [(1, 2), (1, 3), (2, 3)]:
+        assert len(h[a] & h[b]) == len(s[a] & s[b]), (a, b)
+    # long keys, not strings: the whole prefix-join pipeline shuffles 8
+    # bytes per token
+    [sh_type] = [t for n, t in _hashed_shingle_sets(
+        docs, "text", "doc_id", 3).dtypes if n == "sh"]
+    assert sh_type == "array<bigint>"
+
+
+def test_minhash_single_parse_sql_matches_column_form(spark):
+    """r18 pin for the one-parse minhash signature builders: the SQL-text
+    affine hash (_affine_mersenne_sql, parsed once via F.expr) must equal
+    the Column-builder form (_affine_mersenne_long) exactly, across the
+    full documented input range [0, 2^61) including the p-1 boundary
+    (every limb saturated), for boundary params AND the real seed-42
+    params the signature builders actually use."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from convml_data_spark.operators.dedup import (
+        _MERSENNE_P,
+        _affine_mersenne_long,
+        _affine_mersenne_sql,
+        _hash_params,
+    )
+
+    rng = random.Random(29)
+    xs = [0, 1, _MERSENNE_P - 1, (1 << 60) - 1]
+    for _ in range(200):
+        xs.append(rng.randrange(0, 1 << 61))
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    params = _hash_params(6, seed=42) + [
+        (1, 0),
+        (_MERSENNE_P - 1, _MERSENNE_P - 1),
+    ]
+    cols = []
+    for i, (ai, bi) in enumerate(params):
+        cols.append(_affine_mersenne_long(F.col("x"), ai, bi).alias(f"c{i}"))
+        cols.append(F.expr(_affine_mersenne_sql("x", ai, bi)).alias(f"s{i}"))
+    for r in df.select("x", *cols).collect():
+        for i, (ai, bi) in enumerate(params):
+            exp = (ai * r["x"] + bi) % _MERSENNE_P
+            assert r[f"c{i}"] == exp, (r["x"], ai, bi)
+            assert r[f"s{i}"] == exp, (r["x"], ai, bi)
