@@ -1181,6 +1181,7 @@ def test_dbscan_invariants_random_points(spark):
                 assert got[i][0] is None, i
 
 
+@pytest.mark.nightly  # heavy audit; driver-budget deselect (r18)
 def test_dbscan_eps_ladder_levels_match_single_eps_and_are_monotone(spark):
     """Each ladder level must equal the standalone single-eps DBSCAN on
     the same data (the shared-edge-materialization rewrite is a pure
@@ -1218,6 +1219,7 @@ def test_dbscan_eps_ladder_levels_match_single_eps_and_are_monotone(spark):
     assert clustered_small != clustered_big
 
 
+@pytest.mark.nightly  # heavy audit; driver-budget deselect (r18)
 def test_mutual_reachability_ladder_matches_python_hdbscan_slice(spark):
     """Mutual-reachability level sets (clustering.py::
     mutual_reachability_ladder) against a brute-force Python mirror on
@@ -1398,6 +1400,7 @@ def test_dense_cell_refinement_bounds_candidates(spark):
     assert lab_fine[129] == (100, True)
 
 
+@pytest.mark.nightly  # heavy audit; driver-budget deselect (r18)
 def test_dbscan_refined_matches_unrefined_random(spark):
     """Label-identity property: the two-level grid (tiny threshold, so
     real data lands in BOTH the dense and sparse branches and the
@@ -1453,6 +1456,7 @@ def test_dbscan_refined_matches_unrefined_random(spark):
     assert lad_fine == lad_base
 
 
+@pytest.mark.nightly  # heavy audit; driver-budget deselect (r18)
 def test_dbscan_eps_ladder_warm_start_matches_cold(spark):
     """The warm-started ladder (level k's core labels contract level
     k+1's CC graph into super-nodes) must be LABEL-IDENTICAL to running
@@ -3883,6 +3887,7 @@ def test_langid_calibrated_buckets_and_agreement(spark):
         assert r["confident"] == (exp_conf >= 0.5)
 
 
+@pytest.mark.nightly  # heavy audit; driver-budget deselect (r18)
 def test_minhash_lsh_recall_measured_at_sf01(spark):
     """MEASURED LSH recall certificate (r13 verdict #6): the banded
     S-curve contract says a pair at exactly the j=0.5 threshold survives

@@ -8,6 +8,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
+
 import __spark_entry__ as entrymod
 from tests.conftest import SF_DIR
 
@@ -192,6 +194,7 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
 
 
+@pytest.mark.nightly  # ~3-4 min full-surface audit; driver-budget deselect (r18)
 def test_every_registered_query_plan_is_scale_clean(spark):
     """GLOBAL gate over every queries() entry: no CartesianProduct node
     and no keyless window (empty partition spec = the whole relation
@@ -601,6 +604,7 @@ SCAN_CEILINGS = {
 }
 
 
+@pytest.mark.nightly  # ~3-4 min full-surface audit; driver-budget deselect (r18)
 def test_per_query_parquet_scan_counts_do_not_regress(spark):
     """Regression gate on the r12 multi-consumer scan audit: every
     registered query's physical plan must not contain more parquet

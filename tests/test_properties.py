@@ -932,10 +932,24 @@ def test_cc_round_set_identical_without_large_star_distinct(spark):
 
     cur_old, cur_new = e, e
     for _ in range(3):
+        # materialize each round before comparing: the raw composition
+        # doubles the un-truncated plan per round and each exceptAll
+        # re-plans BOTH sides' full history — 98 s of pure Catalyst work
+        # for 40 nodes without this (the production loop checkpoints
+        # every step for exactly this reason; the property is about the
+        # round's OUTPUT SET, which materialization cannot change)
+        cur_old = cur_old.localCheckpoint()
+        cur_new = cur_new.localCheckpoint()
         cur_old = _small_star(ls_old(cur_old))
         cur_new = _small_star(_large_star(cur_new))
-        assert cur_old.exceptAll(cur_new).count() == 0
-        assert cur_new.exceptAll(cur_old).count() == 0
+        # multiset equality via collect (40-node graph): same assertion
+        # the two exceptAll directions made, minus 4 Catalyst plan
+        # chains per round
+        from collections import Counter
+
+        mo = Counter((r["u"], r["v"]) for r in cur_old.collect())
+        mn = Counter((r["u"], r["v"]) for r in cur_new.collect())
+        assert mo == mn
 
 
 def test_connected_components_long_path_fused_steps(spark):

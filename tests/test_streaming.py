@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from convml_data_spark import streaming
@@ -34,6 +35,7 @@ def test_streaming_seen_filter_dedups_across_batches(spark, tmp_path):
     assert got["b"] == 3 and got["c"] == 5
 
 
+@pytest.mark.nightly  # heavy lifecycle audit; driver-budget deselect (r18)
 def test_watermark_drops_too_late_rows(spark, tmp_path):
     """Update-mode windowed counts with a 2-day watermark across CHECKPOINT-
     chained runs (deterministic batch order): a row arriving after its
@@ -85,6 +87,7 @@ def test_streaming_running_counts(spark, tmp_path):
     assert final == {"a": 3, "b": 2, "c": 1}
 
 
+@pytest.mark.nightly  # heavy lifecycle audit; driver-budget deselect (r18)
 def test_stream_sessionize_matches_batch(spark, tmp_path):
     """Append-mode streaming sessionization across checkpoint-chained runs:
     sessions flush exactly when the watermark passes their close, and the
@@ -275,6 +278,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == expect and len(got) == 3 * (6 + 5)
 
 
+@pytest.mark.nightly  # heavy lifecycle audit; driver-budget deselect (r18)
 def test_stream_countmin_partials_merge_to_batch_sketch(spark, tmp_path):
     """Mergeable-sketch ingestion (drain_partial_to_parquet): a 3-file
     stream drained one file per micro-batch leaves three independent
