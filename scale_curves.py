@@ -37,6 +37,11 @@ import sys
 import time
 
 REPLICAS = 4  # synthetic point = REPLICAS x sf0.1
+# r18 (verdict task 7): a second, larger synthetic point — at sf0.1 every
+# headline key sits on the job-launch floor and the 8-vs-32-core ratios
+# certify nothing, so parallelization evidence needs a point where the
+# data term actually dominates. ~sf0.8 on documents (8 x sf0.1).
+REPLICAS_BIG = 8
 ID_STRIDE = 10_000_000
 FAMILIES = [
     # (key, table whose row count is the x-axis)
@@ -46,6 +51,14 @@ FAMILIES = [
     ("bpe_encode_byte_ids", "documents"),
     ("incremental_dedup", "documents"),
     ("dedup_exact_substring", "documents"),
+    # r18 additions: the heaviest sweep keys whose x-axis table the
+    # synthetic builder scales (streaming and lineitem-relational keys
+    # excluded by construction)
+    ("spec_curation_pipeline", "documents"),
+    ("spec_rag_pipeline", "documents"),
+    ("dedup_components", "embeddings"),
+    ("dbscan_merge_events", "embeddings"),
+    ("similarity_ivf_topk", "embeddings"),
 ]
 
 
@@ -94,18 +107,25 @@ def main() -> None:
     synth = os.path.join(tmp, f"sf0.1x{REPLICAS}")
     if not os.path.exists(os.path.join(synth, "embeddings.parquet")):
         build_synthetic("/root/testdata/sf0.1", synth, REPLICAS)
+    synth_big = os.path.join(tmp, f"sf0.1x{REPLICAS_BIG}")
+    if not os.path.exists(os.path.join(synth_big, "embeddings.parquet")):
+        build_synthetic("/root/testdata/sf0.1", synth_big, REPLICAS_BIG)
 
     from pyspark.sql import SparkSession
 
+    def session(cores: str) -> "SparkSession":
+        s = (
+            SparkSession.builder.master(f"local[{cores}]")
+            .config("spark.sql.shuffle.partitions", cores)
+            .config("spark.driver.memory", "48g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.driver.memory", "48g")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = session(cpus)
     import __spark_entry__ as entry
 
     queries = entry.queries()
@@ -113,6 +133,7 @@ def main() -> None:
         ("sf0.01", "/root/testdata/sf0.01"),
         ("sf0.1", "/root/testdata/sf0.1"),
         (f"sf0.1x{REPLICAS}", synth),
+        (f"sf0.1x{REPLICAS_BIG}", synth_big),
     ]
     counts: dict[str, dict[str, int]] = {}
     for label, d in sizes:
@@ -120,24 +141,48 @@ def main() -> None:
             t: spark.read.parquet(f"{d}/{t}.parquet").count()
             for t in ("documents", "embeddings")
         }
-    out: dict = {"replicas": REPLICAS, "runs": runs, "sizes": counts, "keys": {}}
+    out: dict = {"replicas": [REPLICAS, REPLICAS_BIG], "runs": runs,
+                 "sizes": counts, "keys": {}}
+
+    def measure(sp, key, d):
+        best = math.inf
+        for _ in range(runs):
+            t0 = time.time()
+            queries[key](sp, d).count()
+            best = min(best, time.time() - t0)
+        return best
+
     for key, table in FAMILIES:
         pts = []
         for label, d in sizes:
-            best = math.inf
-            for _ in range(runs):
-                t0 = time.time()
-                queries[key](spark, d).count()
-                best = min(best, time.time() - t0)
+            best = measure(spark, key, d)
             pts.append({"size": label, "rows": counts[label][table],
                         "sec": round(best, 3)})
             print(f"{key} @ {label}: {best:.2f}s", file=sys.stderr)
-        (_, n1, t1), (_, n2, t2) = (
-            (p["size"], p["rows"], p["sec"]) for p in pts[-2:]
-        )
-        exp = math.log(t2 / t1) / math.log(n2 / n1)
+        # least-squares log-log slope over the three LARGEST points (the
+        # sf0.01 point is fixed-overhead-dominated and stays unfitted)
+        ln = [(math.log(p["rows"]), math.log(p["sec"])) for p in pts[-3:]]
+        mx = sum(x for x, _ in ln) / len(ln)
+        my = sum(y for _, y in ln) / len(ln)
+        exp = (sum((x - mx) * (y - my) for x, y in ln)
+               / sum((x - mx) ** 2 for x, _ in ln))
         out["keys"][key] = {"table": table, "points": pts,
                             "exponent": round(exp, 3)}
+
+    # core-scaling at the big point: the same keys in a fresh 8-core
+    # session; ratio ~= cores32/cores8 speedup (4 would be perfect,
+    # ~1 means the key is still orchestration-bound at this size)
+    spark.stop()
+    spark8 = session("8")
+    for key, table in FAMILIES:
+        best8 = measure(spark8, key, synth_big)
+        e = out["keys"][key]
+        e["cores8_sec"] = round(best8, 3)
+        e["core_scaling_8_over_32"] = round(best8 / e["points"][-1]["sec"], 2)
+        print(f"{key} @ x{REPLICAS_BIG} local[8]: {best8:.2f}s "
+              f"(ratio {e['core_scaling_8_over_32']})", file=sys.stderr)
+    spark8.stop()
+
     with open(out_json, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
